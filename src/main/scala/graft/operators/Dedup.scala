@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora — the
+  * training-data-pipeline surface layered on the same engine. All
+  * implementations are shuffle-conscious: candidate generation is always
+  * an equi-join on a derived key (hash, band bucket, shingle), never a
+  * cross join, so each scales to 100 TB with bounded fan-out.
+  *
+  * Hashes are md5-derived (first 15 hex chars → 60-bit positive int) so
+  * results are engine-portable and deterministic across runs — a
+  * requirement for reproducible corpus construction.
+  */
+object Dedup {
+
+  /** 60-bit deterministic hash of a string expression. */
+  def hash60(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"s$seed|"), c)), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup: keep the smallest id per distinct text (hash-groupBy —
+    * one shuffle on the 128-bit digest, never on the text itself).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("_h"))
+      .groupBy("_h").agg(min(col(idCol)).as(idCol))
+      .drop("_h")
+
+  /** Word n-gram shingles, distinct. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val tokens = split(text, "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+        i => array_join(slice(tokens, i + 1, lit(n)), " ")))
+  }
+
+  /** Exact n-gram Jaccard similarity join: pairs (idA < idB) with
+    * |A∩B| / |A∪B| >= threshold. Shingle-inverted-index plan: explode
+    * distinct shingles → equi-join on shingle → count per pair → Jaccard
+    * on counts. The shuffle key is the shingle, so skew comes only from
+    * stop-shingles; `dfCap` drops shingles appearing in more than that
+    * many docs (they carry no discriminative signal and are the classic
+    * skew key at corpus scale).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, dfCap: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), n)).as("gram"))
+    val filtered = dfCap match {
+      case Some(cap) =>
+        val freq = sh.groupBy("gram").count().filter(col("count") <= cap)
+        sh.join(freq.select("gram"), "gram")
+      case None => sh
+    }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = filtered.as("a").join(filtered.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeds, the minimum
+    * hash60(shingle, seed) over the doc's shingle set.
+    */
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
+    val grams = wordShingles(text, shingleN)
+    array((0 until numHashes).map { s =>
+      array_min(transform(grams, g => hash60(g, s)))
+    }: _*)
+  }
+
+  /** MinHash + LSH near-dup candidate pairs: signatures are banded
+    * (`numHashes / bandSize` bands); docs sharing any band bucket become
+    * candidates (equi-join on the band hash — the LSH trick that turns an
+    * all-pairs problem into a bucket join); candidates are kept when >=
+    * `minAgree` of the full signature agrees (estimates Jaccard =
+    * minAgree/numHashes).
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 4, numHashes: Int = 16, bandSize: Int = 4,
+      minAgree: Int = 12): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    val numBands = numHashes / bandSize
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until numBands).map { b =>
+        md5(concat_ws(",",
+          (0 until bandSize).map(i => element_at(col("sig"), b * bandSize + i + 1)): _*))
+      }: _*)).as(Seq("band", "bucket")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cands
+      .withColumn("agree",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+      .filter(col("agree") >= minAgree)
+      .select("id_a", "id_b", "agree")
+  }
+
+  /** 60-bit SimHash fingerprint per document: tokens vote ±1 on each bit
+    * of their hash; the fingerprint takes the sign. Implemented as
+    * explode(token)×posexplode(bit) → two key-partitioned aggregations —
+    * no driver work, no UDF.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
+      .withColumn("h", hash60(col("tok"), 0))
+    val votes = toks.select(col("id"),
+        posexplode(array((0 until bits).map { b =>
+          when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
+        }: _*)).as(Seq("bit", "vote")))
+      .groupBy("id", "bit").agg(sum("vote").as("v"))
+    votes.groupBy("id").agg(
+      sum(when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: fingerprints within `maxHamming` bits,
+    * candidate-generated by banding the fingerprint into `numBands`
+    * 15-bit chunks (two fingerprints within k bits must share ≥1 of k+1
+    * chunks — pigeonhole, same trick as the barcode slice prefilter).
+    */
+  def simhashPairs(
+      fingerprints: DataFrame, // columns: id, simhash
+      maxHamming: Int = 6, numBands: Int = 4, bits: Int = 60): DataFrame = {
+    val chunk = bits / numBands
+    val banded = fingerprints.select(col("id"), col("simhash"),
+      posexplode(array((0 until numBands).map { b =>
+        shiftright(col("simhash"), b * chunk)
+          .bitwiseAND(lit((1L << chunk) - 1))
+      }: _*)).as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming_bits",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming_bits") <= maxHamming)
+      .select("id_a", "id_b", "hamming_bits")
+  }
+
+  /** Embedding near-dup: pairs with cosine >= threshold. Candidate
+    * generation via sign-bit LSH over `planes` deterministic random
+    * hyperplanes (see [[SimilaritySearch.hyperplaneSignature]]), exact
+    * cosine on survivors.
+    */
+  def embeddingCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 16): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      SimilaritySearch.hyperplaneSignature(col(vecCol), planes).as("sig"))
+    sig.as("a").join(sig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .withColumn("cosine", SimilaritySearch.cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
+  /** Collapse near-dup pairs into a keep/drop decision: drop every id that
+    * appears as the larger member of any pair (min-id survivor policy —
+    * deterministic, single groupBy).
+    */
+  def survivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The batch MERGE engine (SURVEY.md §2.7) — replaces the reference's
+  * row-at-a-time find-or-create / upsert verbs (id3c etl/__init__.py:33-682,
+  * lib/id3c/db/__init__.py:182-326) with one shuffle-partitioned
+  * full-outer classification pass.
+  *
+  * Design for scale: one sort-merge (or AQE-chosen) join on the natural
+  * key per merge, map-side change detection, and no per-row driver work.
+  * "Skip if unchanged" (reference db/__init__.py:262-269) matters *more*
+  * here than in Postgres: unchanged rows cost a parquet rewrite in a
+  * copy-on-write table, so they are classified and can be written back
+  * untouched / pruned from the delta.
+  */
+object Merge {
+
+  val ActionCol = "merge_action"
+  val Created = "created"
+  val Updated = "updated"
+  val Unchanged = "unchanged"
+  val Existing = "existing" // present in current, absent from updates
+
+  /** Full-outer merge classification.
+    *
+    * @param current     current snapshot of the dimension/entity table
+    * @param updates     incoming rows (same schema for `keys` ++ `compareCols`)
+    * @param keys        natural key (equality-matched; citext keys should be
+    *                    pre-normalized with functions.citext)
+    * @param compareCols change-detection columns (reference compares each
+    *                    field + merged details, etl/__init__.py:175-197)
+    * @return one row per key with the post-merge values and a
+    *         [[ActionCol]] ∈ created/updated/unchanged/existing
+    */
+  def mergeClassify(
+      current: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val curS = current.select(
+      keys.map(col) :+ struct(compareCols.map(col): _*).as("_cur"): _*)
+    val updS = updates.select(
+      keys.map(col) :+ struct(compareCols.map(col): _*).as("_upd"): _*)
+    val joined = curS.join(updS, keys, "full_outer")
+    val action =
+      when(col("_cur").isNull, Created)
+        .when(col("_upd").isNull, Existing)
+        .when(col("_cur") <=> col("_upd"), Unchanged)
+        .otherwise(Updated)
+    val merged = coalesce(col("_upd"), col("_cur"))
+    joined
+      .withColumn(ActionCol, action)
+      .select(keys.map(col) ++ compareCols.map(c => merged.getField(c).as(c)) :+ col(ActionCol): _*)
+  }
+
+  /** Apply a merge: next snapshot = current ⊕ updates. Unchanged/existing
+    * rows pass through; updated rows take the new values; created rows are
+    * appended. Equivalent to the reference's upsert loop in one pass.
+    */
+  def merge(
+      current: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame =
+    mergeClassify(current, updates, keys, compareCols).drop(ActionCol)
+
+  /** Two-key match of `upsert_sample` (reference lib/id3c/db/__init__.py:
+    * 182-326): an update row matches a current row on `identifier` OR
+    * `collection_identifier`; >1 distinct match is an error.
+    *
+    * Implemented as two equi-joins + a distinct-match assertion column, so
+    * both joins stay shuffle-partitioned on a single key (never a non-equi
+    * OR-join, which Spark would plan as a broadcast nested loop).
+    */
+  def upsertTwoKey(
+      current: DataFrame,
+      updates: DataFrame,
+      key1: String,
+      key2: String,
+      idCol: String): DataFrame = {
+    val byK1 = updates.as("u").join(
+      current.as("c"),
+      col(s"u.$key1") === col(s"c.$key1") && col(s"u.$key1").isNotNull,
+      "left").select(col(s"u.$key1").as("_uk1"), col(s"u.$key2").as("_uk2"),
+        col(s"c.$idCol").as("_match"))
+    val byK2 = updates.as("u").join(
+      current.as("c"),
+      col(s"u.$key2") === col(s"c.$key2") && col(s"u.$key2").isNotNull,
+      "left").select(col(s"u.$key1").as("_uk1"), col(s"u.$key2").as("_uk2"),
+        col(s"c.$idCol").as("_match"))
+    val matches = byK1.unionByName(byK2)
+      .filter(col("_match").isNotNull)
+      .groupBy("_uk1", "_uk2")
+      .agg(collect_set(col("_match")).as("_matches"))
+    // reference raises on ambiguous match; we surface it as a column the
+    // caller can assert on (fail the job) or quarantine per-record (§2.8).
+    matches.withColumn("ambiguous", size(col("_matches")) > 1)
+      .withColumn(idCol, element_at(col("_matches"), 1))
+  }
+
+  /** Stable surrogate-id allocation for `created` rows (SURVEY §1.4):
+    * max(existing id) + dense row_number over a deterministic order —
+    * never monotonically_increasing_id, which is unstable across runs.
+    */
+  def allocateIds(
+      created: DataFrame,
+      idCol: String,
+      maxExisting: Long,
+      orderBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderBy.map(col): _*)
+    // NOTE: a global window is a single-partition sort — acceptable because
+    // created-row batches are deltas, not the full table. For very large
+    // backfills use zipWithIndex over a range-partitioned sort instead.
+    created.withColumn(idCol, row_number().over(w).cast("long") + maxExisting)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, and batch feature extraction with the
+  * partitioning/schema shape a real decoder would use.
+  *
+  * The decode step itself is a clearly-marked deterministic STUB (the
+  * image/audio codecs are not in this container); everything around it —
+  * schema, encoders, mapPartitions batching, output shape — is real and
+  * tested. Swapping in a real decoder is a one-function change.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every blob. */
+  val metadataType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("byte_len", LongType),
+    StructField("source_uri", StringType)))
+
+  case class Blob(id: Long, content: Array[Byte], mime: String)
+  case class Features(id: Long, byte_len: Long, n_frames: Int, features: Array[Float])
+
+  /** Attach a binary payload + metadata struct to a DataFrame (here the
+    * payload is the UTF-8 text itself — stands in for image bytes).
+    */
+  def attachBinary(df: DataFrame, idCol: String, payloadCol: String, mime: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      col(payloadCol).cast("binary").as("content"),
+      struct(lit(mime).as("mime"),
+        length(col(payloadCol).cast("binary")).cast("long").as("byte_len"),
+        concat(lit("mem://"), col(idCol)).as("source_uri")).as("meta"))
+
+  /** ======== STUB ========
+    * Deterministic fake decoder: "decodes" a blob into a fixed-size
+    * feature vector from a byte histogram, and a frame count from the
+    * byte length. A real implementation would invoke the codec here; the
+    * signature, batching (one codec init per partition, not per row), and
+    * output schema are exactly what the real one needs.
+    */
+  def decodeStub(bytes: Array[Byte], dims: Int = 16): Array[Float] = {
+    val hist = new Array[Float](dims)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) % dims) += 1f; i += 1 }
+    if (bytes.length > 0) { var j = 0; while (j < dims) { hist(j) /= bytes.length; j += 1 } }
+    hist
+  }
+
+  /** Partition-batched feature extraction over binary blobs. The codec
+    * (stub) is initialized once per partition — the shape that matters at
+    * scale, where decoder init (model load, JNI context) dominates.
+    */
+  def extractFeatures(blobs: Dataset[Blob], frameBytes: Int = 64): Dataset[Features] = {
+    implicit val enc = Encoders.product[Features]
+    blobs.mapPartitions { it =>
+      // real impl: val codec = Codec.open() — once per partition
+      it.map { b =>
+        val feats = decodeStub(b.content)
+        Features(b.id, b.content.length.toLong,
+          math.max(1, (b.content.length + frameBytes - 1) / frameBytes), feats)
+      }
+    }
+  }
+
+  /** Deterministic frame sampling for "video" blobs: every `stride`-th
+    * frame window of `frameBytes` bytes, as its own row (explode shape —
+    * downstream per-frame models join on (id, frame_no)).
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    df.select(col("id"),
+        posexplode(
+          transform(
+            sequence(lit(0),
+              greatest((length(col("content")) / frameBytes / stride) - 1, lit(0))),
+            i => col("content").substr((i * lit(frameBytes * stride) + 1).cast("int"), lit(frameBytes))))
+          .as(Seq("frame_no", "frame_bytes")))
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The receiving area (SURVEY.md §1.1): one append-only table per feed,
+  * shaped exactly like the reference's receiving tables
+  * (id3c schema/deploy/receiving/presence-absence.sql:8-24) —
+  * `id, document (raw json text), received, processing_log`.
+  *
+  * The reference's GIN index on processing_log has no Spark equivalent;
+  * instead the unprocessed scan stays cheap because (a) processing_log is
+  * a pruned column, and (b) feeds can be compacted into processed/
+  * unprocessed partition directories (`compact`), so incremental runs
+  * prune partitions instead of filtering 100 TB.
+  */
+object Receiving {
+
+  /** processing_log element (reference mark_processed,
+    * etl/presence_absence.py:455-471): {etl, revision, status, timestamp}.
+    */
+  val logEntryType: StructType = StructType(Seq(
+    StructField("etl", StringType),
+    StructField("revision", IntegerType),
+    StructField("status", StringType),
+    StructField("timestamp", TimestampType)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("document", StringType),
+    StructField("received", TimestampType),
+    StructField("processing_log", ArrayType(logEntryType))))
+
+  /** Wrap raw documents into receiving shape (S1/S2: HTTP receive and
+    * NDJSON COPY both reduce to "append lines with received=now").
+    */
+  def fromDocuments(docs: DataFrame, docCol: String, startId: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("id", row_number().over(
+        Window.orderBy(monotonically_increasing_id())).cast("long") + startId)
+      .withColumn("document", col(docCol).cast("string"))
+      .withColumn("received", current_timestamp())
+      .withColumn("processing_log", array().cast(ArrayType(logEntryType)))
+      .select("id", "document", "received", "processing_log")
+  }
+
+  /** Read an NDJSON feed file as raw documents (reference
+    * cli/command/receiving.py:27-59 keeps the exact text around — so do
+    * we: `document` stays the raw line, parsed on read with from_json).
+    */
+  def readNdjson(spark: SparkSession, path: String): DataFrame =
+    fromDocuments(spark.read.text(path).withColumnRenamed("value", "document"), "document")
+
+  /** F1 — *the* incremental predicate (reference `where not processing_log
+    * @> [{"etl": name, "revision": rev}]`, etl/presence_absence.py:72-79):
+    * keep records not yet processed by (etl, revision). A higher-order
+    * `exists` keeps this inside codegen; no UDF, no shuffle.
+    */
+  def unprocessed(feed: DataFrame, etl: String, revision: Int): DataFrame =
+    feed.filter(!exists(col("processing_log"),
+      e => e.getField("etl") === lit(etl) && e.getField("revision") === lit(revision)))
+
+  /** M8 — append a status entry to processing_log for the given ids.
+    * Copy-on-write: returns the rewritten feed; [[snapshotSwap]] persists
+    * it atomically, mirroring the reference's transactional commit
+    * (cli/command/__init__.py:120-158).
+    */
+  def markProcessed(
+      feed: DataFrame,
+      processedIds: DataFrame, // single column "id"
+      etl: String,
+      revision: Int,
+      status: String = "processed"): DataFrame = {
+    val entry = struct(
+      lit(etl).as("etl"), lit(revision).as("revision"),
+      lit(status).as("status"), current_timestamp().as("timestamp"))
+    feed.join(processedIds.select(col("id").as("_pid")),
+        col("id") === col("_pid"), "left")
+      .withColumn("processing_log",
+        when(col("_pid").isNotNull,
+          concat(col("processing_log"), array(entry)))
+          .otherwise(col("processing_log")))
+      .drop("_pid")
+  }
+
+  /** mark_skipped (reference etl/fhir.py:129-132): same append with
+    * status=skipped — the per-record quarantine of §2.8.
+    */
+  def markSkipped(feed: DataFrame, ids: DataFrame, etl: String, revision: Int): DataFrame =
+    markProcessed(feed, ids, etl, revision, status = "skipped")
+
+  /** Atomic snapshot write: write to `<dir>.tmp-<epoch>`, then swap the
+    * directory — the batch analogue of the reference's single-transaction
+    * commit/rollback (cli/command/__init__.py:89-158). A dry run stops
+    * before the swap.
+    */
+  def snapshotSwap(df: DataFrame, dir: String, dryRun: Boolean = false): Unit = {
+    val tmp = s"$dir.tmp-${System.currentTimeMillis()}"
+    df.write.mode("overwrite").parquet(tmp)
+    if (dryRun) {
+      org.apache.hadoop.fs.FileSystem.get(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    } else {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(dir)
+      val bak = new org.apache.hadoop.fs.Path(s"$dir.bak-${System.currentTimeMillis()}")
+      if (fs.exists(dst)) fs.rename(dst, bak)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      if (fs.exists(bak)) fs.delete(bak, true)
+      ()
+    }
+  }
+}

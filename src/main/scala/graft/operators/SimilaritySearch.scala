@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *
+  *   - [[bruteForceTopK]]: exact cosine top-k, queries broadcast against
+  *     the corpus — correct baseline, O(|corpus|·|queries|) but a single
+  *     scan of the corpus with zero shuffle of the big side. Right answer
+  *     when |queries| is small, even at 100 TB of corpus.
+  *   - [[lshTopK]]: sign-bit LSH (random hyperplanes) bucket join +
+  *     rerank — the scale path when both sides are large. Hyperplanes are
+  *     derived from md5 so signatures are deterministic and reproducible.
+  *
+  * All arithmetic is double-precision column math (`zip_with` +
+  * `aggregate`), fully inside codegen; no UDFs.
+  */
+object SimilaritySearch {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic ±1 hyperplane component for (plane p, dim i). */
+  private def planeComponent(p: Int, i: Column): Column =
+    when(conv(substring(md5(concat(lit(s"plane$p|"), i.cast("string"))), 1, 15), 16, 10)
+      .cast("long").bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-bit signature over `planes` random ±1 hyperplanes: bit p is set
+    * iff `v · h_p > 0`. Cosine-similar vectors agree on most bits, so
+    * equal signatures are high-recall candidates for high thresholds.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact top-k by cosine for each query vector. `queries` must be small
+    * (it is broadcast); the corpus side is never shuffled — the join is a
+    * broadcast nested loop and the only wide operation is the per-query
+    * top-k window, partitioned by query id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, // id, vec
+      queries: DataFrame, // qid, qvec
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed ANN: candidates share a signature prefix of
+    * `prefixBits` bits (equi-join on the prefix — bounded fan-out), exact
+    * cosine rerank within candidates, top-k per query. Trades recall for
+    * a corpus-partitionable plan where brute force would be quadratic.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 16, prefixBits: Int = 8): DataFrame = {
+    val mask = lit((1L << prefixBits) - 1)
+    val c = corpus.withColumn("bucket",
+      hyperplaneSignature(col("vec"), planes).bitwiseAND(mask))
+    val q = queries.withColumn("bucket",
+      hyperplaneSignature(col("qvec"), planes).bitwiseAND(mask))
+    val scored = c.join(q, "bucket")
+      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.shipping
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.{DistinctOn, RangeBinJoin}
+
+/** The shipping area (SURVEY.md §1.3, §2.4-2.6, §3.3): consumer-facing
+  * analytical views as pure DataFrame functions, registered as temp views
+  * so both the DataFrame API and `spark.sql("select * from shipping_…")`
+  * work — mirroring the reference's schema/deploy/shipping/views.sql.
+  */
+object Views {
+
+  /** presence_absence_result_v1 (reference shipping/views.sql:17-28):
+    * sample ⋈ presence_absence ⋈ target, control targets excluded.
+    * `target` is a tiny dim — broadcast; the fact-fact join shuffles on
+    * sample_id only.
+    */
+  def presenceAbsenceResultV1(
+      sample: DataFrame, presenceAbsence: DataFrame, target: DataFrame): DataFrame =
+    presenceAbsence
+      .join(sample.select(col("sample_id"), col("identifier").as("sample")), "sample_id")
+      .join(broadcast(target.filter(!col("control"))
+        .select(col("target_id"), col("identifier").as("target"))), "target_id")
+      .select("sample", "target", "present")
+
+  /** presence_absence_result_v2: + organism lineage (left join) and
+    * device from details (reference views@2020-01-14b.sql:104-135 shape).
+    */
+  def presenceAbsenceResultV2(
+      sample: DataFrame, presenceAbsence: DataFrame, target: DataFrame,
+      organism: DataFrame): DataFrame =
+    presenceAbsence
+      .join(sample.select(col("sample_id"), col("identifier").as("sample")), "sample_id")
+      .join(broadcast(target.filter(!col("control"))
+        .select(col("target_id"), col("identifier").as("target"),
+          col("organism_id"))), "target_id")
+      .join(broadcast(organism.select(col("organism_id"),
+        col("lineage"))), Seq("organism_id"), "left")
+      .withColumn("device", get_json_object(col("details"), "$.device"))
+      .select("sample", "target", "present", "lineage", "device")
+
+  /** primary_encounter_location (reference
+    * warehouse/primary-encounter-location.sql:7-14): DISTINCT ON
+    * (encounter_id) ordered by relation priority nulls last.
+    */
+  def primaryEncounterLocation(
+      encounterLocation: DataFrame, relations: DataFrame): DataFrame =
+    DistinctOn(
+      encounterLocation.join(broadcast(relations), Seq("relation"), "left"),
+      partitionBy = Seq("encounter_id"),
+      orderBy = Seq(col("priority").asc_nulls_last, col("relation")))
+
+  /** incidence_model_observation_v2-shape (reference
+    * views@2020-01-14b.sql:138-218): encounter star join + ISO-week
+    * bucketing + age-bin range joins + JSON detail extraction.
+    */
+  def incidenceModelObservation(
+      encounter: DataFrame, individual: DataFrame, site: DataFrame,
+      sample: DataFrame, ageBinFine: DataFrame, ageBinCoarse: DataFrame,
+      reportingTz: String = "US/Pacific"): DataFrame = {
+    val base = encounter
+      .join(broadcast(site.select(col("site_id"), col("identifier").as("site"),
+        get_json_object(col("details"), "$.type").as("site_type"))), "site_id")
+      .join(individual.select(col("individual_id"), col("sex")), "individual_id")
+      .join(sample.select(col("encounter_id"), col("identifier").as("sample")),
+        Seq("encounter_id"), "left")
+      .withColumn("encountered_date", tzDate(col("encountered"), reportingTz))
+      .withColumn("encountered_week", isoWeekInTz(col("encountered"), reportingTz))
+      .withColumn("age_in_years", ageInYears(col("age_months")))
+      .withColumn("age_reporting", cappedReportingAge(col("age_in_years")))
+    val withFine = RangeBinJoin(base, "age_months",
+      ageBinFine.select(col("lo").as("fine_lo"), col("hi").as("fine_hi"),
+        col("label").as("age_range_fine")), "fine_lo", "fine_hi")
+    RangeBinJoin(withFine, "age_months",
+      ageBinCoarse.select(col("lo").as("coarse_lo"), col("hi").as("coarse_hi"),
+        col("label").as("age_range_coarse")), "coarse_lo", "coarse_hi")
+      .select("encounter_id", "site", "site_type", "sex", "sample",
+        "encountered_date", "encountered_week", "age_in_years",
+        "age_reporting", "age_range_fine", "age_range_coarse")
+  }
+
+  /** observation_with_presence_absence_result (reference
+    * views@2020-01-14b.sql:232-241): view-on-view join on sample.
+    */
+  def observationWithPresenceAbsence(
+      observation: DataFrame, paResult: DataFrame): DataFrame =
+    observation.join(paResult, Seq("sample"))
+
+  /** Sample row-level security as a view filter (reference RLS policy
+    * warehouse/sample/access-role-rls.sql:5-16): a row is visible when
+    * access_role is null or among the caller's roles.
+    */
+  def sampleVisibleTo(sample: DataFrame, roles: Seq[String]): DataFrame =
+    sample.filter(col("access_role").isNull ||
+      col("access_role").isin(roles.map(r => r: Any): _*))
+
+  /** Register views for SQL access (`shipping_` prefix ≡ schema). */
+  def register(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(s"shipping_$name")
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+/** Unit specs per operator (SURVEY.md §5: the reference is doctest-dense;
+  * we mirror that with per-operator assertions on tiny inline data).
+  */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+
+  test("hamming_distance: native expression, interpreted and codegen") {
+    import spark.implicits._
+    val df = Seq(("abcd", "abcd"), ("abcd", "abxd"), ("abcd", "xbxd"), ("ab", "abcd"))
+      .toDF("a", "b")
+      .select(graft.functions.hammingDistance(col("a"), col("b")).as("d"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+      == Seq(0, 1, 2, -1))
+  }
+
+  test("hamming_distance_lte short-circuits correctly at the boundary") {
+    import spark.implicits._
+    val df = Seq(("abcdefgh", "abcdefgh", 0), ("abcdefgh", "xxcdefgh", 2),
+      ("abcdefgh", "xxxdefgh", 2)).toDF("a", "b", "k")
+      .select(graft.functions.hammingDistanceLte(col("a"), col("b"), col("k")).as("ok"))
+    assert(df.collect().map(_.getBoolean(0)).toSeq == Seq(true, true, false))
+  }
+
+  test("barcode_slices matches the reference slice definition") {
+    import spark.implicits._
+    val r = Seq("abcd").toDF("c")
+      .select(graft.functions.barcodeSlices(col("c")).as("s"))
+      .head().getSeq[String](0)
+    assert(r == Seq("1__ab", "2__bc", "3__cd"))
+  }
+
+  test("slice-prefilter similarity join finds all pairs within distance 2") {
+    import spark.implicits._
+    val codes = Seq((1L, "aaaaaaaa"), (2L, "aaaaaaab"), (3L, "aaaaabbb"),
+      (4L, "zzzzzzzz")).toDF("id", "code")
+    val pairs = Barcodes.similarityJoin(codes, maxDist = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // d(1,2)=1, d(1,3)=3 (out), d(2,3)=2, 4 is far from all
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("isoWeek handles year boundaries (ISO 8601 week-year)") {
+    import spark.implicits._
+    // 2024-12-30 is Monday of 2025-W01; 2027-01-01 is in 2026-W53.
+    val r = Seq("2024-12-30", "2025-01-01", "2026-12-28", "2027-01-01")
+      .toDF("d")
+      .select(graft.functions.isoWeek(to_date(col("d"))).as("w"))
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("2025-W01", "2025-W01", "2026-W53", "2026-W53"))
+  }
+
+  test("DistinctOn keeps exactly the first row per key") {
+    import spark.implicits._
+    val df = Seq((1, 10, "b"), (1, 5, "a"), (2, 7, "c")).toDF("k", "ord", "v")
+    val r = DistinctOn(df, Seq("k"), Seq(col("ord").asc))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    assert(r == Seq((1, "a"), (2, "c")))
+  }
+
+  test("Merge.mergeClassify labels created/updated/unchanged/existing") {
+    import spark.implicits._
+    val cur = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val upd = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "v")
+    val m = Merge.mergeClassify(cur, upd, Seq("id"), Seq("v"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(m == Seq((1L, "a", "existing"), (2L, "b", "unchanged"),
+      (3L, "C", "updated"), (4L, "d", "created")))
+  }
+
+  test("Receiving.unprocessed honors (etl, revision) containment") {
+    import spark.implicits._
+    val docs = Seq("d1", "d2", "d3").toDF("document")
+    val feed = Receiving.fromDocuments(docs, "document")
+    val once = Receiving.markProcessed(
+      feed, feed.filter(col("id") === 1L).select("id"), "x", 1)
+    assert(Receiving.unprocessed(once, "x", 1).count() == 2)
+    assert(Receiving.unprocessed(once, "x", 2).count() == 3) // revision bump
+    assert(Receiving.unprocessed(once, "y", 1).count() == 3)
+  }
+
+  test("Dedup.exact keeps one survivor per distinct text") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val r = Dedup.exact(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(1L, 3L))
+  }
+
+  test("Dedup.minhashLshPairs finds exact duplicates and skips distinct docs") {
+    import spark.implicits._
+    val text = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, text), (2L, text),
+      (3L, "totally different words entirely here with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("TextAnalysis.tokenCount: empty, blank, normal") {
+    import spark.implicits._
+    val r = Seq("", "   ", "a b  c").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(0, 0, 3))
+  }
+
+  test("SimilaritySearch.bruteForceTopK ranks by exact cosine") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
+      .toDF("id", "vec")
+    val queries = Seq((100L, Array(1f, 0f))).toDF("qid", "qvec")
+    val r = SimilaritySearch.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(r == Seq(1L, 2L))
+  }
+
+  test("hstoreMerge is right-biased and null-tolerant") {
+    import spark.implicits._
+    val df = Seq((Map("a" -> "1", "b" -> "2"), Map("b" -> "3", "c" -> "4")))
+      .toDF("x", "y")
+      .select(graft.functions.hstoreMerge(col("x"), col("y")).as("m"))
+    assert(df.head().getMap[String, String](0).toMap
+      == Map("a" -> "1", "b" -> "3", "c" -> "4"))
+  }
+
+  test("jsonbMergeShallow merges top-level keys right-biased") {
+    import spark.implicits._
+    val df = Seq(("""{"a":1,"b":{"x":1}}""", """{"b":{"y":2},"c":3}"""))
+      .toDF("a", "b")
+      .select(graft.functions.jsonbMergeShallow(col("a"), col("b")).as("m"))
+    assert(df.head().getString(0) == """{"a":1,"b":{"y":2},"c":3}""")
+  }
+}
