@@ -101,7 +101,7 @@ object SparkEntry {
     val w = Window.partitionBy("o_custkey")
       .orderBy($("o_totalprice").desc, $("o_orderkey").asc)
     t(s, dir, "orders")
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter($("rank") <= 3)
       .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
       .orderBy("o_custkey", "rank")
@@ -162,7 +162,8 @@ object SparkEntry {
   /** Text analysis — token counting. */
   private def q14Tokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select($("doc_id"), TextAnalysis.tokenCount($("text")).as("n_tokens"))
+      .select($("doc_id"),
+        TextAnalysis.tokenCount($("text")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
   /** Text analysis — language ID by marker-stopword argmax. */
@@ -195,6 +196,226 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** J9/C4/C6 — slice-prefiltered hamming similarity join over derived
+    * 6-char codes (sound for maxDist=2: 2 substitutions touch ≤4 of the 5
+    * positioned 2-gram slices).
+    */
+  private def q19HammingPairs(s: SparkSession, dir: String): DataFrame =
+    Barcodes.similarityJoin(
+      t(s, dir, "customer").select($("c_custkey").as("id"),
+        substring(md5($("c_custkey").cast("string")), 1, 6).as("code")),
+      maxDist = 2)
+      .select($("id_a"), $("id_b"), $("dist").cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+
+  /** Dedup — exact n-gram Jaccard similarity join (shingle inverted index). */
+  private def q20Jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+      .withColumn("jaccard", round($("jaccard"), 6))
+      .orderBy("id_a", "id_b")
+
+  /** Dedup — MinHash signatures (md5-derived, engine-portable). */
+  private def q21MinhashSig(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select($("doc_id"),
+        array_join(transform(Dedup.minhashSignature($("text"), 4, 16),
+          x => x.cast("string")), ",").as("sig"))
+      .orderBy("doc_id")
+
+  /** Dedup — MinHash + LSH banded candidate pairs. */
+  private def q22MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 4, numHashes = 16, bandSize = 4, minAgree = 8)
+      .select($("id_a"), $("id_b"), $("agree").cast("long").as("agree"))
+      .orderBy("id_a", "id_b")
+
+  /** Dedup — SimHash fingerprints (token sign-votes per bit). */
+  private def q23Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(
+      t(s, dir, "documents").withColumn("text", trim($("text"))),
+      "doc_id", "text")
+      .select($("id").as("doc_id"), $("simhash"))
+      .orderBy("doc_id")
+
+  /** M2-M5 — batch MERGE classification (created/updated/unchanged/existing). */
+  private def q24Merge(s: SparkSession, dir: String): DataFrame = {
+    val cur = t(s, dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val upd = cur.filter($("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", $("o_totalprice") + 10)
+      .unionByName(cur.filter($("o_orderkey") % 3 === 1))
+      .unionByName(cur.filter($("o_orderkey") % 100 === 0)
+        .select(($("o_orderkey") + 10000000).as("o_orderkey"),
+          lit(100.0).as("o_totalprice"), lit("N").as("o_orderstatus")))
+    Merge.mergeClassify(cur, upd, Seq("o_orderkey"),
+      Seq("o_totalprice", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** F1/M8 — the incremental unprocessed filter over a receiving feed. */
+  private def q25Unprocessed(s: SparkSession, dir: String): DataFrame = {
+    val entry1 = array(struct(lit("etl_x").as("etl"), lit(1).as("revision"),
+      lit("processed").as("status"), lit(null).cast("timestamp").as("timestamp")))
+    val entry2 = array(struct(lit("etl_x").as("etl"), lit(2).as("revision"),
+      lit("processed").as("status"), lit(null).cast("timestamp").as("timestamp")))
+    val feed = t(s, dir, "documents")
+      .select($("doc_id").as("id"), $("text").as("document"))
+      .withColumn("processing_log",
+        when($("id") % 3 === 0, entry1)
+          .when($("id") % 3 === 1, entry2)
+          .otherwise(slice(entry1, 1, 0)))
+    Receiving.unprocessed(feed, "etl_x", 1)
+      .select($("id").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Shipping view — presence_absence_result_v1 over synthesized warehouse
+    * tables (sample≅orders, presence_absence≅lineitem, target≅small dim).
+    */
+  private def q26PaV1(s: SparkSession, dir: String): DataFrame = {
+    val sample = t(s, dir, "orders").select($("o_orderkey").as("sample_id"),
+      concat(lit("S"), $("o_orderkey")).as("identifier"))
+    val pa = t(s, dir, "lineitem").select($("l_orderkey").as("sample_id"),
+      ($("l_partkey") % 20).as("target_id"), ($("l_quantity") > 25).as("present"))
+    val target = s.range(0, 20).select($("id").as("target_id"),
+      concat(lit("T"), $("id")).as("identifier"), ($("id") < 3).as("control"))
+    Views.presenceAbsenceResultV1(sample, pa, target)
+      .orderBy("sample", "target", "present")
+  }
+
+  /** Shipping view — incidence_model_observation (star join + ISO week +
+    * age-bin range joins + JSON site type), warehouse synthesized from the
+    * star schema.
+    */
+  private def q27Incidence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val encounter = t(s, dir, "orders").select(
+      $("o_orderkey").as("encounter_id"), $("o_custkey").as("individual_id"),
+      ($("o_custkey") % 25).cast("int").as("site_id"),
+      $("o_orderdate").as("encountered"),
+      ($("o_orderkey") % 1212).cast("int").as("age_months"))
+    val site = t(s, dir, "nation").select($("n_nationkey").as("site_id"),
+      $("n_name").as("identifier"), lit("""{"type":"clinic"}""").as("details"))
+    val individual = t(s, dir, "customer").select($("c_custkey").as("individual_id"),
+      when($("c_custkey") % 3 === 0, "male")
+        .when($("c_custkey") % 3 === 1, "female")
+        .otherwise("other").as("sex"))
+    val sample = DistinctOn(t(s, dir, "lineitem"),
+      Seq("l_orderkey"), Seq($("l_linenumber").asc))
+      .select($("l_orderkey").as("encounter_id"),
+        concat(lit("S"), $("l_orderkey")).as("identifier"))
+    val fine = Seq((0, Option(6), "0-6mo"), (6, Option(24), "6mo-2y"),
+      (24, Option(60), "2-5y"), (60, Option(144), "5-12y"),
+      (144, Option(216), "12-18y"), (216, Option(600), "18-50y"),
+      (600, Option.empty[Int], "50y+")).toDF("lo", "hi", "label")
+    val coarse = Seq((0, Option(24), "c0-2"), (24, Option(144), "c2-12"),
+      (144, Option(600), "c12-50"), (600, Option.empty[Int], "c50+"))
+      .toDF("lo", "hi", "label")
+    Views.incidenceModelObservation(encounter, individual, site, sample,
+      fine, coarse, reportingTz = "UTC")
+      .withColumn("encountered_date", $("encountered_date").cast("string"))
+      .orderBy("encounter_id")
+  }
+
+  /** A4 — stats aggregate: sum/max/median per group. */
+  private def q28Stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum($("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        max($("l_quantity")).as("max_qty"),
+        percentile($("l_quantity"), lit(0.5)).as("med_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** Similarity search — exact brute-force cosine top-k (queries broadcast). */
+  private def q29EmbedTopK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings")
+      .select($("vec_id").as("id"), $("embedding").as("vec"))
+    val queries = t(s, dir, "embeddings").filter($("vec_id") < 8)
+      .select($("vec_id").as("qid"), $("embedding").as("qvec"))
+    SimilaritySearch.bruteForceTopK(corpus, queries, 5)
+      .withColumn("cosine", round($("cosine"), 6))
+      .withColumn("rank", $("rank").cast("long"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Event-time tumbling window aggregation (batch shape of §2.8 streams). */
+  private def q30WindowHour(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(epochS(date_trunc("hour", $("ts"))).as("hour_s"), $("event_type"))
+      .agg(count(lit(1)).as("cnt"), moneySum($("value")).as("sum_value"))
+      .orderBy("hour_s", "event_type")
+
+  /** Text analysis — quality signals. */
+  private def q31Quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")
+      .select($("doc_id"), $("n_chars").cast("long").as("n_chars"),
+        $("n_tokens").cast("long").as("n_tokens"),
+        round($("punct_ratio"), 6).as("punct_ratio"),
+        round($("digit_ratio"), 6).as("digit_ratio"),
+        round($("stopword_ratio"), 6).as("stopword_ratio"),
+        round($("mean_word_len"), 6).as("mean_word_len"))
+      .orderBy("doc_id")
+
+  /** Text analysis — winnowing fingerprints (Schleimer et al. 2003). */
+  private def q32Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val fp = TextAnalysis.winnowingFingerprints($("text"), 5, 4)
+    t(s, dir, "documents")
+      .select($("doc_id"),
+        array_join(transform(array_sort(fp), x => x.cast("string")), ",").as("fps"),
+        size(fp).cast("long").as("n_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** A2/E2/E3 — order-preserving array distinct, except, intersect, overlap. */
+  private def q33ArrayOps(s: SparkSession, dir: String): DataFrame = {
+    val tk = split(trim($("text")), "\\s+")
+    val stop = array(Seq("the", "a", "of", "and").map(lit): _*)
+    val markers = array(Seq("merge", "join").map(lit): _*)
+    t(s, dir, "documents")
+      .select($("doc_id"),
+        array_join(array_distinct(tk), ",").as("distinct_toks"),
+        array_join(array_except(tk, stop), ",").as("except_toks"),
+        arrays_overlap(tk, markers).as("has_marker"),
+        size(array_intersect(tk, markers)).cast("long").as("n_marker"))
+      .orderBy("doc_id")
+  }
+
+  /** M9 — identifier minting (uuid-derived codes, distance-3 enforcement).
+    * Non-deterministic by design (uuid) → rows-only check, no oracle.
+    */
+  private def q34Mint(s: SparkSession, dir: String): DataFrame =
+    Barcodes.mint(s,
+      t(s, dir, "customer").select(
+        substring(md5($("c_custkey").cast("string")), 1, 8).as("code")),
+      n = 50)
+
+  /** Multimodal — binary blobs + partition-batched feature extraction
+    * (byte-histogram stub decode; float math matches DuckDB REAL exactly).
+    */
+  private def q35Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      .select($("id"), $("content"), $("meta.mime").as("mime"))
+      .as[Multimodal.Blob]
+    Multimodal.extractFeatures(blobs).toDF()
+      .select($("id").as("doc_id"), $("byte_len"),
+        $("n_frames").cast("long").as("n_frames"),
+        transform($("features"), f => f.cast("double")).as("features"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL API — correlated EXISTS via spark.sql over registered views. */
+  private def q36SqlExists(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql("""SELECT o_orderpriority, count(*) AS n FROM orders_v o
+            |WHERE EXISTS (SELECT 1 FROM lineitem_v l
+            |              WHERE l.l_orderkey = o.o_orderkey
+            |                AND l.l_shipdate > o.o_orderdate)
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -216,6 +437,24 @@ object SparkEntry {
     "q16_deidentify" -> (q16Deidentify _),
     "q17_collect" -> (q17CollectSet _),
     "q18_except" -> (q18Except _),
+    "q19_hamming_pairs" -> (q19HammingPairs _),
+    "q20_jaccard" -> (q20Jaccard _),
+    "q21_minhash_sig" -> (q21MinhashSig _),
+    "q22_minhash_pairs" -> (q22MinhashPairs _),
+    "q23_simhash" -> (q23Simhash _),
+    "q24_merge" -> (q24Merge _),
+    "q25_unprocessed" -> (q25Unprocessed _),
+    "q26_pa_v1" -> (q26PaV1 _),
+    "q27_incidence" -> (q27Incidence _),
+    "q28_stats" -> (q28Stats _),
+    "q29_embed_topk" -> (q29EmbedTopK _),
+    "q30_window_hour" -> (q30WindowHour _),
+    "q31_quality" -> (q31Quality _),
+    "q32_winnowing" -> (q32Winnowing _),
+    "q33_array_ops" -> (q33ArrayOps _),
+    "q34_mint" -> (q34Mint _),
+    "q35_multimodal" -> (q35Multimodal _),
+    "q36_sql_exists" -> (q36SqlExists _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -271,7 +510,7 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_json" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q11_filter" ->
@@ -325,5 +564,198 @@ object SparkEntry {
         |SELECT DISTINCT user_id FROM events
         |WHERE event_type = 'error' AND value > 195
         |ORDER BY user_id""".stripMargin,
+    "q19_hamming_pairs" ->
+      """WITH codes AS (SELECT c_custkey AS id, substr(md5(c_custkey::VARCHAR),1,6) AS code
+        |               FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(mismatches(a.code, b.code) AS BIGINT) AS dist
+        |FROM codes a, codes b
+        |WHERE a.id < b.id AND mismatches(a.code, b.code) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q20_jaccard" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ')
+        |                         for i in range(1, greatest(len(l)-2, 1)+1)]) AS g
+        |  FROM tk)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q21_minhash_sig" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |grams AS (SELECT doc_id,
+        |  list_distinct([array_to_string(l[i:i+3], ' ')
+        |                 for i in range(1, greatest(len(l)-3, 1)+1)]) AS gs
+        |  FROM tk)
+        |SELECT doc_id, array_to_string(
+        |  [list_min([('0x'||substr(md5('s'||s::VARCHAR||'|'||g),1,15))::BIGINT for g in gs])
+        |   for s in range(0, 16)], ',') AS sig
+        |FROM grams ORDER BY doc_id""".stripMargin,
+    "q22_minhash_pairs" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |sig AS (SELECT doc_id,
+        |  [list_min([('0x'||substr(md5('s'||s::VARCHAR||'|'||g),1,15))::BIGINT
+        |             for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |                      for i in range(1, greatest(len(l)-3, 1)+1)])])
+        |   for s in range(0, 16)] AS sg
+        |  FROM tk)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) AS BIGINT) AS agree
+        |FROM sig a, sig b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_filter(range(0, 4), b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
+        |  AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q23_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+        |              FROM documents),
+        |h AS (SELECT doc_id, ('0x'||substr(md5('s0|'||tok),1,15))::BIGINT AS hv FROM toks),
+        |votes AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+        |          GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q24_merge" ->
+      """WITH cur AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice + 10 AS o_totalprice, o_orderstatus
+        |  FROM cur WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT * FROM cur WHERE o_orderkey % 3 = 1
+        |  UNION ALL SELECT o_orderkey + 10000000, 100.0, 'N'
+        |            FROM cur WHERE o_orderkey % 100 = 0)
+        |SELECT coalesce(u.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |  coalesce(u.o_totalprice, c.o_totalprice) AS o_totalprice,
+        |  coalesce(u.o_orderstatus, c.o_orderstatus) AS o_orderstatus,
+        |  CASE WHEN c.o_orderkey IS NULL THEN 'created'
+        |       WHEN u.o_orderkey IS NULL THEN 'existing'
+        |       WHEN c.o_totalprice IS NOT DISTINCT FROM u.o_totalprice
+        |        AND c.o_orderstatus IS NOT DISTINCT FROM u.o_orderstatus THEN 'unchanged'
+        |       ELSE 'updated' END AS merge_action
+        |FROM cur c FULL JOIN upd u ON c.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q25_unprocessed" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+    "q26_pa_v1" ->
+      """SELECT 'S'||l_orderkey AS sample, 'T'||(l_partkey % 20) AS target,
+        |  l_quantity > 25 AS present
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_partkey % 20 >= 3
+        |ORDER BY sample, target, present""".stripMargin,
+    "q27_incidence" ->
+      """WITH sample1 AS (
+        |  SELECT l_orderkey, 'S'||l_orderkey AS sample FROM (
+        |    SELECT l_orderkey, row_number() OVER (
+        |      PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn FROM lineitem)
+        |  WHERE rn = 1)
+        |SELECT o_orderkey AS encounter_id, n_name AS site, 'clinic' AS site_type,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'male'
+        |       WHEN c_custkey % 3 = 1 THEN 'female' ELSE 'other' END AS sex,
+        |  sample,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS encountered_date,
+        |  concat(CAST(isoyear(o_orderdate) AS VARCHAR), '-W',
+        |         lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0')) AS encountered_week,
+        |  round((o_orderkey % 1212) / 12.0, 2) AS age_in_years,
+        |  CAST(least(ceil(round((o_orderkey % 1212) / 12.0, 2)), 90) AS INT) AS age_reporting,
+        |  f.label AS age_range_fine, c2.label AS age_range_coarse
+        |FROM orders
+        |JOIN nation ON o_custkey % 25 = n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN sample1 ON o_orderkey = l_orderkey
+        |LEFT JOIN (VALUES (0,6,'0-6mo'),(6,24,'6mo-2y'),(24,60,'2-5y'),(60,144,'5-12y'),
+        |                  (144,216,'12-18y'),(216,600,'18-50y'),(600,NULL,'50y+'))
+        |  f(lo,hi,label)
+        |  ON (o_orderkey % 1212) >= f.lo AND (f.hi IS NULL OR (o_orderkey % 1212) < f.hi)
+        |LEFT JOIN (VALUES (0,24,'c0-2'),(24,144,'c2-12'),(144,600,'c12-50'),(600,NULL,'c50+'))
+        |  c2(lo,hi,label)
+        |  ON (o_orderkey % 1212) >= c2.lo AND (c2.hi IS NULL OR (o_orderkey % 1212) < c2.hi)
+        |ORDER BY encounter_id""".stripMargin,
+    "q28_stats" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  max(l_quantity) AS max_qty,
+        |  median(l_quantity) AS med_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q29_embed_topk" ->
+      """SELECT qid, id, round(cos, 6) AS cosine, rank FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 8)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q30_window_hour" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s, event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q31_quality" ->
+      """WITH q AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> lower(x) IN ('the','a','of','and','to','is','in','that','it','for'))) AS stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CASE WHEN n_chars = 0 THEN 0.0 ELSE punct::DOUBLE / n_chars END, 6) AS punct_ratio,
+        |  round(CASE WHEN n_chars = 0 THEN 0.0 ELSE digits::DOUBLE / n_chars END, 6) AS digit_ratio,
+        |  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop::DOUBLE / n_tokens END, 6) AS stopword_ratio,
+        |  round(CASE WHEN n_tokens = 0 THEN 0.0
+        |        ELSE (n_chars - n_tokens + 1)::DOUBLE / n_tokens END, 6) AS mean_word_len
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q32_winnowing" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |gr AS (SELECT doc_id,
+        |  [array_to_string(l[i:i+4], ' ') for i in range(1, greatest(len(l)-4, 1)+1)] AS g0
+        |  FROM tk),
+        |dd AS (SELECT doc_id,
+        |  [g0[i] for i in range(1, len(g0)+1) if list_position(g0, g0[i]) = i] AS gs
+        |  FROM gr),
+        |hs AS (SELECT doc_id,
+        |  [('0x'||substr(md5('s7|'||g),1,15))::BIGINT for g in gs] AS h
+        |  FROM dd),
+        |fp AS (SELECT doc_id,
+        |  list_distinct([list_min(h[i:i+3]) for i in range(1, greatest(len(h)-3, 1)+1)]) AS f
+        |  FROM hs)
+        |SELECT doc_id, array_to_string(list_sort(f), ',') AS fps,
+        |  CAST(len(f) AS BIGINT) AS n_fp
+        |FROM fp ORDER BY doc_id""".stripMargin,
+    "q33_array_ops" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |dd AS (SELECT doc_id, l,
+        |  [l[i] for i in range(1, len(l)+1) if list_position(l, l[i]) = i] AS d
+        |  FROM tk)
+        |SELECT doc_id,
+        |  array_to_string(d, ',') AS distinct_toks,
+        |  array_to_string([x for x in d if NOT x IN ('the','a','of','and')], ',') AS except_toks,
+        |  len(list_intersect(l, ['merge','join'])) > 0 AS has_marker,
+        |  CAST(len([x for x in d if x IN ('merge','join')]) AS BIGINT) AS n_marker
+        |FROM dd ORDER BY doc_id""".stripMargin,
+    "q35_multimodal" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(greatest(1, (length(text) + 63) // 64) AS BIGINT) AS n_frames,
+        |  [ (list_sum([CASE WHEN ord(substr(text, i, 1)) % 16 = j THEN 1 ELSE 0 END
+        |               for i in range(1, length(text)+1)])::REAL
+        |     / length(text)::REAL)::DOUBLE
+        |    for j in range(0, 16) ] AS features
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_sql_exists" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }
