@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Many codegen-heavy queries in one JVM overflow the default 240m JIT
+  // code cache; once full, compilation stops and later queries run
+  // interpreted (measured 10-40x slowdowns in Bench).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -31,6 +31,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** documents, hash-repartitioned on doc_id up front: fans the
+    * single-row-group test parquet out to every core with no sampling pass
+    * (a global orderBy would re-execute the heavy projection during range
+    * sampling, single-threaded). Partition contents stay deterministic, so
+    * output files are stable; the driver's compare sorts rows anyway.
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism, $("doc_id"))
+
   /** Exact decimal sum of a 2-decimal money column, surfaced as double. */
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -168,9 +177,8 @@ object SparkEntry {
 
   /** Text analysis — language ID by marker-stopword argmax. */
   private def q15LangId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    docs(s, dir)
       .select($("doc_id"), TextAnalysis.langId($("text")).as("lang_pred"))
-      .orderBy("doc_id")
 
   /** C14 — de-identification: salted sha-256 of an identifier. */
   private def q16Deidentify(s: SparkSession, dir: String): DataFrame =
@@ -210,21 +218,19 @@ object SparkEntry {
 
   /** Dedup — exact n-gram Jaccard similarity join (shingle inverted index). */
   private def q20Jaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
       .withColumn("jaccard", round($("jaccard"), 6))
       .orderBy("id_a", "id_b")
 
   /** Dedup — MinHash signatures (md5-derived, engine-portable). */
   private def q21MinhashSig(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select($("doc_id"),
-        array_join(transform(Dedup.minhashSignature($("text"), 4, 16),
-          x => x.cast("string")), ",").as("sig"))
-      .orderBy("doc_id")
+    Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 4, 16)
+      .select($("id").as("doc_id"),
+        array_join($("sig").cast("array<string>"), ",").as("sig"))
 
   /** Dedup — MinHash + LSH banded candidate pairs. */
   private def q22MinhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
       shingleN = 4, numHashes = 16, bandSize = 4, minAgree = 8)
       .select($("id_a"), $("id_b"), $("agree").cast("long").as("agree"))
       .orderBy("id_a", "id_b")
@@ -232,7 +238,7 @@ object SparkEntry {
   /** Dedup — SimHash fingerprints (token sign-votes per bit). */
   private def q23Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(
-      t(s, dir, "documents").withColumn("text", trim($("text"))),
+      docs(s, dir).withColumn("text", trim($("text"))),
       "doc_id", "text")
       .select($("id").as("doc_id"), $("simhash"))
       .orderBy("doc_id")
@@ -360,11 +366,11 @@ object SparkEntry {
   /** Text analysis — winnowing fingerprints (Schleimer et al. 2003). */
   private def q32Winnowing(s: SparkSession, dir: String): DataFrame = {
     val fp = TextAnalysis.winnowingFingerprints($("text"), 5, 4)
-    t(s, dir, "documents")
-      .select($("doc_id"),
-        array_join(transform(array_sort(fp), x => x.cast("string")), ",").as("fps"),
-        size(fp).cast("long").as("n_fp"))
-      .orderBy("doc_id")
+    docs(s, dir)
+      .select($("doc_id"), Dedup.bind(fp, f => struct(
+        array_join(transform(array_sort(f), x => x.cast("string")), ",").as("fps"),
+        size(f).cast("long").as("n_fp"))).as("r"))
+      .select($("doc_id"), $("r.fps").as("fps"), $("r.n_fp").as("n_fp"))
   }
 
   /** A2/E2/E3 — order-preserving array distinct, except, intersect, overlap. */

@@ -1,0 +1,148 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{Merge, Receiving}
+
+/** The incremental ETL framework (SURVEY.md §2.7-2.8) — the reference's
+  * per-feed verb set (id3c lib/id3c/cli/command/etl/__init__.py) as one
+  * shuffle-conscious batch engine:
+  *
+  *   1. select unprocessed by (etl, revision)   — F1
+  *   2. parse raw documents, quarantine bad ones — per-record savepoint ≡
+  *      classify-don't-abort (etl/fhir.py:116-132)
+  *   3. caller transforms parsed rows → warehouse updates
+  *   4. batch MERGE into warehouse snapshots    — M2-M6
+  *   5. mark ok rows processed, bad rows skipped — M8
+  *
+  * Everything is a DataFrame transformation: no driver-side row loops, no
+  * collect; the only shuffles are the merge joins on the natural keys.
+  */
+object Etl {
+
+  /** A parsed batch split into ok / quarantined rows. */
+  final case class Parsed(ok: DataFrame, skipped: DataFrame)
+
+  /** Parse the raw `document` column with an explicit schema; rows whose
+    * document is unparseable (from_json yields null) are quarantined, not
+    * fatal — the batch analogue of the reference's per-record savepoint
+    * rollback (lib/id3c/db/session.py:89-131).
+    */
+  def parseDocuments(feed: DataFrame, schema: StructType): Parsed = {
+    // from_json (PERMISSIVE) yields a struct of nulls for malformed input,
+    // not a null struct — validity comes from get_json_object(doc, '$'),
+    // which is null exactly when the document isn't parseable JSON.
+    val parsed = feed
+      .withColumn("_valid", get_json_object(col("document"), "$").isNotNull)
+      .withColumn("doc", from_json(col("document"), schema))
+    Parsed(
+      ok = parsed.filter(col("_valid") && col("doc").isNotNull).drop("_valid"),
+      skipped = parsed.filter(!col("_valid") || col("doc").isNull)
+        .drop("_valid", "doc"))
+  }
+
+  /** One full incremental cycle over a receiving feed. Returns the updated
+    * feed (processing_log appended for every touched row) and the parsed
+    * rows handed to the caller's transform.
+    *
+    * @param process turns parsed ok-rows into whatever warehouse updates
+    *                the feed produces; runs exactly once per cycle
+    */
+  def runCycle(
+      feed: DataFrame,
+      etlName: String,
+      revision: Int,
+      schema: StructType)(process: DataFrame => Unit): DataFrame = {
+    val pending = Receiving.unprocessed(feed, etlName, revision)
+    val Parsed(ok, bad) = parseDocuments(pending, schema)
+    process(ok)
+    val markedOk = Receiving.markProcessed(
+      feed, ok.select("id"), etlName, revision, status = "processed")
+    Receiving.markSkipped(markedOk, bad.select("id"), etlName, revision)
+  }
+
+  /** M4 — `upsert_sample` semantics (reference lib/id3c/db/__init__.py:
+    * 182-326): updates match current rows on `identifier` OR
+    * `collection_identifier`; ambiguous (two different current rows) is an
+    * error surfaced as a column; unmatched rows are created with fresh
+    * surrogate ids; `details` documents merge shallowly (C11) rather than
+    * overwrite.
+    *
+    * Both lookup joins are equi-joins (shuffle on one key each), never an
+    * OR-join (which Spark would plan as a nested loop).
+    */
+  def upsertSamples(
+      current: DataFrame, // sample_id, identifier, collection_identifier, details
+      updates: DataFrame // identifier, collection_identifier, details
+  ): DataFrame = {
+    val cur = current.select(
+      col("sample_id"), col("identifier"), col("collection_identifier"),
+      col("details"))
+    val upd = updates.select(
+      col("identifier").as("u_identifier"),
+      col("collection_identifier").as("u_collection"),
+      col("details").as("u_details"))
+
+    val byIdent = upd.join(cur,
+      col("u_identifier") === col("identifier") && col("u_identifier").isNotNull,
+      "left").select(col("u_identifier"), col("u_collection"), col("u_details"),
+        col("sample_id"))
+    val byColl = upd.join(cur,
+      col("u_collection") === col("collection_identifier") && col("u_collection").isNotNull,
+      "left").select(col("u_identifier"), col("u_collection"), col("u_details"),
+        col("sample_id"))
+    val matched = byIdent.unionByName(byColl)
+      .groupBy("u_identifier", "u_collection")
+      .agg(collect_set(col("sample_id")).as("matches"),
+        first(col("u_details"), ignoreNulls = true).as("u_details"))
+      .withColumn("ambiguous", size(col("matches")) > 1)
+      .withColumn("sample_id", try_element_at(col("matches"), lit(1)))
+
+    val maxId = cur.agg(coalesce(max(col("sample_id")), lit(0L))).head().getLong(0)
+    val withIds = matched.withColumn("is_new", col("sample_id").isNull)
+    val created = Merge.allocateIds(
+      withIds.filter(col("is_new")), "sample_id", maxId,
+      orderBy = Seq("u_identifier", "u_collection"))
+    val resolved = withIds.filter(!col("is_new")).unionByName(created)
+
+    // merge details shallowly into the current row's details (C11)
+    resolved.as("u")
+      .join(cur.select(col("sample_id"), col("details")).as("c"), Seq("sample_id"), "left")
+      .select(
+        col("sample_id"),
+        coalesce(col("u_identifier"), lit(null)).as("identifier"),
+        coalesce(col("u_collection"), lit(null)).as("collection_identifier"),
+        graft.functions.jsonbMergeShallow(col("c.details"), col("u.u_details"))
+          .as("details"),
+        col("ambiguous"))
+  }
+
+  /** F2 — containment routing (reference etl/redcap_det.py:127-135): route
+    * documents to named handlers by matching top-level JSON fields.
+    */
+  def routeByContainment(
+      feed: DataFrame,
+      routes: Seq[(String, Map[String, String])]): DataFrame = {
+    val routeCol = routes.foldRight(lit(null).cast("string")) {
+      case ((name, fields), els) =>
+        val cond = fields.map { case (k, v) =>
+          get_json_object(col("document"), s"$$.$k") === lit(v)
+        }.reduce(_ && _)
+        when(cond, lit(name)).otherwise(els)
+    }
+    feed.withColumn("route", routeCol)
+  }
+
+  /** A7 — first-DET-per-record dedup with repeat marking (reference
+    * etl/redcap_det.py:137-175): the first row per record (in id order) is
+    * kept as primary; later ones are marked "repeat" rather than dropped.
+    */
+  def markRepeats(feed: DataFrame, recordKey: Column, orderBy: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(recordKey).orderBy(orderBy)
+    feed.withColumn("det_status",
+      when(row_number().over(w) === 1, "primary").otherwise("repeat"))
+  }
+}

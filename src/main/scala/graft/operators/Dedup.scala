@@ -28,13 +28,21 @@ object Dedup {
       .groupBy("_h").agg(min(col(idCol)).as(idCol))
       .drop("_h")
 
-  /** Word n-gram shingles, distinct. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val tokens = split(text, "\\s+")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
-        i => array_join(slice(tokens, i + 1, lit(n)), " ")))
-  }
+  /** Let-binding idiom: evaluate `v` exactly once per row and pass it to
+    * `body` as a lambda variable. Nested HOFs otherwise re-evaluate outer
+    * expressions per element (and CollapseProject re-inlines single-use
+    * aliases), turning O(n) shingle pipelines into O(n²) — measured 100×
+    * slowdowns at sf0.1 before this.
+    */
+  def bind(v: Column, body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
+  /** Word n-gram shingles, distinct (first-occurrence order). */
+  def wordShingles(text: Column, n: Int): Column =
+    bind(split(text, "\\s+"), tokens =>
+      array_distinct(
+        transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+          i => array_join(slice(tokens, i + 1, lit(n)), " "))))
 
   /** Exact n-gram Jaccard similarity join: pairs (idA < idB) with
     * |A∩B| / |A∪B| >= threshold. Shingle-inverted-index plan: explode
@@ -70,13 +78,33 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeds, the minimum
-    * hash60(shingle, seed) over the doc's shingle set.
+    * hash60(shingle, seed) over the doc's shingle set. The shingle array is
+    * let-bound so it is built once per row, not once per seed.
+    *
+    * NOTE: array HOFs are interpreted (no codegen) in Spark — prefer
+    * [[minhashSignatures]] for corpus-scale work.
     */
-  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
-    val grams = wordShingles(text, shingleN)
-    array((0 until numHashes).map { s =>
-      array_min(transform(grams, g => hash60(g, s)))
-    }: _*)
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
+    bind(wordShingles(text, shingleN), grams =>
+      array((0 until numHashes).map { s =>
+        array_min(transform(grams, g => hash60(g, s)))
+      }: _*))
+
+  /** MinHash signatures, relational formulation: explode shingles to rows,
+    * hash per row (md5/conv are codegen'd as row expressions, unlike inside
+    * array lambdas, which Spark always interprets), then one map-side-
+    * combining groupBy(id) with `numHashes` min() aggregates. One shuffle
+    * on id; no giant per-row arrays — the shape that holds at 100 TB.
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleN)).as("gram"))
+    val aggs = (0 until numHashes).map(s => min(hash60(col("gram"), s)).as(s"_h$s"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(s => col(s"_h$s")): _*).as("sig"))
   }
 
   /** MinHash + LSH near-dup candidate pairs: signatures are banded
@@ -90,10 +118,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 4, numHashes: Int = 16, bandSize: Int = 4,
       minAgree: Int = 12): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    // Signatures feed three consumers (banding + two rejoin sides):
+    // persist so the explode+agg pipeline runs once.
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes).persist()
     val numBands = numHashes / bandSize
-    val banded = sigs.select(col("id"), col("sig"),
+    // Band join carries only (id, band, bucket): candidate pairs are bare
+    // id pairs, so the dedup shuffle moves 16 bytes/row, not two signature
+    // arrays; signatures re-attach afterwards by id (cands << corpus).
+    val banded = sigs.select(col("id"),
       posexplode(array((0 until numBands).map { b =>
         md5(concat_ws(",",
           (0 until bandSize).map(i => element_at(col("sig"), b * bandSize + i + 1)): _*))
@@ -101,10 +133,11 @@ object Dedup {
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("agree",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
       .filter(col("agree") >= minAgree)

@@ -97,7 +97,7 @@ object Merge {
     // reference raises on ambiguous match; we surface it as a column the
     // caller can assert on (fail the job) or quarantine per-record (§2.8).
     matches.withColumn("ambiguous", size(col("_matches")) > 1)
-      .withColumn(idCol, element_at(col("_matches"), 1))
+      .withColumn(idCol, try_element_at(col("_matches"), lit(1)))
   }
 
   /** Stable surrogate-id allocation for `created` rows (SURVEY §1.4):

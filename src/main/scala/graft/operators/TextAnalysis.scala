@@ -32,22 +32,19 @@ object TextAnalysis {
 
   /** n-gram/stopword-heuristic language ID: score each language by marker
     * token hits, argmax with lexicographic tie-break (deterministic).
+    * Tokens and scores are let-bound ([[Dedup.bind]]) so the text is
+    * tokenized once, not once per language — a chained `when` reduce here
+    * duplicates sub-expressions exponentially.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scored = markerWords.map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isin(markers.map(lit): _*))).as("hits"),
-        lit(lang).as("lang"))
-    }
-    // max by (hits, then *reversed* lang) so ties pick the lexicographically
-    // smallest language deterministically.
-    val best = scored.reduce((a, b) =>
-      when(b.getField("hits") > a.getField("hits"), b)
-        .when(b.getField("hits") === a.getField("hits") &&
-          b.getField("lang") < a.getField("lang"), b)
-        .otherwise(a))
-    best.getField("lang")
-  }
+  def langId(text: Column): Column =
+    Dedup.bind(tokens(lower(text)), toks =>
+      Dedup.bind(array(markerWords.map { case (lang, markers) =>
+          struct(size(filter(toks, t => t.isin(markers.map(lit): _*))).as("hits"),
+            lit(lang).as("lang"))
+        }: _*), scored =>
+        Dedup.bind(array_max(transform(scored, x => x.getField("hits"))), mx =>
+          array_min(filter(scored, x => x.getField("hits") === mx))
+            .getField("lang"))))
 
   private val stopwords =
     Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "for")
@@ -87,12 +84,10 @@ object TextAnalysis {
     * (Schleimer et al., SIGMOD 2003 — public algorithm). Used for robust
     * partial-overlap detection; per-row column math only.
     */
-  def winnowingFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
-    val grams = Dedup.wordShingles(text, k)
-    val hashes = transform(grams, g => Dedup.hash60(g, 7))
-    val nWin = greatest(size(hashes) - (window - 1), lit(1))
-    array_distinct(
-      transform(sequence(lit(1), nWin),
-        i => array_min(slice(hashes, i, lit(window)))))
-  }
+  def winnowingFingerprints(text: Column, k: Int = 5, window: Int = 4): Column =
+    Dedup.bind(transform(Dedup.wordShingles(text, k), g => Dedup.hash60(g, 7)),
+      hashes =>
+        array_distinct(
+          transform(sequence(lit(1), greatest(size(hashes) - (window - 1), lit(1))),
+            i => array_min(slice(hashes, i, lit(window))))))
 }

@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.{HammingDistance, HammingDistanceLte}
+
+/** Catalyst integration (`spark.sql.extensions=graft.plans.GraftExtensions`
+  * or `.withExtensions(new GraftExtensions)`):
+  *
+  *   - registers graft's native expressions for SQL use;
+  *   - injects [[HammingThresholdRewrite]], which turns
+  *     `hamming_distance(a, b) <= k` into the short-circuiting
+  *     `hamming_distance_lte(a, b, k)` — the same pair of functions the
+  *     reference maintains by hand (id3c functions/hamming_distance.sql:
+  *     5-60, where `_lte` exists precisely because the thresholded form
+  *     "can return early"). Here the optimizer applies that rewrite
+  *     automatically, so users can write the natural predicate.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.hammingDistanceDesc)
+    ext.injectFunction(GraftExtensions.hammingDistanceLteDesc)
+    ext.injectOptimizerRule(_ => HammingThresholdRewrite)
+  }
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val hammingDistanceDesc: FunctionDescription = (
+    FunctionIdentifier("hamming_distance"),
+    new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
+    (children: Seq[Expression]) => HammingDistance(children(0), children(1)))
+
+  val hammingDistanceLteDesc: FunctionDescription = (
+    FunctionIdentifier("hamming_distance_lte"),
+    new ExpressionInfo(classOf[HammingDistanceLte].getName, "hamming_distance_lte"),
+    (children: Seq[Expression]) =>
+      HammingDistanceLte(children(0), children(1), children(2)))
+}
+
+/** `hamming_distance(a,b) <= k` (k literal) → `hamming_distance_lte(a,b,k)`.
+  *
+  * The lte form bails out of the character loop as soon as the running
+  * distance exceeds k — on the minting path (SURVEY §2 J9/M9) candidates
+  * are compared against many existing codes and almost all comparisons
+  * exceed the threshold early, so the rewrite saves most of the work.
+  */
+object HammingThresholdRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case LessThanOrEqual(HammingDistance(a, b), k @ Literal(_, _)) =>
+        HammingDistanceLte(a, b, k)
+    }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.etl.Etl
+import graft.operators.Receiving
+import graft.streaming.StreamingEtl
+
+class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val docSchema = StructType(Seq(
+    StructField("sample", StringType),
+    StructField("n", IntegerType)))
+
+  test("Etl.parseDocuments quarantines unparseable documents") {
+    import spark.implicits._
+    val docs = Seq("""{"sample":"s1","n":1}""", "not json at all {{{").toDF("document")
+    val feed = Receiving.fromDocuments(docs, "document")
+    val p = Etl.parseDocuments(feed, docSchema)
+    assert(p.ok.count() == 1 && p.skipped.count() == 1)
+  }
+
+  test("Etl.runCycle marks ok processed and bad skipped, is idempotent") {
+    import spark.implicits._
+    val docs = Seq("""{"sample":"s1","n":1}""", """{"sample":"s2","n":2}""", "junk{{")
+      .toDF("document")
+    var processed = 0L
+    val feed = Receiving.fromDocuments(docs, "document")
+    val after = Etl.runCycle(feed, "t", 1, docSchema) { ok => processed = ok.count() }
+    assert(processed == 2)
+    val statuses = after.select(explode(col("processing_log")).as("e"))
+      .select(col("e.status")).collect().map(_.getString(0)).sorted.toSeq
+    assert(statuses == Seq("processed", "processed", "skipped"))
+    // second cycle: nothing pending
+    var second = -1L
+    Etl.runCycle(after, "t", 1, docSchema) { ok => second = ok.count() }
+    assert(second == 0)
+  }
+
+  test("Etl.upsertSamples matches on either key, merges details, allocates ids") {
+    import spark.implicits._
+    val cur = Seq(
+      (1L, "A1", "C1", """{"x":1}"""),
+      (2L, "A2", "C2", """{"y":2}"""))
+      .toDF("sample_id", "identifier", "collection_identifier", "details")
+    val upd = Seq(
+      ("A1", null, """{"z":9}"""), // match by identifier
+      (null, "C2", """{"y":3}"""), // match by collection
+      ("A9", "C9", """{"new":1}""")) // created
+      .toDF("identifier", "collection_identifier", "details")
+    val out = Etl.upsertSamples(cur, upd).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getBoolean(4))).toList
+    val byId = out.sortBy(_._1)
+    assert(byId.map(_._1) == List(1L, 2L, 3L)) // 3 = maxId 2 + 1
+    assert(byId(0)._2 == """{"x":1,"z":9}""")
+    assert(byId(1)._2 == """{"y":3}""")
+    assert(byId.forall(!_._3)) // nothing ambiguous
+  }
+
+  test("Etl.upsertSamples flags ambiguous two-row matches") {
+    import spark.implicits._
+    val cur = Seq(
+      (1L, "A1", "C1", "{}"),
+      (2L, "A2", "C2", "{}"))
+      .toDF("sample_id", "identifier", "collection_identifier", "details")
+    // identifier hits row 1, collection hits row 2 → ambiguous
+    val upd = Seq(("A1", "C2", "{}"))
+      .toDF("identifier", "collection_identifier", "details")
+    val out = Etl.upsertSamples(cur, upd).collect()
+    assert(out.length == 1 && out.head.getAs[Boolean]("ambiguous"))
+  }
+
+  test("Etl.routeByContainment routes documents by top-level fields") {
+    import spark.implicits._
+    val feed = Seq(
+      """{"redcap_url":"u1","project_id":"7","v":1}""",
+      """{"redcap_url":"u2","project_id":"7","v":2}""",
+      """{"other":true}""").toDF("document")
+    val routed = Etl.routeByContainment(feed, Seq(
+      "proj7" -> Map("redcap_url" -> "u1", "project_id" -> "7"),
+      "proj7b" -> Map("redcap_url" -> "u2")))
+    assert(routed.select("route").collect().map(r =>
+      Option(r.getString(0)).getOrElse("-")).toSeq == Seq("proj7", "proj7b", "-"))
+  }
+
+  test("Etl.markRepeats keeps first per record as primary") {
+    import spark.implicits._
+    val feed = Seq((10L, "r1"), (11L, "r1"), (12L, "r2")).toDF("id", "record")
+    val r = Etl.markRepeats(feed, col("record"), col("id"))
+      .orderBy("id").collect().map(_.getAs[String]("det_status")).toSeq
+    assert(r == Seq("primary", "repeat", "primary"))
+  }
+
+  test("StreamingEtl drains a receiving directory exactly once (AvailableNow)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream").toString
+    val feedDir = s"$base/feed"
+    val outDir = s"$base/out"
+    val ckDir = s"$base/ck"
+    val docs = Seq("""{"sample":"s1","n":1}""", """{"sample":"s2","n":2}""")
+      .toDF("document")
+    Receiving.fromDocuments(docs, "document").write.parquet(feedDir)
+
+    val feed = StreamingEtl.readFeed(spark, feedDir, Receiving.schema)
+    val q = StreamingEtl.drainToParquet(
+      feed,
+      df => df.withColumn("sample",
+        get_json_object(col("document"), "$.sample")).select("id", "sample"),
+      outDir, ckDir)
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() == 2)
+
+    // re-run with same checkpoint: nothing new to process
+    val q2 = StreamingEtl.drainToParquet(
+      StreamingEtl.readFeed(spark, feedDir, Receiving.schema),
+      df => df.select("id").withColumn("sample", lit("x")),
+      outDir, ckDir)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() == 2)
+  }
+
+  test("StreamingEtl.windowedCounts aggregates with watermark in a stream") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream2").toString
+    val inDir = s"$base/in"
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), "view", 5.0))
+      .toDF("ts", "event_type", "value").write.parquet(inDir)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val agg = StreamingEtl.windowedCounts(
+      StreamingEtl.readFeed(spark, inDir, schema), "ts")
+    val q = agg.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ck")
+      // complete mode: in a single AvailableNow batch the watermark only
+      // advances after the batch, so append would emit nothing yet.
+      .outputMode("complete")
+      .format("memory").queryName("win_counts")
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("select * from win_counts").collect()
+    assert(rows.length == 2)
+    assert(rows.exists(r => r.getAs[String]("event_type") == "click"
+      && r.getAs[Long]("cnt") == 2L))
+  }
+}
