@@ -422,6 +422,187 @@ object SparkEntry {
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** F8/C5/C10 — manifest QC: whitespace/NA normalization, safe date
+    * parse, junk-answer collapsing (the reference's spreadsheet cleaning).
+    */
+  private def q37ManifestQc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{normalizeNa, dateOrNull, nullifJunk}
+    t(s, dir, "customer")
+      .withColumn("raw_name",
+        when($("c_custkey") % 10 === 0, lit("na"))
+          .when($("c_custkey") % 10 === 1, lit("  "))
+          .otherwise(concat(lit("  "), $("c_name"), lit(" "))))
+      .withColumn("raw_date",
+        when($("c_custkey") % 7 === 0, lit("not-a-date"))
+          .otherwise(concat(lit("2024-01-"),
+            lpad(($("c_custkey") % 28 + 1).cast("string"), 2, "0"))))
+      .withColumn("raw_answer",
+        when($("c_custkey") % 5 === 0, lit("doNotKnow"))
+          .when($("c_custkey") % 5 === 1, lit("true"))
+          .otherwise(lit("false")))
+      .select($("c_custkey"),
+        normalizeNa($("raw_name")).as("clean_name"),
+        dateOrNull($("raw_date")).cast("string").as("maybe_date"),
+        nullifJunk($("raw_answer"), Seq("doNotKnow", "dontKnow")).cast("boolean")
+          .as("answer"))
+      .orderBy("c_custkey")
+  }
+
+  /** C18 — hstore parse + right-biased merge (location hierarchy concat). */
+  private def q38Hstore(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{hstoreParse, hstoreMerge}
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), $("n_regionkey") === $("r_regionkey"))
+      .withColumn("h1", hstoreParse(
+        concat(lit("\"region\"=>\""), $("r_name"), lit("\", \"nation\"=>\""),
+          $("n_name"), lit("\""))))
+      .withColumn("h2", map(lit("nation"), lower($("n_name")),
+        lit("city"), concat($("n_name"), lit("_c"))))
+      .withColumn("merged", hstoreMerge($("h1"), $("h2")))
+      .select($("n_nationkey"),
+        array_join(array_sort(transform(map_entries($("merged")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+          .as("hierarchy"))
+      .orderBy("n_nationkey")
+  }
+
+  /** J7 — values-list barcode verification: client-supplied codes left-
+    * joined against the identifier table (reference verify_barcode_use_list).
+    */
+  private def q39ValuesJoin(s: SparkSession, dir: String): DataFrame = {
+    val identifiers = t(s, dir, "customer").select(
+      substring(md5($("c_custkey").cast("string")), 1, 8).as("barcode"),
+      concat(lit("set"), $("c_custkey") % 3).as("set_name"))
+    val input = s.range(1, 21)
+      .select(substring(md5($("id").cast("string")), 1, 8).as("barcode"))
+      .unionByName(s.range(0, 5)
+        .select(concat(lit("zzzzzz0"), $("id")).as("barcode")))
+    input.join(identifiers, Seq("barcode"), "left")
+      .select($("barcode"), $("set_name").isNotNull.as("found"), $("set_name"))
+      .orderBy("barcode")
+  }
+
+  /** J10 — array containment + array set-equality lookups (reference
+    * sequence-read-set url matching).
+    */
+  private def q40ArrayContainment(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy($("l_orderkey"))
+      .agg(sort_array(collect_list(
+        concat(lit("f"), $("l_orderkey"), lit("_"), $("l_linenumber")))).as("urls"),
+        count(lit(1)).cast("int").as("n"))
+      .select($("l_orderkey"),
+        array_contains($("urls"), concat(lit("f"), $("l_orderkey"), lit("_1")))
+          .as("has_f1"),
+        ($("urls") === array_sort(transform(sequence(lit(1), $("n")),
+          i => concat(lit("f"), $("l_orderkey"), lit("_"), i)))).as("set_eq"))
+      .orderBy("l_orderkey")
+
+  /** A5 — map aggregation keyed by event type (json_object_agg shape),
+    * emitted as a canonical sorted entry string.
+    */
+  private def q41MapAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(array_sort(collect_list(struct($("event_type"),
+        $("cnt"))))).as("m"))
+      .select($("user_id"),
+        array_join(transform(map_entries($("m")),
+          e => concat(e.getField("key"), lit(":"), e.getField("value"))), ",")
+          .as("type_counts"))
+      .orderBy("user_id")
+
+  /** O3 — FIFO queue consumption: ordered limit over the event log. */
+  private def q42FifoLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .orderBy("event_id")
+      .limit(500)
+      .select("event_id", "event_type")
+
+  /** C19/J8 — uuid-derived barcodes + broadcast lookup join to sets. */
+  private def q43UuidBarcode(s: SparkSession, dir: String): DataFrame = {
+    val h = md5($("c_custkey").cast("string"))
+    t(s, dir, "customer")
+      .withColumn("uuid", concat_ws("-",
+        substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+        substring(h, 17, 4), substring(h, 21, 12)))
+      .withColumn("barcode", graft.functions.barcodeFromUuid($("uuid")))
+      .select($("c_custkey"), $("uuid"), $("barcode"),
+        ($("barcode") === substring(h, 25, 8)).as("suffix_ok"))
+      .orderBy("c_custkey")
+  }
+
+  /** C13 — urn:uuid reference normalization before change detection. */
+  private def q44UrnNormalize(s: SparkSession, dir: String): DataFrame = {
+    val h = md5($("c_custkey").cast("string"))
+    val uuid = concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+    t(s, dir, "customer")
+      .withColumn("doc",
+        concat(lit("{\"ref\":\"urn:uuid:"), uuid, lit("\",\"n\":"),
+          $("c_custkey"), lit("}")))
+      .select($("c_custkey"),
+        graft.functions.normalizeUrnUuids($("doc")).as("normalized"))
+      .orderBy("c_custkey")
+  }
+
+  /** A8 — distinct union of id arrays (nwgc_id list merge). */
+  private def q45DistinctUnion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(collect_list($("l_linenumber")).as("a"),
+        collect_list(($("l_linenumber") % 3).cast("int")).as("b"))
+      .select($("l_orderkey"),
+        size(array_distinct(concat($("a"), $("b")))).cast("long").as("n_unique"))
+      .orderBy("l_orderkey")
+
+  /** M4 — upsert_sample end-to-end: two-key match, details shallow merge,
+    * deterministic surrogate allocation for created rows.
+    */
+  private def q46UpsertSample(s: SparkSession, dir: String): DataFrame = {
+    val cur = t(s, dir, "orders").filter($("o_orderkey") % 2 === 0)
+      .select($("o_orderkey").as("sample_id"),
+        concat(lit("I"), $("o_orderkey")).as("identifier"),
+        concat(lit("C"), $("o_orderkey")).as("collection_identifier"),
+        lit("""{"a":1}""").as("details"))
+    val upd = t(s, dir, "orders").select(
+      when($("o_orderkey") % 3 === 0, concat(lit("I"), $("o_orderkey")))
+        .when($("o_orderkey") % 3 === 2, concat(lit("I"), $("o_orderkey") + 50000000))
+        .otherwise(lit(null)).as("identifier"),
+      when($("o_orderkey") % 3 === 1, concat(lit("C"), $("o_orderkey")))
+        .otherwise(lit(null)).as("collection_identifier"),
+      lit("""{"b":2}""").as("details"))
+    graft.etl.Etl.upsertSamples(cur, upd)
+      .orderBy("sample_id")
+  }
+
+  /** Similarity search — LSH-bucketed ANN top-k (deterministic md5
+    * hyperplanes), the scale path next to q29's exact baseline.
+    */
+  private def q47LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings")
+      .select($("vec_id").as("id"), $("embedding").as("vec"))
+    val queries = t(s, dir, "embeddings").filter($("vec_id") < 8)
+      .select($("vec_id").as("qid"), $("embedding").as("qvec"))
+    SimilaritySearch.lshTopK(corpus, queries, k = 5, planes = 16, prefixBits = 8)
+      .withColumn("cosine", round($("cosine"), 6))
+      .withColumn("rank", $("rank").cast("long"))
+      .orderBy("qid", "rank")
+  }
+
+  /** §3.3 — shipping views registered for SQL consumers: the analytics
+    * read path is plain spark.sql over named views.
+    */
+  private def q48SqlShipping(s: SparkSession, dir: String): DataFrame = {
+    Views.register(s, "pa_v1", q26PaV1(s, dir))
+    s.sql("""SELECT target, count(*) AS n_results,
+            |       CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_present
+            |FROM shipping_pa_v1 GROUP BY target ORDER BY target""".stripMargin)
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -461,6 +642,18 @@ object SparkEntry {
     "q34_mint" -> (q34Mint _),
     "q35_multimodal" -> (q35Multimodal _),
     "q36_sql_exists" -> (q36SqlExists _),
+    "q37_manifest_qc" -> (q37ManifestQc _),
+    "q38_hstore" -> (q38Hstore _),
+    "q39_values_join" -> (q39ValuesJoin _),
+    "q40_array_containment" -> (q40ArrayContainment _),
+    "q41_map_agg" -> (q41MapAgg _),
+    "q42_fifo_limit" -> (q42FifoLimit _),
+    "q43_uuid_barcode" -> (q43UuidBarcode _),
+    "q44_urn_normalize" -> (q44UrnNormalize _),
+    "q45_distinct_union" -> (q45DistinctUnion _),
+    "q46_upsert_sample" -> (q46UpsertSample _),
+    "q47_lsh_topk" -> (q47LshTopK _),
+    "q48_sql_shipping" -> (q48SqlShipping _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -763,5 +956,144 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q37_manifest_qc" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |       WHEN c_custkey % 10 = 1 THEN NULL
+        |       ELSE trim('  ' || c_name || ' ') END AS clean_name,
+        |  CAST(TRY_CAST(CASE WHEN c_custkey % 7 = 0 THEN 'not-a-date'
+        |       ELSE '2024-01-' || lpad((c_custkey % 28 + 1)::VARCHAR, 2, '0')
+        |       END AS DATE) AS VARCHAR) AS maybe_date,
+        |  TRY_CAST(CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |       WHEN c_custkey % 5 = 1 THEN 'true' ELSE 'false' END AS BOOLEAN)
+        |    AS answer
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q38_hstore" ->
+      """SELECT n_nationkey,
+        |  'city=' || n_name || '_c,nation=' || lower(n_name) || ',region=' || r_name
+        |    AS hierarchy
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q39_values_join" ->
+      """WITH ident AS (SELECT substr(md5(c_custkey::VARCHAR),1,8) AS barcode,
+        |                      'set' || (c_custkey % 3) AS set_name FROM customer),
+        |input AS (SELECT substr(md5(i::VARCHAR),1,8) AS barcode
+        |          FROM range(1,21) t(i)
+        |          UNION ALL SELECT 'zzzzzz0' || i FROM range(0,5) t(i))
+        |SELECT input.barcode, ident.set_name IS NOT NULL AS found, ident.set_name
+        |FROM input LEFT JOIN ident ON input.barcode = ident.barcode
+        |ORDER BY input.barcode""".stripMargin,
+    "q40_array_containment" ->
+      """WITH g AS (SELECT l_orderkey,
+        |  list_sort(list('f' || l_orderkey || '_' || l_linenumber)) AS urls,
+        |  count(*) AS n
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  list_contains(urls, 'f' || l_orderkey || '_1') AS has_f1,
+        |  urls = list_sort(['f' || l_orderkey || '_' || i
+        |                    for i in range(1, n + 1)]) AS set_eq
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+    "q41_map_agg" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  string_agg(event_type || ':' || cnt, ',' ORDER BY event_type, cnt)
+        |    AS type_counts
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q42_fifo_limit" ->
+      """SELECT event_id, event_type FROM events
+        |ORDER BY event_id LIMIT 500""".stripMargin,
+    "q43_uuid_barcode" ->
+      """WITH u AS (SELECT c_custkey, md5(c_custkey::VARCHAR) AS h FROM customer)
+        |SELECT c_custkey,
+        |  concat_ws('-', substr(h,1,8), substr(h,9,4), substr(h,13,4),
+        |            substr(h,17,4), substr(h,21,12)) AS uuid,
+        |  substr(concat_ws('-', substr(h,1,8), substr(h,9,4), substr(h,13,4),
+        |         substr(h,17,4), substr(h,21,12)), 29, 8) AS barcode,
+        |  substr(concat_ws('-', substr(h,1,8), substr(h,9,4), substr(h,13,4),
+        |         substr(h,17,4), substr(h,21,12)), 29, 8) = substr(h, 25, 8)
+        |    AS suffix_ok
+        |FROM u ORDER BY c_custkey""".stripMargin,
+    "q44_urn_normalize" ->
+      """WITH u AS (SELECT c_custkey, md5(c_custkey::VARCHAR) AS h FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(
+        |    '{"ref":"urn:uuid:' || concat_ws('-', substr(h,1,8), substr(h,9,4),
+        |      substr(h,13,4), substr(h,17,4), substr(h,21,12)) ||
+        |      '","n":' || c_custkey || '}',
+        |    '"urn:uuid:[0-9a-fA-F-]{36}"', '""', 'g') AS normalized
+        |FROM u ORDER BY c_custkey""".stripMargin,
+    "q45_distinct_union" ->
+      """SELECT l_orderkey,
+        |  CAST(len(list_distinct(list_cat(list(l_linenumber),
+        |       list(CAST(l_linenumber % 3 AS INT))))) AS BIGINT) AS n_unique
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q46_upsert_sample" ->
+      """WITH cur AS (
+        |  SELECT o_orderkey AS sample_id, 'I' || o_orderkey AS identifier,
+        |         'C' || o_orderkey AS collection_identifier,
+        |         '{"a":1}' AS details
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |upd AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'I' || o_orderkey
+        |              WHEN o_orderkey % 3 = 2 THEN 'I' || (o_orderkey + 50000000)
+        |              END AS identifier,
+        |         CASE WHEN o_orderkey % 3 = 1 THEN 'C' || o_orderkey
+        |              END AS collection_identifier,
+        |         '{"b":2}' AS details
+        |  FROM orders),
+        |m AS (
+        |  SELECT u.identifier AS u_identifier,
+        |         u.collection_identifier AS u_collection,
+        |         u.details AS u_details,
+        |         coalesce(
+        |           (SELECT c.sample_id FROM cur c WHERE c.identifier = u.identifier),
+        |           (SELECT c.sample_id FROM cur c
+        |            WHERE c.collection_identifier = u.collection_identifier))
+        |           AS sample_id
+        |  FROM upd u),
+        |mx AS (SELECT coalesce(max(sample_id), 0) AS m FROM cur),
+        |alloc AS (
+        |  SELECT u_identifier, u_collection, u_details,
+        |    CASE WHEN sample_id IS NOT NULL THEN sample_id
+        |         ELSE (SELECT m FROM mx) + row_number() OVER (
+        |           PARTITION BY (sample_id IS NULL)
+        |           ORDER BY u_identifier ASC NULLS FIRST, u_collection ASC NULLS FIRST)
+        |         END AS sample_id,
+        |    sample_id IS NULL AS is_new
+        |  FROM m)
+        |SELECT a.sample_id, a.u_identifier AS identifier,
+        |  a.u_collection AS collection_identifier,
+        |  CASE WHEN c.sample_id IS NOT NULL THEN '{"a":1,"b":2}'
+        |       ELSE '{"b":2}' END AS details,
+        |  false AS ambiguous
+        |FROM alloc a LEFT JOIN cur c ON a.sample_id = c.sample_id
+        |ORDER BY a.sample_id""".stripMargin,
+    "q47_lsh_topk" ->
+      """WITH sig AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_sum([CASE WHEN list_sum([v2[i+1] *
+        |        (CASE WHEN ('0x'||substr(md5('plane'||p||'|'||i),1,15))::BIGINT & 1 = 1
+        |              THEN 1.0 ELSE -1.0 END)
+        |        for i in range(0, len(v2))]) > 0
+        |      THEN (1::BIGINT << p) ELSE 0 END
+        |      for p in range(0, 16)]) & 255 AS bucket
+        |  FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS v2 FROM embeddings))
+        |SELECT qid, id, round(cos, 6) AS cosine, rank FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_cosine_similarity(c.v, q.v) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS rank
+        |  FROM sig c JOIN sig q ON c.bucket = q.bucket
+        |  WHERE q.vec_id < 8)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q48_sql_shipping" ->
+      """SELECT 'T'||(l_partkey % 20) AS target, count(*) AS n_results,
+        |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_present
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_partkey % 20 >= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
