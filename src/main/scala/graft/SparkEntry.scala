@@ -603,6 +603,13 @@ object SparkEntry {
             |FROM shipping_pa_v1 GROUP BY target ORDER BY target""".stripMargin)
   }
 
+  /** Text analysis — BPE-ish subword count (word-piece regex split). */
+  private def q49Subwords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select($("doc_id"),
+        TextAnalysis.subwordCount($("text")).cast("long").as("n_subwords"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -654,6 +661,7 @@ object SparkEntry {
     "q46_upsert_sample" -> (q46UpsertSample _),
     "q47_lsh_topk" -> (q47LshTopK _),
     "q48_sql_shipping" -> (q48SqlShipping _),
+    "q49_subwords" -> (q49Subwords _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1095,5 +1103,14 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_partkey % 20 >= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Subword tokens = maximal alphanumeric runs + every individual
+    // non-alphanumeric char (the lookaround split, RE2-free formulation).
+    "q49_subwords" ->
+      """SELECT doc_id, CAST(
+        |  len(list_filter(range(1, length(text)+1), i ->
+        |    CASE WHEN regexp_matches(substr(text, i, 1), '[a-zA-Z0-9]')
+        |         THEN i = 1 OR NOT regexp_matches(substr(text, i-1, 1), '[a-zA-Z0-9]')
+        |         ELSE true END)) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
