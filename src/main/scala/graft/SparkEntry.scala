@@ -610,6 +610,53 @@ object SparkEntry {
         TextAnalysis.subwordCount($("text")).cast("long").as("n_subwords"))
       .orderBy("doc_id")
 
+  /** Shipping view — primary_encounter_location: one location per
+    * encounter by relation priority (nulls last), through the real view.
+    */
+  private def q50PrimaryLocation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // (encounter_id, relation) is the reference table's PK — dedupe the
+    // synthesized rows to honor it.
+    val encounterLocation = t(s, dir, "lineitem").select(
+      $("l_orderkey").as("encounter_id"),
+      when($("l_linenumber") % 4 === 0, "residence")
+        .when($("l_linenumber") % 4 === 1, "workplace")
+        .when($("l_linenumber") % 4 === 2, "lodging")
+        .otherwise("site").as("relation"),
+      $("l_partkey").as("location_id"))
+      .groupBy("encounter_id", "relation")
+      .agg(min($("location_id")).as("location_id"))
+    val relations = Seq(("residence", Option(1)), ("lodging", Option(2)),
+      ("workplace", Option(3)), ("site", Option.empty[Int]))
+      .toDF("relation", "priority")
+    Views.primaryEncounterLocation(encounterLocation, relations)
+      .select("encounter_id", "relation", "location_id")
+      .orderBy("encounter_id")
+  }
+
+  /** F10/F11 — glob column selection + PII masking. */
+  private def q51MaskSelect(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val keyCols = cust.columns.filter(_.matches("c_.*key")).toSeq.sorted
+    graft.functions.mask(cust, Seq("c_name"))
+      .select((keyCols :+ "c_name").map(col): _*)
+      .orderBy("c_custkey")
+  }
+
+  /** Dedup — embedding near-dup pairs (sign-LSH candidates, exact cosine)
+    * collapsed to min-id survivors.
+    */
+  private def q52EmbedSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select($("vec_id"), $("embedding"))
+    val pairs = Dedup.embeddingCosinePairs(
+      emb.withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "vec"),
+      "id", "vec", threshold = 0.2, planes = 8)
+    Dedup.survivors(emb.select($("vec_id").as("id")), "id", pairs)
+      .select($("id").as("vec_id"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -662,6 +709,9 @@ object SparkEntry {
     "q47_lsh_topk" -> (q47LshTopK _),
     "q48_sql_shipping" -> (q48SqlShipping _),
     "q49_subwords" -> (q49Subwords _),
+    "q50_primary_location" -> (q50PrimaryLocation _),
+    "q51_mask_select" -> (q51MaskSelect _),
+    "q52_embed_survivors" -> (q52EmbedSurvivors _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1112,5 +1162,40 @@ object SparkEntry {
         |         THEN i = 1 OR NOT regexp_matches(substr(text, i-1, 1), '[a-zA-Z0-9]')
         |         ELSE true END)) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q50_primary_location" ->
+      """WITH el AS (SELECT encounter_id, relation, min(location_id) AS location_id
+        |  FROM (SELECT l_orderkey AS encounter_id,
+        |    CASE WHEN l_linenumber % 4 = 0 THEN 'residence'
+        |         WHEN l_linenumber % 4 = 1 THEN 'workplace'
+        |         WHEN l_linenumber % 4 = 2 THEN 'lodging'
+        |         ELSE 'site' END AS relation,
+        |    l_partkey AS location_id FROM lineitem)
+        |  GROUP BY 1, 2),
+        |rel AS (SELECT * FROM (VALUES ('residence', 1), ('lodging', 2),
+        |        ('workplace', 3), ('site', NULL)) r(relation, priority))
+        |SELECT encounter_id, relation, location_id FROM (
+        |  SELECT el.*, row_number() OVER (PARTITION BY encounter_id
+        |    ORDER BY priority ASC NULLS LAST, el.relation) AS rn
+        |  FROM el JOIN rel ON el.relation = rel.relation)
+        |WHERE rn = 1 ORDER BY encounter_id""".stripMargin,
+    "q51_mask_select" ->
+      """SELECT c_custkey, c_nationkey, '*****' AS c_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q52_embed_survivors" ->
+      """WITH sig AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_sum([CASE WHEN list_sum([v2[i+1] *
+        |        (CASE WHEN ('0x'||substr(md5('plane'||p||'|'||i),1,15))::BIGINT & 1 = 1
+        |              THEN 1.0 ELSE -1.0 END)
+        |        for i in range(0, len(v2))]) > 0
+        |      THEN (1::BIGINT << p) ELSE 0 END
+        |      for p in range(0, 8)]) AS sg
+        |  FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS v2 FROM embeddings)),
+        |drops AS (SELECT DISTINCT b.vec_id FROM sig a JOIN sig b
+        |          ON a.sg = b.sg AND a.vec_id < b.vec_id
+        |          WHERE list_cosine_similarity(a.v, b.v) >= 0.2)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+        |ORDER BY vec_id""".stripMargin,
   )
 }

@@ -91,6 +91,29 @@ object Receiving {
   def markSkipped(feed: DataFrame, ids: DataFrame, etl: String, revision: Int): DataFrame =
     markProcessed(feed, ids, etl, revision, status = "skipped")
 
+  /** Compact a feed into a directory partitioned by a `processed` flag
+    * for (etl, revision). The reference's GIN index on processing_log has
+    * no Spark equivalent; this is its replacement at scale — an
+    * incremental run reads `processed=false` and PRUNES the processed
+    * partitions at the file listing, so a 100 TB feed with a 1 GB backlog
+    * scans 1 GB (SURVEY §4 "partition receiving tables on a processed
+    * flag").
+    */
+  def compactByProcessed(feed: DataFrame, etl: String, revision: Int,
+      dir: String): Unit =
+    feed.withColumn("processed",
+        exists(col("processing_log"),
+          e => e.getField("etl") === lit(etl) &&
+            e.getField("revision") === lit(revision)))
+      .write.mode("overwrite").partitionBy("processed").parquet(dir)
+
+  /** Read the unprocessed partition of a compacted feed (partition-pruned
+    * scan — check `.explain` for `PartitionFilters: [isnotnull(processed),
+    * (processed = false)]`).
+    */
+  def readUnprocessedPartition(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).filter(!col("processed")).drop("processed")
+
   /** Atomic snapshot write: write to `<dir>.tmp-<epoch>`, then swap the
     * directory — the batch analogue of the reference's single-transaction
     * commit/rollback (cli/command/__init__.py:89-158). A dry run stops

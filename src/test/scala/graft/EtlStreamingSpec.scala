@@ -106,6 +106,21 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == Seq("primary", "repeat", "primary"))
   }
 
+  test("compactByProcessed enables partition pruning for incremental scans") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/feed"
+    val docs = (1 to 10).map(i => s"""{"n":$i}""").toDF("document")
+    val feed = Receiving.fromDocuments(docs, "document")
+    val marked = Receiving.markProcessed(
+      feed, feed.filter(col("id") <= 7).select("id"), "x", 1)
+    Receiving.compactByProcessed(marked, "x", 1, dir)
+    val pending = Receiving.readUnprocessedPartition(spark, dir)
+    assert(pending.count() == 3)
+    // the processed partition must be pruned at planning time
+    val plan = pending.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("processed"))
+  }
+
   test("StreamingEtl drains a receiving directory exactly once (AvailableNow)") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_stream").toString
