@@ -22,9 +22,13 @@ import graft.shipping.Views
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The incidence-model observation view: star join + broadcast dims +
+    * age-bin range joins + ISO-week bucketing + DISTINCT ON sample pick —
+    * one query through most of the engine.
+    */
   def entry(spark: SparkSession): DataFrame =
-    q1Agg(spark, "/root/testdata/sf0.001")
+    q27Incidence(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- helpers
 
