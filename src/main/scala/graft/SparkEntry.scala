@@ -661,6 +661,39 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Shipping view — presence_absence_result_v2: + organism lineage
+    * (left join) and device extracted from details JSON.
+    */
+  private def q53PaV2(s: SparkSession, dir: String): DataFrame = {
+    val sample = t(s, dir, "orders").select($("o_orderkey").as("sample_id"),
+      concat(lit("S"), $("o_orderkey")).as("identifier"))
+    val pa = t(s, dir, "lineitem").select($("l_orderkey").as("sample_id"),
+      ($("l_partkey") % 20).as("target_id"),
+      ($("l_quantity") > 25).as("present"),
+      concat(lit("""{"device":"dev"""), $("l_suppkey") % 4, lit("\"}")).as("details"))
+    val target = s.range(0, 20).select($("id").as("target_id"),
+      concat(lit("T"), $("id")).as("identifier"), ($("id") < 3).as("control"),
+      ($("id") % 10).as("organism_id"))
+    val organism = s.range(0, 10).select($("id").as("organism_id"),
+      concat(lit("virus."),
+        when($("id") % 2 === 0, "influenza").otherwise("rsv"),
+        lit(".type"), $("id")).as("lineage"))
+    Views.presenceAbsenceResultV2(sample, pa, target, organism)
+      .orderBy("sample", "target", "present", "device")
+  }
+
+  /** ltree lineage semantics — descendants-of prefix + path segments. */
+  private def q54Lineage(s: SparkSession, dir: String): DataFrame =
+    s.range(0, 10).select($("id").as("organism_id"),
+      concat(lit("virus."),
+        when($("id") % 2 === 0, "influenza").otherwise("rsv"),
+        lit(".type"), $("id")).as("lineage"))
+      .filter($("lineage").startsWith("virus.influenza."))
+      .select($("organism_id"), $("lineage"),
+        element_at(split($("lineage"), "\\."), 2).as("genus"),
+        size(split($("lineage"), "\\.")).cast("long").as("depth"))
+      .orderBy("organism_id")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -716,6 +749,8 @@ object SparkEntry {
     "q50_primary_location" -> (q50PrimaryLocation _),
     "q51_mask_select" -> (q51MaskSelect _),
     "q52_embed_survivors" -> (q52EmbedSurvivors _),
+    "q53_pa_v2" -> (q53PaV2 _),
+    "q54_lineage" -> (q54Lineage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1201,5 +1236,24 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
         |ORDER BY vec_id""".stripMargin,
+    "q53_pa_v2" ->
+      """WITH org AS (SELECT i AS organism_id,
+        |    'virus.' || CASE WHEN i % 2 = 0 THEN 'influenza' ELSE 'rsv' END
+        |      || '.type' || i AS lineage
+        |  FROM range(0, 10) t(i))
+        |SELECT 'S'||l_orderkey AS sample, 'T'||(l_partkey % 20) AS target,
+        |  l_quantity > 25 AS present, org.lineage,
+        |  'dev' || (l_suppkey % 4) AS device
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN org ON (l_partkey % 20) % 10 = org.organism_id
+        |WHERE l_partkey % 20 >= 3
+        |ORDER BY sample, target, present, device""".stripMargin,
+    "q54_lineage" ->
+      """SELECT i AS organism_id,
+        |  'virus.influenza.type' || i AS lineage,
+        |  'influenza' AS genus, CAST(3 AS BIGINT) AS depth
+        |FROM range(0, 10) t(i) WHERE i % 2 = 0
+        |ORDER BY organism_id""".stripMargin,
   )
 }
