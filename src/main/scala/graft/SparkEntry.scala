@@ -183,6 +183,7 @@ object SparkEntry {
   private def q15LangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select($("doc_id"), TextAnalysis.langId($("text")).as("lang_pred"))
+      .orderBy("doc_id")
 
   /** C14 — de-identification: salted sha-256 of an identifier. */
   private def q16Deidentify(s: SparkSession, dir: String): DataFrame =
@@ -231,6 +232,7 @@ object SparkEntry {
     Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 4, 16)
       .select($("id").as("doc_id"),
         array_join($("sig").cast("array<string>"), ",").as("sig"))
+      .orderBy("doc_id")
 
   /** Dedup — MinHash + LSH banded candidate pairs. */
   private def q22MinhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -375,6 +377,7 @@ object SparkEntry {
         array_join(transform(array_sort(f), x => x.cast("string")), ",").as("fps"),
         size(f).cast("long").as("n_fp"))).as("r"))
       .select($("doc_id"), $("r.fps").as("fps"), $("r.n_fp").as("n_fp"))
+      .orderBy("doc_id")
   }
 
   /** A2/E2/E3 — order-preserving array distinct, except, intersect, overlap. */
