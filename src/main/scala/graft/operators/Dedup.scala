@@ -145,22 +145,23 @@ object Dedup {
   }
 
   /** 60-bit SimHash fingerprint per document: tokens vote ±1 on each bit
-    * of their hash; the fingerprint takes the sign. Implemented as
-    * explode(token)×posexplode(bit) → two key-partitioned aggregations —
-    * no driver work, no UDF.
+    * of their hash; the fingerprint takes the sign. One groupBy(id) with
+    * `bits` conditional-sum aggregates (map-side combined) — no per-bit
+    * row explosion, so the shuffle moves one row per document instead of
+    * 60 per token.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
       .withColumn("h", hash60(col("tok"), 0))
-    val votes = toks.select(col("id"),
-        posexplode(array((0 until bits).map { b =>
-          when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
-        }: _*)).as(Seq("bit", "vote")))
-      .groupBy("id", "bit").agg(sum("vote").as("v"))
-    votes.groupBy("id").agg(
-      sum(when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
-        .as("simhash"))
+    val aggs = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"_v$b")
+    }
+    toks.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b => when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: fingerprints within `maxHamming` bits,
