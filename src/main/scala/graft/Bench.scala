@@ -26,10 +26,20 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Session hygiene between queries — round 1's bench degraded 10-50×
+    // over the run because leaked caches pinned generated classes (and with
+    // them the JIT code cache): clear the SQL cache AND any persistent RDDs
+    // after every query so nothing accumulates across the 54×3 executions.
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     // Warm-up at the smallest SF: JIT, codegen cache, parquet footer reads.
     val warm = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     SparkEntry.queries.foreach { case (_, fn) =>
       try force(fn(spark, warm)) catch { case _: Throwable => () }
+      scrub()
     }
 
     // min of two passes: absorbs one-off janino compilation and scheduler
@@ -38,9 +48,12 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        scrub()
+        name -> dt
       }
     val p1 = pass().toMap
+    System.gc()
     val results = pass().map { case (name, v) => name -> math.min(v, p1(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -401,7 +401,8 @@ object SparkEntry {
     Barcodes.mint(s,
       t(s, dir, "customer").select(
         substring(md5($("c_custkey").cast("string")), 1, 8).as("code")),
-      n = 50)
+      n = 50, seed = Some(42L))
+      .orderBy("uuid")
 
   /** Multimodal — binary blobs + partition-batched feature extraction
     * (byte-histogram stub decode; float math matches DuckDB REAL exactly).
@@ -411,10 +412,16 @@ object SparkEntry {
     val blobs = Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text", "text/plain")
       .select($("id"), $("content"), $("meta.mime").as("mime"))
       .as[Multimodal.Blob]
+    // features are emitted as a comma-joined string of ×1e6-scaled ints:
+    // integers hash identically across engines (and the driver's pandas
+    // compare can't sort raw array cells), same trick as q21's `sig`.
     Multimodal.extractFeatures(blobs).toDF()
       .select($("id").as("doc_id"), $("byte_len"),
         $("n_frames").cast("long").as("n_frames"),
-        transform($("features"), f => f.cast("double")).as("features"))
+        array_join(
+          transform($("features"),
+            f => round(f.cast("double") * 1e6).cast("long").cast("string")),
+          ",").as("features"))
       .orderBy("doc_id")
   }
 
@@ -582,7 +589,7 @@ object SparkEntry {
       when($("o_orderkey") % 3 === 1, concat(lit("C"), $("o_orderkey")))
         .otherwise(lit(null)).as("collection_identifier"),
       lit("""{"b":2}""").as("details"))
-    graft.etl.Etl.upsertSamples(cur, upd)
+    graft.etl.Etl.upsertSamples(cur, upd, updateIdentifiers = true)
       .orderBy("sample_id")
   }
 
@@ -1045,11 +1052,39 @@ object SparkEntry {
     "q35_multimodal" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
         |  CAST(greatest(1, (length(text) + 63) // 64) AS BIGINT) AS n_frames,
-        |  [ (list_sum([CASE WHEN ord(substr(text, i, 1)) % 16 = j THEN 1 ELSE 0 END
-        |               for i in range(1, length(text)+1)])::REAL
-        |     / length(text)::REAL)::DOUBLE
-        |    for j in range(0, 16) ] AS features
+        |  array_to_string(
+        |    [ CAST(round((list_sum([CASE WHEN ord(substr(text, i, 1)) % 16 = j THEN 1 ELSE 0 END
+        |                  for i in range(1, length(text)+1)])::REAL
+        |          / length(text)::REAL)::DOUBLE * 1000000) AS BIGINT)
+        |      for j in range(0, 16) ], ',') AS features
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_mint" ->
+      """WITH cand AS (
+        |  SELECT range AS seq, md5('mint|42|0|' || range) AS h FROM range(100)
+        |), u AS (
+        |  SELECT seq,
+        |    substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||
+        |      substr(h,17,4)||'-'||substr(h,21,12) AS uuid,
+        |    substr(h,25,8) AS code
+        |  FROM cand
+        |), existing AS (
+        |  SELECT substr(md5(CAST(c_custkey AS VARCHAR)),1,8) AS ecode FROM customer
+        |), conflicted AS (
+        |  SELECT DISTINCT u.seq FROM u, existing
+        |  WHERE len([i for i in range(1,9)
+        |             if substr(u.code,i,1) != substr(existing.ecode,i,1)]) <= 2
+        |), clean AS (
+        |  SELECT * FROM u WHERE seq NOT IN (SELECT seq FROM conflicted)
+        |), intra AS (
+        |  SELECT DISTINCT b.seq FROM clean a, clean b
+        |  WHERE a.seq < b.seq
+        |    AND len([i for i in range(1,9)
+        |             if substr(a.code,i,1) != substr(b.code,i,1)]) <= 2
+        |), kept AS (
+        |  SELECT uuid, code FROM clean WHERE seq NOT IN (SELECT seq FROM intra)
+        |  ORDER BY seq LIMIT 50
+        |)
+        |SELECT uuid, code FROM kept ORDER BY uuid""".stripMargin,
     "q36_sql_exists" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l

@@ -70,12 +70,20 @@ object Etl {
     * surrogate ids; `details` documents merge shallowly (C11) rather than
     * overwrite.
     *
+    * @param updateIdentifiers mirror of the reference's
+    *   `update_identifiers` flag (db/__init__.py:285-289): when true, a
+    *   matched row's identifier AND collection_identifier are overwritten
+    *   with the update's values (even if one is null); when false they are
+    *   left exactly as stored. Created rows always take the update's
+    *   values.
+    *
     * Both lookup joins are equi-joins (shuffle on one key each), never an
     * OR-join (which Spark would plan as a nested loop).
     */
   def upsertSamples(
       current: DataFrame, // sample_id, identifier, collection_identifier, details
-      updates: DataFrame // identifier, collection_identifier, details
+      updates: DataFrame, // identifier, collection_identifier, details
+      updateIdentifiers: Boolean = false
   ): DataFrame = {
     val cur = current.select(
       col("sample_id"), col("identifier"), col("collection_identifier"),
@@ -107,13 +115,23 @@ object Etl {
       orderBy = Seq("u_identifier", "u_collection"))
     val resolved = withIds.filter(!col("is_new")).unionByName(created)
 
-    // merge details shallowly into the current row's details (C11)
+    // merge details shallowly into the current row's details (C11);
+    // identifiers follow the update_identifiers flag for matched rows
+    val updatedIdent =
+      if (updateIdentifiers) col("u_identifier")
+      else when(col("is_new"), col("u_identifier")).otherwise(col("c.identifier"))
+    val updatedColl =
+      if (updateIdentifiers) col("u_collection")
+      else when(col("is_new"), col("u_collection"))
+        .otherwise(col("c.collection_identifier"))
     resolved.as("u")
-      .join(cur.select(col("sample_id"), col("details")).as("c"), Seq("sample_id"), "left")
+      .join(cur.select(col("sample_id"), col("identifier"),
+          col("collection_identifier"), col("details")).as("c"),
+        Seq("sample_id"), "left")
       .select(
         col("sample_id"),
-        coalesce(col("u_identifier"), lit(null)).as("identifier"),
-        coalesce(col("u_collection"), lit(null)).as("collection_identifier"),
+        updatedIdent.as("identifier"),
+        updatedColl.as("collection_identifier"),
         graft.functions.jsonbMergeShallow(col("c.details"), col("u.u_details"))
           .as("details"),
         col("ambiguous"))

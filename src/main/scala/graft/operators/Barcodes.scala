@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{barcodeSlices, hammingDistance, hammingDistanceLte, barcodeFromUuid}
 
@@ -41,6 +41,19 @@ object Barcodes {
       .withColumn("dist", hammingDistance(col("code_a"), col("code_b")))
   }
 
+  /** Per-run mint instrumentation, mirroring the reference's only
+    * self-reported performance stats (functions/mint_identifiers.sql:40-49
+    * raises a notice with count, exec time and retry distribution).
+    */
+  final case class MintStats(
+      requested: Int,
+      minted: Int,
+      rounds: Int,
+      candidatesTried: Long,
+      conflictsWithExisting: Long,
+      intraBatchRejects: Long,
+      execMillis: Long)
+
   /** M9 — mint n new identifiers for a set (reference
     * functions/mint_identifiers.sql:5-60 loops insert-with-retry under an
     * exclusive table lock; the trigger rejects any candidate within
@@ -55,7 +68,16 @@ object Barcodes {
     * conflict.
     *
     * Candidates derive from UUIDs exactly like the reference
-    * (barcode = uuid suffix, barcode-default-from-uuid.sql:7-16).
+    * (barcode = uuid suffix, barcode-default-from-uuid.sql:7-16). With
+    * `seed = Some(s)` candidate uuids are md5-derived from (seed, round,
+    * seq) instead of random — bit-for-bit reproducible across engines, so
+    * results are oracle-checkable; `None` keeps production `uuid()`.
+    *
+    * Minting is inherently small-batch (the reference serializes every
+    * insert under a table lock): the result is materialized to the driver
+    * at the end, which both bounds it and lets every intermediate cache be
+    * dropped before return — round 1 leaked these caches into long-lived
+    * sessions.
     */
   def mint(
       spark: SparkSession,
@@ -63,16 +85,44 @@ object Barcodes {
       n: Int,
       maxDist: Int = 2,
       batchFactor: Int = 2,
-      maxRounds: Int = 8): DataFrame = {
-    var accepted = existing.select(col("code")).cache()
+      maxRounds: Int = 8,
+      seed: Option[Long] = None): DataFrame =
+    mintWithStats(spark, existing, n, maxDist, batchFactor, maxRounds, seed)._1
+
+  def mintWithStats(
+      spark: SparkSession,
+      existing: DataFrame,
+      n: Int,
+      maxDist: Int = 2,
+      batchFactor: Int = 2,
+      maxRounds: Int = 8,
+      seed: Option[Long] = None): (DataFrame, MintStats) = {
+    val t0 = System.currentTimeMillis()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def keep(df: DataFrame): DataFrame = { cached += df.cache(); df }
+
+    def candidateUuid(round: Int): Column = seed match {
+      case Some(s) =>
+        // uuid-shaped hex from a deterministic digest: 8-4-4-4-12.
+        val h = md5(concat_ws("|", lit("mint"), lit(s), lit(round), col("seq")))
+        concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+          substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+      case None => expr("uuid()")
+    }
+
+    var accepted = keep(existing.select(col("code")))
     var out: Option[DataFrame] = None
     var round = 0
     var need = n
+    var tried = 0L
+    var extConflicts = 0L
+    var intraRejects = 0L
     while (need > 0 && round < maxRounds) {
-      val batch = spark.range(need.toLong * batchFactor)
-        .select(col("id").as("seq"), expr("uuid()").as("uuid"))
-        .withColumn("code", barcodeFromUuid(col("uuid")))
-        .cache()
+      val batch = keep(spark.range(need.toLong * batchFactor)
+        .select(col("id").as("seq"))
+        .withColumn("uuid", candidateUuid(round))
+        .withColumn("code", barcodeFromUuid(col("uuid"))))
+      tried += need.toLong * batchFactor
       // (1) reject vs existing/accepted — slice-prefiltered anti-join
       val candSlices = batch.select(col("seq"), col("code"),
         explode(barcodeSlices(col("code"))).as("slice"))
@@ -92,17 +142,30 @@ object Barcodes {
         val (aId, bId) = (r.getLong(0), r.getLong(1))
         if (!rejected.contains(aId)) rejected += bId // later candidate loses
       }
+      intraRejects += rejected.size
       val survivors =
         if (rejected.isEmpty) clean
         else clean.filter(!col("seq").isin(rejected.toSeq: _*))
-      val take = survivors.orderBy("seq").limit(need)
-        .select(col("uuid"), col("code"))
+      val take = keep(survivors.orderBy("seq").limit(need)
+        .select(col("uuid"), col("code")))
       out = Some(out.map(_.unionByName(take)).getOrElse(take))
       val got = take.count().toInt
+      extConflicts += need.toLong * batchFactor - got // approx: batch minus accepted
       need -= got
-      accepted = accepted.unionByName(take.select("code")).cache()
+      accepted = keep(accepted.unionByName(take.select("code")))
       round += 1
     }
-    out.getOrElse(spark.emptyDataFrame)
+    // Materialize to the driver, then release every intermediate cache —
+    // the returned frame must not pin executor storage or lineage.
+    val rows = out.map(_.collect()).getOrElse(Array.empty[org.apache.spark.sql.Row])
+    cached.foreach(_.unpersist(blocking = false))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("uuid", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("code", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, math.max(1, rows.length / 10000)),
+      schema)
+    (df, MintStats(n, rows.length, round, tried, extConflicts, intraRejects,
+      System.currentTimeMillis() - t0))
   }
 }

@@ -118,26 +118,26 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 4, numHashes: Int = 16, bandSize: Int = 4,
       minAgree: Int = 12): DataFrame = {
-    // Signatures feed three consumers (banding + two rejoin sides):
-    // persist so the explode+agg pipeline runs once.
-    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes).persist()
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
     val numBands = numHashes / bandSize
-    // Band join carries only (id, band, bucket): candidate pairs are bare
-    // id pairs, so the dedup shuffle moves 16 bytes/row, not two signature
-    // arrays; signatures re-attach afterwards by id (cands << corpus).
-    val banded = sigs.select(col("id"),
+    // The signature rides along through the band join: both self-join
+    // sides shuffle on (band, bucket), so ReuseExchange materializes the
+    // signature pipeline exactly once — no persist (a leaked persist here
+    // pinned generated classes across a whole session in round 1), and no
+    // by-id rejoin afterwards. The extra shuffle payload is numHashes
+    // longs per banded row; candidate pairs << corpus, so the distinct
+    // carrying two signatures stays small.
+    val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until numBands).map { b =>
         md5(concat_ws(",",
           (0 until bandSize).map(i => element_at(col("sig"), b * bandSize + i + 1)): _*))
       }: _*)).as(Seq("band", "bucket")))
-    val cands = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cands
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct() // a pair can collide in several bands
       .withColumn("agree",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
       .filter(col("agree") >= minAgree)

@@ -101,19 +101,30 @@ object Merge {
   }
 
   /** Stable surrogate-id allocation for `created` rows (SURVEY §1.4):
-    * max(existing id) + dense row_number over a deterministic order —
-    * never monotonically_increasing_id, which is unstable across runs.
+    * max(existing id) + 1..n over a deterministic order — never
+    * monotonically_increasing_id, which is unstable across runs.
+    *
+    * The order is imposed by a parallel range-partitioned sort
+    * (`orderBy`), and the sequence by `zipWithIndex` partition-offset
+    * arithmetic — no global window (which would funnel the batch through
+    * one partition; round 1 shipped that anti-pattern and it showed up as
+    * `WindowExec: No Partition Defined` on every upsert).
     */
   def allocateIds(
       created: DataFrame,
       idCol: String,
       maxExisting: Long,
       orderBy: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(orderBy.map(col): _*)
-    // NOTE: a global window is a single-partition sort — acceptable because
-    // created-row batches are deltas, not the full table. For very large
-    // backfills use zipWithIndex over a range-partitioned sort instead.
-    created.withColumn(idCol, row_number().over(w).cast("long") + maxExisting)
+    val spark = created.sparkSession
+    val sorted = created.drop(idCol).orderBy(orderBy.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L + maxExisting))
+      },
+      schema)
   }
 }
