@@ -11,19 +11,22 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q11_filter", "q2_star_join", "q26_pa_v1", "q8_range_bin",
-        "q22_minhash_pairs")) {
-      val df = SparkEntry.queries(q)(spark, dir)
-      val plan = df.queryExecution.executedPlan.toString
-      println(s"===== $q")
-      println("  PushedFilters: " +
-        plan.linesIterator.filter(_.contains("PushedFilters: [")).take(2)
-          .map(_.trim.take(120)).mkString(" | "))
-      println("  joins: " + Seq("BroadcastHashJoin", "SortMergeJoin",
-        "BroadcastNestedLoopJoin", "ShuffledHashJoin")
-        .map(j => s"$j=" + plan.linesIterator.count(_.contains(j))).mkString(" "))
-      println("  codegen spans: " + plan.linesIterator.count(_.contains("WholeStageCodegen")))
+    val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.1")
+    val qs = sys.env.getOrElse("SCRATCH_QS",
+      "q19_hamming_pairs,q20_jaccard,q22_minhash_pairs,q23_simhash,q52_embed_survivors")
+      .split(",")
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    for (q <- qs) { force(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")); scrub() }
+    for (pass <- 1 to 3; q <- qs) {
+      val t0 = System.nanoTime()
+      force(SparkEntry.queries(q)(spark, dir))
+      scrub()
+      println(f"===== pass$pass $q%-24s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
     }
     spark.stop()
   }

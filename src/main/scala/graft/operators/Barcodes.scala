@@ -33,7 +33,11 @@ object Barcodes {
       explode(barcodeSlices(col("code"))).as("slice"))
     val a = sliced.as("a")
     val b = sliced.as("b")
-    a.join(b, col("a.slice") === col("b.slice") && col("a.id") < col("b.id"))
+    // shuffle_hash: both sides are the same sliced frame — identical
+    // exchanges are reused, so the slice explode runs once (a broadcast
+    // build side would recompute it and is unstable for self-joins)
+    a.hint("shuffle_hash").join(b,
+        col("a.slice") === col("b.slice") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("a.code").as("code_a"),
         col("b.id").as("id_b"), col("b.code").as("code_b"))
       .distinct() // a pair can share several slices

@@ -64,7 +64,7 @@ object Dedup {
       case None => sh
     }
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = filtered.as("a").join(filtered.as("b"),
+    val inter = filtered.as("a").hint("shuffle_hash").join(filtered.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -132,7 +132,10 @@ object Dedup {
         md5(concat_ws(",",
           (0 until bandSize).map(i => element_at(col("sig"), b * bandSize + i + 1)): _*))
       }: _*)).as(Seq("band", "bucket")))
-    banded.as("a").join(banded.as("b"),
+    // shuffle_hash (not broadcast): a broadcast build side would recompute
+    // the whole signature pipeline for the broadcast value; identical
+    // shuffle exchanges on both sides let ReuseExchange materialize it once
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -178,7 +181,7 @@ object Dedup {
         shiftright(col("simhash"), b * chunk)
           .bitwiseAND(lit((1L << chunk) - 1))
       }: _*)).as(Seq("band", "bucket")))
-    banded.as("a").join(banded.as("b"),
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -200,7 +203,7 @@ object Dedup {
       threshold: Double, planes: Int = 16): DataFrame = {
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       SimilaritySearch.hyperplaneSignature(col(vecCol), planes).as("sig"))
-    sig.as("a").join(sig.as("b"),
+    sig.as("a").hint("shuffle_hash").join(sig.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .withColumn("cosine", SimilaritySearch.cosine(col("a.v"), col("b.v")))
       .filter(col("cosine") >= threshold)
