@@ -704,6 +704,211 @@ object SparkEntry {
         size(split($("lineage"), "\\.")).cast("long").as("depth"))
       .orderBy("organism_id")
 
+  /** FHIR ETL — encounter-graph round trip (reference etl/fhir.py:105-185,
+    * 341-368, 453-620, 710-756). Bundles are synthesized deterministically
+    * from `orders` (so the DuckDB oracle can recompute the expected output
+    * straight from the base table), pushed through FhirEtl.classify +
+    * decompose, and the statuses + encounter delta recovered — a full
+    * round trip of validation, raw-JSON entry indexing, reference
+    * resolution and the age/sex/language/site extraction rules.
+    */
+  private def q55FhirEncounters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sys = graft.etl.FhirEtl.InternalSystem
+    val o = t(s, dir, "orders").select($("o_orderkey").as("k"),
+      $("o_custkey").as("ck"),
+      date_format($("o_orderdate"), "yyyy-MM-dd").as("d"))
+
+    val nullStr = lit(null).cast("string")
+    val nullIdent = lit(null).cast("array<struct<system:string,value:string>>")
+    val nullComm = lit(null).cast(
+      "array<struct<language:struct<coding:array<struct<system:string,code:string>>>,preferred:boolean>>")
+    val nullRef = lit(null).cast("struct<reference:string>")
+    val nullPeriod = lit(null).cast("struct<start:string>")
+    val nullLoc = lit(null).cast(
+      "array<struct<location:struct<identifier:struct<system:string,value:string>>>>")
+    val nullItem = lit(null).cast(
+      "array<struct<linkId:string,answer:array<struct<valueInteger:int>>>>")
+    val nullColl = lit(null).cast("struct<collectedDateTime:string>")
+    def ident(system: String, value: Column) =
+      array(struct(lit(system).as("system"), value.as("value")))
+    def ref(c: Column) = struct(c.as("reference"))
+    def res(resourceType: String, gender: Column, identifier: Column,
+        communication: Column, period: Column, subject: Column,
+        location: Column, encounter: Column, specimen: Column, item: Column,
+        collection: Column) =
+      struct(lit(resourceType).as("resourceType"), gender.as("gender"),
+        identifier.as("identifier"), communication.as("communication"),
+        period.as("period"), subject.as("subject"), location.as("location"),
+        encounter.as("encounter"), specimen.as("specimen"), item.as("item"),
+        collection.as("collection"))
+    def entry(fullUrl: Column, r: Column) =
+      struct(fullUrl.as("fullUrl"), r.as("resource"))
+
+    val patient = entry(concat(lit("urn:uuid:p"), $("k")),
+      res("Patient",
+        when($("ck") % 4 === 0, "male").when($("ck") % 4 === 1, "female")
+          .when($("ck") % 4 === 2, "unknown").otherwise("other"),
+        ident(s"$sys/individual", concat(lit("ind-"), $("ck"))),
+        when($("ck") % 3 === 0, array(struct(
+          struct(array(struct(lit(graft.etl.FhirEtl.LanguageSystem).as("system"),
+            lit("en").as("code"))).as("coding")).as("language"),
+          lit(true).as("preferred")))).otherwise(nullComm),
+        nullPeriod, nullRef, nullLoc, nullRef, nullRef, nullItem, nullColl))
+    val encounterE = entry(concat(lit("urn:uuid:e"), $("k")),
+      res("Encounter", nullStr,
+        ident(s"$sys/encounter", concat(lit("enc-"), $("k"))),
+        nullComm,
+        struct(concat($("d"), lit("T00:00:00Z")).as("start")),
+        ref(concat(lit("urn:uuid:p"), $("k"))),
+        when($("k") % 13 =!= 0,
+          array(struct(struct(struct(lit(s"$sys/site").as("system"),
+            concat(lit("site-"), $("k") % 5).as("value")).as("identifier"))
+            .as("location")))).otherwise(nullLoc),
+        nullRef, nullRef, nullItem, nullColl))
+    val qrE = entry(concat(lit("urn:uuid:q"), $("k")),
+      res("QuestionnaireResponse", nullStr, nullIdent, nullComm, nullPeriod,
+        nullRef, nullLoc,
+        ref(concat(lit("urn:uuid:e"), $("k"))), nullRef,
+        when($("k") % 3 === 0, array(struct(lit("age_months").as("linkId"),
+          array(struct((lit(6) * ($("k") % 20)).cast("int").as("valueInteger")))
+            .as("answer"))))
+          .when($("k") % 3 === 1, array(struct(lit("age").as("linkId"),
+            array(struct(($("k") % 90).cast("int").as("valueInteger")))
+              .as("answer"))))
+          .otherwise(nullItem),
+        nullColl))
+    val obsLink = entry(concat(lit("urn:uuid:o"), $("k")),
+      res("Observation", nullStr, nullIdent, nullComm, nullPeriod, nullRef,
+        nullLoc,
+        ref(concat(lit("urn:uuid:e"), $("k"))),
+        ref(concat(lit("urn:uuid:s"), $("k"))), nullItem, nullColl))
+    val specimenE = entry(concat(lit("urn:uuid:s"), $("k")),
+      res("Specimen", nullStr,
+        ident(s"$sys/sample",
+          concat(lit("BC"), substring(md5(concat(lit("bc"), $("k"))), 1, 6))),
+        nullComm, nullPeriod, nullRef, nullLoc, nullRef, nullRef, nullItem,
+        struct(concat($("d"), lit("T12:00:00Z")).as("collectedDateTime"))))
+
+    val feed = o.select($("k").as("id"),
+      to_json(struct(lit("Bundle").as("resourceType"),
+        when($("k") % 31 === 0, lit("message")).otherwise(lit("collection"))
+          .as("type"),
+        filter(array(
+          when($("k") % 23 =!= 0, patient),
+          when($("k") % 29 =!= 0, encounterE),
+          qrE,
+          when($("k") % 37 =!= 0, obsLink),
+          specimenE), e => e.isNotNull).as("entry"))).as("document"))
+
+    val emptyIdent = Seq.empty[(String, String, String)]
+      .toDF("barcode", "uuid", "set_name")
+    val emptySamples = Seq.empty[(String, String)]
+      .toDF("identifier", "collection_identifier")
+    val delta = graft.etl.FhirEtl.decompose(feed, emptyIdent, emptySamples)
+    delta.statuses
+      .join(delta.encounters.select($("id"), $("identifier"),
+          date_format($("encountered"), "yyyy-MM-dd HH:mm:ss").as("encountered"),
+          $("individual_identifier"), $("sex"), $("language"),
+          $("site_identifier"), $("age")),
+        Seq("id"), "left")
+      .select($("id"), $("status"), $("skip_reason"), $("identifier"),
+        $("encountered"), $("individual_identifier"), $("sex"), $("language"),
+        $("site_identifier"), $("age"))
+      .orderBy("id")
+  }
+
+  /** FHIR ETL — DiagnosticReport → presence/absence path (reference
+    * etl/fhir.py:191-257, 896-966): inline vs resolved specimen barcodes,
+    * identifier-set routing, sample lookup (missing collection samples
+    * created, missing sample-set samples dropped as SampleNotFound),
+    * SNOMED result mapping and the Ellume/inconclusive skip rules.
+    */
+  private def q56FhirPa(s: SparkSession, dir: String): DataFrame = {
+    val sys = graft.etl.FhirEtl.InternalSystem
+    val snomedSys = graft.etl.FhirEtl.SnomedSystem
+    val o = t(s, dir, "orders").select($("o_orderkey").as("k"),
+      date_format($("o_orderdate"), "yyyy-MM-dd").as("d"))
+    val bc = concat(lit("BC"), $("k"))
+
+    val nullStr = lit(null).cast("string")
+    val nullIdent = lit(null).cast("array<struct<system:string,value:string>>")
+    val nullSpecArr = lit(null).cast(
+      "array<struct<reference:string,identifier:struct<system:string,value:string>>>")
+    val nullResArr = lit(null).cast("array<struct<reference:string>>")
+    val nullConcept = lit(null).cast(
+      "struct<coding:array<struct<system:string,code:string>>>")
+    val nullBool = lit(null).cast("boolean")
+    val nullDev = lit(null).cast("struct<identifier:struct<value:string>>")
+    def res(resourceType: String, identifier: Column, specimen: Column,
+        result: Column, effectiveDateTime: Column, code: Column,
+        valueBoolean: Column, valueCodeableConcept: Column, device: Column) =
+      struct(lit(resourceType).as("resourceType"),
+        identifier.as("identifier"), specimen.as("specimen"),
+        result.as("result"), effectiveDateTime.as("effectiveDateTime"),
+        code.as("code"), valueBoolean.as("valueBoolean"),
+        valueCodeableConcept.as("valueCodeableConcept"), device.as("device"))
+    def entry(fullUrl: Column, r: Column) =
+      struct(fullUrl.as("fullUrl"), r.as("resource"))
+    def concept(codeC: Column) =
+      struct(array(struct(lit(snomedSys).as("system"), codeC.as("code")))
+        .as("coding"))
+
+    val snomed = when($("k") % 5 === 0, "181000124108")
+      .when($("k") % 5 === 1, "441343005")
+      .when($("k") % 5 === 2, "911000124104")
+      .otherwise("260373001")
+    val valueBool = when($("k") % 7 < 3, $("k") % 2 === 0).otherwise(nullBool)
+    val valueConcept = when($("k") % 7 >= 3,
+      concept(when($("k") % 3 === 0, "10828004")
+        .when($("k") % 3 === 1, "260385009").otherwise("82334004")))
+      .otherwise(nullConcept)
+    val device = when($("k") % 6 === 0, "Ellume").otherwise("OpenArray")
+
+    val drE = entry(concat(lit("urn:uuid:d"), $("k")),
+      res("DiagnosticReport", nullIdent,
+        when($("k") % 4 === 0,
+          array(struct(nullStr.as("reference"),
+            struct(lit(sys).as("system"), bc.as("value")).as("identifier"))))
+          .otherwise(array(struct(
+            concat(lit("urn:uuid:s"), $("k")).as("reference"),
+            lit(null).cast("struct<system:string,value:string>")
+              .as("identifier")))),
+        array(struct(concat(lit("urn:uuid:r"), $("k")).as("reference"))),
+        concat($("d"), lit("T08:00:00Z")),
+        nullConcept, nullBool, nullConcept, nullDev))
+    val specE = entry(concat(lit("urn:uuid:s"), $("k")),
+      res("Specimen",
+        array(struct(lit(s"$sys/sample").as("system"), bc.as("value"))),
+        nullSpecArr, nullResArr, nullStr, nullConcept, nullBool, nullConcept,
+        nullDev))
+    val obsE = entry(concat(lit("urn:uuid:r"), $("k")),
+      res("Observation", nullIdent, nullSpecArr, nullResArr, nullStr,
+        concept(snomed), valueBool, valueConcept,
+        struct(struct(device.as("value")).as("identifier"))))
+
+    val feed = o.select($("k").as("id"),
+      to_json(struct(lit("Bundle").as("resourceType"),
+        lit("collection").as("type"),
+        array(drE, specE, obsE).as("entry"))).as("document"))
+
+    val idents = o.select(bc.as("barcode"),
+        concat(lit("uu-"), $("k")).as("uuid"),
+        when($("k") % 11 === 0, "bad-set")
+          .when($("k") % 11 === 1, "samples")
+          .otherwise("collections-scan").as("set_name"))
+      .filter($("k") % 19 =!= 0)
+    val samples = o.filter($("k") % 11 === 1 && $("k") % 9 =!= 0)
+      .select(concat(lit("uu-"), $("k")).as("identifier"),
+        lit(null).cast("string").as("collection_identifier"))
+
+    graft.etl.FhirEtl.decompose(feed, idents, samples)
+      .presenceAbsence
+      .select($("id"), $("identifier"), $("barcode"), $("snomed"),
+        $("device"), $("present"), $("effective_datetime"))
+      .orderBy("id")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -761,6 +966,8 @@ object SparkEntry {
     "q52_embed_survivors" -> (q52EmbedSurvivors _),
     "q53_pa_v2" -> (q53PaV2 _),
     "q54_lineage" -> (q54Lineage _),
+    "q55_fhir_encounters" -> (q55FhirEncounters _),
+    "q56_fhir_pa" -> (q56FhirPa _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1293,5 +1500,59 @@ object SparkEntry {
         |  'influenza' AS genus, CAST(3 AS BIGINT) AS depth
         |FROM range(0, 10) t(i) WHERE i % 2 = 0
         |ORDER BY organism_id""".stripMargin,
+    "q55_fhir_encounters" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ck,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS d
+        |  FROM orders
+        |), st AS (
+        |  SELECT *,
+        |    CASE WHEN k%31=0 THEN 'error'
+        |         WHEN k%23=0 OR k%29=0 OR k%37=0 OR k%13=0 THEN 'skipped'
+        |         ELSE 'processed' END AS status,
+        |    CASE WHEN k%31=0 THEN 'error: not a Bundle of type collection'
+        |         WHEN k%23=0 THEN 'missing Patient or DiagnosticReport'
+        |         WHEN k%29=0 THEN 'Patient without Encounter'
+        |         WHEN k%37=0 THEN 'fewer Observations than Specimens'
+        |         WHEN k%13=0 THEN 'insufficient information to create encounter'
+        |         END AS skip_reason
+        |  FROM b
+        |)
+        |SELECT k AS id, status, skip_reason,
+        |  CASE WHEN status='processed' THEN 'enc-'||k END AS identifier,
+        |  CASE WHEN status='processed' THEN d||' 00:00:00' END AS encountered,
+        |  CASE WHEN status='processed' THEN 'ind-'||ck END AS individual_identifier,
+        |  CASE WHEN status='processed' THEN
+        |    CASE WHEN ck%4=0 THEN 'male' WHEN ck%4=1 THEN 'female'
+        |         WHEN ck%4=3 THEN 'other' END END AS sex,
+        |  CASE WHEN status='processed' AND ck%3=0 THEN 'en' END AS language,
+        |  CASE WHEN status='processed' THEN 'site-'||(k%5) END AS site_identifier,
+        |  CASE WHEN status='processed' THEN
+        |    CASE WHEN k%3=0 THEN ((6*(k%20))/12.0)::VARCHAR||' years'
+        |         WHEN k%3=1 THEN (k%90)::VARCHAR||' years' END END AS age
+        |FROM st ORDER BY id""".stripMargin,
+    "q56_fhir_pa" ->
+      """WITH r0 AS (
+        |  SELECT o_orderkey AS k,
+        |    'BC'||o_orderkey AS barcode,
+        |    CASE WHEN o_orderkey%5=0 THEN '181000124108'
+        |         WHEN o_orderkey%5=1 THEN '441343005'
+        |         WHEN o_orderkey%5=2 THEN '911000124104'
+        |         ELSE '260373001' END AS snomed,
+        |    CASE WHEN o_orderkey%6=0 THEN 'Ellume' ELSE 'OpenArray' END AS device,
+        |    CASE WHEN o_orderkey%7<3 THEN (o_orderkey%2=0)
+        |         WHEN o_orderkey%3=0 THEN true
+        |         WHEN o_orderkey%3=1 THEN false
+        |         ELSE NULL END AS present,
+        |    strftime(o_orderdate, '%Y-%m-%d')||'T08:00:00Z' AS effective_datetime
+        |  FROM orders
+        |)
+        |SELECT k AS id, barcode||'/'||snomed||'/'||device AS identifier,
+        |  barcode, snomed, device, present, effective_datetime
+        |FROM r0
+        |WHERE k%19<>0 AND k%11<>0 AND NOT (k%11=1 AND k%9=0)
+        |  AND snomed<>'911000124104'
+        |  AND NOT (device='Ellume' AND present IS NULL)
+        |ORDER BY id""".stripMargin,
   )
 }

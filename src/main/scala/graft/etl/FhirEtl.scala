@@ -93,18 +93,18 @@ object FhirEtl {
     * take the first — the assert can be layered as a column if needed.)
     */
   def identifierFor(identArr: Column, system: String): Column =
-    element_at(
+    try_element_at(
       filter(coalesce(identArr, array()),
-        i => i.getField("system") === lit(system)), 1)
+        i => i.getField("system") === lit(system)), lit(1))
       .getField("value")
 
   /** `matching_system_code` (fhir.py:414-435): code for `system` in a
     * CodeableConcept, or null.
     */
   def codeFor(concept: Column, system: String): Column =
-    element_at(
+    try_element_at(
       filter(coalesce(concept.getField("coding"), array()),
-        c => c.getField("system") === lit(system)), 1)
+        c => c.getField("system") === lit(system)), lit(1))
       .getField("code")
 
   /** Explode bundle entries, keeping each resource as RAW JSON text
@@ -225,10 +225,10 @@ object FhirEtl {
       col("r.subject.reference").as("subject_ref"),
       col("r.partOf.reference").as("part_of_ref"),
       // first site-system location (process_encounter_site, fhir.py:604-620)
-      element_at(
+      try_element_at(
         filter(coalesce(col("r.location"), array()),
           l => l.getField("location").getField("identifier").getField("system")
-            === lit(s"$InternalSystem/site")), 1)
+            === lit(s"$InternalSystem/site")), lit(1))
         .getField("location").getField("identifier").getField("value")
         .as("site_identifier"),
       // reason codes (process_encounter_reason, fhir.py:575-585)
@@ -244,8 +244,8 @@ object FhirEtl {
       when(col("r.gender") === "unknown", lit(null))
         .otherwise(col("r.gender")).as("sex"),
       codeFor(
-        element_at(filter(coalesce(col("r.communication"), array()),
-          c => c.getField("preferred")), 1).getField("language"),
+        try_element_at(filter(coalesce(col("r.communication"), array()),
+          c => c.getField("preferred")), lit(1)).getField("language"),
         LanguageSystem).as("language"))
 
     // age from the first QuestionnaireResponse linked to the encounter
@@ -254,12 +254,12 @@ object FhirEtl {
     val ages = qr.select(
         col("id"), col("pos"),
         col("r.encounter.reference").as("enc_ref"),
-        element_at(filter(coalesce(col("r.item"), array()),
-          i => i.getField("linkId") === "age_months"), 1)
-          .getField("answer").getItem(0).getField("valueInteger").as("months"),
-        element_at(filter(coalesce(col("r.item"), array()),
-          i => i.getField("linkId") === "age"), 1)
-          .getField("answer").getItem(0).getField("valueInteger").as("years"))
+        try_element_at(filter(coalesce(col("r.item"), array()),
+          i => i.getField("linkId") === "age_months"), lit(1))
+          .getField("answer").getField("valueInteger").getItem(0).as("months"),
+        try_element_at(filter(coalesce(col("r.item"), array()),
+          i => i.getField("linkId") === "age"), lit(1))
+          .getField("answer").getField("valueInteger").getItem(0).as("years"))
       .filter(col("months").isNotNull || col("years").isNotNull)
       .withColumn("age",
         when(col("months").isNotNull,
@@ -313,15 +313,17 @@ object FhirEtl {
       .join(spec.select(col("id"), col("full_url").as("spec_url"),
           trim(identifierFor(col("r.identifier"), s"$InternalSystem/sample"))
             .as("barcode"),
-          col("r.note").getItem(0).getField("text").as("note"),
+          try_element_at(col("r.note"), lit(1)).getField("text").as("note"),
           // collectedDateTime || collectedPeriod.start || .end (fhir.py:688-695)
           coalesce(col("r.collection.collectedDateTime"),
             col("r.collection.collectedPeriod.start"),
             col("r.collection.collectedPeriod.end")).as("collection_date")),
         Seq("id"))
       .filter(col("spec_ref") === col("spec_url"))
-      // unknown barcode → skip specimen, not bundle (fhir.py:664-667)
-      .join(broadcast(ident), col("barcode") === col("i_barcode"), "inner")
+      // unknown barcode → skip specimen, not bundle (fhir.py:664-667);
+      // plain equi-join on barcode — AQE broadcasts if the identifier
+      // table is small, shuffles if it is warehouse-sized
+      .join(ident, col("barcode") === col("i_barcode"), "inner")
       // unexpected set → skip specimen (fhir.py:669-671)
       .filter(col("set_name").isin(expectedCollectionSets ++ expectedSampleSets: _*))
       .select(col("id"), col("encounter_identifier"),
@@ -333,37 +335,42 @@ object FhirEtl {
         col("note"))
 
     // ---- DiagnosticReport path (fhir.py:191-257, 896-966) --------------
+    // reference.identifier absent → resolve the Specimen resource;
+    // present with the internal system → inline barcode; present with any
+    // other system → no barcode → continue (fhir.py:204-215)
     val drSpec = dr.select(col("id"), col("pos"),
         col("r.effectiveDateTime").as("effective_datetime"),
         col("r.result").as("results"),
         explode(coalesce(col("r.specimen"), array())).as("sp"))
-      .withColumn("inline_barcode",
-        when(col("sp.identifier").isNotNull &&
-          col("sp.identifier.system") === InternalSystem,
-          trim(col("sp.identifier.value"))))
-      .withColumn("spec_ref", col("sp.reference"))
-    // resolve non-inline specimen references to their sample-system barcode
-    val drBarcodes = drSpec
+    val drInline = drSpec
+      .filter(col("sp.identifier").isNotNull)
+      .filter(col("sp.identifier.system") === InternalSystem)
+      .withColumn("barcode", trim(col("sp.identifier.value")))
+    val drResolved = drSpec
+      .filter(col("sp.identifier").isNull)
       .join(spec.select(col("id"), col("full_url").as("spec_url"),
           trim(identifierFor(col("r.identifier"), s"$InternalSystem/sample"))
-            .as("resolved_barcode")),
-        Seq("id"), "left")
-      .filter(col("spec_url").isNull || col("spec_ref") === col("spec_url"))
-      .withColumn("barcode", coalesce(col("inline_barcode"), col("resolved_barcode")))
+            .as("barcode")),
+        Seq("id"))
+      .filter(col("sp.reference") === col("spec_url"))
+      .drop("spec_url")
+    val drBarcodes = drInline
+      .unionByName(drResolved, allowMissingColumns = true)
       .filter(col("barcode").isNotNull) // fhir.py:214-215: no barcode → continue
-      .join(broadcast(ident), col("barcode") === col("i_barcode"), "inner")
+      .join(ident, col("barcode") === col("i_barcode"), "inner")
       .filter(col("set_name")
         .isin(expectedCollectionSets ++ expectedSampleSets: _*))
       .withColumn("is_collection",
         col("set_name").isin(expectedCollectionSets: _*))
 
     // find_sample by uuid; missing collection-set samples are created with
-    // just the collection identifier (fhir.py:243-255)
-    val known = samples.select(col("identifier").as("s_ident"),
-      col("collection_identifier").as("s_coll"))
+    // just the collection identifier (fhir.py:243-255). Two equi left
+    // joins, never an OR-join (which Spark would plan as a nested loop).
     val drWithSample = drBarcodes
-      .join(broadcast(known),
-        col("uuid") === col("s_ident") || col("uuid") === col("s_coll"), "left")
+      .join(samples.select(col("identifier").as("s_ident")),
+        col("uuid") === col("s_ident"), "left")
+      .join(samples.select(col("collection_identifier").as("s_coll")),
+        col("uuid") === col("s_coll"), "left")
       .withColumn("sample_missing", col("s_ident").isNull && col("s_coll").isNull)
     val drCreatedSamples = drWithSample
       .filter(col("sample_missing") && col("is_collection"))
@@ -378,8 +385,8 @@ object FhirEtl {
       .withColumn("sample_not_found", col("sample_missing") && !col("is_collection"))
       .filter(!col("sample_not_found"))
       .select(col("id"), col("barcode"), col("effective_datetime"),
-        explode(coalesce(col("results"), array())).getField("reference")
-          .as("result_ref"))
+        explode(coalesce(col("results"), array())).as("res_ref"))
+      .withColumn("result_ref", col("res_ref.reference"))
       .join(obs.select(col("id"), col("full_url").as("obs_url"),
           codeFor(col("r.code"), SnomedSystem).as("snomed"),
           col("r.valueBoolean").as("value_bool"),
