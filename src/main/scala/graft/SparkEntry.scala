@@ -298,13 +298,40 @@ object SparkEntry {
     * age-bin range joins + JSON site type), warehouse synthesized from the
     * star schema.
     */
-  private def q27Incidence(s: SparkSession, dir: String): DataFrame = {
+  private def q27Incidence(s: SparkSession, dir: String): DataFrame =
+    incidenceFrame(s, dir)
+      .withColumn("encountered_date", $("encountered_date").cast("string"))
+      .withColumn("symptoms", array_join($("symptoms"), ","))
+      .drop("race") // never populated by this synthesized feed
+      .orderBy("encounter_id")
+
+  /** The incidence observation view over the synthesized warehouse —
+    * shared by q27 and the view-on-view join q57.
+    */
+  private def incidenceFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val encounter = t(s, dir, "orders").select(
       $("o_orderkey").as("encounter_id"), $("o_custkey").as("individual_id"),
       ($("o_custkey") % 25).cast("int").as("site_id"),
       $("o_orderdate").as("encountered"),
-      ($("o_orderkey") % 1212).cast("int").as("age_months"))
+      ($("o_orderkey") % 1212).cast("int").as("age_months"),
+      // survey responses in details — exercises the fused lateral
+      // (views@2020-01-14b.sql:73-97): raw values incl. the junk the view
+      // collapses (doNotKnow/dontKnow/preferNotToSay, duplicate symptoms)
+      to_json(struct(struct(
+        when($("o_orderkey") % 7 === 0, array(lit("true")))
+          .when($("o_orderkey") % 7 === 1, array(lit("false")))
+          .when($("o_orderkey") % 7 === 2, array(lit("doNotKnow")))
+          .when($("o_orderkey") % 7 === 3, array(lit("dontKnow")))
+          .as("FluShot"),
+        when($("o_orderkey") % 3 === 0,
+          array(lit("cough"), lit("fever"), lit("cough")))
+          .when($("o_orderkey") % 3 === 1, array(lit("ache")))
+          .as("Symptoms"),
+        when($("o_orderkey") % 5 === 0, array(lit("true")))
+          .when($("o_orderkey") % 5 === 1, array(lit("preferNotToSay")))
+          .when($("o_orderkey") % 5 === 2, array(lit("false")))
+          .as("HispanicLatino")).as("responses"))).as("details"))
     val site = t(s, dir, "nation").select($("n_nationkey").as("site_id"),
       $("n_name").as("identifier"), lit("""{"type":"clinic"}""").as("details"))
     val individual = t(s, dir, "customer").select($("c_custkey").as("individual_id"),
@@ -324,8 +351,6 @@ object SparkEntry {
       .toDF("lo", "hi", "label")
     Views.incidenceModelObservation(encounter, individual, site, sample,
       fine, coarse, reportingTz = "UTC")
-      .withColumn("encountered_date", $("encountered_date").cast("string"))
-      .orderBy("encounter_id")
   }
 
   /** A4 — stats aggregate: sum/max/median per group. */
@@ -909,6 +934,61 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** J6 — observation_with_presence_absence_result: view-on-view join on
+    * sample (reference views@2020-01-14b.sql:232-241), with present::int
+    * as presence.
+    */
+  private def q57ObsWithPa(s: SparkSession, dir: String): DataFrame = {
+    val obs = incidenceFrame(s, dir)
+      .withColumn("encountered_date", $("encountered_date").cast("string"))
+      .withColumn("symptoms", array_join($("symptoms"), ","))
+      .drop("race")
+    val sample = t(s, dir, "orders").select($("o_orderkey").as("sample_id"),
+      concat(lit("S"), $("o_orderkey")).as("identifier"))
+    val pa = t(s, dir, "lineitem").select($("l_orderkey").as("sample_id"),
+      ($("l_partkey") % 20).as("target_id"), ($("l_quantity") > 25).as("present"))
+    val target = s.range(0, 20).select($("id").as("target_id"),
+      concat(lit("T"), $("id")).as("identifier"), ($("id") < 3).as("control"))
+    Views.observationWithPresenceAbsence(obs,
+        Views.presenceAbsenceResultV1(sample, pa, target))
+      .withColumn("presence", $("present").cast("int"))
+      .orderBy("encounter_id", "target", "present")
+  }
+
+  /** Sample row-level security as a view filter (reference
+    * warehouse/sample/access-role-rls.sql:5-16): rows visible when
+    * access_role is null or among the caller's roles.
+    */
+  private def q58SampleRls(s: SparkSession, dir: String): DataFrame = {
+    val sample = t(s, dir, "orders").select($("o_orderkey").as("sample_id"),
+      when($("o_orderkey") % 5 === 1, "role-a")
+        .when($("o_orderkey") % 5 === 2, "role-b")
+        .when($("o_orderkey") % 5 === 3, "role-c")
+        .when($("o_orderkey") % 5 === 4, "role-d")
+        .otherwise(lit(null).cast("string")).as("access_role"))
+    Views.sampleVisibleTo(sample, Seq("role-a", "role-c"))
+      .orderBy("sample_id")
+  }
+
+  /** M7 — ltree lquery matching (find_organism's `lineage ~ pattern`,
+    * reference consensus_genome.py:225-236): `*`-wildcard and alternation
+    * patterns compiled to anchored regexes, pure codegen'd RLIKE.
+    */
+  private def q59Lquery(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.lqueryMatch
+    val org = s.range(0, 60).select($("id").as("organism_id"),
+      concat(lit("virus."),
+        when($("id") % 3 === 0, "influenza")
+          .when($("id") % 3 === 1, "rsv").otherwise("hcov"),
+        when($("id") % 2 === 0, concat(lit(".h"), $("id") % 4))
+          .otherwise(lit(""))).as("lineage"))
+    org.select($("organism_id"), $("lineage"),
+      lqueryMatch($("lineage"), "*.influenza.*").as("m_influenza"),
+      lqueryMatch($("lineage"), "*.h2").as("m_h2"),
+      lqueryMatch($("lineage"), "virus.rsv|influenza.*").as("m_alt"))
+      .orderBy("organism_id")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -968,6 +1048,9 @@ object SparkEntry {
     "q54_lineage" -> (q54Lineage _),
     "q55_fhir_encounters" -> (q55FhirEncounters _),
     "q56_fhir_pa" -> (q56FhirPa _),
+    "q57_obs_with_pa" -> (q57ObsWithPa _),
+    "q58_sample_rls" -> (q58SampleRls _),
+    "q59_lquery" -> (q59Lquery _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1177,6 +1260,11 @@ object SparkEntry {
         |         lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0')) AS encountered_week,
         |  round((o_orderkey % 1212) / 12.0, 2) AS age_in_years,
         |  CAST(least(ceil(round((o_orderkey % 1212) / 12.0, 2)), 90) AS INT) AS age_reporting,
+        |  CASE WHEN o_orderkey%7=0 THEN true WHEN o_orderkey%7=1 THEN false END AS flu_shot,
+        |  CASE WHEN o_orderkey%3=0 THEN 'cough,fever' WHEN o_orderkey%3=1 THEN 'ache'
+        |       END AS symptoms,
+        |  CASE WHEN o_orderkey%5=0 THEN true WHEN o_orderkey%5=2 THEN false
+        |       END AS hispanic_or_latino,
         |  f.label AS age_range_fine, c2.label AS age_range_coarse
         |FROM orders
         |JOIN nation ON o_custkey % 25 = n_nationkey
@@ -1554,5 +1642,71 @@ object SparkEntry {
         |  AND snomed<>'911000124104'
         |  AND NOT (device='Ellume' AND present IS NULL)
         |ORDER BY id""".stripMargin,
+    "q57_obs_with_pa" ->
+      """WITH sample1 AS (
+        |  SELECT l_orderkey, 'S'||l_orderkey AS sample FROM (
+        |    SELECT l_orderkey, row_number() OVER (
+        |      PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn FROM lineitem)
+        |  WHERE rn = 1),
+        |obs AS (
+        |SELECT o_orderkey AS encounter_id, n_name AS site, 'clinic' AS site_type,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'male'
+        |       WHEN c_custkey % 3 = 1 THEN 'female' ELSE 'other' END AS sex,
+        |  sample,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS encountered_date,
+        |  concat(CAST(isoyear(o_orderdate) AS VARCHAR), '-W',
+        |         lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0')) AS encountered_week,
+        |  round((o_orderkey % 1212) / 12.0, 2) AS age_in_years,
+        |  CAST(least(ceil(round((o_orderkey % 1212) / 12.0, 2)), 90) AS INT) AS age_reporting,
+        |  CASE WHEN o_orderkey%7=0 THEN true WHEN o_orderkey%7=1 THEN false END AS flu_shot,
+        |  CASE WHEN o_orderkey%3=0 THEN 'cough,fever' WHEN o_orderkey%3=1 THEN 'ache'
+        |       END AS symptoms,
+        |  CASE WHEN o_orderkey%5=0 THEN true WHEN o_orderkey%5=2 THEN false
+        |       END AS hispanic_or_latino,
+        |  f.label AS age_range_fine, c2.label AS age_range_coarse
+        |FROM orders
+        |JOIN nation ON o_custkey % 25 = n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN sample1 ON o_orderkey = l_orderkey
+        |LEFT JOIN (VALUES (0,6,'0-6mo'),(6,24,'6mo-2y'),(24,60,'2-5y'),(60,144,'5-12y'),
+        |                  (144,216,'12-18y'),(216,600,'18-50y'),(600,NULL,'50y+'))
+        |  f(lo,hi,label)
+        |  ON (o_orderkey % 1212) >= f.lo AND (f.hi IS NULL OR (o_orderkey % 1212) < f.hi)
+        |LEFT JOIN (VALUES (0,24,'c0-2'),(24,144,'c2-12'),(144,600,'c12-50'),(600,NULL,'c50+'))
+        |  c2(lo,hi,label)
+        |  ON (o_orderkey % 1212) >= c2.lo AND (c2.hi IS NULL OR (o_orderkey % 1212) < c2.hi)),
+        |pa AS (
+        |  SELECT 'S'||l_orderkey AS sample, 'T'||(l_partkey % 20) AS target,
+        |    l_quantity > 25 AS present
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey % 20 >= 3)
+        |SELECT obs.*, target, present, CAST(present AS INT) AS presence
+        |FROM obs JOIN pa USING (sample)
+        |ORDER BY encounter_id, target, present""".stripMargin,
+    "q58_sample_rls" ->
+      """SELECT o_orderkey AS sample_id,
+        |  CASE WHEN o_orderkey%5=1 THEN 'role-a' WHEN o_orderkey%5=2 THEN 'role-b'
+        |       WHEN o_orderkey%5=3 THEN 'role-c' WHEN o_orderkey%5=4 THEN 'role-d'
+        |       END AS access_role
+        |FROM orders
+        |WHERE o_orderkey%5 IN (0,1,3)
+        |ORDER BY sample_id""".stripMargin,
+    "q59_lquery" ->
+      """WITH org AS (
+        |  SELECT range AS organism_id,
+        |    'virus.' ||
+        |    CASE WHEN range%3=0 THEN 'influenza'
+        |         WHEN range%3=1 THEN 'rsv' ELSE 'hcov' END ||
+        |    CASE WHEN range%2=0 THEN '.h'||(range%4) ELSE '' END AS lineage
+        |  FROM range(0, 60))
+        |SELECT organism_id, lineage,
+        |  regexp_matches('.'||lineage||'.',
+        |    '^\.(?:[^.]+\.)*influenza\.(?:[^.]+\.)*$') AS m_influenza,
+        |  regexp_matches('.'||lineage||'.',
+        |    '^\.(?:[^.]+\.)*h2\.$') AS m_h2,
+        |  regexp_matches('.'||lineage||'.',
+        |    '^\.virus\.(?:rsv|influenza)\.(?:[^.]+\.)*$') AS m_alt
+        |FROM org ORDER BY organism_id""".stripMargin,
   )
 }

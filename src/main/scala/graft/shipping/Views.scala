@@ -52,15 +52,53 @@ object Views {
       partitionBy = Seq("encounter_id"),
       orderBy = Seq(col("priority").asc_nulls_last, col("relation")))
 
+  /** The survey-response lateral (reference views@2020-01-14b.sql:73-97):
+    * `jsonb_to_record(details->'responses') as (FluShot text[], …)` — one
+    * from_json with a typed array schema, fused with the view's junk
+    * collapsing (`nullif(nullif(…,'doNotKnow'),'dontKnow')::bool`,
+    * `array_distinct`). Returns a struct column so the parse runs once per
+    * row (CollapseProject won't inline a non-cheap alias used 4×).
+    */
+  def surveyResponses(details: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(
+      "STRUCT<FluShot: ARRAY<STRING>, Symptoms: ARRAY<STRING>, " +
+        "Race: ARRAY<STRING>, HispanicLatino: ARRAY<STRING>>")
+    val r = from_json(get_json_object(details, "$.responses"), schema)
+    struct(
+      nullif(nullif(try_element_at(r.getField("FluShot"), lit(1)),
+        lit("doNotKnow")), lit("dontKnow")).cast("boolean").as("flu_shot"),
+      array_distinct(r.getField("Symptoms")).as("symptoms"),
+      array_distinct(r.getField("Race")).as("race"),
+      nullif(try_element_at(r.getField("HispanicLatino"), lit(1)),
+        lit("preferNotToSay")).cast("boolean").as("hispanic_or_latino"))
+  }
+
   /** incidence_model_observation_v2-shape (reference
     * views@2020-01-14b.sql:138-218): encounter star join + ISO-week
-    * bucketing + age-bin range joins + JSON detail extraction.
+    * bucketing + age-bin range joins + JSON detail extraction. When the
+    * encounter frame carries a `details` column, the survey-response
+    * lateral (views@2020-01-14b.sql:73-97) is fused in, adding flu_shot /
+    * symptoms / race / hispanic_or_latino.
     */
   def incidenceModelObservation(
       encounter: DataFrame, individual: DataFrame, site: DataFrame,
       sample: DataFrame, ageBinFine: DataFrame, ageBinCoarse: DataFrame,
       reportingTz: String = "US/Pacific"): DataFrame = {
-    val base = encounter
+    val hasResponses = encounter.columns.contains("details")
+    val responseCols =
+      if (hasResponses)
+        Seq("flu_shot", "symptoms", "race", "hispanic_or_latino")
+      else Seq.empty
+    val withResp =
+      if (hasResponses)
+        encounter.withColumn("_resp", surveyResponses(col("details")))
+          .withColumn("flu_shot", col("_resp.flu_shot"))
+          .withColumn("symptoms", col("_resp.symptoms"))
+          .withColumn("race", col("_resp.race"))
+          .withColumn("hispanic_or_latino", col("_resp.hispanic_or_latino"))
+          .drop("_resp", "details")
+      else encounter
+    val base = withResp
       .join(broadcast(site.select(col("site_id"), col("identifier").as("site"),
         get_json_object(col("details"), "$.type").as("site_type"))), "site_id")
       .join(individual.select(col("individual_id"), col("sex")), "individual_id")
@@ -76,9 +114,10 @@ object Views {
     RangeBinJoin(withFine, "age_months",
       ageBinCoarse.select(col("lo").as("coarse_lo"), col("hi").as("coarse_hi"),
         col("label").as("age_range_coarse")), "coarse_lo", "coarse_hi")
-      .select("encounter_id", "site", "site_type", "sex", "sample",
+      .select((Seq("encounter_id", "site", "site_type", "sex", "sample",
         "encountered_date", "encountered_week", "age_in_years",
-        "age_reporting", "age_range_fine", "age_range_coarse")
+        "age_reporting", "age_range_fine", "age_range_coarse") ++
+        responseCols).map(col): _*)
   }
 
   /** observation_with_presence_absence_result (reference
