@@ -626,7 +626,7 @@ object SparkEntry {
       .select($("vec_id").as("id"), $("embedding").as("vec"))
     val queries = t(s, dir, "embeddings").filter($("vec_id") < 8)
       .select($("vec_id").as("qid"), $("embedding").as("qvec"))
-    SimilaritySearch.lshTopK(corpus, queries, k = 5, planes = 16, prefixBits = 8)
+    SimilaritySearch.lshTopK(corpus, queries, k = 5, numBands = 2, bandBits = 8)
       .withColumn("cosine", round($("cosine"), 6))
       .withColumn("rank", $("rank").cast("long"))
       .orderBy("qid", "rank")
@@ -690,7 +690,7 @@ object SparkEntry {
       .select($("vec_id"), $("embedding"))
     val pairs = Dedup.embeddingCosinePairs(
       emb.withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "vec"),
-      "id", "vec", threshold = 0.2, planes = 8)
+      "id", "vec", threshold = 0.2, numBands = 2, bandBits = 8)
     Dedup.survivors(emb.select($("vec_id").as("id")), "id", pairs)
       .select($("id").as("vec_id"))
       .orderBy("vec_id")
@@ -1507,15 +1507,21 @@ object SparkEntry {
         |              THEN 1.0 ELSE -1.0 END)
         |        for i in range(0, len(v2))]) > 0
         |      THEN (1::BIGINT << p) ELSE 0 END
-        |      for p in range(0, 16)]) & 255 AS bucket
-        |  FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS v2 FROM embeddings))
-        |SELECT qid, id, round(cos, 6) AS cosine, rank FROM (
-        |  SELECT q.vec_id AS qid, c.vec_id AS id,
-        |    list_cosine_similarity(c.v, q.v) AS cos,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS rank
-        |  FROM sig c JOIN sig q ON c.bucket = q.bucket
+        |      for p in range(0, 16)]) AS sg
+        |  FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS v2 FROM embeddings)),
+        |bands AS (
+        |  SELECT vec_id, v, b AS band, (sg >> (8*b)::INT) & 255 AS bucket
+        |  FROM sig, range(0, 2) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+        |  FROM bands c JOIN bands q ON c.band = q.band AND c.bucket = q.bucket
         |  WHERE q.vec_id < 8)
+        |SELECT qid, id, round(cos, 6) AS cosine, rank FROM (
+        |  SELECT qid, id, list_cosine_similarity(cv.v, qv.v) AS cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(cv.v, qv.v) DESC, id) AS rank
+        |  FROM cand JOIN sig cv ON cand.id = cv.vec_id
+        |            JOIN sig qv ON cand.qid = qv.vec_id)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q48_sql_shipping" ->
       """SELECT 'T'||(l_partkey % 20) AS target, count(*) AS n_results,
@@ -1561,10 +1567,13 @@ object SparkEntry {
         |              THEN 1.0 ELSE -1.0 END)
         |        for i in range(0, len(v2))]) > 0
         |      THEN (1::BIGINT << p) ELSE 0 END
-        |      for p in range(0, 8)]) AS sg
+        |      for p in range(0, 16)]) AS sg
         |  FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS v2 FROM embeddings)),
-        |drops AS (SELECT DISTINCT b.vec_id FROM sig a JOIN sig b
-        |          ON a.sg = b.sg AND a.vec_id < b.vec_id
+        |bands AS (
+        |  SELECT vec_id, v, b AS band, (sg >> (8*b)::INT) & 255 AS bucket
+        |  FROM sig, range(0, 2) t(b)),
+        |drops AS (SELECT DISTINCT b.vec_id FROM bands a JOIN bands b
+        |          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         |          WHERE list_cosine_similarity(a.v, b.v) >= 0.2)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)

@@ -193,21 +193,46 @@ object Dedup {
       .select("id_a", "id_b", "hamming_bits")
   }
 
-  /** Embedding near-dup: pairs with cosine >= threshold. Candidate
-    * generation via sign-bit LSH over `planes` deterministic random
-    * hyperplanes (see [[SimilaritySearch.hyperplaneSignature]]), exact
-    * cosine on survivors.
+  /** Embedding near-dup: pairs with cosine >= threshold. Banded
+    * OR-construction sign-bit LSH: `numBands * bandBits` deterministic
+    * hyperplanes (see [[SimilaritySearch.hyperplaneSignature]]); two
+    * vectors are candidates when ANY band of `bandBits` sign bits agrees;
+    * exact cosine reranks survivors.
+    *
+    * Recall semantics: with per-plane agreement probability
+    * p = 1 − θ/π (θ the pair's angle), a pair becomes a candidate with
+    * probability 1 − (1 − p^bandBits)^numBands — raise numBands for
+    * recall, raise bandBits to keep buckets selective as the corpus
+    * grows (bandBits ≈ log2(N / target bucket size); the round-1 fixed
+    * 2^8 buckets went quadratic within buckets at 100× scale).
+    *
+    * Plan shape: the banded self-join carries only (id, band, bucket) —
+    * bare-id candidate pairs dedup cheaply, then vectors re-attach by id
+    * (candidates << corpus, so AQE broadcasts the pair list and the
+    * vector table is never shuffled).
     */
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 16): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      SimilaritySearch.hyperplaneSignature(col(vecCol), planes).as("sig"))
-    sig.as("a").hint("shuffle_hash").join(sig.as("b"),
-        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .withColumn("cosine", SimilaritySearch.cosine(col("a.v"), col("b.v")))
+      threshold: Double, numBands: Int = 2, bandBits: Int = 8): DataFrame = {
+    val planes = numBands * bandBits
+    val banded = df.select(col(idCol).as("id"),
+        SimilaritySearch.hyperplaneSignature(col(vecCol), planes).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until numBands).map { b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+        }: _*)).as(Seq("band", "bucket")))
+    val cands = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cosine", SimilaritySearch.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .select("id_a", "id_b", "cosine")
   }
 
   /** Collapse near-dup pairs into a keep/drop decision: drop every id that

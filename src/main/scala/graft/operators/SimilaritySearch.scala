@@ -66,20 +66,36 @@ object SimilaritySearch {
       .select("qid", "id", "cosine", "rank")
   }
 
-  /** LSH-bucketed ANN: candidates share a signature prefix of
-    * `prefixBits` bits (equi-join on the prefix — bounded fan-out), exact
-    * cosine rerank within candidates, top-k per query. Trades recall for
-    * a corpus-partitionable plan where brute force would be quadratic.
+  /** LSH-bucketed ANN, banded OR-construction (multi-probe): corpus and
+    * query signatures over `numBands * bandBits` hyperplanes are split
+    * into bands; a corpus vector is a candidate for a query when ANY band
+    * agrees (equi-join on (band, bucket) — bounded fan-out), then exact
+    * cosine reranks and takes top-k per query.
+    *
+    * Recall: per-plane agreement p = 1 − θ/π ⇒ candidate probability
+    * 1 − (1 − p^bandBits)^numBands. Raise numBands for recall; raise
+    * bandBits with corpus size (≈ log2(N / target bucket size)) so
+    * buckets stay selective — the round-1 fixed 2^8 bucket count grew
+    * quadratic within buckets at 100× scale.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 16, prefixBits: Int = 8): DataFrame = {
-    val mask = lit((1L << prefixBits) - 1)
-    val c = corpus.withColumn("bucket",
-      hyperplaneSignature(col("vec"), planes).bitwiseAND(mask))
-    val q = queries.withColumn("bucket",
-      hyperplaneSignature(col("qvec"), planes).bitwiseAND(mask))
-    val scored = c.join(q, "bucket")
+      numBands: Int = 2, bandBits: Int = 8): DataFrame = {
+    val planes = numBands * bandBits
+    def banded(df: DataFrame, idc: String, vc: String) =
+      // signature materialized in its own project so the interpreted HOF
+      // arithmetic runs once per row, not once per band (CollapseProject
+      // keeps multi-use non-cheap aliases in place)
+      df.select(col(idc), col(vc),
+          hyperplaneSignature(col(vc), planes).as("_sig"))
+        .select(col(idc), col(vc),
+          posexplode(array((0 until numBands).map { b =>
+            shiftright(col("_sig"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1))
+          }: _*)).as(Seq("band", "bucket")))
+    val scored = banded(corpus, "id", "vec")
+      .join(banded(queries, "qid", "qvec"), Seq("band", "bucket"))
+      .dropDuplicates("qid", "id") // a pair can agree in several bands
       .withColumn("cosine", cosine(col("vec"), col("qvec")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
