@@ -989,6 +989,208 @@ object SparkEntry {
       .orderBy("organism_id")
   }
 
+  /** Enrollments feed ETL (reference etl/enrollments.py:60-414): schema-
+    * version gate, site/individual/encounter graph, assigned-sex option
+    * decoding (incl. the declined-vs-absent fallback rule), the
+    * ninetyOrAbove age cap, and ClinicSwab collection-sample linking.
+    */
+  private def q60Enrollments(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select($("o_orderkey").as("k"),
+      $("o_custkey").as("ck"),
+      date_format($("o_orderdate"), "yyyy-MM-dd").as("d"))
+    def opt(q: String, decl: Column, chosen: Column) =
+      struct(struct(lit(q).as("token")).as("question"),
+        array(struct(lit("male").as("token")), struct(lit("female").as("token")))
+          .as("options"),
+        struct(when(decl, "Declined").otherwise("Option").as("type"),
+          lit(null).cast("string").as("value"),
+          array(chosen.cast("int")).as("chosenOptions")).as("answer"))
+    val resp = when($("k") % 5 =!= 0,
+      array(opt("AssignedSex", $("k") % 17 === 0, $("k") % 2)))
+      .otherwise(array(opt("AssignedSexAirport", $("k") % 17 === 0, $("k") % 2)))
+    val feed = o.select($("k").as("id"), to_json(struct(
+      when($("k") % 41 === 0, "2.0.0")
+        .when($("k") % 2 === 0, "1.0.0").otherwise("1.1.0").as("schemaVersion"),
+      concat(lit("enr-"), $("k")).as("id"),
+      concat(lit("part-"), $("ck")).as("participant"),
+      concat($("d"), lit("T10:00:00Z")).as("startTimestamp"),
+      when($("k") % 4 === 0, "en").otherwise("es").as("localeLanguageCode"),
+      struct(concat(lit("site-"), $("k") % 7).as("name"),
+        lit("clinic").as("type")).as("site"),
+      when($("k") % 3 === 0,
+        struct(($("k") % 89).cast("string").as("value"),
+          ($("k") % 10 === 0).as("ninetyOrAbove")))
+        .otherwise(lit(null).cast("struct<value:string,ninetyOrAbove:boolean>"))
+        .as("age"),
+      array(struct(concat(lit("EBC"), $("k")).as("code"),
+        when($("k") % 6 === 0, "SelfSwab").otherwise("ClinicSwab").as("type")))
+        .as("sampleCodes"),
+      array(struct(lit("HOME").as("use"),
+        concat(lit("addr-"), $("k")).as("id"),
+        when($("k") % 3 === 0, concat(lit("tract-"), $("k") % 11))
+          .otherwise(lit(null).cast("string")).as("region"))).as("locations"),
+      resp.as("responses"))).as("document"))
+    val idents = o.select(concat(lit("EBC"), $("k")).as("barcode"),
+        concat(lit("eu-"), $("k")).as("uuid"),
+        when($("k") % 8 === 0, "samples").otherwise("collections-kiosks")
+          .as("set_name"))
+      .filter($("k") % 19 =!= 0)
+    val delta = graft.etl.Feeds.Enrollments.decompose(feed, idents)
+    delta.statuses
+      .join(delta.encounters.select($("id"), $("identifier"),
+          date_format($("encountered"), "yyyy-MM-dd HH:mm:ss").as("encountered"),
+          $("individual_identifier"), $("sex"), $("site_identifier"), $("age"),
+          $("language")),
+        Seq("id"), "left")
+      .join(delta.sampleUpdates.select(
+          $("encounter_identifier").as("identifier"),
+          $("collection_identifier")),
+        Seq("identifier"), "left")
+      .select($("id"), $("status"), $("skip_reason"), $("identifier"),
+        $("encountered"), $("individual_identifier"), $("sex"),
+        $("site_identifier"), $("age"), $("language"),
+        $("collection_identifier"))
+      .orderBy("id")
+  }
+
+  /** Samplify presence-absence feed (reference etl/presence_absence.py:
+    * 60-240): old-format skip/error split, per-sample drop rules
+    * (no barcode / failed / stale), tiny-swab vs sample identifier
+    * resolution, target result-status mapping incl. workflow-status
+    * drops, NWGC result identifiers with chip disambiguation.
+    */
+  private def q61Samplify(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select($("o_orderkey").as("k"))
+    val target1 = struct(lit("flu_a").as("geneTarget"),
+      when($("k") % 7 === 0, "Detected").when($("k") % 7 === 1, "NotDetected")
+        .when($("k") % 7 === 2, "Positive").when($("k") % 7 === 3, "Negative")
+        .when($("k") % 7 === 4, "Indeterminate")
+        .when($("k") % 7 === 5, "Fail").otherwise("Review").as("targetStatus"),
+      lit(null).cast("string").as("sampleState"),
+      lit("NotControl").as("controlStatus"))
+    val target2 = struct(lit("rsv").as("geneTarget"),
+      lit(null).cast("string").as("targetStatus"),
+      when($("k") % 2 === 0, "Positive").otherwise("Negative").as("sampleState"),
+      when($("k") % 11 === 0, "BadControl").otherwise("PositiveControl")
+        .as("controlStatus"))
+    val sample = struct(concat(lit("NW"), $("k")).as("sampleId"),
+      when($("k") % 19 =!= 0, concat(lit("PB"), $("k"))).as("investigatorId"),
+      ($("k") % 23 === 0).as("sampleFailed"),
+      ($("k") % 29 =!= 0).as("isCurrentExpressionResult"),
+      when($("k") % 2 === 0, concat(lit("chip"), $("k") % 3)).as("chip"),
+      when($("k") % 5 === 0, "OpenArray").as("assayName"),
+      array(target1, target2).as("targetResults"))
+    val feed = o.select($("k").as("id"),
+      when($("k") % 43 === 0, lit("""{"store":"legacy"}"""))
+        .when($("k") % 47 === 0, lit("""{"other":1}"""))
+        .otherwise(to_json(struct(array(sample).as("samples"))))
+        .as("document"))
+    val idents = o.select(concat(lit("PB"), $("k")).as("barcode"),
+      concat(lit("pu-"), $("k")).as("uuid"),
+      when($("k") % 13 === 0, "collections-scan-tiny-swabs")
+        .when($("k") % 17 === 0, "bad-set").otherwise("samples").as("set_name"))
+    val wh = o.select(
+      when($("k") % 31 =!= 0, concat(lit("pu-"), $("k"))).as("identifier"),
+      when($("k") % 13 === 0 && $("k") % 37 =!= 0, concat(lit("pu-"), $("k")))
+        .as("collection_identifier"))
+    graft.etl.Feeds.Samplify.decompose(feed, idents, wh)
+      .presenceAbsence
+      .orderBy("id", "identifier")
+  }
+
+  /** Manifest feed (reference etl/manifest.py:106-224): barcode-keyed
+    * sample upserts with the no-barcode / unknown-barcode / unexpected-set
+    * skip ladder and the both-barcodes update_identifiers rule.
+    */
+  private def q62Manifest(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select($("o_orderkey").as("k"),
+      date_format($("o_orderdate"), "yyyy-MM-dd").as("d"))
+    val feed = o.select($("k").as("id"), to_json(struct(
+      when($("k") % 3 =!= 0, concat(lit("MS"), $("k"))).as("sample"),
+      when($("k") % 4 =!= 0, concat(lit("MC"), $("k"))).as("collection"),
+      $("d").as("date"))).as("document"))
+    val idents = o.select(concat(lit("MS"), $("k")).as("barcode"),
+        concat(lit("su-"), $("k")).as("uuid"), lit("samples").as("set_name"))
+      .filter($("k") % 17 =!= 0)
+      .unionByName(o.select(concat(lit("MC"), $("k")).as("barcode"),
+        concat(lit("cu-"), $("k")).as("uuid"),
+        when($("k") % 23 === 0, "bad-set").otherwise("collections-scan")
+          .as("set_name"))
+        .filter($("k") % 19 =!= 0))
+    val delta = graft.etl.Feeds.Manifest.decompose(feed, idents)
+    delta.statuses
+      .join(delta.sampleUpdates.select($("id"), $("identifier"),
+          $("collection_identifier"),
+          $("collection_date").cast("string").as("collection_date"),
+          $("update_identifiers")),
+        Seq("id"), "left")
+      .orderBy("id")
+  }
+
+  /** Kit-manifest feed (reference etl/kit.py:230-330): kit↔sample linking
+    * with the kit/sample barcode + set + sample-type skip ladder and the
+    * SampleNotFound error path.
+    */
+  private def q63Kit(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select($("o_orderkey").as("k"))
+    val feed = o.select($("k").as("id"), to_json(struct(
+      when($("k") % 5 =!= 0, concat(lit("KB"), $("k"))).as("kit"),
+      concat(lit("KS"), $("k")).as("sample"),
+      lit("utm").as("sample_type"))).as("document"))
+    val idents = o.select(concat(lit("KS"), $("k")).as("barcode"),
+        concat(lit("ksu-"), $("k")).as("uuid"),
+        when($("k") % 7 === 0, "bad-set").otherwise("samples").as("set_name"))
+      .filter($("k") % 11 =!= 0)
+      .unionByName(o.select(concat(lit("KB"), $("k")).as("barcode"),
+        concat(lit("kbu-"), $("k")).as("uuid"),
+        when($("k") % 13 === 0, "bad-set").otherwise("kits").as("set_name"))
+        .filter($("k") % 17 =!= 0))
+    val wh = o.select(concat(lit("ksu-"), $("k")).as("identifier"),
+        when($("k") % 3 === 0, "utm").when($("k") % 3 === 1, "rdt")
+          .otherwise("blood").as("sample_type"))
+      .filter($("k") % 19 =!= 0)
+    val delta = graft.etl.Feeds.Kit.decompose(feed, idents, wh)
+    delta.statuses
+      .join(delta.kitUpdates.select($("id"), $("kit_identifier"),
+          $("sample_uuid"), $("sample_type")),
+        Seq("id"), "left")
+      .orderBy("id")
+  }
+
+  /** Consensus-genome feed (reference etl/consensus_genome.py:64-316):
+    * sample existence assert, reference-organism → lquery → organism
+    * resolution, sorted url-set read-set keys, complete-only sequences.
+    */
+  private def q64ConsensusGenome(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders").select($("o_orderkey").as("k"))
+    val feed = o.select($("k").as("id"), to_json(struct(
+      concat(lit("cg-"), $("k")).as("sample_identifier"),
+      when($("k") % 3 === 0, "complete").otherwise("pending").as("status"),
+      when($("k") % 5 === 0, "h1n1pdm").when($("k") % 5 === 1, "h3n2")
+        .when($("k") % 5 === 2, "vic").when($("k") % 5 === 3, "yam")
+        .otherwise("unknownX").as("reference_organism"),
+      struct(array(concat(lit("u2-"), $("k")), concat(lit("u1-"), $("k")))
+        .as("urls")).as("metadata"),
+      array(struct(concat(lit("seq-"), $("k")).as("sequence_identifier"),
+        lit("HA").as("sequence_segment"),
+        lit("ACGT").as("genomic_sequence"))).as("masked_consensus")))
+      .as("document"))
+    val wh = o.filter($("k") % 7 =!= 0)
+      .select(concat(lit("cg-"), $("k")).as("identifier"))
+    val organisms = Seq("Influenza.A.H1N1", "Influenza.A.H3N2",
+      "Influenza.B.Vic", "Influenza.B.Yam", "RSV.A").toDF("lineage")
+    val delta = graft.etl.Feeds.ConsensusGenome.decompose(feed, wh, organisms)
+    delta.statuses
+      .join(delta.readSets.select($("id"), $("sample_uuid"), $("urls"),
+          $("organism_lineage"), $("rs_status")),
+        Seq("id"), "left")
+      .join(delta.sequences.select($("id"),
+          $("sequence_identifier"), $("segment")),
+        Seq("id"), "left")
+      .orderBy("id")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1051,6 +1253,11 @@ object SparkEntry {
     "q57_obs_with_pa" -> (q57ObsWithPa _),
     "q58_sample_rls" -> (q58SampleRls _),
     "q59_lquery" -> (q59Lquery _),
+    "q60_enrollments" -> (q60Enrollments _),
+    "q61_samplify" -> (q61Samplify _),
+    "q62_manifest" -> (q62Manifest _),
+    "q63_kit" -> (q63Kit _),
+    "q64_consensus_genome" -> (q64ConsensusGenome _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1701,6 +1908,115 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey%5 IN (0,1,3)
         |ORDER BY sample_id""".stripMargin,
+    "q60_enrollments" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ck,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS d
+        |  FROM orders)
+        |SELECT k AS id,
+        |  CASE WHEN k%41=0 THEN 'error' ELSE 'processed' END AS status,
+        |  CASE WHEN k%41=0 THEN 'error: unknown schema version 2.0.0' END AS skip_reason,
+        |  CASE WHEN k%41<>0 THEN 'enr-'||k END AS identifier,
+        |  CASE WHEN k%41<>0 THEN d||' 10:00:00' END AS encountered,
+        |  CASE WHEN k%41<>0 THEN 'part-'||ck END AS individual_identifier,
+        |  CASE WHEN k%41<>0 AND k%17<>0 THEN
+        |    CASE WHEN k%2=0 THEN 'male' ELSE 'female' END END AS sex,
+        |  CASE WHEN k%41<>0 THEN 'site-'||(k%7) END AS site_identifier,
+        |  CASE WHEN k%41<>0 AND k%3=0 THEN
+        |    CASE WHEN k%10=0 THEN '90 years'
+        |         ELSE ((k%89)::DOUBLE)::VARCHAR||' years' END END AS age,
+        |  CASE WHEN k%41<>0 THEN
+        |    CASE WHEN k%4=0 THEN 'en' ELSE 'es' END END AS language,
+        |  CASE WHEN k%41<>0 AND k%6<>0 AND k%19<>0 AND k%8<>0
+        |    THEN 'eu-'||k END AS collection_identifier
+        |FROM b ORDER BY id""".stripMargin,
+    "q61_samplify" ->
+      """WITH b AS (SELECT o_orderkey AS k FROM orders
+        |  WHERE o_orderkey%43<>0 AND o_orderkey%47<>0 AND o_orderkey%19<>0
+        |    AND o_orderkey%23<>0 AND o_orderkey%29<>0
+        |    AND NOT (o_orderkey%17=0 AND o_orderkey%13<>0)
+        |    AND CASE WHEN o_orderkey%13=0 THEN o_orderkey%37<>0
+        |             ELSE o_orderkey%31<>0 END),
+        |rows0 AS (
+        |  SELECT k, 'flu_a' AS target,
+        |    CASE WHEN k%7 IN (0,2) THEN true WHEN k%7 IN (1,3) THEN false
+        |         ELSE NULL END AS present,
+        |    (k%7 IN (5,6)) AS dropped
+        |  FROM b
+        |  UNION ALL
+        |  SELECT k, 'rsv' AS target, (k%2=0) AS present, (k%11=0) AS dropped
+        |  FROM b)
+        |SELECT k AS id,
+        |  'NWGC/NW'||k||'/'||target||
+        |    (CASE WHEN k%2=0 THEN '/chip'||(k%3) ELSE '' END) AS identifier,
+        |  'pu-'||k AS sample_uuid, target, present,
+        |  CASE WHEN k%5=0 THEN 'OpenArray' WHEN k%2=0 THEN 'OpenArray'
+        |       END AS device
+        |FROM rows0 WHERE NOT dropped
+        |ORDER BY id, identifier""".stripMargin,
+    "q62_manifest" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m-%d') AS d
+        |  FROM orders),
+        |st AS (
+        |  SELECT *,
+        |    CASE WHEN k%3=0 AND k%4=0 THEN 'no barcodes'
+        |         WHEN k%3<>0 AND k%17=0 THEN 'unknown sample barcode'
+        |         WHEN k%4<>0 AND k%19=0 THEN 'unknown collection barcode'
+        |         WHEN k%4<>0 AND k%23=0 THEN 'collection identifier in unexpected set'
+        |         END AS skip_reason
+        |  FROM b)
+        |SELECT k AS id,
+        |  CASE WHEN skip_reason IS NULL THEN 'processed' ELSE 'skipped' END AS status,
+        |  skip_reason,
+        |  CASE WHEN skip_reason IS NULL AND k%3<>0 THEN 'su-'||k END AS identifier,
+        |  CASE WHEN skip_reason IS NULL AND k%4<>0 THEN 'cu-'||k END AS collection_identifier,
+        |  CASE WHEN skip_reason IS NULL THEN d END AS collection_date,
+        |  CASE WHEN skip_reason IS NULL THEN (k%3<>0 AND k%4<>0) END AS update_identifiers
+        |FROM st ORDER BY id""".stripMargin,
+    "q63_kit" ->
+      """WITH st AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey%5=0 THEN 'no kit data'
+        |         WHEN o_orderkey%11=0 THEN 'unknown sample barcode'
+        |         WHEN o_orderkey%7=0 THEN 'sample identifier in unexpected set'
+        |         WHEN o_orderkey%19=0 THEN 'error: sample not found'
+        |         WHEN o_orderkey%3=2 THEN 'unknown sample type'
+        |         WHEN o_orderkey%17=0 THEN 'unknown kit barcode'
+        |         WHEN o_orderkey%13=0 THEN 'kit identifier in unexpected set'
+        |         END AS skip_reason
+        |  FROM orders)
+        |SELECT k AS id,
+        |  CASE WHEN skip_reason IS NULL THEN 'processed'
+        |       WHEN skip_reason LIKE 'error%' THEN 'error'
+        |       ELSE 'skipped' END AS status,
+        |  skip_reason,
+        |  CASE WHEN skip_reason IS NULL THEN 'kbu-'||k END AS kit_identifier,
+        |  CASE WHEN skip_reason IS NULL THEN 'ksu-'||k END AS sample_uuid,
+        |  CASE WHEN skip_reason IS NULL THEN
+        |    CASE WHEN k%3=0 THEN 'utm' ELSE 'rdt' END END AS sample_type
+        |FROM st ORDER BY id""".stripMargin,
+    "q64_consensus_genome" ->
+      """WITH st AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey%7=0 THEN 'error: sample not found'
+        |         WHEN o_orderkey%5=4 THEN 'error: unknown organism'
+        |         END AS skip_reason
+        |  FROM orders)
+        |SELECT k AS id,
+        |  CASE WHEN skip_reason IS NULL THEN 'processed' ELSE 'error' END AS status,
+        |  skip_reason,
+        |  CASE WHEN skip_reason IS NULL THEN 'cg-'||k END AS sample_uuid,
+        |  CASE WHEN skip_reason IS NULL THEN 'u1-'||k||',u2-'||k END AS urls,
+        |  CASE WHEN skip_reason IS NULL THEN
+        |    CASE WHEN k%5=0 THEN 'Influenza.A.H1N1' WHEN k%5=1 THEN 'Influenza.A.H3N2'
+        |         WHEN k%5=2 THEN 'Influenza.B.Vic' ELSE 'Influenza.B.Yam' END
+        |    END AS organism_lineage,
+        |  CASE WHEN skip_reason IS NULL THEN
+        |    CASE WHEN k%3=0 THEN 'complete' ELSE 'pending' END END AS rs_status,
+        |  CASE WHEN skip_reason IS NULL AND k%3=0 THEN 'seq-'||k END AS sequence_identifier,
+        |  CASE WHEN skip_reason IS NULL AND k%3=0 THEN 'HA' END AS segment
+        |FROM st ORDER BY id""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,
