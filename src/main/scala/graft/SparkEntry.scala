@@ -1191,6 +1191,23 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** M10 — like-pattern deletes (redcap-sync delete,
+    * redcap_sync.py:157-174 `identifier LIKE ANY(patterns)`): the pattern
+    * list compiles into one codegen'd RLIKE scan predicate.
+    */
+  private def q65LikeDelete(s: SparkSession, dir: String): DataFrame = {
+    val enc = t(s, dir, "orders").select(
+      $("o_orderkey").as("encounter_id"),
+      concat(lit("https://r/p"), $("o_orderkey") % 50, lit("/rec"),
+        $("o_orderkey"), lit("/x")).as("identifier"))
+    val (kept, deleted) = Deletes.byLikePatterns(enc, "identifier",
+      Seq("https://r/p7/%", "https://r/p13/%", "https://r/p%9/rec1_9/_"))
+    kept.select($("encounter_id"), $("identifier"), lit(false).as("deleted"))
+      .unionByName(deleted.select($("encounter_id"), $("identifier"),
+        lit(true).as("deleted")))
+      .orderBy("encounter_id")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1258,6 +1275,7 @@ object SparkEntry {
     "q62_manifest" -> (q62Manifest _),
     "q63_kit" -> (q63Kit _),
     "q64_consensus_genome" -> (q64ConsensusGenome _),
+    "q65_like_delete" -> (q65LikeDelete _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2017,6 +2035,15 @@ object SparkEntry {
         |  CASE WHEN skip_reason IS NULL AND k%3=0 THEN 'seq-'||k END AS sequence_identifier,
         |  CASE WHEN skip_reason IS NULL AND k%3=0 THEN 'HA' END AS segment
         |FROM st ORDER BY id""".stripMargin,
+    "q65_like_delete" ->
+      """WITH enc AS (
+        |  SELECT o_orderkey AS encounter_id,
+        |    'https://r/p'||(o_orderkey%50)||'/rec'||o_orderkey||'/x' AS identifier
+        |  FROM orders)
+        |SELECT encounter_id, identifier,
+        |  (identifier LIKE 'https://r/p7/%' OR identifier LIKE 'https://r/p13/%'
+        |   OR identifier LIKE 'https://r/p%9/rec1_9/_') AS deleted
+        |FROM enc ORDER BY encounter_id""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,
