@@ -75,4 +75,44 @@ object Sources {
     val misses = input.join(cache, Seq(key), "left_anti")
     (hits, misses)
   }
+
+  /** S8 with the reference's full TTL semantics (`TTLCache(maxsize, ttl)`
+    * + pickled_cache, cli/command/__init__.py:221-279): the cache frame
+    * carries a `cached_at` timestamp; entries older than `ttlSeconds`
+    * count as misses, exactly like TTLCache expiry.
+    */
+  def ttlCachedLookup(
+      input: DataFrame,
+      cache: DataFrame, // key, …values…, cached_at timestamp
+      key: String,
+      ttlSeconds: Long,
+      now: java.sql.Timestamp): (DataFrame, DataFrame) = {
+    val fresh = cache.filter(
+      col("cached_at") >= lit(now) - expr(s"INTERVAL $ttlSeconds SECONDS"))
+    cachedLookup(input, fresh, key)
+  }
+
+  /** Write-back step of the pickled-cache contract: newly resolved
+    * entries are stamped `cached_at = now`; surviving entries keep their
+    * stamps; expired entries are dropped; and when the result exceeds
+    * `maxSize` the oldest entries are evicted first (TTLCache's
+    * maxsize+TTL eviction). The top-k eviction is a global sort on
+    * cached_at — acceptable because a lookup cache is dimension-scale by
+    * construction; pass maxSize=0 to skip it.
+    */
+  def refreshTtlCache(
+      cache: DataFrame,
+      resolved: DataFrame, // key, …values… (no cached_at)
+      key: String,
+      ttlSeconds: Long,
+      now: java.sql.Timestamp,
+      maxSize: Long = 0L): DataFrame = {
+    val stamped = resolved.withColumn("cached_at", lit(now))
+    val fresh = cache.filter(
+        col("cached_at") >= lit(now) - expr(s"INTERVAL $ttlSeconds SECONDS"))
+      .join(stamped.select(key), Seq(key), "left_anti")
+    val merged = stamped.unionByName(fresh)
+    if (maxSize <= 0) merged
+    else merged.orderBy(col("cached_at").desc).limit(maxSize.toInt)
+  }
 }

@@ -77,6 +77,30 @@ class SourcesGeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(misses.head().getString(0) == "b")
   }
 
+  test("ttlCachedLookup expires old entries; refresh restamps and evicts") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2026-08-12 12:00:00")
+    val old = java.sql.Timestamp.valueOf("2026-08-12 10:00:00") // 2h ago
+    val recent = java.sql.Timestamp.valueOf("2026-08-12 11:30:00")
+    val input = Seq("a", "b", "c").toDF("k")
+    val cache = Seq(("a", 1, recent), ("b", 2, old)).toDF("k", "v", "cached_at")
+    // ttl 1h: "b" is expired → miss
+    val (hits, misses) = Sources.ttlCachedLookup(input, cache, "k", 3600L, now)
+    assert(hits.select("k").collect().map(_.getString(0)).toSet == Set("a"))
+    assert(misses.select("k").collect().map(_.getString(0)).toSet == Set("b", "c"))
+    // refresh: resolved b,c stamped now; a kept; old b dropped
+    val resolved = Seq(("b", 20), ("c", 30)).toDF("k", "v")
+    val next = Sources.refreshTtlCache(cache, resolved, "k", 3600L, now)
+    val byKey = next.collect().map(r => r.getString(0) ->
+      (r.getInt(1), r.getTimestamp(2))).toMap
+    assert(byKey.keySet == Set("a", "b", "c"))
+    assert(byKey("b") == ((20, now)) && byKey("c") == ((30, now)))
+    assert(byKey("a") == ((1, recent)))
+    // maxSize 2 evicts the oldest surviving entry ("a")
+    val capped = Sources.refreshTtlCache(cache, resolved, "k", 3600L, now, maxSize = 2)
+    assert(capped.collect().map(_.getString(0)).toSet == Set("b", "c"))
+  }
+
   test("pointInPolygon: unit square and concave polygon") {
     import spark.implicits._
     val square = Seq((Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)),
