@@ -29,10 +29,17 @@ object Bench {
     // Session hygiene between queries — round 1's bench degraded 10-50×
     // over the run because leaked caches pinned generated classes (and with
     // them the JIT code cache): clear the SQL cache AND any persistent RDDs
-    // after every query so nothing accumulates across the 54×3 executions.
+    // after every query so nothing accumulates across the queries × 3
+    // passes. The explicit System.gc() is load-bearing: Spark's
+    // ContextCleaner reclaims dead broadcast blocks and generated-class
+    // loaders only after their weak references are GC'd, and without a
+    // forced collection a long-lived session accumulates them unboundedly
+    // (measured: broadcast-heavy queries degraded 20s → 47s → 86s across
+    // passes without the gc; flat ~18s with it).
     def scrub(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
     }
 
     // Warm-up at the smallest SF: JIT, codegen cache, parquet footer reads.

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway plan-audit / profiling main (not part of the driver contract). */
 object Scratch {
@@ -11,23 +12,43 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.1")
-    val qs = sys.env.getOrElse("SCRATCH_QS",
-      "q19_hamming_pairs,q20_jaccard,q22_minhash_pairs,q23_simhash,q52_embed_survivors")
-      .split(",")
-    def force(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def scrub(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    }
-    for (q <- qs) { force(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")); scrub() }
-    for (pass <- 1 to 3; q <- qs) {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    import graft.etl.FhirEtl
+    def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      force(SparkEntry.queries(q)(spark, dir))
-      scrub()
-      println(f"===== pass$pass $q%-24s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      val r = f
+      println(f"===== $label%-30s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      r
     }
+    def scrub(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val emptyIdent = Seq.empty[(String, String, String)].toDF("barcode", "uuid", "set_name")
+    val emptySamples = Seq.empty[(String, String)].toDF("identifier", "collection_identifier")
+
+    time("feed build (to_json)")(noop(SparkEntry.fhirFeed55(spark, dir)))
+    scrub()
+    time("parseEntries")(noop(FhirEtl.parseEntries(SparkEntry.fhirFeed55(spark, dir))))
+    scrub()
+    time("classify only") {
+      noop(FhirEtl.classify(SparkEntry.fhirFeed55(spark, dir)))
+    }
+    scrub()
+    time("decompose.statuses") {
+      noop(FhirEtl.decompose(SparkEntry.fhirFeed55(spark, dir), emptyIdent, emptySamples).statuses)
+    }
+    scrub()
+    time("decompose.encounters") {
+      noop(FhirEtl.decompose(SparkEntry.fhirFeed55(spark, dir), emptyIdent, emptySamples).encounters)
+    }
+    scrub()
+    time("q55 full")(noop(SparkEntry.queries("q55_fhir_encounters")(spark, dir)))
+    scrub()
     spark.stop()
   }
 }

@@ -87,8 +87,8 @@ object Feeds {
         .withColumn("status",
           when(col("skip_reason").isNull, "processed").otherwise("error"))
         .select("id", "status", "skip_reason")
-      val ok = parsed.join(
-        statuses.filter(col("status") === "processed").select("id"), "id")
+      // same predicate as statuses, applied directly — no self-join
+      val ok = parsed.filter(col("d.schemaVersion").isin(KnownVersions: _*))
 
       // assigned_sex (:327-343): fall back to AssignedSexAirport only when
       // the AssignedSex QUESTION is absent — a present-but-declined answer
@@ -217,7 +217,7 @@ object Feeds {
         .select("id", "status", "skip_reason")
 
       val rows = parsed
-        .join(statuses.filter(col("status") === "processed").select("id"), "id")
+        .filter(col("d.samples").isNotNull) // same predicate as statuses
         .select(col("id"), explode(col("d.samples")).as("s"))
         .filter(col("s.investigatorId").isNotNull) // :111-114
         .filter(!coalesce(col("s.sampleFailed"), lit(false))) // :116-120

@@ -126,6 +126,7 @@ object FhirEtl {
         get_json_object(col("entry"), "$.fullUrl").as("full_url"),
         get_json_object(col("entry"), "$.resource.resourceType").as("rtype"),
         get_json_object(col("entry"), "$.resource").as("res"))
+      .repartition(col("id")) // the partitioning every downstream join wants
 
   /** Bundle-level validation: `assert_bundle_collection` (fhir.py:140-151,
     * a hard error in the reference) and
@@ -135,8 +136,10 @@ object FhirEtl {
     *
     * Output: id, status ∈ (processed|skipped|error), skip_reason.
     */
-  def classify(feed: DataFrame): DataFrame = {
-    val e = parseEntries(feed)
+  def classify(feed: DataFrame): DataFrame =
+    classifyEntries(feed, parseEntries(feed))
+
+  private[etl] def classifyEntries(feed: DataFrame, e: DataFrame): DataFrame = {
     val counts = e.groupBy("id").agg(
       sum(when(col("rtype") === "Patient", 1).otherwise(0)).as("n_patient"),
       sum(when(col("rtype") === "Encounter", 1).otherwise(0)).as("n_encounter"),
@@ -200,9 +203,17 @@ object FhirEtl {
       feed: DataFrame,
       identifiers: DataFrame,
       samples: DataFrame): Delta = {
-    val statuses = classify(feed)
+    // Parse once, consume ~10 times: the typed frames, classify counts and
+    // the reference-resolution joins all branch from this frame, and
+    // Catalyst pushes each branch's rtype filter below any shared exchange
+    // (so ReuseExchange can't deduplicate them). A LAZY localCheckpoint
+    // materializes the parsed entries as an RDD-level cache on first use —
+    // no CacheManager registration (nothing to unpersist by hand: the
+    // ContextCleaner reclaims it once the frame is unreachable after GC).
+    val entries = parseEntries(feed).localCheckpoint(false)
+    val statuses = classifyEntries(feed, entries)
     val ok = statuses.filter(col("status") === "processed").select("id")
-    val e = parseEntries(feed).join(ok, "id")
+    val e = entries.join(ok, "id")
 
     def typed(rtype: String, schema: DataType): DataFrame =
       e.filter(col("rtype") === rtype)

@@ -120,6 +120,29 @@ object Views {
         responseCols).map(col): _*)
   }
 
+  /** Census-tract attachment from the incidence v1/v3 views (reference
+    * views@2020-01-14b.sql:58-71, 276-284): residence tract from
+    * relations residence|lodging, work tract from workplace, each via
+    * encounter_location ⋈ location with `hierarchy->'tract'` (hstore).
+    * Left joins — encounters without located relations keep null tracts;
+    * multi-location encounters fan out exactly like the reference's
+    * subquery join.
+    */
+  def withCensusTracts(
+      df: DataFrame, // has encounter_id
+      encounterLocation: DataFrame, // encounter_id, relation, location_id
+      location: DataFrame): DataFrame = { // location_id, hierarchy (hstore text)
+    val tract = try_element_at(hstoreParse(col("hierarchy")), lit("tract"))
+    def tractFor(relations: Seq[String], as: String) =
+      encounterLocation.filter(col("relation").isin(relations.map(r => r: Any): _*))
+        .join(location, Seq("location_id"))
+        .select(col("encounter_id"), tract.as(as))
+    df.join(tractFor(Seq("residence", "lodging"), "residence_census_tract"),
+        Seq("encounter_id"), "left")
+      .join(tractFor(Seq("workplace"), "work_census_tract"),
+        Seq("encounter_id"), "left")
+  }
+
   /** observation_with_presence_absence_result (reference
     * views@2020-01-14b.sql:232-241): view-on-view join on sample.
     */
