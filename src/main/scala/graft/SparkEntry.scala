@@ -1253,6 +1253,21 @@ object SparkEntry {
       .orderBy("encounter_id")
   }
 
+  /** Similarity search — IVF coarse-quantizer ANN (deterministic
+    * centroids), the probe-only-nprobe-cells scale path next to q29
+    * (exact) and q47 (LSH).
+    */
+  private def q67IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings")
+      .select($("vec_id").as("id"), $("embedding").as("vec"))
+    val queries = t(s, dir, "embeddings").filter($("vec_id") < 8)
+      .select($("vec_id").as("qid"), $("embedding").as("qvec"))
+    SimilaritySearch.ivfTopK(corpus, queries, k = 5, numCells = 32, nprobe = 4)
+      .withColumn("cosine", round($("cosine"), 6))
+      .withColumn("rank", $("rank").cast("long"))
+      .orderBy("qid", "rank")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1322,6 +1337,7 @@ object SparkEntry {
     "q64_consensus_genome" -> (q64ConsensusGenome _),
     "q65_like_delete" -> (q65LikeDelete _),
     "q66_census_tracts" -> (q66CensusTracts _),
+    "q67_ivf_topk" -> (q67IvfTopK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2097,6 +2113,29 @@ object SparkEntry {
         |  CASE WHEN o_orderkey%7<>0 AND o_orderkey%3=2
         |       THEN 'T'||(o_orderkey%40%10) END AS work_census_tract
         |FROM orders ORDER BY encounter_id""".stripMargin,
+    "q67_ivf_topk" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell_id, v AS cv FROM emb
+        |         ORDER BY vec_id LIMIT 32),
+        |assign AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT e.vec_id, e.v, c.cell_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell_id) AS rn
+        |    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, qv, cell_id FROM (
+        |    SELECT q.vec_id AS qid, q.v AS qv, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cell_id) AS rn
+        |    FROM emb q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE rn <= 4)
+        |SELECT qid, id, round(cos, 6) AS cosine, rank FROM (
+        |  SELECT p.qid, a.vec_id AS id,
+        |    list_cosine_similarity(a.v, p.qv) AS cos,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id) AS rank
+        |  FROM assign a JOIN probes p USING (cell_id))
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -45,6 +45,96 @@ object Sources {
         to_json(col("feature.geometry")).as("geometry_json"),
         col("feature.geometry.type").as("geometry_type"))
 
+  /** S5 — ESRI shapefile (.shp) reader (public spec: ESRI Shapefile
+    * Technical Description, 1998), completing the reference's fiona-based
+    * location import (cli/command/location.py:63-230) for its second
+    * format. Emits the same row convention as [[readGeoJson]]:
+    * `geometry_type` + `geometry_json`, so downstream geo predicates are
+    * format-agnostic. Supported shapes: Null(0), Point(1), PolyLine(3),
+    * Polygon(5), MultiPoint(8) — the types the reference's location
+    * hierarchies use.
+    *
+    * Scale shape: `binaryFile` scan; one file = one task. Shapefiles are
+    * dimension-scale inputs (location/tract boundaries) — parallelism
+    * across files is the right unit, and the parsed output is the thing
+    * that joins (broadcast) against fact data.
+    */
+  def readShapefile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.shp")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => parseShp(path, bytes) }
+      .toDF()
+  }
+
+  final case class ShpRecord(
+      path: String, record: Int, geometry_type: String, geometry_json: String)
+
+  /** One .shp file → records. Header: 100 bytes, file code 9994 (BE),
+    * file length in 16-bit words (BE @24). Records: number+content-length
+    * (BE) then little-endian shape data.
+    */
+  private[sources] def parseShp(path: String, bytes: Array[Byte]): Seq[ShpRecord] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val buf = ByteBuffer.wrap(bytes)
+    require(buf.order(ByteOrder.BIG_ENDIAN).getInt(0) == 9994,
+      s"$path: not a shapefile (bad file code)")
+    val fileLenBytes = buf.getInt(24).toLong * 2
+    def num(d: Double): String =
+      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15 && d == d.toLong.toDouble)
+        d.toLong.toString
+      else d.toString
+    def pointAt(off: Int): String = {
+      val le = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      s"[${num(le.getDouble(off))},${num(le.getDouble(off + 8))}]"
+    }
+    val out = Seq.newBuilder[ShpRecord]
+    var pos = 100
+    while (pos + 8 <= math.min(fileLenBytes, bytes.length)) {
+      val recNum = buf.order(ByteOrder.BIG_ENDIAN).getInt(pos)
+      val contentBytes = buf.getInt(pos + 4) * 2
+      val c = pos + 8 // content start
+      val le = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      val shapeType = le.getInt(c)
+      // parts+points block shared by PolyLine(3)/Polygon(5):
+      // box(32) numParts(4) numPoints(4) parts[] points[]
+      def parts(): Seq[String] = {
+        val nParts = le.getInt(c + 36)
+        val nPoints = le.getInt(c + 40)
+        val partsOff = c + 44
+        val pointsOff = partsOff + 4 * nParts
+        val starts = (0 until nParts).map(i => le.getInt(partsOff + 4 * i))
+        val ends = starts.drop(1) :+ nPoints
+        starts.zip(ends).map { case (s, e) =>
+          (s until e).map(i => pointAt(pointsOff + 16 * i)).mkString("[", ",", "]")
+        }
+      }
+      val (gtype, coords) = shapeType match {
+        case 0 => (null, null)
+        case 1 => ("Point", pointAt(c + 4))
+        case 3 =>
+          val ps = parts()
+          if (ps.length == 1) ("LineString", ps.head)
+          else ("MultiLineString", ps.mkString("[", ",", "]"))
+        case 5 => ("Polygon", parts().mkString("[", ",", "]"))
+        case 8 =>
+          val n = le.getInt(c + 36)
+          ("MultiPoint",
+            (0 until n).map(i => pointAt(c + 40 + 16 * i)).mkString("[", ",", "]"))
+        case t => throw new IllegalArgumentException(
+          s"$path record $recNum: unsupported shape type $t")
+      }
+      out += ShpRecord(path, recNum, gtype,
+        if (gtype == null) null
+        else s"""{"type":"$gtype","coordinates":$coords}""")
+      pos = c + contentBytes
+    }
+    out.result()
+  }
+
   /** S6 — FASTQ directory scan → sequence read sets (reference
     * cli/command/sequence_read_set.py:29-77): regex-extract the sample id
     * from each filename, group file urls per sample. The listing itself

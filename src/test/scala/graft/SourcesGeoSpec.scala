@@ -44,6 +44,53 @@ class SourcesGeoSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("""{"a": 1,  "b":"x"}""", """{"a":2}"""))
   }
 
+  test("readShapefile parses point + polygon records into GeoJSON rows") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // record 1: Point(1.5, 2.5); record 2: Polygon, 1 ring, unit square
+    val ring = Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))
+    val ptContent = 4 + 16 // type + xy
+    val polyContent = 4 + 32 + 4 + 4 + 4 + ring.length * 16
+    val total = 100 + (8 + ptContent) + (8 + polyContent)
+    val buf = ByteBuffer.allocate(total)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(0, 9994)
+    buf.putInt(24, total / 2) // file length in 16-bit words
+    buf.order(ByteOrder.LITTLE_ENDIAN).putInt(28, 1000).putInt(32, 5)
+    var p = 100
+    buf.order(ByteOrder.BIG_ENDIAN).putInt(p, 1).putInt(p + 4, ptContent / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(p + 8, 1).putDouble(p + 12, 1.5).putDouble(p + 20, 2.5)
+    p += 8 + ptContent
+    buf.order(ByteOrder.BIG_ENDIAN).putInt(p, 2).putInt(p + 4, polyContent / 2)
+    buf.order(ByteOrder.LITTLE_ENDIAN).putInt(p + 8, 5)
+    buf.putInt(p + 44, 1).putInt(p + 48, ring.length).putInt(p + 52, 0)
+    ring.zipWithIndex.foreach { case ((x, y), i) =>
+      buf.putDouble(p + 56 + 16 * i, x).putDouble(p + 64 + 16 * i, y)
+    }
+    val dir = Files.createTempDirectory("graft_shp")
+    Files.write(dir.resolve("locations.shp"), buf.array())
+    val df = Sources.readShapefile(spark, dir.toString).orderBy("record")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("geometry_type") == "Point")
+    assert(rows(0).getAs[String]("geometry_json")
+      == """{"type":"Point","coordinates":[1.5,2.5]}""")
+    assert(rows(1).getAs[String]("geometry_type") == "Polygon")
+    assert(rows(1).getAs[String]("geometry_json")
+      == """{"type":"Polygon","coordinates":[[[0,0],[0,4],[4,4],[4,0],[0,0]]]}""")
+    // parsed geometry flows into the same geo predicates as GeoJSON
+    val parsedRing = Geo.ringFromCoords(element_at(
+      from_json(get_json_object(col("geometry_json"), "$.coordinates"),
+        org.apache.spark.sql.types.DataTypes.createArrayType(
+          org.apache.spark.sql.types.DataTypes.createArrayType(
+            org.apache.spark.sql.types.DataTypes.createArrayType(
+              org.apache.spark.sql.types.DataTypes.DoubleType)))), 1))
+    val inside = df.filter(col("geometry_type") === "Polygon")
+      .select(Geo.pointInPolygon(lit(2.0), lit(2.0), parsedRing))
+      .head().getBoolean(0)
+    assert(inside)
+  }
+
   test("readGeoJson explodes features with geometry kept as JSON") {
     val gj = """{"type":"FeatureCollection","features":[
       {"type":"Feature","properties":{"name":"p1","scale":"tract"},
