@@ -36,9 +36,13 @@ object Bench {
     // forced collection a long-lived session accumulates them unboundedly
     // (measured: broadcast-heavy queries degraded 20s → 47s → 86s across
     // passes without the gc; flat ~18s with it).
+    // blocking unpersist: the async variant can let multi-hundred-MB
+    // checkpoint blocks from consecutive queries overlap in the block
+    // manager, and the resulting eviction storms showed up as flaky
+    // 3-8× per-query inflation.
     def scrub(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
     }
 

@@ -118,14 +118,24 @@ object FhirEtl {
     */
   def parseEntries(feed: DataFrame): DataFrame =
     feed
+      // ONE Jackson pass over the document: fullUrl comes out typed, the
+      // resource subtree is captured verbatim as a string (StringType
+      // capture), and the bundle-level type fields ride along so classify
+      // never re-parses the document. The only further parse per entry is
+      // one get_json_object for resourceType on the (much smaller)
+      // resource text.
       .select(col("id"),
-        posexplode_outer(
-          from_json(col("document"), ddl("STRUCT<entry: ARRAY<STRING>>"))
-            .getField("entry")).as(Seq("pos", "entry")))
-      .select(col("id"), col("pos"),
-        get_json_object(col("entry"), "$.fullUrl").as("full_url"),
-        get_json_object(col("entry"), "$.resource.resourceType").as("rtype"),
-        get_json_object(col("entry"), "$.resource").as("res"))
+        from_json(col("document"), ddl(
+          "STRUCT<resourceType: STRING, type: STRING, " +
+            "entry: ARRAY<STRUCT<fullUrl: STRING, resource: STRING>>>"))
+          .as("d"))
+      .select(col("id"), col("d.resourceType").as("doc_rtype"),
+        col("d.type").as("doc_type"),
+        posexplode_outer(col("d.entry")).as(Seq("pos", "e")))
+      .select(col("id"), col("doc_rtype"), col("doc_type"), col("pos"),
+        col("e.fullUrl").as("full_url"),
+        get_json_object(col("e.resource"), "$.resourceType").as("rtype"),
+        col("e.resource").as("res"))
       .repartition(col("id")) // the partitioning every downstream join wants
 
   /** Bundle-level validation: `assert_bundle_collection` (fhir.py:140-151,
@@ -140,7 +150,14 @@ object FhirEtl {
     classifyEntries(feed, parseEntries(feed))
 
   private[etl] def classifyEntries(feed: DataFrame, e: DataFrame): DataFrame = {
+    // one pass over the (checkpointed) entries; the bundle-level type
+    // check uses the fields parseEntries carried along — posexplode_outer
+    // guarantees one row per id even for entry-less/unparseable documents,
+    // so the feed itself is never re-read (feed stays in the signature for
+    // API stability)
     val counts = e.groupBy("id").agg(
+      (first(col("doc_rtype")) === "Bundle" &&
+        first(col("doc_type")) === "collection").as("is_bundle"),
       sum(when(col("rtype") === "Patient", 1).otherwise(0)).as("n_patient"),
       sum(when(col("rtype") === "Encounter", 1).otherwise(0)).as("n_encounter"),
       sum(when(col("rtype") === "Specimen", 1).otherwise(0)).as("n_specimen"),
@@ -156,11 +173,7 @@ object FhirEtl {
           l => l.getField("location").getField("identifier").getField("system")
             === lit(s"$InternalSystem/site")).as("has_site"))
       .groupBy("id").agg(min(col("has_site")).as("all_sited"))
-    feed.select(col("id"),
-        (get_json_object(col("document"), "$.resourceType") === "Bundle" &&
-          get_json_object(col("document"), "$.type") === "collection").as("is_bundle"))
-      .join(counts, Seq("id"), "left")
-      .na.fill(0L, Seq("n_patient", "n_encounter", "n_specimen", "n_observation", "n_dr"))
+    counts
       .join(sited, Seq("id"), "left")
       .withColumn("skip_reason",
         when(!coalesce(col("is_bundle"), lit(false)),
@@ -211,7 +224,11 @@ object FhirEtl {
     // no CacheManager registration (nothing to unpersist by hand: the
     // ContextCleaner reclaims it once the frame is unreachable after GC).
     val entries = parseEntries(feed).localCheckpoint(false)
-    val statuses = classifyEntries(feed, entries)
+    // statuses is ALSO multi-consumed: every typed branch joins `ok`, so an
+    // unmaterialized classify would re-run its two aggregations once per
+    // branch (measured ~1s × 4-6 consumers per query at sf0.1). One row per
+    // bundle — checkpointing it is cheap and makes `ok` a read.
+    val statuses = classifyEntries(feed, entries).localCheckpoint(false)
     val ok = statuses.filter(col("status") === "processed").select("id")
     val e = entries.join(ok, "id")
 
