@@ -1268,6 +1268,17 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Dedup — connected-components clustering over the minhash LSH pair
+    * list (transitive closure of q22's near-dup graph).
+    */
+  private def q68DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+      shingleN = 4, numHashes = 16, bandSize = 4, minAgree = 8)
+    Dedup.connectedComponents(pairs)
+      .select($("id").as("doc_id"), $("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1338,6 +1349,7 @@ object SparkEntry {
     "q65_like_delete" -> (q65LikeDelete _),
     "q66_census_tracts" -> (q66CensusTracts _),
     "q67_ivf_topk" -> (q67IvfTopK _),
+    "q68_dedup_clusters" -> (q68DedupClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2136,6 +2148,30 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id) AS rank
         |  FROM assign a JOIN probes p USING (cell_id))
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q68_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |sig AS (SELECT doc_id,
+        |  [list_min([('0x'||substr(md5('s'||s::VARCHAR||'|'||g),1,15))::BIGINT
+        |             for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |                      for i in range(1, greatest(len(l)-3, 1)+1)])])
+        |   for s in range(0, 16)] AS sg
+        |  FROM tk),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a, sig b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_filter(range(0, 4), b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
+        |    AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

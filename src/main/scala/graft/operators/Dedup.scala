@@ -241,4 +241,48 @@ object Dedup {
     */
   def survivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over a dup-pair list: each node gets the
+    * minimum id reachable through any chain of pairs (`cluster_id`) —
+    * the transitive-closure canonicalization that the pair-local
+    * [[survivors]] policy approximates (A~B, B~C ⇒ one cluster {A,B,C}
+    * even though (A,C) was never a candidate pair).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes `min(own label, neighbors' labels)`; converged when no label
+    * changed. Rounds = O(max component diameter); near-dup clusters are
+    * shallow (stars around a few hubs), so 2–4 rounds in practice. Each
+    * round is one shuffle on `src` plus one on `id`, both over bare
+    * (long, long) rows — document text never enters the loop. Labels are
+    * checkpointed per round (truncates lineage — an uncheckpointed loop
+    * re-executes every prior round each iteration). For adversarial
+    * long-chain graphs, switch to large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
+    * same join primitives, logarithmic rounds.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy("src").agg(min("label").as("nbr_label"))
+        .select(col("src").as("id"), col("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("new_label"))
+        .localCheckpoint() // eager: one materialization, then two reads
+      converged = next.filter(col("new_label") < col("label")).isEmpty
+      labels = next.select(col("id"), col("new_label").as("label"))
+      round += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
 }

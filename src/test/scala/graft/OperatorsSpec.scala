@@ -117,6 +117,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("Dedup.connectedComponents closes chains transitively") {
+    import spark.implicits._
+    // chain 1-2-3 (1~2, 2~3 but never 1~3), separate pair 10-11, and a
+    // star 20-{21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("TextAnalysis.tokenCount: empty, blank, normal") {
     import spark.implicits._
     val r = Seq("", "   ", "a b  c").toDF("t")
