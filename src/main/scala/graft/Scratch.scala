@@ -39,43 +39,12 @@ object Scratch {
     noop(SparkEntry.queries("q56_fhir_pa")(spark, "/root/testdata/sf0.001"))
     scrub()
 
-    {
-      import graft.shipping.Views
-      val enc = spark.read.parquet(dir + "/orders.parquet").select(
-        col("o_orderkey").as("encounter_id"), col("o_custkey").as("individual_id"),
-        (col("o_custkey") % 25).cast("int").as("site_id"),
-        col("o_orderdate").as("encountered"),
-        (col("o_orderkey") % 1212).cast("int").as("age_months"),
-        to_json(struct(struct(
-          when(col("o_orderkey") % 7 === 0, array(lit("true"))).as("FluShot"),
-          when(col("o_orderkey") % 3 === 0, array(lit("cough"), lit("fever"))).as("Symptoms"),
-          when(col("o_orderkey") % 5 === 0, array(lit("true"))).as("HispanicLatino"))
-          .as("responses"))).as("details"))
-      time("enc synth only")(noop(enc))
+    for (pass <- 1 to 2) {
+      time(s"q27 p$pass")(noop(SparkEntry.queries("q27_incidence")(spark, dir)))
       scrub()
-      time("enc + surveyResponses")(noop(
-        enc.withColumn("_r", Views.surveyResponses(col("details")))
-          .select(col("encounter_id"), col("_r.flu_shot"), col("_r.symptoms"))))
+      time(s"q57 p$pass")(noop(SparkEntry.queries("q57_obs_with_pa")(spark, dir)))
       scrub()
-      val site = spark.read.parquet(dir + "/nation.parquet").select(
-        col("n_nationkey").as("site_id"), col("n_name").as("identifier"),
-        lit("""{"type":"clinic"}""").as("details"))
-      val indiv = spark.read.parquet(dir + "/customer.parquet").select(
-        col("c_custkey").as("individual_id"), lit("male").as("sex"))
-      import graft.operators.DistinctOn
-      val sample = DistinctOn(spark.read.parquet(dir + "/lineitem.parquet"),
-        Seq("l_orderkey"), Seq(col("l_linenumber").asc))
-        .select(col("l_orderkey").as("encounter_id"),
-          concat(lit("S"), col("l_orderkey")).as("identifier"))
-      time("base joins (no resp, no bins)")(noop(
-        enc.drop("details")
-          .join(broadcast(site.select(col("site_id"), col("identifier").as("site"))), "site_id")
-          .join(indiv, "individual_id")
-          .join(sample.withColumnRenamed("identifier", "sample"), Seq("encounter_id"), "left")))
-      scrub()
-      time("q27 full")(noop(SparkEntry.queries("q27_incidence")(spark, dir)))
-      scrub()
-      time("q27 full again")(noop(SparkEntry.queries("q27_incidence")(spark, dir)))
+      time(s"q61 p$pass")(noop(SparkEntry.queries("q61_samplify")(spark, dir)))
       scrub()
     }
     spark.stop()

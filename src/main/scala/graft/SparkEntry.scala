@@ -303,6 +303,9 @@ object SparkEntry {
       .withColumn("encountered_date", $("encountered_date").cast("string"))
       .withColumn("symptoms", array_join($("symptoms"), ","))
       .drop("race") // never populated by this synthesized feed
+      // materialize before the global sort: range partitioning's sampling
+      // pass would otherwise execute the whole view twice
+      .localCheckpoint(false)
       .orderBy("encounter_id")
 
   /** The incidence observation view over the synthesized warehouse —
@@ -615,7 +618,7 @@ object SparkEntry {
         .otherwise(lit(null)).as("collection_identifier"),
       lit("""{"b":2}""").as("details"))
     graft.etl.Etl.upsertSamples(cur, upd, updateIdentifiers = true)
-      .orderBy("sample_id")
+      .transform(sortOnce(_, "sample_id"))
   }
 
   /** Similarity search — LSH-bucketed ANN top-k (deterministic md5
@@ -629,7 +632,7 @@ object SparkEntry {
     SimilaritySearch.lshTopK(corpus, queries, k = 5, numBands = 2, bandBits = 8)
       .withColumn("cosine", round($("cosine"), 6))
       .withColumn("rank", $("rank").cast("long"))
-      .orderBy("qid", "rank")
+      .transform(sortOnce(_, "qid", "rank"))
   }
 
   /** §3.3 — shipping views registered for SQL consumers: the analytics
@@ -693,7 +696,7 @@ object SparkEntry {
       "id", "vec", threshold = 0.2, numBands = 2, bandBits = 8)
     Dedup.survivors(emb.select($("vec_id").as("id")), "id", pairs)
       .select($("id").as("vec_id"))
-      .orderBy("vec_id")
+      .transform(sortOnce(_, "vec_id"))
   }
 
   /** Shipping view — presence_absence_result_v2: + organism lineage
@@ -714,7 +717,7 @@ object SparkEntry {
         when($("id") % 2 === 0, "influenza").otherwise("rsv"),
         lit(".type"), $("id")).as("lineage"))
     Views.presenceAbsenceResultV2(sample, pa, target, organism)
-      .orderBy("sample", "target", "present", "device")
+      .transform(sortOnce(_, "sample", "target", "present", "device"))
   }
 
   /** ltree lineage semantics — descendants-of prefix + path segments. */
@@ -754,7 +757,7 @@ object SparkEntry {
       .select($("id"), $("status"), $("skip_reason"), $("identifier"),
         $("encountered"), $("individual_identifier"), $("sex"), $("language"),
         $("site_identifier"), $("age"))
-      .orderBy("id")
+      .transform(sortOnce(_, "id"))
   }
 
   /** Materialize a deterministic synthesized receiving feed once per
@@ -957,7 +960,7 @@ object SparkEntry {
       .presenceAbsence
       .select($("id"), $("identifier"), $("barcode"), $("snomed"),
         $("device"), $("present"), $("effective_datetime"))
-      .orderBy("id")
+      .transform(sortOnce(_, "id"))
   }
 
   /** J6 — observation_with_presence_absence_result: view-on-view join on
@@ -978,6 +981,7 @@ object SparkEntry {
     Views.observationWithPresenceAbsence(obs,
         Views.presenceAbsenceResultV1(sample, pa, target))
       .withColumn("presence", $("present").cast("int"))
+      .localCheckpoint(false) // pre-sort materialization (sampling pass)
       .orderBy("encounter_id", "target", "present")
   }
 
@@ -1076,7 +1080,7 @@ object SparkEntry {
         $("encountered"), $("individual_identifier"), $("sex"),
         $("site_identifier"), $("age"), $("language"),
         $("collection_identifier"))
-      .orderBy("id")
+      .transform(sortOnce(_, "id"))
   }
 
   /** Samplify presence-absence feed (reference etl/presence_absence.py:
@@ -1121,7 +1125,7 @@ object SparkEntry {
         .as("collection_identifier"))
     graft.etl.Feeds.Samplify.decompose(feed, idents, wh)
       .presenceAbsence
-      .orderBy("id", "identifier")
+      .transform(sortOnce(_, "id", "identifier"))
   }
 
   /** Manifest feed (reference etl/manifest.py:106-224): barcode-keyed
@@ -1150,7 +1154,7 @@ object SparkEntry {
           $("collection_date").cast("string").as("collection_date"),
           $("update_identifiers")),
         Seq("id"), "left")
-      .orderBy("id")
+      .transform(sortOnce(_, "id"))
   }
 
   /** Kit-manifest feed (reference etl/kit.py:230-330): kit↔sample linking
@@ -1180,7 +1184,7 @@ object SparkEntry {
       .join(delta.kitUpdates.select($("id"), $("kit_identifier"),
           $("sample_uuid"), $("sample_type")),
         Seq("id"), "left")
-      .orderBy("id")
+      .transform(sortOnce(_, "id"))
   }
 
   /** Consensus-genome feed (reference etl/consensus_genome.py:64-316):
@@ -1214,7 +1218,7 @@ object SparkEntry {
       .join(delta.sequences.select($("id"),
           $("sequence_identifier"), $("segment")),
         Seq("id"), "left")
-      .orderBy("id")
+      .transform(sortOnce(_, "id"))
   }
 
   /** M10 — like-pattern deletes (redcap-sync delete,
@@ -1278,6 +1282,16 @@ object SparkEntry {
       .select($("id").as("doc_id"), $("cluster_id"))
       .orderBy("doc_id")
   }
+
+
+  /** Pre-sort materialization for expensive pipelines: a global orderBy
+    * range-partitions, and its sampling pass executes the full child plan
+    * a second time. Checkpointing first makes the sample a cheap re-read.
+    * (Lazy localCheckpoint: RDD-level, reclaimed by the ContextCleaner
+    * after the frame dies — no CacheManager leak.)
+    */
+  private def sortOnce(df: DataFrame, cols: String*): DataFrame =
+    df.localCheckpoint(false).orderBy(cols.map(c => col(c)): _*)
 
   // ------------------------------------------------------------ the surface
 

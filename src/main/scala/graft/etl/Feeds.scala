@@ -229,13 +229,18 @@ object Feeds {
         .filter(col("set_name").isin(ValidSets: _*)) // invalid set asserts; surfaced as drop
         .withColumn("tiny_swab", col("set_name").contains("tiny-swab"))
 
-      // sample resolution (:166-180): tiny-swab → collection_identifier
-      val byIdent = rows.filter(!col("tiny_swab"))
-        .join(samples.select(col("identifier").as("m")), col("uuid") === col("m"))
-      val byColl = rows.filter(col("tiny_swab"))
-        .join(samples.select(col("collection_identifier").as("m")),
-          col("uuid") === col("m"))
-      val resolved = byIdent.unionByName(byColl).drop("m")
+      // sample resolution (:166-180): tiny-swab → collection_identifier.
+      // Two LEFT joins + a conditional filter instead of a union of two
+      // filtered inner-join branches — the union form re-executed the
+      // whole parse+explode pipeline once per branch.
+      val resolved = rows
+        .join(samples.select(col("identifier").as("m_ident")),
+          col("uuid") === col("m_ident"), "left")
+        .join(samples.select(col("collection_identifier").as("m_coll")),
+          col("uuid") === col("m_coll"), "left")
+        .filter(when(col("tiny_swab"), col("m_coll").isNotNull)
+          .otherwise(col("m_ident").isNotNull))
+        .drop("m_ident", "m_coll")
 
       val sampleDetails = resolved.select(col("uuid").as("sample_uuid"),
         col("s.sampleId").as("nwgc_id"), col("tiny_swab")).distinct()

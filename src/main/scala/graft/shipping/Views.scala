@@ -60,10 +60,14 @@ object Views {
     * row (CollapseProject won't inline a non-cheap alias used 4×).
     */
   def surveyResponses(details: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // one Jackson pass: the responses wrapper is part of the schema, so
+    // details is parsed once (get_json_object + from_json double-parsed
+    // every row and measured ~2× the cost at sf0.1)
     val schema = org.apache.spark.sql.types.DataType.fromDDL(
-      "STRUCT<FluShot: ARRAY<STRING>, Symptoms: ARRAY<STRING>, " +
-        "Race: ARRAY<STRING>, HispanicLatino: ARRAY<STRING>>")
-    val r = from_json(get_json_object(details, "$.responses"), schema)
+      "STRUCT<responses: STRUCT<FluShot: ARRAY<STRING>, " +
+        "Symptoms: ARRAY<STRING>, Race: ARRAY<STRING>, " +
+        "HispanicLatino: ARRAY<STRING>>>")
+    val r = from_json(details, schema).getField("responses")
     struct(
       nullif(nullif(try_element_at(r.getField("FluShot"), lit(1)),
         lit("doNotKnow")), lit("dontKnow")).cast("boolean").as("flu_shot"),
