@@ -1284,6 +1284,21 @@ object SparkEntry {
   }
 
 
+  /** Training-data selection — per-language deterministic hash sampling
+    * (balanced mix): language strata from langId, per-stratum rates,
+    * md5 hash gate on doc_id. Pure filter — no shuffle, no sample pass.
+    */
+  private def q69StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val strata = docs(s, dir)
+      .select($("doc_id"), TextAnalysis.langId($("text")).as("lang"))
+    val rates = Seq(("en", 0.5), ("de", 0.25), ("es", 0.75), ("fr", 0.1),
+      ("zh", 1.0)).toDF("lang", "rate")
+    Sampling.stratifiedHashSample(strata, "doc_id", "lang", rates)
+      .select($("doc_id"), $("lang"))
+      .orderBy("doc_id")
+  }
+
   /** Pre-sort materialization for expensive pipelines: a global orderBy
     * range-partitions, and its sampling pass executes the full child plan
     * a second time. Checkpointing first makes the sample a cheap re-read.
@@ -1364,6 +1379,7 @@ object SparkEntry {
     "q66_census_tracts" -> (q66CensusTracts _),
     "q67_ivf_topk" -> (q67IvfTopK _),
     "q68_dedup_clusters" -> (q68DedupClusters _),
+    "q69_stratified_sample" -> (q69StratifiedSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2186,6 +2202,35 @@ object SparkEntry {
         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q69_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('el','la','de','que','y','los','una'))) AS es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('le','la','les','et','des','une','est'))) AS fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('的','是','了','在','我','有','和'))) AS zh
+        |  FROM documents),
+        |strata AS (
+        |  SELECT doc_id, CASE
+        |    WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |    WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |    WHEN es >= fr AND es >= zh THEN 'es'
+        |    WHEN fr >= zh THEN 'fr'
+        |    ELSE 'zh' END AS lang
+        |  FROM h),
+        |rates(lang, rate) AS (VALUES ('en', 0.5), ('de', 0.25), ('es', 0.75),
+        |  ('fr', 0.1), ('zh', 1.0))
+        |SELECT doc_id, lang
+        |FROM strata JOIN rates USING (lang)
+        |WHERE ('0x'||substr(md5(doc_id||'|graft'),1,15))::BIGINT
+        |      < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

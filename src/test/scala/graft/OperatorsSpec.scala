@@ -129,6 +129,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("Sampling.hashSample is deterministic, rate-accurate, and repartition-stable") {
+    import spark.implicits._
+    val df = (1L to 4000L).toDF("id")
+    val a = Sampling.hashSample(df, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(13), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // stable under re-partitioning (df.sample is not)
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.03)
+    // a larger rate with the same salt is a superset: bands nest
+    val wider = Sampling.hashSample(df, "id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+  }
+
   test("TextAnalysis.tokenCount: empty, blank, normal") {
     import spark.implicits._
     val r = Seq("", "   ", "a b  c").toDF("t")
