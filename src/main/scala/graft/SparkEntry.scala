@@ -1299,6 +1299,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Training-data packing — concat-and-chunk token-offset assignment
+    * (distributed prefix sum; the global cumsum never funnels through one
+    * partition).
+    */
+  private def q70PackChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packChunks(
+      docs(s, dir).select($("doc_id"),
+        TextAnalysis.tokenCount($("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", budget = 256)
+      .select($("doc_id"), $("n_tokens"), $("start_offset"),
+        $("chunk_first"), $("chunk_last"))
+      .orderBy("doc_id")
+
   /** Pre-sort materialization for expensive pipelines: a global orderBy
     * range-partitions, and its sampling pass executes the full child plan
     * a second time. Checkpointing first makes the sample a cheap re-read.
@@ -1380,6 +1393,7 @@ object SparkEntry {
     "q67_ivf_topk" -> (q67IvfTopK _),
     "q68_dedup_clusters" -> (q68DedupClusters _),
     "q69_stratified_sample" -> (q69StratifiedSample _),
+    "q70_pack_chunks" -> (q70PackChunks _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2231,6 +2245,25 @@ object SparkEntry {
         |WHERE ('0x'||substr(md5(doc_id||'|graft'),1,15))::BIGINT
         |      < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    "q70_pack_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_end
+        |  FROM tk)
+        |SELECT doc_id, n_tokens,
+        |  cum_end - n_tokens AS start_offset,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST(FLOOR((cum_end - n_tokens) / 256) AS BIGINT) END AS chunk_first,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST(FLOOR((cum_end - 1) / 256) AS BIGINT) END AS chunk_last
+        |FROM cum ORDER BY doc_id""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

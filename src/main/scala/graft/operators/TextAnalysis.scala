@@ -90,4 +90,42 @@ object TextAnalysis {
         array_distinct(
           transform(sequence(lit(1), greatest(size(hashes) - (window - 1), lit(1))),
             i => array_min(slice(hashes, i, lit(window))))))
+
+  /** Sequence packing, concat-and-chunk style: documents are concatenated
+    * in `idCol` order and cut into fixed `budget`-token training
+    * sequences; each document gets its global token offset and the
+    * [chunk_first, chunk_last] range it lands in (a doc can straddle a
+    * boundary — the standard pretraining packer splits it).
+    *
+    * The global prefix sum is distributed, not a single-partition window:
+    * ids are bucketed coarsely (`floor(id / bucketSize)`), each bucket
+    * runs a local windowed cumsum in parallel, and only the per-bucket
+    * totals (numBuckets rows — thousands, not billions, at any corpus
+    * size) pass through a tiny single-partition cumsum before being
+    * broadcast back as offsets. At 100 TB this is two narrow shuffles of
+    * the (id, n_tokens) projection; the text itself never moves.
+    */
+  def packChunks(
+      df: DataFrame, idCol: String, tokenCol: String,
+      budget: Int, bucketSize: Long = 1L << 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = floor(col(idCol) / bucketSize).as("_bucket")
+    val local = df.select(col(idCol), col(tokenCol), bucket)
+      .withColumn("_local_cum", sum(col(tokenCol)).over(
+        Window.partitionBy("_bucket").orderBy(idCol)))
+    val offsets = local.groupBy("_bucket")
+      .agg(sum(col(tokenCol)).as("_bucket_total"))
+      .withColumn("_offset", coalesce(sum(col("_bucket_total")).over(
+        Window.orderBy("_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_bucket", "_offset")
+    local.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("_end", col("_local_cum") + col("_offset"))
+      .select(col(idCol), col(tokenCol),
+        (col("_end") - col(tokenCol)).as("start_offset"),
+        when(col(tokenCol) > 0, floor((col("_end") - col(tokenCol)) / budget))
+          .as("chunk_first"),
+        when(col(tokenCol) > 0, floor((col("_end") - 1) / budget))
+          .as("chunk_last"))
+  }
 }

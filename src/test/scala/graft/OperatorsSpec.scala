@@ -142,6 +142,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.subsetOf(wider))
   }
 
+  test("TextAnalysis.packChunks: straddling docs, empty docs, bucket boundaries") {
+    import spark.implicits._
+    // budget 10; doc 3 (7 tokens) straddles chunk 0→1; doc 4 empty;
+    // bucketSize 2 forces multi-bucket offsets (ids 1,2 | 3,4 | 5)
+    val df = Seq((1L, 4L), (2L, 5L), (3L, 7L), (4L, 0L), (5L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val r = TextAnalysis.packChunks(df, "doc_id", "n_tokens",
+        budget = 10, bucketSize = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2),
+        Option(x.get(3)).map(_.toString.toLong),
+        Option(x.get(4)).map(_.toString.toLong)))
+    assert(r.toSeq == Seq(
+      (1L, 0L, Some(0L), Some(0L)), // tokens 0-3
+      (2L, 4L, Some(0L), Some(0L)), // tokens 4-8
+      (3L, 9L, Some(0L), Some(1L)), // tokens 9-15: straddles
+      (4L, 16L, None, None), // empty doc occupies no chunk
+      (5L, 16L, Some(1L), Some(2L)))) // tokens 16-25
+  }
+
   test("TextAnalysis.tokenCount: empty, blank, normal") {
     import spark.implicits._
     val r = Seq("", "   ", "a b  c").toDF("t")
