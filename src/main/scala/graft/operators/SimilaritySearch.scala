@@ -29,20 +29,33 @@ object SimilaritySearch {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic ±1 hyperplane component for (plane p, dim i). */
-  private def planeComponent(p: Int, i: Column): Column =
-    when(conv(substring(md5(concat(lit(s"plane$p|"), i.cast("string"))), 1, 15), 16, 10)
-      .cast("long").bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic ±1 hyperplane component for (plane p, dim i) —
+    * computed ON THE DRIVER. The hyperplanes are row-independent
+    * constants; an earlier formulation derived them with in-plan md5
+    * expressions, which re-hashed planes×dims times PER ROW (a
+    * scale-killer hidden inside an interpreted lambda). The parity rule
+    * (low bit of the first 15 md5 hex chars of "plane<p>|<i>") is
+    * identical, so signatures are unchanged and remain reproducible
+    * across engines.
+    */
+  private def planeComponent(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p|$i".getBytes("UTF-8"))
+    val hex15 = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    if ((java.lang.Long.parseLong(hex15, 16) & 1L) == 1L) 1.0 else -1.0
+  }
 
   /** Sign-bit signature over `planes` random ±1 hyperplanes: bit p is set
     * iff `v · h_p > 0`. Cosine-similar vectors agree on most bits, so
     * equal signatures are high-recall candidates for high thresholds.
+    * `dims` fixes the hyperplane width (embedding column width);
+    * components beyond a shorter vector contribute nothing.
     */
-  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+  def hyperplaneSignature(vec: Column, planes: Int, dims: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
+      val plane = (0 until dims).map(i => planeComponent(p, i)).toArray
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vec, lit(plane), (x, hp) => coalesce(x.cast("double") * hp, lit(0.0))),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
