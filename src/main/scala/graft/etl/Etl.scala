@@ -109,7 +109,10 @@ object Etl {
       .withColumn("sample_id", try_element_at(col("matches"), lit(1)))
 
     val maxId = cur.agg(coalesce(max(col("sample_id")), lit(0L))).head().getLong(0)
+    // consumed by both sides of the is_new split (and allocateIds runs an
+    // RDD pass of its own) — materialize the match pipeline once
     val withIds = matched.withColumn("is_new", col("sample_id").isNull)
+      .localCheckpoint(false)
     val created = Merge.allocateIds(
       withIds.filter(col("is_new")), "sample_id", maxId,
       orderBy = Seq("u_identifier", "u_collection"))

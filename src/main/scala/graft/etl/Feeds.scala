@@ -78,8 +78,12 @@ object Feeds {
         encounterLocations: DataFrame) // encounter_identifier, relation, location_identifier, tract
 
     def decompose(feed: DataFrame, identifiers: DataFrame): Delta = {
+      // parse once, consume per-branch: the typed doc struct feeds the
+      // status classification and every delta frame (a lazy localCheckpoint
+      // — RDD-level, ContextCleaner-reclaimed — not a CacheManager entry)
       val parsed = feed.select(col("id"),
         from_json(col("document"), schema).as("d"))
+        .localCheckpoint(false)
       val statuses = parsed.select(col("id"),
           when(!col("d.schemaVersion").isin(KnownVersions: _*),
             concat(lit("error: unknown schema version "), col("d.schemaVersion")))
@@ -203,8 +207,12 @@ object Feeds {
         identifiers: DataFrame, // barcode, uuid, set_name
         samples: DataFrame // identifier, collection_identifier
     ): Delta = {
+      // parse once, consume per-branch: the typed doc struct feeds the
+      // status classification and every delta frame (a lazy localCheckpoint
+      // — RDD-level, ContextCleaner-reclaimed — not a CacheManager entry)
       val parsed = feed.select(col("id"),
         from_json(col("document"), schema).as("d"))
+        .localCheckpoint(false)
       val statuses = parsed.select(col("id"),
           when(col("d.samples").isNotNull, lit(null).cast("string"))
             .when(col("d.store").isNotNull || col("d.Update").isNotNull,
@@ -422,8 +430,12 @@ object Feeds {
         samples: DataFrame, // identifier
         organisms: DataFrame // lineage
     ): Delta = {
+      // parse once, consume per-branch: the typed doc struct feeds the
+      // status classification and every delta frame (a lazy localCheckpoint
+      // — RDD-level, ContextCleaner-reclaimed — not a CacheManager entry)
       val parsed = feed.select(col("id"),
         from_json(col("document"), schema).as("d"))
+        .localCheckpoint(false)
       // organism resolution: each known reference name's lquery matched
       // against the organism table (find_organism's `lineage ~ pattern`)
       val lineageByName = OrganismLquery.toSeq.map { case (name, pat) =>
