@@ -61,6 +61,7 @@ object Bench {
         try force(fn(spark, sfDir)) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         scrub()
+        System.err.println(f"[bench] $name $dt%.2f")
         name -> dt
       }
     val p1 = pass().toMap

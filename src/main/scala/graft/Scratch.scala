@@ -12,9 +12,7 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
     val dir = "/root/testdata/sf0.1"
-    import graft.etl.FhirEtl
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -22,31 +20,30 @@ object Scratch {
       r
     }
     def scrub(): Unit = {
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
-      import scala.jdk.CollectionConverters._
-      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-      val report = pools.filter(p => p.getName.contains("CodeHeap") ||
-          p.getName.contains("Metaspace") || p.getName.contains("Old"))
-        .map(p => f"${p.getName}=${p.getUsage.getUsed / 1024 / 1024}%dM")
-        .mkString(" ")
-      println(s"POOLS $report")
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warm
-    noop(SparkEntry.queries("q56_fhir_pa")(spark, "/root/testdata/sf0.001"))
+    import graft.etl.FhirEtl
+    import spark.implicits._
+    noop(SparkEntry.queries("q55_fhir_encounters")(spark, "/root/testdata/sf0.001"))
     scrub()
-
-    for (pass <- 1 to 2) {
-      time(s"q27 p$pass")(noop(SparkEntry.queries("q27_incidence")(spark, dir)))
-      scrub()
-      time(s"q57 p$pass")(noop(SparkEntry.queries("q57_obs_with_pa")(spark, dir)))
-      scrub()
-      time(s"q61 p$pass")(noop(SparkEntry.queries("q61_samplify")(spark, dir)))
-      scrub()
-    }
+    val feed = SparkEntry.fhirFeed55Materialized(spark, dir)
+    time("feed noop")(noop(feed))
+    time("parseEntries")(noop(FhirEtl.parseEntries(feed)))
+    scrub()
+    val emptyIdent = Seq.empty[(String, String, String)].toDF("barcode", "uuid", "set_name")
+    val emptySamples = Seq.empty[(String, String)].toDF("identifier", "collection_identifier")
+    time("statuses only")(noop(FhirEtl.decompose(feed, emptyIdent, emptySamples).statuses))
+    scrub()
+    time("encounters only")(noop(FhirEtl.decompose(feed, emptyIdent, emptySamples).encounters))
+    scrub()
+    time("q55 full")(noop(SparkEntry.queries("q55_fhir_encounters")(spark, dir)))
+    scrub()
+    time("q55 full2")(noop(SparkEntry.queries("q55_fhir_encounters")(spark, dir)))
     spark.stop()
   }
 }

@@ -781,6 +781,10 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** The materialized q55 feed (shared with plan audits). */
+  private[graft] def fhirFeed55Materialized(s: SparkSession, dir: String): DataFrame =
+    materializedFeed(s, "q55", dir)(fhirFeed55(s, dir))
+
   /** The synthesized q55 bundle feed (shared with plan audits). */
   private[graft] def fhirFeed55(s: SparkSession, dir: String): DataFrame = {
     val sys = graft.etl.FhirEtl.InternalSystem
@@ -1532,19 +1536,27 @@ object SparkEntry {
         |grams AS (SELECT doc_id,
         |  list_distinct([array_to_string(l[i:i+3], ' ')
         |                 for i in range(1, greatest(len(l)-3, 1)+1)]) AS gs
-        |  FROM tk)
+        |  FROM tk),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT for g in gs] AS bs FROM grams),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl)
         |SELECT doc_id, array_to_string(
-        |  [list_min([('0x'||substr(md5('s'||s::VARCHAR||'|'||g),1,15))::BIGINT for g in gs])
-        |   for s in range(0, 16)], ',') AS sig
-        |FROM grams ORDER BY doc_id""".stripMargin,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl],
+        |  ',') AS sig
+        |FROM base, css ORDER BY doc_id""".stripMargin,
     "q22_minhash_pairs" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |            for i in range(1, greatest(len(l)-3, 1)+1)])] AS bs
+        |  FROM tk),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
         |sig AS (SELECT doc_id,
-        |  [list_min([('0x'||substr(md5('s'||s::VARCHAR||'|'||g),1,15))::BIGINT
-        |             for g in list_distinct([array_to_string(l[i:i+3], ' ')
-        |                      for i in range(1, greatest(len(l)-3, 1)+1)])])
-        |   for s in range(0, 16)] AS sg
-        |  FROM tk)
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl] AS sg
+        |  FROM base, css)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) AS BIGINT) AS agree
         |FROM sig a, sig b
@@ -2195,12 +2207,16 @@ object SparkEntry {
     "q68_dedup_clusters" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
-        |sig AS (SELECT doc_id,
-        |  [list_min([('0x'||substr(md5('s'||s::VARCHAR||'|'||g),1,15))::BIGINT
-        |             for g in list_distinct([array_to_string(l[i:i+3], ' ')
-        |                      for i in range(1, greatest(len(l)-3, 1)+1)])])
-        |   for s in range(0, 16)] AS sg
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |            for i in range(1, greatest(len(l)-3, 1)+1)])] AS bs
         |  FROM tk),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl] AS sg
+        |  FROM base, css),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sig a, sig b
@@ -2254,11 +2270,11 @@ object SparkEntry {
         |  FROM documents),
         |cum AS (
         |  SELECT doc_id, n_tokens,
-        |    sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum_end
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
         |  FROM tk)
         |SELECT doc_id, n_tokens,
-        |  cum_end - n_tokens AS start_offset,
+        |  CAST(cum_end - n_tokens AS BIGINT) AS start_offset,
         |  CASE WHEN n_tokens > 0
         |       THEN CAST(FLOOR((cum_end - n_tokens) / 256) AS BIGINT) END AS chunk_first,
         |  CASE WHEN n_tokens > 0

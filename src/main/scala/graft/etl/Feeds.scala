@@ -81,8 +81,8 @@ object Feeds {
       // parse once, consume per-branch: the typed doc struct feeds the
       // status classification and every delta frame (a lazy localCheckpoint
       // — RDD-level, ContextCleaner-reclaimed — not a CacheManager entry)
-      val parsed = feed.select(col("id"),
-        from_json(col("document"), schema).as("d"))
+      val parsed = feed.repartition(col("id")) // parse at cluster width, not feed-file width
+        .select(col("id"), from_json(col("document"), schema).as("d"))
         .localCheckpoint(false)
       val statuses = parsed.select(col("id"),
           when(!col("d.schemaVersion").isin(KnownVersions: _*),
@@ -210,8 +210,8 @@ object Feeds {
       // parse once, consume per-branch: the typed doc struct feeds the
       // status classification and every delta frame (a lazy localCheckpoint
       // — RDD-level, ContextCleaner-reclaimed — not a CacheManager entry)
-      val parsed = feed.select(col("id"),
-        from_json(col("document"), schema).as("d"))
+      val parsed = feed.repartition(col("id")) // parse at cluster width, not feed-file width
+        .select(col("id"), from_json(col("document"), schema).as("d"))
         .localCheckpoint(false)
       val statuses = parsed.select(col("id"),
           when(col("d.samples").isNotNull, lit(null).cast("string"))
@@ -308,8 +308,8 @@ object Feeds {
 
     def decompose(feed: DataFrame, identifiers: DataFrame): Delta = {
       val ident = identifiers.select(col("barcode"), col("uuid"), col("set_name"))
-      val parsed = feed.select(col("id"),
-          from_json(col("document"), schema).as("d"))
+      val parsed = feed.repartition(col("id")) // parse at cluster width, not feed-file width
+        .select(col("id"), from_json(col("document"), schema).as("d"))
         .join(ident.select(col("barcode").as("sb"), col("uuid").as("s_uuid"),
             col("set_name").as("s_set")),
           col("d.sample") === col("sb"), "left")
@@ -364,8 +364,8 @@ object Feeds {
         samples: DataFrame // identifier, sample_type (utm|rdt|other)
     ): Delta = {
       val ident = identifiers.select(col("barcode"), col("uuid"), col("set_name"))
-      val parsed = feed.select(col("id"),
-          from_json(col("document"), schema).as("d"))
+      val parsed = feed.repartition(col("id")) // parse at cluster width, not feed-file width
+        .select(col("id"), from_json(col("document"), schema).as("d"))
         .join(ident.select(col("barcode").as("sb"), col("uuid").as("s_uuid"),
             col("set_name").as("s_set")),
           col("d.sample") === col("sb"), "left")
@@ -433,8 +433,8 @@ object Feeds {
       // parse once, consume per-branch: the typed doc struct feeds the
       // status classification and every delta frame (a lazy localCheckpoint
       // — RDD-level, ContextCleaner-reclaimed — not a CacheManager entry)
-      val parsed = feed.select(col("id"),
-        from_json(col("document"), schema).as("d"))
+      val parsed = feed.repartition(col("id")) // parse at cluster width, not feed-file width
+        .select(col("id"), from_json(col("document"), schema).as("d"))
         .localCheckpoint(false)
       // organism resolution: each known reference name's lquery matched
       // against the organism table (find_organism's `lineage ~ pattern`)

@@ -20,6 +20,38 @@ object Dedup {
   def hash60(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"s$seed|"), c)), 1, 15), 16, 10).cast("long")
 
+  /** The seed-free 60-bit base hash: ONE md5 per value; the multi-seed
+    * family derives from it arithmetically (see [[seededHash60]]). md5 per
+    * (value, seed) — 16 digests per shingle for a 16-hash signature — was
+    * the dominant CPU cost of the minhash path at corpus scale.
+    */
+  def hash60Base(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit xor-mix constant for seed `s` (md5("seed<s>") prefix —
+    * high-entropy, reproducible in any engine with md5).
+    */
+  def seedConst(s: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"seed$s".getBytes("UTF-8"))
+    BigInt(d.map(b => f"$b%02x").mkString.take(15), 16).toLong
+  }
+
+  /** Per-seed hash from the base hash: h_s = mix(base ^ C_s) with
+    * mix(x) = x ^ (x >> 31). Only xor/shift on values < 2^60 — no
+    * overflow in any engine, identical signed-64 results everywhere
+    * (verified against DuckDB). The xor-with-random-constant family is
+    * the standard cheap minhash permutation; the shift round breaks the
+    * pure bit-flip structure so ranks decorrelate across seeds.
+    */
+  def seededHash60(base: Column, s: Int): Column = {
+    // plain expression reuse (not the `bind` HOF): the duplicated xor is
+    // collapsed by codegen subexpression elimination, and everything stays
+    // inside whole-stage codegen — `bind` would drop to interpreted HOFs
+    val x = base.bitwiseXOR(lit(seedConst(s)))
+    x.bitwiseXOR(shiftright(x, 31))
+  }
+
   /** Exact dedup: keep the smallest id per distinct text (hash-groupBy —
     * one shuffle on the 128-bit digest, never on the text itself).
     */
@@ -85,9 +117,9 @@ object Dedup {
     * [[minhashSignatures]] for corpus-scale work.
     */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
-    bind(wordShingles(text, shingleN), grams =>
+    bind(transform(wordShingles(text, shingleN), g => hash60Base(g)), hs =>
       array((0 until numHashes).map { s =>
-        array_min(transform(grams, g => hash60(g, s)))
+        array_min(transform(hs, h => seededHash60(h, s)))
       }: _*))
 
   /** MinHash signatures, relational formulation: explode shingles to rows,
@@ -95,13 +127,19 @@ object Dedup {
     * array lambdas, which Spark always interprets), then one map-side-
     * combining groupBy(id) with `numHashes` min() aggregates. One shuffle
     * on id; no giant per-row arrays — the shape that holds at 100 TB.
+    *
+    * One md5 per shingle: the seed family is derived from the base digest
+    * with [[seededHash60]] (xor-mix), not re-digested per seed — 16× less
+    * hashing on what is otherwise the dominant CPU cost of corpus dedup.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleN)).as("gram"))
-    val aggs = (0 until numHashes).map(s => min(hash60(col("gram"), s)).as(s"_h$s"))
+        explode(wordShingles(col(textCol), shingleN)).as("gram"))
+      .select(col("id"), hash60Base(col("gram")).as("_hb"))
+    val aggs = (0 until numHashes).map(s =>
+      min(seededHash60(col("_hb"), s)).as(s"_h$s"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(s => col(s"_h$s")): _*).as("sig"))

