@@ -27,23 +27,14 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    import graft.etl.FhirEtl
-    import spark.implicits._
-    noop(SparkEntry.queries("q55_fhir_encounters")(spark, "/root/testdata/sf0.001"))
-    scrub()
-    val feed = SparkEntry.fhirFeed55Materialized(spark, dir)
-    time("feed noop")(noop(feed))
-    time("parseEntries")(noop(FhirEtl.parseEntries(feed)))
-    scrub()
-    val emptyIdent = Seq.empty[(String, String, String)].toDF("barcode", "uuid", "set_name")
-    val emptySamples = Seq.empty[(String, String)].toDF("identifier", "collection_identifier")
-    time("statuses only")(noop(FhirEtl.decompose(feed, emptyIdent, emptySamples).statuses))
-    scrub()
-    time("encounters only")(noop(FhirEtl.decompose(feed, emptyIdent, emptySamples).encounters))
-    scrub()
-    time("q55 full")(noop(SparkEntry.queries("q55_fhir_encounters")(spark, dir)))
-    scrub()
-    time("q55 full2")(noop(SparkEntry.queries("q55_fhir_encounters")(spark, dir)))
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q55_fhir_encounters", "q56_fhir_pa", "q21_minhash_sig",
+        "q22_minhash_pairs", "q68_dedup_clusters")
+    for (n <- names) { noop(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")); scrub() }
+    for (pass <- 1 to 2; n <- names) {
+      time(s"$n p$pass")(noop(SparkEntry.queries(n)(spark, dir)))
+      scrub()
+    }
     spark.stop()
   }
 }

@@ -1316,6 +1316,69 @@ object SparkEntry {
         $("chunk_first"), $("chunk_last"))
       .orderBy("doc_id")
 
+  /** PII redaction — emails/IPv4s/phone numbers to typed placeholders.
+    * PII is injected deterministically (the synthetic corpus has none) so
+    * the redactor has real work on every fifth row.
+    */
+  private def q71PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = docs(s, dir).select($("doc_id"),
+      concat($("text"),
+        when($("doc_id") % 5 === 0,
+          concat(lit(" contact user"), $("doc_id"), lit("@example.com now")))
+          .when($("doc_id") % 5 === 1,
+            concat(lit(" call 206-555-"),
+              lpad(($("doc_id") % 10000).cast("string"), 4, "0")))
+          .when($("doc_id") % 5 === 2,
+            concat(lit(" from 10.0."), ($("doc_id") % 256).cast("string"),
+              lit("."), (($("doc_id") * 7) % 256).cast("string"), lit(" logged")))
+          .otherwise(lit(""))).as("text"))
+    withPii.select($("doc_id"),
+      TextAnalysis.redactPii($("text")).as("redacted"),
+      regexp_count($("text"), lit(TextAnalysis.EmailRe)).cast("long").as("n_email"),
+      regexp_count($("text"), lit(TextAnalysis.Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count($("text"), lit(TextAnalysis.PhoneRe)).cast("long").as("n_phone"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus quality — Gopher-style n-gram repetition fractions. */
+  private def q72Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+
+  /** Per-domain quota cap — at most 15 docs per source, deterministic
+    * hash order (Common-Crawl-style domain balancing).
+    */
+  private def q73DomainCap(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(docs(s, dir), "source", "doc_id", cap = 15)
+      .select($("doc_id"), $("source"))
+      .orderBy("doc_id")
+
+  /** Temperature resample at T=2 — per-language keep rate sqrt(cmin/c). */
+  private def q74TemperatureResample(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureResample(docs(s, dir), "doc_id", "lang")
+      .select($("doc_id"), $("lang"))
+      .orderBy("doc_id")
+
+  /** Exact mean-pooled centroid per label over the embedding table
+    * (quantized integer sums — bit-identical across engines).
+    */
+  private def q75MeanPool(s: SparkSession, dir: String): DataFrame =
+    Embeddings.meanPool(
+      t(s, dir, "embeddings").select($("label"), $("embedding")),
+      "label", "embedding")
+      .select($("label"), $("dim").cast("long").as("dim"), $("mean"))
+      .orderBy("label", "dim")
+
+  /** Quantized-integer k-means (2 Lloyd iterations, k=8) — the IVF
+    * coarse-quantizer training step, exact and engine-deterministic.
+    */
+  private def q76Kmeans(s: SparkSession, dir: String): DataFrame =
+    Embeddings.kmeansAssignQuantized(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iters = 2, scale = 100)
+      .select($("id").as("vec_id"), $("cell"))
+      .orderBy("vec_id")
+
   /** Pre-sort materialization for expensive pipelines: a global orderBy
     * range-partitions, and its sampling pass executes the full child plan
     * a second time. Checkpointing first makes the sample a cheap re-read.
@@ -1398,6 +1461,12 @@ object SparkEntry {
     "q68_dedup_clusters" -> (q68DedupClusters _),
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q70_pack_chunks" -> (q70PackChunks _),
+    "q71_pii_redact" -> (q71PiiRedact _),
+    "q72_repetition" -> (q72Repetition _),
+    "q73_domain_cap" -> (q73DomainCap _),
+    "q74_temperature_resample" -> (q74TemperatureResample _),
+    "q75_mean_pool" -> (q75MeanPool _),
+    "q76_kmeans" -> (q76Kmeans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2280,6 +2349,85 @@ object SparkEntry {
         |  CASE WHEN n_tokens > 0
         |       THEN CAST(FLOOR((cum_end - 1) / 256) AS BIGINT) END AS chunk_last
         |FROM cum ORDER BY doc_id""".stripMargin,
+    "q71_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |           THEN ' contact user' || doc_id || '@example.com now'
+        |         WHEN doc_id % 5 = 1
+        |           THEN ' call 206-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |         WHEN doc_id % 5 = 2
+        |           THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || ' logged'
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "q72_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |grams AS (SELECT doc_id,
+        |  unnest([array_to_string(l[i:i+1], ' ')
+        |          for i in range(1, greatest(len(l)-1, 1)+1)]) AS gram
+        |  FROM tk),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  max(c)::DOUBLE / sum(c) AS top_gram_frac,
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dup_gram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q73_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x'||substr(md5(doc_id||'|graft'),1,15))::BIGINT, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+    "q74_temperature_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        |r AS (SELECT lang,
+        |        sqrt((SELECT min(c) FROM c)::DOUBLE / c) AS rate FROM c)
+        |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+        |WHERE ('0x'||substr(md5(doc_id||'|graft'),1,15))::BIGINT
+        |      < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+    "q75_mean_pool" ->
+      """WITH flat AS (
+        |  SELECT label, unnest(range(0, len(embedding))) AS dim,
+        |    unnest([floor(x::DOUBLE * 1000000)::BIGINT for x in embedding]) AS q
+        |  FROM embeddings)
+        |SELECT label, dim, (sum(q)::DOUBLE / count(*)) / 1000000 AS mean
+        |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q76_kmeans" ->
+      """WITH emb AS (SELECT vec_id AS id,
+        |    [floor(x::DOUBLE * 100)::BIGINT for x in embedding] AS qv
+        |  FROM embeddings),
+        |flat AS (SELECT id, unnest(range(0, len(qv))) AS dim, unnest(qv) AS x
+        |         FROM emb),
+        |c0 AS (SELECT id AS cell, dim, x AS s, 1::BIGINT AS n
+        |       FROM flat WHERE id < 8),
+        |s1 AS (SELECT f.id, c.cell,
+        |         sum((c.n*f.x - c.s)*(c.n*f.x - c.s))::DOUBLE / (c.n*c.n) AS score
+        |       FROM flat f JOIN c0 c USING (dim) GROUP BY f.id, c.cell, c.n),
+        |a1 AS (SELECT id, cell FROM (
+        |         SELECT id, cell, row_number() OVER (PARTITION BY id
+        |           ORDER BY score, cell) AS rn FROM s1) WHERE rn = 1),
+        |c1 AS (SELECT a.cell, f.dim, sum(f.x) AS s, count(*) AS n
+        |       FROM flat f JOIN a1 a USING (id) GROUP BY 1, 2),
+        |s2 AS (SELECT f.id, c.cell,
+        |         sum((c.n*f.x - c.s)*(c.n*f.x - c.s))::DOUBLE / (c.n*c.n) AS score
+        |       FROM flat f JOIN c1 c USING (dim) GROUP BY f.id, c.cell, c.n),
+        |a2 AS (SELECT id, cell FROM (
+        |         SELECT id, cell, row_number() OVER (PARTITION BY id
+        |           ORDER BY score, cell) AS rn FROM s2) WHERE rn = 1)
+        |SELECT id AS vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -239,13 +239,24 @@ object FhirEtl {
     val ok = statuses.filter(col("status") === "processed").select("id")
     val e = entries.join(ok, "id")
 
-    def typed(rtype: String, schema: DataType): DataFrame =
-      e.filter(col("rtype") === rtype)
+    // multiConsumer = this type's frame is joined from more than one
+    // branch WITHIN a single output frame, so every consumer of that
+    // output pays the re-parse: Encounter feeds both the main path and
+    // the partOf self-join side of `encounters`. A lazy checkpoint makes
+    // that typed parse run once. Specimen/Observation fan out only
+    // across SEPARATE Delta outputs (sampleUpdates vs presenceAbsence) —
+    // a checkpoint there costs a materialization even for pipelines that
+    // consume each output once (measured: net loss), so they stay plain.
+    def typed(rtype: String, schema: DataType,
+        multiConsumer: Boolean = false): DataFrame = {
+      val t = e.filter(col("rtype") === rtype)
         .select(col("id"), col("pos"), col("full_url"),
           from_json(col("res"), schema).as("r"))
+      if (multiConsumer) t.localCheckpoint(false) else t
+    }
 
     val pat = typed("Patient", patientSchema)
-    val enc = typed("Encounter", encounterSchema)
+    val enc = typed("Encounter", encounterSchema, multiConsumer = true)
     val obs = typed("Observation", observationSchema)
     val spec = typed("Specimen", specimenSchema)
     val qr = typed("QuestionnaireResponse", questionnaireSchema)

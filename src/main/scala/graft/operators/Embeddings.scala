@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column operators for training-data pipelines: quantized
+  * pooling and clustering whose arithmetic is EXACT (integer sums,
+  * IEEE-correctly-rounded single divisions), so results are bit-identical
+  * across engines, partitionings and retries — float accumulation order
+  * is the classic source of non-reproducible corpus builds (a sum over a
+  * reshuffled partition changes the last ulp, which flips an argmin, which
+  * moves a document to another cluster on the next run).
+  *
+  * Everything is relational (posexplode → groupBy on (key, dim)) rather
+  * than array-HOF math: per-dim rows get map-side partial aggregation and
+  * whole-stage codegen, and nothing ever collects a vector to the driver.
+  */
+object Embeddings {
+
+  /** Quantize a float vector onto an integer grid: floor(x · scale).
+    * float→double widening is exact and floor/multiply are correctly
+    * rounded, so any engine produces the same longs.
+    */
+  def quantize(vec: Column, scale: Int): Column =
+    transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Per-group mean-pooled vector, exact: integer sums per dimension, one
+    * correctly-rounded division at the end. Output is row-per-dimension
+    * (`group, dim, mean`) — the shape that aggregates map-side and never
+    * builds a giant array in the agg buffer.
+    */
+  def meanPool(
+      df: DataFrame, groupCol: String, vecCol: String,
+      scale: Int = 1000000): DataFrame =
+    df.select(col(groupCol),
+        posexplode(quantize(col(vecCol), scale)).as(Seq("dim", "q")))
+      .groupBy(groupCol, "dim")
+      .agg(sum("q").as("_s"), count(lit(1)).as("_n"))
+      .select(col(groupCol), col("dim"),
+        (col("_s").cast("double") / col("_n") / scale).as("mean"))
+
+  /** K-means cell assignment over quantized vectors — the IVF training
+    * step ([[SimilaritySearch.ivfTopK]] consumes the resulting cells).
+    * Lloyd's algorithm with deterministic seeding (the k smallest ids)
+    * and EXACT integer distance comparisons: centroids are kept as
+    * (sum-vector s, member count n) and the squared distance to the mean
+    * s/n is compared via the integer form Σ(n·x − s)² / n² — numerator
+    * and n² are exact longs well under 2^53, so the one double division
+    * is correctly rounded and the argmin is engine- and
+    * partitioning-independent. Ties break on the lower cell id.
+    *
+    * Plan shape per iteration: broadcast the (cell, dim, s, n) centroid
+    * table (k·D rows), join the (id, dim, x) fact on dim, one
+    * map-side-combining groupBy (id, cell) for scores, one groupBy (id)
+    * argmin, one groupBy (cell, dim) for the update — the standard N·D·k
+    * k-means cost as three shuffles of narrow integer rows; vectors never
+    * move after the initial explode.
+    *
+    * @param scale quantization grid; with |x| ≤ ~30 and corpora to ~10^6
+    *              rows per cell the integer score stays < 2^53
+    */
+  def kmeansAssignQuantized(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Int = 100): DataFrame = {
+    val flat = df
+      .select(col(idCol).as("id"),
+        posexplode(quantize(col(vecCol), scale)).as(Seq("dim", "x")))
+      .localCheckpoint(false) // consumed once per iteration
+    var centroids = flat.filter(col("id") < k)
+      .select(col("id").as("cell"), col("dim"), col("x").as("s"),
+        lit(1L).as("n"))
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      val d = col("n") * col("x") - col("s") // exact long arithmetic
+      val scores = flat
+        .join(broadcast(centroids), Seq("dim"))
+        .groupBy("id", "cell", "n")
+        .agg(sum(d * d).as("_num"))
+        .select(col("id"), col("cell"),
+          (col("_num").cast("double") / (col("n") * col("n"))).as("score"))
+      assign = scores.groupBy("id")
+        .agg(min(struct(col("score"), col("cell"))).as("_m"))
+        .select(col("id"), col("_m.cell").as("cell"))
+      centroids = flat.join(assign, Seq("id"))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .localCheckpoint(false) // truncate the per-iteration lineage
+    }
+    assign
+  }
+}

@@ -47,4 +47,51 @@ object Sampling {
       .filter(keyHash60(col(keyCol), salt) <
         floor(col("rate") * lit(Two60)).cast("long"))
       .drop("rate")
+
+  /** Per-group quota cap (the Common-Crawl-style per-domain cap): keep at
+    * most `cap` rows per group, selected in deterministic hash order so
+    * the survivors are a stable uniform choice, not "whatever arrived
+    * first". One shuffle on the group key. A head-heavy group funnels
+    * through one partition's window scan; for web-scale domain caps
+    * pre-filter the few head groups with [[hashSample]] at rate
+    * ≈ cap/|group| first, then the window only ranks the tail.
+    */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, keyCol: String, cap: Int,
+      salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(keyHash60(col(keyCol), salt), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
+  }
+
+  /** Temperature-flattening resample at T = 2 (multilingual mixing à la
+    * public multilingual-pretraining recipes: group shares are reweighted
+    * toward share^(1/T), boosting low-resource groups): every group's keep
+    * rate is sqrt(c_min / c_g) — the smallest group keeps everything,
+    * a 100× larger group keeps 10%.
+    *
+    * T = 2 on purpose: sqrt, divide and multiply are IEEE
+    * correctly-rounded, so thresholds are bit-identical in every engine —
+    * a general pow(share, 1/T) is NOT correctly rounded and an ulp of
+    * libm disagreement would flip rows near the hash threshold.
+    *
+    * Plan: one tiny count aggregate, rates broadcast back, then the pure
+    * per-row hash gate — the corpus itself is never shuffled.
+    */
+  def temperatureResample(
+      df: DataFrame, keyCol: String, groupCol: String,
+      salt: String = "graft"): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_c"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("_c")).as("_cmin"))))
+      .select(col(groupCol),
+        sqrt(col("_cmin").cast("double") / col("_c")).as("_rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(keyHash60(col(keyCol), salt) <
+        floor(col("_rate") * lit(Two60)).cast("long"))
+      .drop("_rate")
+  }
 }

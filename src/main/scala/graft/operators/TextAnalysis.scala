@@ -73,6 +73,57 @@ object TextAnalysis {
           .otherwise((nChar - nTok + 1).cast("double") / nTok))
   }
 
+  // PII patterns — kept to the regex subset that Java and RE2 treat
+  // identically (character classes, bounded repetition, \b), so the same
+  // pattern is reusable as a SQL oracle.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII redaction for training corpora: emails, IPv4s and phone numbers
+    * replaced with typed placeholder tokens. Pure per-row regexp chain —
+    * codegen'd, no shuffle. Order matters: emails first (an email's
+    * host.digits could otherwise be clipped by the IP rule).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Word n-grams, NOT deduplicated (repetition analysis needs the
+    * multiplicities that [[Dedup.wordShingles]] discards).
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    Dedup.bind(split(trim(text), "\\s+"), toks =>
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** Gopher-style repetition signals per document: the fraction of n-gram
+    * occurrences claimed by the single most frequent n-gram
+    * (`top_gram_frac`) and the fraction covered by n-grams occurring more
+    * than once (`dup_gram_frac`). High values flag boilerplate/spam for
+    * corpus filtering (Rae et al. 2021, "Scaling Language Models" §A1.1 —
+    * public heuristic).
+    *
+    * Relational form: explode n-grams → two map-side-combining groupBys
+    * ((id, gram) then id). Ratios are single divisions of exact counts —
+    * bit-identical in any engine. Scales: the shuffle carries (id, gram)
+    * counts, never the text.
+    */
+  def repetitionSignals(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    df.select(col(idCol).as(idCol),
+        explode(wordNgrams(col(textCol), n)).as("gram"))
+      .groupBy(idCol, "gram").agg(count(lit(1)).as("_c"))
+      .groupBy(idCol)
+      .agg(sum("_c").as("_total"), max("_c").as("_top"),
+        sum(when(col("_c") > 1, col("_c")).otherwise(0L)).as("_dup"))
+      .select(col(idCol),
+        (col("_top").cast("double") / col("_total")).as("top_gram_frac"),
+        (col("_dup").cast("double") / col("_total")).as("dup_gram_frac"))
+
   /** Canonical-text fingerprint: md5 over lowercased, whitespace-collapsed,
     * punctuation-stripped text — robust to formatting-only edits.
     */

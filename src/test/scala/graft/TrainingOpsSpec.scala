@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+/** Specs for the round-3 training-data operators: PII redaction,
+  * repetition signals, per-group caps, temperature resampling, exact
+  * mean-pooling and quantized k-means.
+  */
+class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("redactPii masks emails, IPs and phones; leaves clean text alone") {
+    import spark.implicits._
+    val r = Seq(
+      "mail bob.smith+x@lists.example.org now",
+      "host 192.168.0.1 port",
+      "call 206-555-0199 today",
+      "nothing to see here 12.5 versions")
+      .toDF("t").select(TextAnalysis.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq(
+      "mail <EMAIL> now",
+      "host <IP> port",
+      "call <PHONE> today",
+      "nothing to see here 12.5 versions"))
+  }
+
+  test("repetitionSignals computes top/dup gram fractions exactly") {
+    import spark.implicits._
+    // 2-grams of "a a a b": ["a a", "a a", "a b"] → top 2/3, dup 2/3;
+    // "x y z" has no repeats → top 1/2, dup 0
+    val df = Seq((1L, "a a a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2.0 / 3, 2.0 / 3), (2L, 0.5, 0.0)))
+  }
+
+  test("capPerGroup keeps exactly cap rows per group, deterministically") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    val kept = Sampling.capPerGroup(df, "g", "id", cap = 3)
+    assert(kept.groupBy("g").count().collect().forall(_.getLong(1) == 3))
+    // deterministic under re-partitioning
+    val again = Sampling.capPerGroup(df.repartition(7), "g", "id", cap = 3)
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("temperatureResample keeps the whole smallest group") {
+    import spark.implicits._
+    val df = ((0L until 8L).map(i => (i, "rare")) ++
+      (100L until 500L).map(i => (i, "common"))).toDF("id", "g")
+    val kept = Sampling.temperatureResample(df, "id", "g")
+    val byG = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("rare") == 8L) // rate = sqrt(8/8) = 1
+    // sqrt(8/400) ≈ 0.1414 → expect ~57 of 400; allow generous hash noise
+    assert(byG("common") > 20 && byG("common") < 120)
+  }
+
+  test("meanPool is exact on known vectors") {
+    import spark.implicits._
+    val df = Seq((0, Seq(1.0f, -2.0f)), (0, Seq(3.0f, 4.0f)),
+      (1, Seq(0.5f, 0.25f))).toDF("label", "embedding")
+    val got = Embeddings.meanPool(df, "label", "embedding")
+      .orderBy("label", "dim")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0, 0, 2.0), (0, 1, 1.0), (1, 0, 0.5), (1, 1, 0.25)))
+  }
+
+  test("kmeansAssignQuantized separates two obvious blobs") {
+    import spark.implicits._
+    // ids 0,1 seed the two cells; the rest sit clearly in one blob each
+    val rows = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.1f, -0.1f)), (3L, Seq(0.2f, 0.1f)),
+      (4L, Seq(9.8f, 10.1f)), (5L, Seq(10.2f, 9.9f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Embeddings.kmeansAssignQuantized(df, "vec_id", "embedding",
+      k = 2, iters = 2, scale = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == got(2L) && got(2L) == got(3L))
+    assert(got(1L) == got(4L) && got(4L) == got(5L))
+    assert(got(0L) != got(1L))
+  }
+}
