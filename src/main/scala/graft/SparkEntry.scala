@@ -1379,6 +1379,45 @@ object SparkEntry {
       .select($("id").as("vec_id"), $("cell"))
       .orderBy("vec_id")
 
+  /** Incremental dedup — a new batch (doc_id % 7 == 0) LSH-checked
+    * against the standing corpus (the rest) without a corpus self-join.
+    */
+  private def q77IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.minhashLshPairsAgainst(
+      d.filter($("doc_id") % 7 =!= 0), d.filter($("doc_id") % 7 === 0),
+      "doc_id", "text", shingleN = 4, numHashes = 16, bandSize = 4,
+      minAgree = 8)
+      .select($("corpus_id"), $("batch_id"), $("agree").cast("long").as("agree"))
+      .orderBy("corpus_id", "batch_id")
+  }
+
+  /** Trained IVF — k-means coarse quantizer (q76) + exact mean-pooled
+    * centroids (q75's arithmetic) + probe-and-rerank ANN: the full
+    * train-index-query loop.
+    */
+  private def q78IvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val assign = Embeddings.kmeansAssignQuantized(
+      emb, "vec_id", "embedding", k = 8, iters = 2, scale = 100)
+    val assigned = emb
+      .select($("vec_id").as("id"), $("embedding").as("vec"))
+      .join(assign.select($("id"), $("cell").as("cell_id")), Seq("id"))
+    val cents = Embeddings.meanPool(
+      assigned.select($("cell_id"), $("vec").as("embedding")),
+      "cell_id", "embedding")
+      .groupBy("cell_id")
+      .agg(transform(array_sort(collect_list(struct($("dim"), $("mean")))),
+        x => x.getField("mean")).as("cvec"))
+    val queries = emb.filter($("vec_id") < 8)
+      .select($("vec_id").as("qid"), $("embedding").as("qvec"))
+    SimilaritySearch.ivfTopKAssigned(assigned, cents, queries,
+      k = 5, nprobe = 4)
+      .withColumn("cosine", round($("cosine"), 6))
+      .withColumn("rank", $("rank").cast("long"))
+      .orderBy("qid", "rank")
+  }
+
   /** Pre-sort materialization for expensive pipelines: a global orderBy
     * range-partitions, and its sampling pass executes the full child plan
     * a second time. Checkpointing first makes the sample a cheap re-read.
@@ -1467,6 +1506,8 @@ object SparkEntry {
     "q74_temperature_resample" -> (q74TemperatureResample _),
     "q75_mean_pool" -> (q75MeanPool _),
     "q76_kmeans" -> (q76Kmeans _),
+    "q77_incremental_dedup" -> (q77IncrementalDedup _),
+    "q78_ivf_trained" -> (q78IvfTrained _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2428,6 +2469,72 @@ object SparkEntry {
         |         SELECT id, cell, row_number() OVER (PARTITION BY id
         |           ORDER BY score, cell) AS rn FROM s2) WHERE rn = 1)
         |SELECT id AS vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin,
+    "q77_incremental_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |            for i in range(1, greatest(len(l)-3, 1)+1)])] AS bs
+        |  FROM tk),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl] AS sg
+        |  FROM base, css)
+        |SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+        |  CAST(len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) AS BIGINT) AS agree
+        |FROM sig a, sig b
+        |WHERE a.doc_id % 7 != 0 AND b.doc_id % 7 = 0
+        |  AND len(list_filter(range(0, 4), b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
+        |  AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8
+        |ORDER BY corpus_id, batch_id""".stripMargin,
+    "q78_ivf_trained" ->
+      """WITH emb AS (SELECT vec_id AS id,
+        |    [floor(x::DOUBLE * 100)::BIGINT for x in embedding] AS qv
+        |  FROM embeddings),
+        |flat AS (SELECT id, unnest(range(0, len(qv))) AS dim, unnest(qv) AS x
+        |         FROM emb),
+        |c0 AS (SELECT id AS cell, dim, x AS s, 1::BIGINT AS n
+        |       FROM flat WHERE id < 8),
+        |s1 AS (SELECT f.id, c.cell,
+        |         sum((c.n*f.x - c.s)*(c.n*f.x - c.s))::DOUBLE / (c.n*c.n) AS score
+        |       FROM flat f JOIN c0 c USING (dim) GROUP BY f.id, c.cell, c.n),
+        |a1 AS (SELECT id, cell FROM (
+        |         SELECT id, cell, row_number() OVER (PARTITION BY id
+        |           ORDER BY score, cell) AS rn FROM s1) WHERE rn = 1),
+        |c1 AS (SELECT a.cell, f.dim, sum(f.x) AS s, count(*) AS n
+        |       FROM flat f JOIN a1 a USING (id) GROUP BY 1, 2),
+        |s2 AS (SELECT f.id, c.cell,
+        |         sum((c.n*f.x - c.s)*(c.n*f.x - c.s))::DOUBLE / (c.n*c.n) AS score
+        |       FROM flat f JOIN c1 c USING (dim) GROUP BY f.id, c.cell, c.n),
+        |a2 AS (SELECT id, cell FROM (
+        |         SELECT id, cell, row_number() OVER (PARTITION BY id
+        |           ORDER BY score, cell) AS rn FROM s2) WHERE rn = 1),
+        |flat6 AS (SELECT vec_id AS id, unnest(range(0, len(embedding))) AS dim,
+        |    unnest([floor(x::DOUBLE * 1000000)::BIGINT for x in embedding]) AS q
+        |  FROM embeddings),
+        |cmean AS (SELECT a.cell, f.dim,
+        |    (sum(f.q)::DOUBLE / count(*)) / 1000000 AS mean
+        |  FROM flat6 f JOIN a2 a USING (id) GROUP BY a.cell, f.dim),
+        |centv AS (SELECT cell, list(mean ORDER BY dim) AS cv
+        |          FROM cmean GROUP BY cell),
+        |corpus AS (SELECT e.vec_id AS id, [x::DOUBLE for x in e.embedding] AS v,
+        |    a.cell
+        |  FROM embeddings e JOIN a2 a ON a.id = e.vec_id),
+        |probes AS (SELECT qid, qv2, cell FROM (
+        |    SELECT q.vec_id AS qid, [x::DOUBLE for x in q.embedding] AS qv2,
+        |      c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(
+        |          [x::DOUBLE for x in q.embedding], c.cv) DESC, c.cell) AS rn
+        |    FROM embeddings q CROSS JOIN centv c WHERE q.vec_id < 8)
+        |  WHERE rn <= 4)
+        |SELECT qid, id, round(cos, 6) AS cosine, rank FROM (
+        |  SELECT p.qid, s.id, list_cosine_similarity(s.v, p.qv2) AS cos,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY list_cosine_similarity(s.v, p.qv2) DESC, s.id) AS rank
+        |  FROM corpus s JOIN probes p USING (cell))
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -185,6 +185,38 @@ object Dedup {
       .select("id_a", "id_b", "agree")
   }
 
+  /** Incremental near-dup detection: LSH candidates of a NEW batch
+    * against an EXISTING corpus — the daily-increment production shape.
+    * The self-join variant ([[minhashLshPairs]]) rescans the whole corpus
+    * every run; here the corpus's banded signatures are a standing index
+    * (in production: a bucketed table, so the batch's band join is
+    * shuffle-free on the corpus side) and only the batch is signed fresh.
+    * Output: (corpus_id, batch_id, agree) for pairs agreeing on >=
+    * `minAgree` of `numHashes` signature positions.
+    */
+  def minhashLshPairsAgainst(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 4, numHashes: Int = 16, bandSize: Int = 4,
+      minAgree: Int = 12): DataFrame = {
+    val numBands = numHashes / bandSize
+    def banded(df: DataFrame) =
+      minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+        .select(col("id"), col("sig"),
+          posexplode(array((0 until numBands).map { b =>
+            md5(concat_ws(",", (0 until bandSize).map(i =>
+              element_at(col("sig"), b * bandSize + i + 1)): _*))
+          }: _*)).as(Seq("band", "bucket")))
+    banded(corpus).as("a").hint("shuffle_hash").join(banded(batch).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("corpus_id"), col("b.id").as("batch_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("agree",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+      .filter(col("agree") >= minAgree)
+      .select("corpus_id", "batch_id", "agree")
+  }
+
   /** 60-bit SimHash fingerprint per document: tokens vote ±1 on each bit
     * of their hash; the fingerprint takes the sign. One groupBy(id) with
     * `bits` conditional-sum aggregates (map-side combined) — no per-bit

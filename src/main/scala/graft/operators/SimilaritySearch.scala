@@ -144,6 +144,41 @@ object SimilaritySearch {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** IVF probe over a TRAINED index: the corpus arrives already assigned
+    * to cells (e.g. by [[Embeddings.kmeansAssignQuantized]] at ingest) and
+    * the centroid table comes from training (e.g. [[Embeddings.meanPool]]
+    * over the assignment) — the production IVF shape, where assignment is
+    * a stored, bucketed column and queries only ever pay the probe join.
+    * Plan identical to [[ivfTopK]]'s probe half: tiny centroid table
+    * broadcast twice (probe selection, none on the corpus side), corpus
+    * touched only in the probed cells.
+    */
+  def ivfTopKAssigned(
+      assigned: DataFrame, // id, vec, cell_id
+      cents: DataFrame, // cell_id, cvec
+      queries: DataFrame, // qid, qvec
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val c = cents.select(col("cell_id"), col("cvec"),
+      norm(col("cvec")).as("cnorm"))
+    val probes = queries
+      .select(col("qid"), col("qvec"), norm(col("qvec")).as("qnorm"))
+      .crossJoin(broadcast(c))
+      .withColumn("_cos", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_cos").desc, col("cell_id"))))
+      .filter(col("_pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qnorm"), col("cell_id"))
+    val scored = assigned
+      .select(col("id"), col("vec"), norm(col("vec")).as("vnorm"), col("cell_id"))
+      .join(broadcast(probes), Seq("cell_id"))
+      .withColumn("cosine",
+        dot(col("vec"), col("qvec")) / (col("vnorm") * col("qnorm")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       numBands: Int = 2, bandBits: Int = 8): DataFrame = {

@@ -75,4 +75,50 @@ object StreamingEtl {
       watermark: String = "2 hours"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** A keyed update event entering [[upsertChanges]]. */
+  final case class Upsert(key: String, seq: Long, value: String)
+  /** Per-key state carried between micro-batches. */
+  final case class LastValue(value: String)
+  /** Emitted change row: change ∈ created | updated (no-ops are skipped). */
+  final case class Change(key: String, seq: Long, value: String, change: String)
+
+  /** The upsert verb's change-detection semantics (reference
+    * etl/__init__.py:175-197 / db/__init__.py:262-269 — insert, update, or
+    * "skip if unchanged") as genuine custom streaming state:
+    * `flatMapGroupsWithState` keeps each key's last value between
+    * micro-batches and emits only created/updated rows, so a feed that
+    * re-delivers the same document produces no writes — the streaming twin
+    * of the batch MERGE's no-op suppression, with per-key state instead of
+    * a full-table join.
+    *
+    * Scale: state is one value per live key, partitioned by key across
+    * executors (RocksDB-backed state store on a real cluster); events
+    * within a batch apply in `seq` order, so replays are deterministic.
+    */
+  def upsertChanges(updates: org.apache.spark.sql.Dataset[Upsert])
+      : org.apache.spark.sql.Dataset[Change] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Upsert], state: GroupState[LastValue]) =>
+          val ordered = rows.toSeq.sortBy(_.seq)
+          val out = Seq.newBuilder[Change]
+          var last = state.getOption.map(_.value)
+          for (u <- ordered) {
+            last match {
+              case None =>
+                out += Change(key, u.seq, u.value, "created")
+              case Some(v) if v != u.value =>
+                out += Change(key, u.seq, u.value, "updated")
+              case _ => () // unchanged → skip (no write)
+            }
+            last = Some(u.value)
+          }
+          last.foreach(v => state.update(LastValue(v)))
+          out.result().iterator
+      }
+  }
 }

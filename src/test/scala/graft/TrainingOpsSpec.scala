@@ -82,6 +82,63 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((0, 0, 2.0), (0, 1, 1.0), (1, 0, 0.5), (1, 1, 0.25)))
   }
 
+  test("minhashLshPairsAgainst finds batch dups of corpus docs only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark physical planning"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "nothing like anything else in this corpus at all believe me"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsAgainst(corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 10L)))
+  }
+
+  test("ivfTopKAssigned returns the vector itself at rank 1") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0L), (1L, Seq(0.9f, 0.1f), 0L),
+      (2L, Seq(0.0f, 1.0f), 1L), (3L, Seq(0.1f, 0.9f), 1L))
+      .toDF("id", "vec", "cell_id")
+    val cents = Seq((0L, Seq(0.95, 0.05)), (1L, Seq(0.05, 0.95)))
+      .toDF("cell_id", "cvec")
+    val queries = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("qid", "qvec")
+    val top = SimilaritySearch.ivfTopKAssigned(vecs, cents, queries,
+      k = 2, nprobe = 1)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top == Map(0L -> 0L, 2L -> 2L))
+  }
+
+  test("upsertChanges: created/updated emitted, unchanged skipped, state persists") {
+    import spark.implicits._
+    import graft.streaming.StreamingEtl
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingEtl.Upsert]
+    val q = StreamingEtl.upsertChanges(mem.toDS())
+      .writeStream.format("memory").queryName("chg")
+      .outputMode("append").start()
+    try {
+      mem.addData(StreamingEtl.Upsert("a", 1, "v1"),
+        StreamingEtl.Upsert("a", 2, "v1"), // same batch, unchanged
+        StreamingEtl.Upsert("b", 1, "x"))
+      q.processAllAvailable()
+      mem.addData(StreamingEtl.Upsert("a", 3, "v2"), // cross-batch update
+        StreamingEtl.Upsert("b", 2, "x")) // cross-batch no-op
+      q.processAllAvailable()
+      val got = spark.table("chg")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+        .toSet
+      assert(got == Set(("a", 1L, "created"), ("b", 1L, "created"),
+        ("a", 3L, "updated")))
+    } finally q.stop()
+  }
+
   test("kmeansAssignQuantized separates two obvious blobs") {
     import spark.implicits._
     // ids 0,1 seed the two cells; the rest sit clearly in one blob each
