@@ -1418,6 +1418,30 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Connected components on a long-diameter graph (50-node chains) via
+    * alternating large-star/small-star contraction — the O(log n)-round
+    * algorithm that survives chain-shaped dup graphs where plain label
+    * propagation needs O(diameter) rounds.
+    */
+  private def q79CcChain(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select($("doc_id"))
+    val edges = d.filter($("doc_id") % 50 =!= 49)
+      .select($("doc_id").as("id_a"), ($("doc_id") + 1).as("id_b"))
+      .join(d.select($("doc_id").as("id_b")), Seq("id_b"))
+    Dedup.connectedComponentsAlternating(edges)
+      .select($("id").as("doc_id"), $("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Skew-safe exact distinct count: 3 hot group keys over the full
+    * lineitem table — the (key, value)-pair shuffle spreads each hot key
+    * across all partitions where the naive plan funnels it to one.
+    */
+  private def q80SkewDistinct(s: SparkSession, dir: String): DataFrame =
+    Skew.countDistinctByKey(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_partkey", alias = "n_parts")
+      .orderBy("l_returnflag")
+
   /** Pre-sort materialization for expensive pipelines: a global orderBy
     * range-partitions, and its sampling pass executes the full child plan
     * a second time. Checkpointing first makes the sample a cheap re-read.
@@ -1508,6 +1532,8 @@ object SparkEntry {
     "q76_kmeans" -> (q76Kmeans _),
     "q77_incremental_dedup" -> (q77IncrementalDedup _),
     "q78_ivf_trained" -> (q78IvfTrained _),
+    "q79_cc_chain" -> (q79CcChain _),
+    "q80_skew_distinct" -> (q80SkewDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2535,6 +2561,22 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(s.v, p.qv2) DESC, s.id) AS rank
         |  FROM corpus s JOIN probes p USING (cell))
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q79_cc_chain" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |e AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+        |      FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+        |      WHERE a.doc_id % 50 != 49),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM e
+        |          UNION ALL SELECT id_b, id_a FROM e),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q80_skew_distinct" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

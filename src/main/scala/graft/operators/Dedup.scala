@@ -330,6 +330,60 @@ object Dedup {
     * (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
     * same join primitives, logarithmic rounds.
     */
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm): each round every node hooks
+    * its larger neighbors (large-star) then its smaller-or-equal
+    * neighbors (small-star) onto the minimum of its neighborhood.
+    * Converges in O(log n) rounds on ANY graph shape — the scale path
+    * for adversarial long chains where [[connectedComponents]]' label
+    * propagation needs O(diameter) rounds. Same output contract:
+    * (id, cluster_id = min reachable id).
+    *
+    * Each round is two groupBy(u) min-aggregations and two equi-joins
+    * over bare (long, long) edges, checkpointed per round.
+    */
+  def connectedComponentsAlternating(
+      pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint(false)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // large-star: strictly larger neighbors hook onto the neighborhood min
+      val large = sym.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val afterLarge = canon(large).localCheckpoint(false)
+      val sym2 = afterLarge.unionByName(
+        afterLarge.select(col("v").as("u"), col("u").as("v")))
+      val mins2 = sym2.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // small-star: smaller-or-equal neighbors (and u itself) hook onto min
+      val small = sym2.join(mins2, Seq("u")).filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins2.select(col("u"), col("m").as("v")))
+      val next = canon(small).localCheckpoint()
+      converged =
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      round += 1
+    }
+    // at convergence the edge set is a star forest rooted at each
+    // component's minimum: (root, node) pairs + roots labeling themselves
+    edges.select(col("v").as("id"), col("u").as("cluster_id"))
+      .unionByName(edges.select(col("u").as("id"), col("u").as("cluster_id"))
+        .distinct())
+  }
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

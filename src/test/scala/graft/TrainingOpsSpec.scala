@@ -139,6 +139,59 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("connectedComponentsAlternating matches label propagation on a long chain") {
+    import spark.implicits._
+    // a 60-node chain (worst case for propagation) + a 5-ring + a pair
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val ring = (100L until 104L).map(i => (i, i + 1)) :+ (104L, 100L)
+    val pair = Seq((500L, 501L))
+    val pairs = (chain ++ ring ++ pair).toDF("id_a", "id_b")
+    val alt = Dedup.connectedComponentsAlternating(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(pairs, maxRounds = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt == prop)
+    assert(alt(59L) == 0L && alt(104L) == 100L && alt(501L) == 500L)
+  }
+
+  test("connectedComponentsAlternating matches on a random-ish dense graph") {
+    import spark.implicits._
+    // deterministic pseudo-random edges over 80 nodes
+    val pairs = (1L until 200L)
+      .map(i => ((i * 7919) % 80, (i * 104729) % 80))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val alt = Dedup.connectedComponentsAlternating(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(pairs, maxRounds = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt == prop)
+  }
+
+  test("saltedJoin matches the plain join on skewed data") {
+    import spark.implicits._
+    // 90% of fact rows share key 1
+    val fact = (0L until 200L)
+      .map(i => (i, if (i % 10 == 0) i % 3 + 2 else 1L)).toDF("row_id", "k")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("row_id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val salted = Skew.saltedJoin(fact, dim, "k", "row_id", salts = 8)
+      .select("row_id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(plain == salted)
+  }
+
+  test("countDistinctByKey matches countDistinct") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => ("k" + i % 3, i % 37)).toDF("k", "v")
+    val got = Skew.countDistinctByKey(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = df.groupBy("k").agg(countDistinct("v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("kmeansAssignQuantized separates two obvious blobs") {
     import spark.implicits._
     // ids 0,1 seed the two cells; the rest sit clearly in one blob each
