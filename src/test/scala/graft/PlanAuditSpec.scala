@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan audits: the properties that make these plans survive a
+  * 100× scale-up, asserted on the plan text so a refactor that silently
+  * loses pushdown, broadcast selection, or partial aggregation fails CI —
+  * not just the stopwatch.
+  *
+  * Runs against the sf0.001 test data (plan shape, not timing).
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q11 row filter is pushed to the parquet scan") {
+    val p = plan("q11_filter")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThan(l_quantity"), p.take(2000))
+  }
+
+  test("q51 masked select prunes the scan to the projected columns") {
+    val p = plan("q51_mask_select")
+    // ReadSchema must not include unprojected wide columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("o_comment"), read)
+    assert(!read.contains("o_totalprice"), read)
+  }
+
+  test("q2 star join broadcasts the dimension side") {
+    val p = plan("q2_star_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q1 aggregation has a map-side partial phase") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate(keys=[l_returnflag"), p.take(3000))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      p.take(3000))
+  }
+
+  test("q1 aggregation runs inside whole-stage codegen") {
+    // codegen stages appear only in the FINAL adaptive plan — execute,
+    // then look for the `*(n)` codegen-stage markers
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    df.collect() // executes THIS QueryExecution, finalizing the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(p.contains("*("), p.take(3000))
+  }
+
+  test("q22 LSH band self-join is an equi join, never a cartesian product") {
+    val p = plan("q22_minhash_pairs")
+    assert(!p.contains("CartesianProduct"), "band join degenerated")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "band join degenerated")
+  }
+
+  test("q8 range-bin join is broadcast nested loop over the tiny bin table") {
+    val p = plan("q8_range_bin")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q73 per-domain cap windows by group, not a global single partition") {
+    val p = plan("q73_domain_cap")
+    assert(!p.contains("Window ") || !p.contains("SinglePartition"),
+      "capPerGroup lost its partitioning")
+  }
+}
