@@ -27,13 +27,26 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q55_fhir_encounters", "q56_fhir_pa", "q21_minhash_sig",
-        "q22_minhash_pairs", "q68_dedup_clusters")
-    for (n <- names) { noop(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")); scrub() }
-    for (pass <- 1 to 2; n <- names) {
-      time(s"$n p$pass")(noop(SparkEntry.queries(n)(spark, dir)))
-      scrub()
+    import graft.etl.FhirEtl
+    import spark.implicits._
+    noop(SparkEntry.queries("q55_fhir_encounters")(spark, "/root/testdata/sf0.001"))
+    scrub()
+    def build(): org.apache.spark.sql.DataFrame = {
+      val feed = SparkEntry.fhirFeed55Materialized(spark, dir)
+      val emptyIdent = Seq.empty[(String, String, String)].toDF("barcode", "uuid", "set_name")
+      val emptySamples = Seq.empty[(String, String)].toDF("identifier", "collection_identifier")
+      val delta = FhirEtl.decompose(feed, emptyIdent, emptySamples)
+      delta.statuses
+        .join(delta.encounters.select(col("id"), col("identifier"),
+            date_format(col("encountered"), "yyyy-MM-dd HH:mm:ss").as("encountered"),
+            col("individual_identifier"), col("sex"), col("language"),
+            col("site_identifier"), col("age")),
+          Seq("id"), "left")
+    }
+    for (p <- 1 to 2) {
+      time(s"ckpt+sort p$p")(noop(build().localCheckpoint(false).orderBy("id"))); scrub()
+      time(s"plain sort p$p")(noop(build().orderBy("id"))); scrub()
+      time(s"no sort p$p")(noop(build())); scrub()
     }
     spark.stop()
   }

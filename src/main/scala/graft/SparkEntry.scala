@@ -1442,6 +1442,28 @@ object SparkEntry {
       Seq("l_returnflag"), "l_partkey", alias = "n_parts")
       .orderBy("l_returnflag")
 
+  /** End-to-end corpus build — the composed curation pipeline: quality
+    * gate (integer cross-multiplied thresholds, no float boundaries) →
+    * language filter → exact-dedup survivorship → temperature resample.
+    * One flow through four of the engine's curation operators.
+    */
+  private def q81CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sig = d.select($("doc_id"), $("text"),
+      TextAnalysis.tokenCount($("text")).cast("long").as("n_tokens"),
+      length($("text")).as("n_chars"),
+      (length($("text")) -
+        length(regexp_replace($("text"), "[\\p{Punct}]", ""))).as("punct"),
+      TextAnalysis.langId($("text")).as("lang_pred"))
+    val q = sig
+      .filter($("n_tokens") >= 20 && $("punct") * 5 <= $("n_chars"))
+      .filter($("lang_pred").isin("en", "de", "es"))
+    val kept = q.join(Dedup.exact(q, "doc_id", "text"), Seq("doc_id"), "left_semi")
+    Sampling.temperatureResample(kept, "doc_id", "lang_pred")
+      .select($("doc_id"), $("lang_pred"), $("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Pre-sort materialization for expensive pipelines: a global orderBy
     * range-partitions, and its sampling pass executes the full child plan
     * a second time. Checkpointing first makes the sample a cheap re-read.
@@ -1534,6 +1556,7 @@ object SparkEntry {
     "q78_ivf_trained" -> (q78IvfTrained _),
     "q79_cc_chain" -> (q79CcChain _),
     "q80_skew_distinct" -> (q80SkewDistinct _),
+    "q81_corpus_build" -> (q81CorpusBuild _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2577,6 +2600,42 @@ object SparkEntry {
     "q80_skew_distinct" ->
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q81_corpus_build" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  length(text) AS n_chars,
+        |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('el','la','de','que','y','los','una'))) AS es,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('le','la','les','et','des','une','est'))) AS fr,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('的','是','了','在','我','有','和'))) AS zh
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, text, n_tokens, n_chars, punct, CASE
+        |    WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |    WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |    WHEN es >= fr AND es >= zh THEN 'es'
+        |    WHEN fr >= zh THEN 'fr'
+        |    ELSE 'zh' END AS lang_pred
+        |  FROM t),
+        |q AS (SELECT * FROM t2 WHERE n_tokens >= 20 AND punct * 5 <= n_chars
+        |      AND lang_pred IN ('en','de','es')),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        |kept AS (SELECT q.* FROM q JOIN surv USING (doc_id)),
+        |c AS (SELECT lang_pred, count(*) AS c FROM kept GROUP BY 1),
+        |r AS (SELECT lang_pred,
+        |        sqrt((SELECT min(c) FROM c)::DOUBLE / c) AS rate FROM c)
+        |SELECT doc_id, lang_pred, n_tokens
+        |FROM kept JOIN r USING (lang_pred)
+        |WHERE ('0x'||substr(md5(doc_id||'|graft'),1,15))::BIGINT
+        |      < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -68,4 +68,33 @@ class PropertiesSpec extends AnyFunSuite {
     assert(d("日本語", "日本話") == 1)
     assert(d("日本語", "日本語") == 0)
   }
+
+  test("seededHash60 family: in-range, seed-sensitive, base-preserving") {
+    // pure JVM model of operators/Dedup.seededHash60: mix(base ^ C_s)
+    def model(base: Long, s: Int): Long = {
+      val x = base ^ graft.operators.Dedup.seedConst(s)
+      x ^ (x >>> 31)
+    }
+    val base60: Gen[Long] = Gen.choose(0L, (1L << 60) - 1)
+    // stays in 60 bits — no sign surprises in either engine
+    check(Prop.forAll(base60, Gen.choose(0, 15)) { (b, s) =>
+      val h = model(b, s)
+      h >= 0 && h < (1L << 60)
+    })
+    // x -> x ^ (x >>> 31) is a bijection, so distinct bases never collide
+    // under the same seed (rank order is permuted, never merged)
+    check(Prop.forAll(base60, base60, Gen.choose(0, 15)) { (a, b, s) =>
+      a == b || model(a, s) != model(b, s)
+    })
+  }
+
+  test("seedConst matches the md5('seed<s>') prefix definition") {
+    // independently recompute: first 15 hex chars of md5("seed3")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("seed3".getBytes("UTF-8"))
+    val expected = java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.take(15), 16)
+    assert(graft.operators.Dedup.seedConst(3) == expected)
+    assert((0 until 16).map(graft.operators.Dedup.seedConst).distinct.size == 16)
+  }
 }
