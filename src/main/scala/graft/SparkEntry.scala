@@ -1464,6 +1464,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Event sessionization — `session_window` with a 30-minute gap (the
+    * batch face of the streaming session operator; identical semantics
+    * under `readStream`). Computed on whole epoch-seconds so the gap
+    * comparison is integer-exact in any engine.
+    */
+  private def q82SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select($("user_id"), epochS($("ts")).as("sec"))
+    e.groupBy($("user_id"),
+        session_window(timestamp_seconds($("sec")), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($("user_id"),
+        unix_timestamp($("w.start")).as("session_start"),
+        unix_timestamp($("w.end")).as("session_end"),
+        $("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Pre-sort materialization for expensive pipelines: a global orderBy
     * range-partitions, and its sampling pass executes the full child plan
     * a second time. Checkpointing first makes the sample a cheap re-read.
@@ -1557,6 +1575,7 @@ object SparkEntry {
     "q79_cc_chain" -> (q79CcChain _),
     "q80_skew_distinct" -> (q80SkewDistinct _),
     "q81_corpus_build" -> (q81CorpusBuild _),
+    "q82_session_window" -> (q82SessionWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2636,6 +2655,20 @@ object SparkEntry {
         |WHERE ('0x'||substr(md5(doc_id||'|graft'),1,15))::BIGINT
         |      < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    "q82_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |           FROM events),
+        |o AS (SELECT user_id, sec,
+        |  CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+        |         OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 1800
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (SELECT user_id, sec, sum(brk) OVER (PARTITION BY user_id
+        |        ORDER BY sec ROWS UNBOUNDED PRECEDING) AS grp FROM o)
+        |SELECT user_id, min(sec) AS session_start,
+        |  max(sec) + 1800 AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,
