@@ -1482,6 +1482,22 @@ object SparkEntry {
       .orderBy("user_id", "session_start")
   }
 
+  /** Multimodal frame sampling — every 4th 64-byte frame window per blob
+    * (the per-frame explode shape downstream video models join on).
+    * Restricted to ASCII docs (octet_length = char length) so the frame
+    * bytes round-trip to text and the oracle can slice with plain
+    * VARCHAR substring; real deployments keep frames binary.
+    */
+  private def q83FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val ascii = docs(s, dir)
+      .filter(octet_length($("text")) === length($("text")))
+    Multimodal.sampleFrames(
+      Multimodal.attachBinary(ascii, "doc_id", "text", "text/plain"))
+      .select($("id").as("doc_id"), $("frame_no").cast("long").as("frame_no"),
+        $("frame_bytes").cast("string").as("frame_text"))
+      .orderBy("doc_id", "frame_no")
+  }
+
   /** Pre-sort materialization for expensive pipelines: a global orderBy
     * range-partitions, and its sampling pass executes the full child plan
     * a second time. Checkpointing first makes the sample a cheap re-read.
@@ -1576,6 +1592,7 @@ object SparkEntry {
     "q80_skew_distinct" -> (q80SkewDistinct _),
     "q81_corpus_build" -> (q81CorpusBuild _),
     "q82_session_window" -> (q82SessionWindow _),
+    "q83_frame_sample" -> (q83FrameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2669,6 +2686,15 @@ object SparkEntry {
         |  max(sec) + 1800 AS session_end,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
+    "q83_frame_sample" ->
+      """WITH a AS (SELECT doc_id, text FROM documents
+        |           WHERE strlen(text) = length(text)),
+        |f AS (SELECT doc_id, text,
+        |        unnest(range(0, greatest(length(text) // 256, 1))) AS frame_no
+        |      FROM a)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  substring(text, (frame_no * 256 + 1)::BIGINT, 64) AS frame_text
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

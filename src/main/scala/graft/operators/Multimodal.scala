@@ -68,14 +68,19 @@ object Multimodal {
 
   /** Deterministic frame sampling for "video" blobs: every `stride`-th
     * frame window of `frameBytes` bytes, as its own row (explode shape —
-    * downstream per-frame models join on (id, frame_no)).
+    * downstream per-frame models join on (id, frame_no)). One frame per
+    * full `frameBytes·stride` span, minimum one (short blobs yield their
+    * prefix). Byte offsets throughout — `length`/`substr` on BinaryType
+    * count bytes. Integer arithmetic only (Column `/` is double division;
+    * an earlier draft fed a double into `sequence`, which fails analysis).
     */
-  def sampleFrames(df: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+  def sampleFrames(df: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val span = frameBytes * stride
+    val n = greatest(floor(length(col("content")) / span).cast("int"), lit(1))
     df.select(col("id"),
-        posexplode(
-          transform(
-            sequence(lit(0),
-              greatest((length(col("content")) / frameBytes / stride) - 1, lit(0))),
-            i => col("content").substr((i * lit(frameBytes * stride) + 1).cast("int"), lit(frameBytes))))
-          .as(Seq("frame_no", "frame_bytes")))
+      posexplode(
+        transform(sequence(lit(0), n - 1),
+          i => col("content").substr(i * span + 1, lit(frameBytes))))
+        .as(Seq("frame_no", "frame_bytes")))
+  }
 }
