@@ -55,38 +55,52 @@ object FhirEtl {
 
   private def ddl(s: String): DataType = DataType.fromDDL(s)
 
-  // Partial typed schemas — only the fields the reference ETL reads.
+  // One merged resource schema — the union of every field any of the six
+  // resource types' ETL paths read (the per-type partial schemas of the
+  // reference walk, fhir.py:453-966, fused). Parsing the WHOLE bundle
+  // document against this one schema means Jackson touches each byte of
+  // JSON exactly once; the previous two-pass design (capture each entry's
+  // resource subtree as raw text, re-parse per type) billed a second full
+  // Jackson pass to every typed branch. Field names are disjoint-or-
+  // identically-shaped across the six types with ONE exception:
+  // `specimen` is a Reference struct on Observation but an array of
+  // References on DiagnosticReport — that field alone is captured as raw
+  // JSON text (StringType capture) and re-parsed per branch against the
+  // branch's shape (a few dozen bytes per row, not the whole resource).
   private val identDdl = "identifier: ARRAY<STRUCT<system: STRING, value: STRING>>"
   private val codingDdl = "coding: ARRAY<STRUCT<system: STRING, code: STRING, display: STRING>>"
-  val patientSchema: DataType = ddl(
-    s"STRUCT<gender: STRING, $identDdl, communication: ARRAY<STRUCT<" +
-      s"language: STRUCT<$codingDdl>, preferred: BOOLEAN>>>")
-  val encounterSchema: DataType = ddl(
-    s"STRUCT<$identDdl, status: STRING, period: STRUCT<start: STRING>, " +
+  val resourceSchemaDdl: String =
+    "STRUCT<resourceType: STRING, " +
+      // Patient (fhir.py:404-409, 563-573)
+      s"gender: STRING, $identDdl, communication: ARRAY<STRUCT<" +
+      s"language: STRUCT<$codingDdl>, preferred: BOOLEAN>>, " +
+      // Encounter (fhir.py:453-505, 575-620)
+      "status: STRING, period: STRUCT<start: STRING>, " +
       "subject: STRUCT<reference: STRING>, partOf: STRUCT<reference: STRING>, " +
       s"reasonCode: ARRAY<STRUCT<$codingDdl>>, " +
       "location: ARRAY<STRUCT<location: STRUCT<reference: STRING, " +
       "identifier: STRUCT<system: STRING, value: STRING>>>>, " +
-      "meta: STRUCT<source: STRING>>")
-  val observationSchema: DataType = ddl(
-    s"STRUCT<$identDdl, encounter: STRUCT<reference: STRING>, " +
-      "specimen: STRUCT<reference: STRING>, " +
+      "meta: STRUCT<source: STRING>, " +
+      // Observation (fhir.py:896-966) / QuestionnaireResponse (:710-756)
+      "encounter: STRUCT<reference: STRING>, " +
+      "specimen: STRING, " + // shape conflicts across types — raw capture
       s"code: STRUCT<$codingDdl>, valueBoolean: BOOLEAN, " +
       s"valueCodeableConcept: STRUCT<$codingDdl>, " +
-      "device: STRUCT<identifier: STRUCT<value: STRING>>>")
-  val specimenSchema: DataType = ddl(
-    s"STRUCT<$identDdl, note: ARRAY<STRUCT<text: STRING>>, " +
-      s"type: STRUCT<$codingDdl>, " +
-      "collection: STRUCT<collectedDateTime: STRING, " +
-      "collectedPeriod: STRUCT<start: STRING, end: STRING>>>")
-  val questionnaireSchema: DataType = ddl(
-    "STRUCT<encounter: STRUCT<reference: STRING>, " +
+      "device: STRUCT<identifier: STRUCT<value: STRING>>, " +
       "item: ARRAY<STRUCT<linkId: STRING, " +
-      "answer: ARRAY<STRUCT<valueInteger: INT>>>>>")
-  val diagnosticReportSchema: DataType = ddl(
-    "STRUCT<specimen: ARRAY<STRUCT<reference: STRING, " +
-      "identifier: STRUCT<system: STRING, value: STRING>>>, " +
-      "result: ARRAY<STRUCT<reference: STRING>>, effectiveDateTime: STRING>")
+      "answer: ARRAY<STRUCT<valueInteger: INT>>>>, " +
+      // Specimen (fhir.py:622-708)
+      "note: ARRAY<STRUCT<text: STRING>>, " +
+      "collection: STRUCT<collectedDateTime: STRING, " +
+      "collectedPeriod: STRUCT<start: STRING, end: STRING>>, " +
+      // DiagnosticReport (fhir.py:191-257)
+      "result: ARRAY<STRUCT<reference: STRING>>, effectiveDateTime: STRING>"
+  /** Observation.specimen / QuestionnaireResponse-style single Reference. */
+  val specimenRefSchema: DataType = ddl("STRUCT<reference: STRING>")
+  /** DiagnosticReport.specimen — array of References w/ inline identifier. */
+  val drSpecimenSchema: DataType = ddl(
+    "ARRAY<STRUCT<reference: STRING, " +
+      "identifier: STRUCT<system: STRING, value: STRING>>>")
 
   /** `identifier(resource, system)` (fhir.py:383-402): the identifier
     * value in `system`, or null. (The reference asserts exactly one; we
@@ -107,14 +121,13 @@ object FhirEtl {
         c => c.getField("system") === lit(system)), lit(1))
       .getField("code")
 
-  /** Explode bundle entries, keeping each resource as RAW JSON text
-    * (`extract_resources`, fhir.py:265-276). `ARRAY<STRING>` in the
-    * entry schema makes Spark's Jackson parser capture each entry's
-    * subtree verbatim — the trick that sidesteps FHIR's per-type field
-    * shape conflicts entirely.
+  /** Explode bundle entries, each resource fully typed against the merged
+    * union schema (`extract_resources`, fhir.py:265-276 — the reference's
+    * index-by-type dict becomes an rtype column).
     *
     * Output: id, pos (entry order — drives "first response wins" rules),
-    * full_url, rtype, res (raw resource JSON).
+    * full_url, rtype, r (typed resource struct; `r.specimen` is raw JSON
+    * text, see [[resourceSchemaDdl]]).
     */
   def parseEntries(feed: DataFrame): DataFrame =
     feed
@@ -126,24 +139,22 @@ object FhirEtl {
       // id satisfies the ClusteredDistribution of every downstream
       // (id, fullUrl) join — no further shuffle of the entries.
       .repartition(col("id"))
-      // ONE Jackson pass over the document: fullUrl comes out typed, the
-      // resource subtree is captured verbatim as a string (StringType
-      // capture), and the bundle-level type fields ride along so classify
-      // never re-parses the document. The only further parse per entry is
-      // one get_json_object for resourceType on the (much smaller)
-      // resource text.
+      // ONE Jackson pass over the document: fullUrl, the bundle-level
+      // type fields (so classify never re-parses the document), and every
+      // per-type resource field come out of the same parse. resourceType
+      // is a schema field, so no get_json_object second scan either.
       .select(col("id"),
         from_json(col("document"), ddl(
           "STRUCT<resourceType: STRING, type: STRING, " +
-            "entry: ARRAY<STRUCT<fullUrl: STRING, resource: STRING>>>"))
+            s"entry: ARRAY<STRUCT<fullUrl: STRING, resource: $resourceSchemaDdl>>>"))
           .as("d"))
       .select(col("id"), col("d.resourceType").as("doc_rtype"),
         col("d.type").as("doc_type"),
         posexplode_outer(col("d.entry")).as(Seq("pos", "e")))
       .select(col("id"), col("doc_rtype"), col("doc_type"), col("pos"),
         col("e.fullUrl").as("full_url"),
-        get_json_object(col("e.resource"), "$.resourceType").as("rtype"),
-        col("e.resource").as("res"))
+        col("e.resource.resourceType").as("rtype"),
+        col("e.resource").as("r"))
 
   /** Bundle-level validation: `assert_bundle_collection` (fhir.py:140-151,
     * a hard error in the reference) and
@@ -173,8 +184,7 @@ object FhirEtl {
     // every Encounter needs a site-system location (fhir.py:604-620);
     // one without ⇒ the whole bundle is skipped (fhir.py:184-185)
     val sited = e.filter(col("rtype") === "Encounter")
-      .select(col("id"),
-        from_json(col("res"), encounterSchema).getField("location").as("locs"))
+      .select(col("id"), col("r.location").as("locs"))
       .select(col("id"),
         exists(coalesce(col("locs"), array()),
           l => l.getField("location").getField("identifier").getField("system")
@@ -230,6 +240,9 @@ object FhirEtl {
     // materializes the parsed entries as an RDD-level cache on first use —
     // no CacheManager registration (nothing to unpersist by hand: the
     // ContextCleaner reclaims it once the frame is unreachable after GC).
+    // Because the merged-schema parse happens BELOW this checkpoint, every
+    // typed branch downstream is a filter + struct-field read of the
+    // materialized rows — zero Jackson anywhere past this line.
     val entries = parseEntries(feed).localCheckpoint(false)
     // statuses is ALSO multi-consumed: every typed branch joins `ok`, so an
     // unmaterialized classify would re-run its two aggregations once per
@@ -239,28 +252,16 @@ object FhirEtl {
     val ok = statuses.filter(col("status") === "processed").select("id")
     val e = entries.join(ok, "id")
 
-    // multiConsumer = this type's frame is joined from more than one
-    // branch WITHIN a single output frame, so every consumer of that
-    // output pays the re-parse: Encounter feeds both the main path and
-    // the partOf self-join side of `encounters`. A lazy checkpoint makes
-    // that typed parse run once. Specimen/Observation fan out only
-    // across SEPARATE Delta outputs (sampleUpdates vs presenceAbsence) —
-    // a checkpoint there costs a materialization even for pipelines that
-    // consume each output once (measured: net loss), so they stay plain.
-    def typed(rtype: String, schema: DataType,
-        multiConsumer: Boolean = false): DataFrame = {
-      val t = e.filter(col("rtype") === rtype)
-        .select(col("id"), col("pos"), col("full_url"),
-          from_json(col("res"), schema).as("r"))
-      if (multiConsumer) t.localCheckpoint(false) else t
-    }
+    def typed(rtype: String): DataFrame =
+      e.filter(col("rtype") === rtype)
+        .select(col("id"), col("pos"), col("full_url"), col("r"))
 
-    val pat = typed("Patient", patientSchema)
-    val enc = typed("Encounter", encounterSchema, multiConsumer = true)
-    val obs = typed("Observation", observationSchema)
-    val spec = typed("Specimen", specimenSchema)
-    val qr = typed("QuestionnaireResponse", questionnaireSchema)
-    val dr = typed("DiagnosticReport", diagnosticReportSchema)
+    val pat = typed("Patient")
+    val enc = typed("Encounter")
+    val obs = typed("Observation")
+    val spec = typed("Specimen")
+    val qr = typed("QuestionnaireResponse")
+    val dr = typed("DiagnosticReport")
 
     // ---- encounter graph (process_encounter, fhir.py:453-505) ----------
     val encBase = enc.select(
@@ -350,7 +351,10 @@ object FhirEtl {
     val encSamples = obs
       .select(col("id"),
         col("r.encounter.reference").as("enc_ref"),
-        col("r.specimen.reference").as("spec_ref"))
+        // r.specimen is raw-captured (shape conflict, see resourceSchemaDdl):
+        // re-parse the few-dozen-byte Reference here, Observation rows only
+        from_json(col("r.specimen"), specimenRefSchema)
+          .getField("reference").as("spec_ref"))
       .filter(col("enc_ref").isNotNull && col("spec_ref").isNotNull)
       .join(encounters.select(col("id"), col("full_url").as("enc_url"),
           col("identifier").as("encounter_identifier")),
@@ -387,7 +391,9 @@ object FhirEtl {
     val drSpec = dr.select(col("id"), col("pos"),
         col("r.effectiveDateTime").as("effective_datetime"),
         col("r.result").as("results"),
-        explode(coalesce(col("r.specimen"), array())).as("sp"))
+        // DR's specimen list is the array shape of the raw capture
+        explode(coalesce(from_json(col("r.specimen"), drSpecimenSchema),
+          array())).as("sp"))
     val drInline = drSpec
       .filter(col("sp.identifier").isNotNull)
       .filter(col("sp.identifier.system") === InternalSystem)

@@ -340,8 +340,29 @@ object Dedup {
     * propagation needs O(diameter) rounds. Same output contract:
     * (id, cluster_id = min reachable id).
     *
-    * Each round is two groupBy(u) min-aggregations and two equi-joins
-    * over bare (long, long) edges, checkpointed per round.
+    * Each star is ONE hash-partitioned window (`min(v) over partition
+    * by u`) over bare (long, long) edges — the naive formulation
+    * (groupBy-min then join the mins back on u) shuffles the edge set
+    * three times per star where the window shuffles it once, and the
+    * join back is on the same key with the same skew profile, so the
+    * window loses nothing. Mid-round dedup is skipped: large-star
+    * duplicates are bounded by the round's input edge count and
+    * collapse in the end-of-round canon distinct, and self-loops can't
+    * arise (the hook target m ≤ u < v).
+    *
+    * Convergence detection: an order-independent aggregate signature
+    * (count, xor(xxhash64(u,v)), sum(u), sum(v)) over the checkpointed
+    * edge set, compared to last round's. One map-side-combining
+    * aggregation job per round — the previous 2× `exceptAll` cost two
+    * full shuffle-dedup jobs over the edge set per round, which at a
+    * 100 TB edge set is the dominant per-round overhead. Both rounds'
+    * sets are distinct canonical edge lists, so equal signatures with
+    * different sets needs a 64-bit hash-xor collision on top of equal
+    * counts and coordinate sums — negligible against maxRounds more
+    * contraction rounds being merely wasted, not wrong (a converged
+    * star forest is a fixed point of both stars). Coordinate sums are
+    * decimal(38,0): ANSI mode makes a long sum an overflow error, and
+    * trillions of 2^63-scale ids genuinely can overflow at corpus scale.
     */
   def connectedComponentsAlternating(
       pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
@@ -350,32 +371,44 @@ object Dedup {
         .select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
         .distinct()
+    def signature(e: DataFrame): Seq[Any] =
+      e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))),
+        sum(col("u").cast("decimal(38,0)")),
+        sum(col("v").cast("decimal(38,0)"))).head().toSeq
     var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint(false)
+    var sig: Seq[Any] = signature(edges)
     var round = 0
     var converged = false
+    // m = min of the closed neighborhood of u, one window shuffle per star
+    def withMin(sym: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      sym.withColumn("m",
+        least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+    }
     while (!converged && round < maxRounds) {
       val sym = edges.unionByName(
         edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
       // large-star: strictly larger neighbors hook onto the neighborhood min
-      val large = sym.join(mins, Seq("u")).filter(col("v") > col("u"))
+      val large = withMin(sym).filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
       // checkpointed: consumed twice by sym2's union — measured 2× faster
-      // than recomputing the large-star join per consumer
-      val afterLarge = canon(large).localCheckpoint(false)
+      // than recomputing the large-star window per consumer
+      val afterLarge = large.localCheckpoint(false)
       val sym2 = afterLarge.unionByName(
         afterLarge.select(col("v").as("u"), col("u").as("v")))
-      val mins2 = sym2.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val s2 = withMin(sym2)
       // small-star: smaller-or-equal neighbors (and u itself) hook onto min
-      val small = sym2.join(mins2, Seq("u")).filter(col("v") <= col("u"))
+      val small = s2.filter(col("v") <= col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(mins2.select(col("u"), col("m").as("v")))
+        .unionByName(s2.select(col("u"), col("m").as("v")))
+      // eager: one materialization, then the signature is a cache read
+      // (measured faster than a lazy checkpoint materialized by the
+      // signature job itself)
       val next = canon(small).localCheckpoint()
-      converged =
-        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val nextSig = signature(next)
+      converged = sig == nextSig
+      sig = nextSig
       edges = next
       round += 1
     }
