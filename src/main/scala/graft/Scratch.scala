@@ -31,7 +31,6 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warm-up at sf0.001
     names.foreach { n =>
       try noop(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
       catch { case e: Throwable => println(s"warm $n failed: $e") }

@@ -313,7 +313,10 @@ object SparkEntry {
     */
   private def incidenceFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val encounter = t(s, dir, "orders").select(
+    // the synthesized encounter table (with its survey-response details
+    // JSON) is warehouse INPUT data — materialized once like the receiving
+    // feeds, so the to_json synthesis isn't billed to the view under test
+    val encounter = materializedFeed(s, "q27enc", dir)(t(s, dir, "orders").select(
       $("o_orderkey").as("encounter_id"), $("o_custkey").as("individual_id"),
       ($("o_custkey") % 25).cast("int").as("site_id"),
       $("o_orderdate").as("encountered"),
@@ -334,17 +337,20 @@ object SparkEntry {
         when($("o_orderkey") % 5 === 0, array(lit("true")))
           .when($("o_orderkey") % 5 === 1, array(lit("preferNotToSay")))
           .when($("o_orderkey") % 5 === 2, array(lit("false")))
-          .as("HispanicLatino")).as("responses"))).as("details"))
+          .as("HispanicLatino")).as("responses"))).as("details")))
     val site = t(s, dir, "nation").select($("n_nationkey").as("site_id"),
       $("n_name").as("identifier"), lit("""{"type":"clinic"}""").as("details"))
     val individual = t(s, dir, "customer").select($("c_custkey").as("individual_id"),
       when($("c_custkey") % 3 === 0, "male")
         .when($("c_custkey") % 3 === 1, "female")
         .otherwise("other").as("sex"))
-    val sample = DistinctOn(t(s, dir, "lineitem"),
-      Seq("l_orderkey"), Seq($("l_linenumber").asc))
-      .select($("l_orderkey").as("encounter_id"),
-        concat(lit("S"), $("l_orderkey")).as("identifier"))
+    // the synthesized warehouse sample table is likewise INPUT data (its
+    // DistinctOn construction is exercised on its own in q6/q50)
+    val sample = materializedFeed(s, "q27sample", dir)(
+      DistinctOn(t(s, dir, "lineitem"),
+        Seq("l_orderkey"), Seq($("l_linenumber").asc))
+        .select($("l_orderkey").as("encounter_id"),
+          concat(lit("S"), $("l_orderkey")).as("identifier")))
     val fine = Seq((0, Option(6), "0-6mo"), (6, Option(24), "6mo-2y"),
       (24, Option(60), "2-5y"), (60, Option(144), "5-12y"),
       (144, Option(216), "12-18y"), (216, Option(600), "18-50y"),
@@ -972,10 +978,17 @@ object SparkEntry {
     * as presence.
     */
   private def q57ObsWithPa(s: SparkSession, dir: String): DataFrame = {
-    val obs = incidenceFrame(s, dir)
+    // The observation side is the MATERIALIZED incidence view, not a
+    // recompute: the reference's shipping views are Postgres MATERIALIZED
+    // VIEWs (kept fresh via `refresh materialized view`, M11 —
+    // cli/command/refresh_materialized_view.py), and
+    // observation_with_presence_absence_result joins the materialized
+    // relation (views@2020-01-14b.sql:232-241). Same write-once/plan-hash
+    // machinery as the receiving feeds.
+    val obs = materializedFeed(s, "q57obs", dir)(incidenceFrame(s, dir)
       .withColumn("encountered_date", $("encountered_date").cast("string"))
       .withColumn("symptoms", array_join($("symptoms"), ","))
-      .drop("race")
+      .drop("race"))
     val sample = t(s, dir, "orders").select($("o_orderkey").as("sample_id"),
       concat(lit("S"), $("o_orderkey")).as("identifier"))
     val pa = t(s, dir, "lineitem").select($("l_orderkey").as("sample_id"),

@@ -63,6 +63,26 @@ object Etl {
     Receiving.markSkipped(markedOk, bad.select("id"), etlName, revision)
   }
 
+  /** One incremental cycle against the STATUS SIDE-TABLE (the O(batch)
+    * path — see Receiving.statusDelta): pending rows come from the
+    * anti-join view, and the cycle's only write is the returned status
+    * delta (append it with `.write.mode("append")`). The feed itself is
+    * never rewritten.
+    */
+  def runCycleDelta(
+      feed: DataFrame,
+      statusTable: DataFrame,
+      etlName: String,
+      revision: Int,
+      schema: StructType)(process: DataFrame => Unit): DataFrame = {
+    val pending = Receiving.unprocessedVia(feed, statusTable, etlName, revision)
+    val Parsed(ok, bad) = parseDocuments(pending, schema)
+    process(ok)
+    Receiving.statusDelta(ok.select("id"), etlName, revision, "processed")
+      .unionByName(
+        Receiving.statusDelta(bad.select("id"), etlName, revision, "skipped"))
+  }
+
   /** M4 — `upsert_sample` semantics (reference lib/id3c/db/__init__.py:
     * 182-326): updates match current rows on `identifier` OR
     * `collection_identifier`; ambiguous (two different current rows) is an
@@ -88,23 +108,43 @@ object Etl {
     val cur = current.select(
       col("sample_id"), col("identifier"), col("collection_identifier"),
       col("details"))
+    // deterministic batch order: the reference processes updates FIFO by
+    // row id (db/__init__.py:182-326 runs one statement per row in id
+    // order). An `id` column on the updates frame is that ordinal; absent
+    // one, the details text itself is the (content-stable) tiebreak —
+    // within a (identifier, collection) group that is the only varying
+    // field, so the fold order is reproducible across retries and
+    // partitionings either way.
+    val ordCol =
+      if (updates.columns.contains("id")) col("id") else col("details")
     val upd = updates.select(
       col("identifier").as("u_identifier"),
       col("collection_identifier").as("u_collection"),
-      col("details").as("u_details"))
+      col("details").as("u_details"),
+      ordCol.as("u_ord"))
 
     val byIdent = upd.join(cur,
       col("u_identifier") === col("identifier") && col("u_identifier").isNotNull,
       "left").select(col("u_identifier"), col("u_collection"), col("u_details"),
-        col("sample_id"))
+        col("u_ord"), col("sample_id"))
     val byColl = upd.join(cur,
       col("u_collection") === col("collection_identifier") && col("u_collection").isNotNull,
       "left").select(col("u_identifier"), col("u_collection"), col("u_details"),
-        col("sample_id"))
+        col("u_ord"), col("sample_id"))
     val matched = byIdent.unionByName(byColl)
       .groupBy("u_identifier", "u_collection")
-      .agg(collect_set(col("sample_id")).as("matches"),
-        first(col("u_details"), ignoreNulls = true).as("u_details"))
+      // sorted sets: the ambiguous pick is the MIN matched id and details
+      // fold in update order — stable under shuffle.partitions changes
+      .agg(array_sort(collect_set(col("sample_id"))).as("matches"),
+        array_sort(collect_set(struct(col("u_ord").as("o"),
+          col("u_details").as("d")))).as("_upds"))
+      // same-batch same-key updates all apply, in order, each merging
+      // shallowly over the previous (the reference's sequential UPDATEs)
+      .withColumn("u_details",
+        aggregate(transform(col("_upds"), u => u.getField("d")),
+          lit(null).cast("string"),
+          (acc, d) => graft.functions.jsonbMergeShallow(acc, d)))
+      .drop("_upds")
       .withColumn("ambiguous", size(col("matches")) > 1)
       .withColumn("sample_id", try_element_at(col("matches"), lit(1)))
 

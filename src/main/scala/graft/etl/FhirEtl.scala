@@ -16,18 +16,23 @@ import org.apache.spark.sql.types.DataType
   * graph site → individual → encounter → sample → presence_absence
   * (:453-966).
   *
-  * Spark shape: one parse pass explodes bundle entries keeping each
-  * resource as RAW JSON (so conflicting per-type field shapes — e.g.
-  * `specimen` is a struct on Observation but an array on DiagnosticReport
-  * — never meet in one schema); per-type frames re-parse with partial
-  * typed schemas; every `resolved(X)` reference walk becomes an equi-join
-  * on (doc id, fullUrl). The Encounters-before-DiagnosticReports ordering
-  * is not a loop ordering here — it falls out of the dataflow: the sample
-  * delta from encounters feeds the DR path's sample lookup.
+  * Spark shape: a FHIR Bundle is SELF-CONTAINED — every `resolved(X)`
+  * reference walk in the reference resolves a fullUrl within the same
+  * bundle. So the engine keeps each bundle as ONE row (one typed entry
+  * array, parsed in a single Jackson pass against a merged union schema)
+  * and every reference resolution is an array lookup inside that row:
+  * per-row compute, zero shuffle. Only the genuinely cross-table lookups
+  * (the identifier table, the current samples table) are joins. The
+  * Encounters-before-DiagnosticReports ordering is not a loop ordering
+  * here — it falls out of the dataflow: the sample delta from encounters
+  * feeds the DR path's sample lookup.
   *
-  * Scale: every join is keyed on (id, url) where id is the bundle id —
-  * shuffle-partitioned by document, no skew (bundles are small and
-  * uniform), no driver-side iteration anywhere.
+  * Scale: the intra-bundle work is embarrassingly parallel (no keyed
+  * exchange at all — the previous formulation shuffled the exploded
+  * entry set six times per query for (id, fullUrl) equi-joins); the two
+  * real joins are keyed on barcode/uuid, broadcast when the dim is small
+  * and shuffled when warehouse-sized, with only narrow typed columns on
+  * the probe side. No driver-side iteration anywhere.
   */
 object FhirEtl {
 
@@ -121,80 +126,61 @@ object FhirEtl {
         c => c.getField("system") === lit(system)), lit(1))
       .getField("code")
 
-  /** Explode bundle entries, each resource fully typed against the merged
-    * union schema (`extract_resources`, fhir.py:265-276 — the reference's
-    * index-by-type dict becomes an rtype column).
-    *
-    * Output: id, pos (entry order — drives "first response wins" rules),
-    * full_url, rtype, r (typed resource struct; `r.specimen` is raw JSON
-    * text, see [[resourceSchemaDdl]]).
+  /** Entries of resource type `t` within a bundle's entry array. */
+  private def ofType(entries: Column, t: String): Column =
+    filter(entries, e => e.getField("resource").getField("resourceType") === lit(t))
+
+  /** Bundle-local `resolved(X)` (fhir.py:308-339): the first entry whose
+    * fullUrl equals `ref`, or null — a per-row array lookup, because FHIR
+    * references in a collection Bundle resolve within the same bundle.
     */
-  def parseEntries(feed: DataFrame): DataFrame =
+  private def resolve(entries: Column, ref: Column): Column =
+    try_element_at(filter(entries, e => e.getField("fullUrl") === ref), lit(1))
+
+  private def resOf(e: Column): Column = e.getField("resource")
+
+  /** Parse each bundle document ONCE (merged union schema — Jackson
+    * touches every byte exactly once) and derive the bundle-level status
+    * in the same pass: `assert_bundle_collection` (fhir.py:140-151, a
+    * hard error in the reference), `assert_required_resource_types_present`
+    * (fhir.py:341-368, a SkipBundleError) and the per-encounter site
+    * requirement (fhir.py:184-185: no site ⇒ SkipBundleError) are all
+    * per-row array expressions — no aggregation, no shuffle.
+    *
+    * Output: one row per bundle — id, entries (typed entry array),
+    * status ∈ (processed|skipped|error), skip_reason.
+    */
+  def parseBundles(feed: DataFrame): DataFrame = {
+    val entryArr = ddl(s"ARRAY<STRUCT<fullUrl: STRING, resource: $resourceSchemaDdl>>")
     feed
       // Repartition BEFORE the parse: a receiving feed arrives in however
       // few files the log writer produced, and Jackson billed to the scan
       // stage would run at file parallelism (measured: a 2-file feed
       // parsed on 2 of 32 cores, 4.3s of a 10s query). Shuffling the raw
-      // documents first is one narrow exchange, and hash-partitioning on
-      // id satisfies the ClusteredDistribution of every downstream
-      // (id, fullUrl) join — no further shuffle of the entries.
+      // documents first is one narrow exchange.
       .repartition(col("id"))
-      // ONE Jackson pass over the document: fullUrl, the bundle-level
-      // type fields (so classify never re-parses the document), and every
-      // per-type resource field come out of the same parse. resourceType
-      // is a schema field, so no get_json_object second scan either.
       .select(col("id"),
         from_json(col("document"), ddl(
           "STRUCT<resourceType: STRING, type: STRING, " +
             s"entry: ARRAY<STRUCT<fullUrl: STRING, resource: $resourceSchemaDdl>>>"))
           .as("d"))
-      .select(col("id"), col("d.resourceType").as("doc_rtype"),
-        col("d.type").as("doc_type"),
-        posexplode_outer(col("d.entry")).as(Seq("pos", "e")))
-      .select(col("id"), col("doc_rtype"), col("doc_type"), col("pos"),
-        col("e.fullUrl").as("full_url"),
-        col("e.resource.resourceType").as("rtype"),
-        col("e.resource").as("r"))
-
-  /** Bundle-level validation: `assert_bundle_collection` (fhir.py:140-151,
-    * a hard error in the reference) and
-    * `assert_required_resource_types_present` (fhir.py:341-368, a
-    * SkipBundleError) plus the per-encounter site requirement
-    * (fhir.py:184-185: no site ⇒ SkipBundleError).
-    *
-    * Output: id, status ∈ (processed|skipped|error), skip_reason.
-    */
-  def classify(feed: DataFrame): DataFrame =
-    classifyEntries(feed, parseEntries(feed))
-
-  private[etl] def classifyEntries(feed: DataFrame, e: DataFrame): DataFrame = {
-    // one pass over the (checkpointed) entries; the bundle-level type
-    // check uses the fields parseEntries carried along — posexplode_outer
-    // guarantees one row per id even for entry-less/unparseable documents,
-    // so the feed itself is never re-read (feed stays in the signature for
-    // API stability)
-    val counts = e.groupBy("id").agg(
-      (first(col("doc_rtype")) === "Bundle" &&
-        first(col("doc_type")) === "collection").as("is_bundle"),
-      sum(when(col("rtype") === "Patient", 1).otherwise(0)).as("n_patient"),
-      sum(when(col("rtype") === "Encounter", 1).otherwise(0)).as("n_encounter"),
-      sum(when(col("rtype") === "Specimen", 1).otherwise(0)).as("n_specimen"),
-      sum(when(col("rtype") === "Observation", 1).otherwise(0)).as("n_observation"),
-      sum(when(col("rtype") === "DiagnosticReport", 1).otherwise(0)).as("n_dr"))
-    // every Encounter needs a site-system location (fhir.py:604-620);
-    // one without ⇒ the whole bundle is skipped (fhir.py:184-185)
-    val sited = e.filter(col("rtype") === "Encounter")
-      .select(col("id"), col("r.location").as("locs"))
       .select(col("id"),
-        exists(coalesce(col("locs"), array()),
+        coalesce(col("d.entry"), array().cast(entryArr)).as("entries"),
+        coalesce(col("d.resourceType") === "Bundle" &&
+          col("d.type") === "collection", lit(false)).as("is_bundle"))
+      .withColumn("n_patient", size(ofType(col("entries"), "Patient")))
+      .withColumn("n_encounter", size(ofType(col("entries"), "Encounter")))
+      .withColumn("n_specimen", size(ofType(col("entries"), "Specimen")))
+      .withColumn("n_observation", size(ofType(col("entries"), "Observation")))
+      .withColumn("n_dr", size(ofType(col("entries"), "DiagnosticReport")))
+      // every Encounter needs a site-system location (fhir.py:604-620);
+      // one without ⇒ the whole bundle is skipped (fhir.py:184-185)
+      .withColumn("all_sited", forall(ofType(col("entries"), "Encounter"),
+        e => exists(coalesce(resOf(e).getField("location"), array()),
           l => l.getField("location").getField("identifier").getField("system")
-            === lit(s"$InternalSystem/site")).as("has_site"))
-      .groupBy("id").agg(min(col("has_site")).as("all_sited"))
-    counts
-      .join(sited, Seq("id"), "left")
+            === lit(s"$InternalSystem/site"))))
       .withColumn("skip_reason",
-        when(!coalesce(col("is_bundle"), lit(false)),
-          "error: not a Bundle of type collection")
+        when(!col("is_bundle"), "error: not a Bundle of type collection")
           .when(col("n_patient") === 0 && col("n_dr") === 0,
             "missing Patient or DiagnosticReport")
           .when(col("n_patient") > 0 && col("n_encounter") === 0,
@@ -202,14 +188,18 @@ object FhirEtl {
           .when(col("n_specimen") > 0 && col("n_encounter") > 0 &&
             col("n_observation") < col("n_specimen"),
             "fewer Observations than Specimens")
-          .when(col("n_encounter") > 0 && !coalesce(col("all_sited"), lit(false)),
+          .when(col("n_encounter") > 0 && !col("all_sited"),
             "insufficient information to create encounter"))
       .withColumn("status",
         when(col("skip_reason").isNull, "processed")
           .when(col("skip_reason").startsWith("error"), "error")
           .otherwise("skipped"))
-      .select("id", "status", "skip_reason")
+      .select("id", "entries", "status", "skip_reason")
   }
+
+  /** Bundle-level validation verdicts only: id, status, skip_reason. */
+  def classify(feed: DataFrame): DataFrame =
+    parseBundles(feed).select("id", "status", "skip_reason")
 
   /** The decomposed warehouse deltas of one batch of bundles. */
   final case class Delta(
@@ -233,105 +223,85 @@ object FhirEtl {
       feed: DataFrame,
       identifiers: DataFrame,
       samples: DataFrame): Delta = {
-    // Parse once, consume ~10 times: the typed frames, classify counts and
-    // the reference-resolution joins all branch from this frame, and
-    // Catalyst pushes each branch's rtype filter below any shared exchange
-    // (so ReuseExchange can't deduplicate them). A LAZY localCheckpoint
-    // materializes the parsed entries as an RDD-level cache on first use —
-    // no CacheManager registration (nothing to unpersist by hand: the
-    // ContextCleaner reclaims it once the frame is unreachable after GC).
-    // Because the merged-schema parse happens BELOW this checkpoint, every
-    // typed branch downstream is a filter + struct-field read of the
-    // materialized rows — zero Jackson anywhere past this line.
-    val entries = parseEntries(feed).localCheckpoint(false)
-    // statuses is ALSO multi-consumed: every typed branch joins `ok`, so an
-    // unmaterialized classify would re-run its two aggregations once per
-    // branch (measured ~1s × 4-6 consumers per query at sf0.1). One row per
-    // bundle — checkpointing it is cheap and makes `ok` a read.
-    val statuses = classifyEntries(feed, entries).localCheckpoint(false)
-    val ok = statuses.filter(col("status") === "processed").select("id")
-    val e = entries.join(ok, "id")
+    // Parse once, consume ~8 times: every branch below is a per-row array
+    // pipeline over this frame. A LAZY localCheckpoint materializes the
+    // parsed bundles as an RDD-level cache on first use — no CacheManager
+    // registration (nothing to unpersist by hand: the ContextCleaner
+    // reclaims it once the frame is unreachable after GC). Past this line
+    // there is zero Jackson and zero intra-bundle shuffle: reference
+    // resolution is an array lookup inside the bundle's own row.
+    val docs = parseBundles(feed).localCheckpoint(false)
+    val statuses = docs.select("id", "status", "skip_reason")
+    val ok = docs.filter(col("status") === "processed")
+      .select(col("id"), col("entries"))
 
-    def typed(rtype: String): DataFrame =
-      e.filter(col("rtype") === rtype)
-        .select(col("id"), col("pos"), col("full_url"), col("r"))
-
-    val pat = typed("Patient")
-    val enc = typed("Encounter")
-    val obs = typed("Observation")
-    val spec = typed("Specimen")
-    val qr = typed("QuestionnaireResponse")
-    val dr = typed("DiagnosticReport")
+    val encSys = s"$InternalSystem/encounter"
+    val sampleSys = s"$InternalSystem/sample"
 
     // ---- encounter graph (process_encounter, fhir.py:453-505) ----------
-    val encBase = enc.select(
-      col("id"), col("pos"), col("full_url"),
-      identifierFor(col("r.identifier"), s"$InternalSystem/encounter")
-        .as("identifier"),
-      to_timestamp(col("r.period.start")).as("encountered"),
-      col("r.subject.reference").as("subject_ref"),
-      col("r.partOf.reference").as("part_of_ref"),
-      // first site-system location (process_encounter_site, fhir.py:604-620)
-      try_element_at(
-        filter(coalesce(col("r.location"), array()),
-          l => l.getField("location").getField("identifier").getField("system")
-            === lit(s"$InternalSystem/site")), lit(1))
-        .getField("location").getField("identifier").getField("value")
-        .as("site_identifier"),
-      // reason codes (process_encounter_reason, fhir.py:575-585)
-      flatten(transform(coalesce(col("r.reasonCode"), array()),
-        c => transform(c.getField("coding"), cd => cd.getField("code"))))
-        .as("reason_codes"))
-
-    // patient: sex (fhir.py:404-409), preferred language (fhir.py:563-573)
-    val patient = pat.select(
-      col("id"), col("full_url").as("p_url"),
-      identifierFor(col("r.identifier"), s"$InternalSystem/individual")
-        .as("individual_identifier"),
-      when(col("r.gender") === "unknown", lit(null))
-        .otherwise(col("r.gender")).as("sex"),
-      codeFor(
-        try_element_at(filter(coalesce(col("r.communication"), array()),
-          c => c.getField("preferred")), lit(1)).getField("language"),
-        LanguageSystem).as("language"))
-
-    // age from the first QuestionnaireResponse linked to the encounter
-    // (encounter_age/process_age, fhir.py:710-756): months take precedence
-    // within a response; first response with an age wins (entry order).
-    val ages = qr.select(
-        col("id"), col("pos"),
-        col("r.encounter.reference").as("enc_ref"),
-        try_element_at(filter(coalesce(col("r.item"), array()),
-          i => i.getField("linkId") === "age_months"), lit(1))
-          .getField("answer").getField("valueInteger").getItem(0).as("months"),
-        try_element_at(filter(coalesce(col("r.item"), array()),
-          i => i.getField("linkId") === "age"), lit(1))
-          .getField("answer").getField("valueInteger").getItem(0).as("years"))
-      .filter(col("months").isNotNull || col("years").isNotNull)
+    // One output row per Encounter entry; subject / partOf / age resolve
+    // against the bundle's own Patient / Encounter / QuestionnaireResponse
+    // entries riding along the explode (typically one of each per bundle).
+    val encRows = ok.select(col("id"),
+        ofType(col("entries"), "Encounter").as("encs"),
+        ofType(col("entries"), "Patient").as("pats"),
+        ofType(col("entries"), "QuestionnaireResponse").as("qrs"))
+      .select(col("id"), col("encs"), col("pats"), col("qrs"),
+        posexplode(col("encs")).as(Seq("pos", "e")))
+    val encRes = resOf(col("e"))
+    // age answers (encounter_age/process_age, fhir.py:710-756): months take
+    // precedence within a response; first response with an age wins
+    // (entry order — the filtered array preserves it)
+    def qrAnswer(q: Column, linkId: String): Column =
+      try_element_at(filter(coalesce(resOf(q).getField("item"), array()),
+        i => i.getField("linkId") === lit(linkId)), lit(1))
+        .getField("answer").getField("valueInteger").getItem(0)
+    val encounters = encRows
+      // subject → the bundle's Patient (fhir.py:404-409, 563-573)
+      .withColumn("subj", resOf(resolve(col("pats"),
+        encRes.getField("subject").getField("reference"))))
+      // partOf → the referenced encounter's identifier (fhir.py:480-483)
+      .withColumn("po", resOf(resolve(col("encs"),
+        encRes.getField("partOf").getField("reference"))))
       .withColumn("age",
-        when(col("months").isNotNull,
-          concat((col("months") / lit(12.0)).cast("string"), lit(" years")))
-          .otherwise(concat(col("years").cast("string"), lit(" years"))))
-      .groupBy("id", "enc_ref")
-      .agg(min_by(col("age"), col("pos")).as("age"))
-
-    // partOf resolution (fhir.py:480-483): referenced encounter's identifier
-    val partOf = encBase.select(
-      col("id").as("po_id"), col("full_url").as("po_url"),
-      col("identifier").as("part_of"))
-    val patientR = patient.withColumnRenamed("id", "p_id")
-    val agesR = ages.select(col("id").as("a_id"), col("enc_ref").as("a_ref"),
-      col("age"))
-
-    val encounters = encBase
-      .join(patientR,
-        col("id") === col("p_id") && col("subject_ref") === col("p_url"),
-        "left")
-      .join(agesR,
-        col("id") === col("a_id") && col("full_url") === col("a_ref"), "left")
-      .join(partOf,
-        col("id") === col("po_id") && col("part_of_ref") === col("po_url"),
-        "left")
+        try_element_at(transform(
+          filter(col("qrs"), q =>
+            resOf(q).getField("encounter").getField("reference")
+              === col("e").getField("fullUrl") &&
+              (qrAnswer(q, "age_months").isNotNull ||
+                qrAnswer(q, "age").isNotNull)),
+          q => when(qrAnswer(q, "age_months").isNotNull,
+            concat((qrAnswer(q, "age_months") / lit(12.0)).cast("string"),
+              lit(" years")))
+            .otherwise(concat(qrAnswer(q, "age").cast("string"),
+              lit(" years")))), lit(1)))
+      .select(
+        col("id"), col("pos"), col("e").getField("fullUrl").as("full_url"),
+        identifierFor(encRes.getField("identifier"), encSys).as("identifier"),
+        to_timestamp(encRes.getField("period").getField("start"))
+          .as("encountered"),
+        identifierFor(col("subj").getField("identifier"),
+          s"$InternalSystem/individual").as("individual_identifier"),
+        when(col("subj").getField("gender") === "unknown", lit(null))
+          .otherwise(col("subj").getField("gender")).as("sex"),
+        codeFor(
+          try_element_at(filter(
+            coalesce(col("subj").getField("communication"), array()),
+            c => c.getField("preferred")), lit(1)).getField("language"),
+          LanguageSystem).as("language"),
+        // first site-system location (process_encounter_site, fhir.py:604-620)
+        try_element_at(
+          filter(coalesce(encRes.getField("location"), array()),
+            l => l.getField("location").getField("identifier").getField("system")
+              === lit(s"$InternalSystem/site")), lit(1))
+          .getField("location").getField("identifier").getField("value")
+          .as("site_identifier"),
+        col("age"),
+        identifierFor(col("po").getField("identifier"), encSys).as("part_of"),
+        // reason codes (process_encounter_reason, fhir.py:575-585)
+        flatten(transform(coalesce(encRes.getField("reasonCode"), array()),
+          c => transform(c.getField("coding"), cd => cd.getField("code"))))
+          .as("reason_codes"))
       .select(col("id"), col("pos"), col("full_url"), col("identifier"),
         col("encountered"), col("individual_identifier"), col("sex"),
         col("language"), col("site_identifier"), col("age"), col("part_of"),
@@ -339,37 +309,53 @@ object FhirEtl {
 
     val sites = encounters.select(col("site_identifier").as("identifier"))
       .filter(col("identifier").isNotNull).distinct()
-    val individuals = patient
-      .select(col("individual_identifier").as("identifier"), col("sex"))
+    // every Patient of every processed bundle (upsert_individual,
+    // fhir.py:590-596), not just those an encounter references
+    val individuals = ok
+      .select(explode(ofType(col("entries"), "Patient")).as("p"))
+      .select(
+        identifierFor(resOf(col("p")).getField("identifier"),
+          s"$InternalSystem/individual").as("identifier"),
+        when(resOf(col("p")).getField("gender") === "unknown", lit(null))
+          .otherwise(resOf(col("p")).getField("gender")).as("sex"))
       .filter(col("identifier").isNotNull).distinct()
 
     // ---- encounter samples (process_encounter_samples, fhir.py:622-708) -
     // Observation is the only Specimen↔Encounter link: obs.encounter →
-    // encounter fullUrl, obs.specimen → specimen fullUrl.
+    // encounter fullUrl, obs.specimen → specimen fullUrl — both resolve
+    // inside the bundle; only the barcode lookup is a real join.
     val ident = identifiers.select(
       col("barcode").as("i_barcode"), col("uuid"), col("set_name"))
-    val encSamples = obs
-      .select(col("id"),
-        col("r.encounter.reference").as("enc_ref"),
+    val specColl = (s: Column) => s.getField("collection")
+    val encSamples = ok.select(col("id"),
+        ofType(col("entries"), "Observation").as("obss"),
+        ofType(col("entries"), "Encounter").as("encs"),
+        ofType(col("entries"), "Specimen").as("specs"))
+      .select(col("id"), col("encs"), col("specs"),
+        explode(col("obss")).as("o"))
+      .select(col("id"), col("encs"), col("specs"),
+        resOf(col("o")).getField("encounter").getField("reference")
+          .as("enc_ref"),
         // r.specimen is raw-captured (shape conflict, see resourceSchemaDdl):
         // re-parse the few-dozen-byte Reference here, Observation rows only
-        from_json(col("r.specimen"), specimenRefSchema)
+        from_json(resOf(col("o")).getField("specimen"), specimenRefSchema)
           .getField("reference").as("spec_ref"))
       .filter(col("enc_ref").isNotNull && col("spec_ref").isNotNull)
-      .join(encounters.select(col("id"), col("full_url").as("enc_url"),
-          col("identifier").as("encounter_identifier")),
-        Seq("id"))
-      .filter(col("enc_ref") === col("enc_url"))
-      .join(spec.select(col("id"), col("full_url").as("spec_url"),
-          trim(identifierFor(col("r.identifier"), s"$InternalSystem/sample"))
-            .as("barcode"),
-          try_element_at(col("r.note"), lit(1)).getField("text").as("note"),
-          // collectedDateTime || collectedPeriod.start || .end (fhir.py:688-695)
-          coalesce(col("r.collection.collectedDateTime"),
-            col("r.collection.collectedPeriod.start"),
-            col("r.collection.collectedPeriod.end")).as("collection_date")),
-        Seq("id"))
-      .filter(col("spec_ref") === col("spec_url"))
+      .withColumn("enc_e", resOf(resolve(col("encs"), col("enc_ref"))))
+      .withColumn("spec_e", resOf(resolve(col("specs"), col("spec_ref"))))
+      .filter(col("enc_e").isNotNull && col("spec_e").isNotNull)
+      .select(col("id"),
+        identifierFor(col("enc_e").getField("identifier"), encSys)
+          .as("encounter_identifier"),
+        trim(identifierFor(col("spec_e").getField("identifier"), sampleSys))
+          .as("barcode"),
+        try_element_at(col("spec_e").getField("note"), lit(1))
+          .getField("text").as("note"),
+        // collectedDateTime || collectedPeriod.start || .end (fhir.py:688-695)
+        coalesce(specColl(col("spec_e")).getField("collectedDateTime"),
+          specColl(col("spec_e")).getField("collectedPeriod").getField("start"),
+          specColl(col("spec_e")).getField("collectedPeriod").getField("end"))
+          .as("collection_date"))
       // unknown barcode → skip specimen, not bundle (fhir.py:664-667);
       // plain equi-join on barcode — AQE broadcasts if the identifier
       // table is small, shuffles if it is warehouse-sized
@@ -387,28 +373,47 @@ object FhirEtl {
     // ---- DiagnosticReport path (fhir.py:191-257, 896-966) --------------
     // reference.identifier absent → resolve the Specimen resource;
     // present with the internal system → inline barcode; present with any
-    // other system → no barcode → continue (fhir.py:204-215)
-    val drSpec = dr.select(col("id"), col("pos"),
-        col("r.effectiveDateTime").as("effective_datetime"),
-        col("r.result").as("results"),
-        // DR's specimen list is the array shape of the raw capture
-        explode(coalesce(from_json(col("r.specimen"), drSpecimenSchema),
-          array())).as("sp"))
-    val drInline = drSpec
-      .filter(col("sp.identifier").isNotNull)
-      .filter(col("sp.identifier.system") === InternalSystem)
-      .withColumn("barcode", trim(col("sp.identifier.value")))
-    val drResolved = drSpec
-      .filter(col("sp.identifier").isNull)
-      .join(spec.select(col("id"), col("full_url").as("spec_url"),
-          trim(identifierFor(col("r.identifier"), s"$InternalSystem/sample"))
-            .as("barcode")),
-        Seq("id"))
-      .filter(col("sp.reference") === col("spec_url"))
-      .drop("spec_url")
-    val drBarcodes = drInline
-      .unionByName(drResolved, allowMissingColumns = true)
+    // other system → no barcode → continue (fhir.py:204-215).
+    // Result Observations are resolved UP FRONT into a small typed array,
+    // so the identifier/sample joins below shuffle only narrow columns —
+    // never the bundle's entry array.
+    val drRows = ok.select(col("id"),
+        ofType(col("entries"), "DiagnosticReport").as("drs"),
+        ofType(col("entries"), "Specimen").as("specs"),
+        ofType(col("entries"), "Observation").as("obss"))
+      .select(col("id"), col("specs"), col("obss"),
+        posexplode(col("drs")).as(Seq("pos", "dr")))
+    val drRes = resOf(col("dr"))
+    val drSpec = drRows
+      .withColumn("effective_datetime", drRes.getField("effectiveDateTime"))
+      // presence-absence fields per result reference (fhir.py:896-966)
+      .withColumn("pa_items", transform(
+        coalesce(drRes.getField("result"), array()), r => {
+          val o = resOf(resolve(col("obss"), r.getField("reference")))
+          struct(
+            o.isNotNull.as("resolved"),
+            codeFor(o.getField("code"), SnomedSystem).as("snomed"),
+            o.getField("valueBoolean").as("value_bool"),
+            codeFor(o.getField("valueCodeableConcept"), SnomedSystem)
+              .as("value_code"),
+            o.getField("device").getField("identifier").getField("value")
+              .as("device"))
+        }))
+      // DR's specimen list is the array shape of the raw capture
+      .withColumn("sp", explode(coalesce(
+        from_json(drRes.getField("specimen"), drSpecimenSchema), array())))
+      .withColumn("spec_e", when(col("sp").getField("identifier").isNull,
+        resOf(resolve(col("specs"), col("sp").getField("reference")))))
+      .withColumn("barcode",
+        when(col("sp").getField("identifier").isNotNull &&
+          col("sp").getField("identifier").getField("system") === InternalSystem,
+          trim(col("sp").getField("identifier").getField("value")))
+          .when(col("sp").getField("identifier").isNull,
+            trim(identifierFor(col("spec_e").getField("identifier"), sampleSys))))
       .filter(col("barcode").isNotNull) // fhir.py:214-215: no barcode → continue
+      .select(col("id"), col("barcode"), col("effective_datetime"),
+        col("pa_items"))
+    val drBarcodes = drSpec
       .join(ident, col("barcode") === col("i_barcode"), "inner")
       .filter(col("set_name")
         .isin(expectedCollectionSets ++ expectedSampleSets: _*))
@@ -437,15 +442,12 @@ object FhirEtl {
       .withColumn("sample_not_found", col("sample_missing") && !col("is_collection"))
       .filter(!col("sample_not_found"))
       .select(col("id"), col("barcode"), col("effective_datetime"),
-        explode(coalesce(col("results"), array())).as("res_ref"))
-      .withColumn("result_ref", col("res_ref.reference"))
-      .join(obs.select(col("id"), col("full_url").as("obs_url"),
-          codeFor(col("r.code"), SnomedSystem).as("snomed"),
-          col("r.valueBoolean").as("value_bool"),
-          codeFor(col("r.valueCodeableConcept"), SnomedSystem).as("value_code"),
-          col("r.device.identifier.value").as("device")),
-        Seq("id"))
-      .filter(col("result_ref") === col("obs_url"))
+        explode(col("pa_items")).as("it"))
+      .filter(col("it").getField("resolved"))
+      .withColumn("snomed", col("it").getField("snomed"))
+      .withColumn("value_bool", col("it").getField("value_bool"))
+      .withColumn("value_code", col("it").getField("value_code"))
+      .withColumn("device", col("it").getField("device"))
       .filter(col("snomed").isNotNull) // assert, fhir.py:929
       .filter(col("snomed") =!= "911000124104") // inconclusive, fhir.py:936-937
       .withColumn("present",

@@ -98,6 +98,94 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(r.getString(0)).getOrElse("-")).toSeq == Seq("proj7", "proj7b", "-"))
   }
 
+  test("Etl.runCycleDelta writes O(batch) status rows, never the feed") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_delta").toString
+    val feedDir = s"$base/feed"
+    val statusDir = s"$base/status"
+    val docs = Seq("""{"sample":"s1","n":1}""", """{"sample":"s2","n":2}""", "junk{{")
+      .toDF("document")
+    Receiving.fromDocuments(docs, "document").write.parquet(feedDir)
+    val feedFilesBefore = new java.io.File(feedDir).listFiles().map(_.getName).toSet
+
+    val feed = spark.read.parquet(feedDir)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("etl", StringType),
+        StructField("revision", IntegerType), StructField("status", StringType),
+        StructField("timestamp", TimestampType))))
+    var processed = 0L
+    val delta = Etl.runCycleDelta(feed, empty, "t", 1, docSchema) { ok =>
+      processed = ok.count()
+    }
+    delta.write.mode("append").parquet(statusDir)
+    assert(processed == 2)
+    // the cycle's only write is the status delta: 3 rows, feed untouched
+    assert(new java.io.File(feedDir).listFiles().map(_.getName).toSet
+      == feedFilesBefore)
+    val status = spark.read.parquet(statusDir)
+    assert(status.count() == 3)
+    assert(status.filter(col("status") === "skipped").count() == 1)
+    // second cycle against the side-table: nothing pending
+    var second = -1L
+    val delta2 = Etl.runCycleDelta(feed, status, "t", 1, docSchema) { ok =>
+      second = ok.count()
+    }
+    assert(second == 0 && delta2.count() == 0)
+    // the read path can fold the side-table back into processing_log shape
+    val folded = Receiving.withProcessingLog(feed, status)
+    assert(folded.filter(exists(col("processing_log"),
+      e => e.getField("status") === "skipped")).count() == 1)
+    assert(Receiving.unprocessed(folded, "t", 1).count() == 0)
+  }
+
+  test("snapshotSwap recovers a swap that crashed between its two renames") {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = Files.createTempDirectory("graft_swap").toString
+    val dir = s"$base/table"
+    Receiving.snapshotSwap(Seq((1L, "a")).toDF("id", "v"), dir)
+    // simulate the crash window: dst renamed away to .bak, a completed
+    // .tmp left stranded, then the process dies before rename(tmp→dst)
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir.tmp-999")
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$dir.bak-999"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // open recovers: the old snapshot is rolled back into place (the
+    // crashed transaction aborts), stranded staging dirs are swept
+    val recovered = Receiving.openSnapshot(spark, dir)
+    assert(recovered.collect().map(_.getString(1)).toSeq == Seq("a"))
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir.tmp-*")).isEmpty)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir.bak-*")).isEmpty)
+    // and the next swap proceeds normally after recovery
+    Receiving.snapshotSwap(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(Receiving.openSnapshot(spark, dir).collect()
+      .map(_.getString(1)).toSeq == Seq("c"))
+  }
+
+  test("Etl.upsertSamples same-batch same-key updates fold deterministically") {
+    import spark.implicits._
+    val cur = Seq((1L, "A1", "C1", """{"x":0}"""))
+      .toDF("sample_id", "identifier", "collection_identifier", "details")
+    // two updates hitting the same (identifier, collection) key in one
+    // batch, with an id ordinal: both must apply, in id order (the second
+    // merges over the first), under ANY partitioning
+    val upd = Seq(
+      (10L, "A1", "C1", """{"k":"first","a":1}"""),
+      (11L, "A1", "C1", """{"k":"second","b":2}"""))
+      .toDF("id", "identifier", "collection_identifier", "details")
+    val expected = """{"x":0,"k":"second","a":1,"b":2}"""
+    for (parts <- Seq("1", "3", "7")) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val out = Etl.upsertSamples(cur, upd).collect()
+        assert(out.length == 1, s"parts=$parts")
+        assert(out.head.getAs[String]("details") == expected, s"parts=$parts")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
   test("Etl.markRepeats keeps first per record as primary") {
     import spark.implicits._
     val feed = Seq((10L, "r1"), (11L, "r1"), (12L, "r2")).toDF("id", "record")
