@@ -1511,6 +1511,74 @@ object SparkEntry {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** The redcap_det pipeline gate (reference etl/redcap_det.py:119-280):
+    * FIFO det_limit → containment routing on (redcap_url, project_id) →
+    * incomplete-instrument skip → first-complete-DET-per-record dedup
+    * (later ones are repeats) → per-DET disposition, i.e. exactly the
+    * entries mark_loaded/mark_skipped append. DET feed synthesized from
+    * orders with off-route documents, repeats and every is_complete form
+    * (Complete / 2 / "2" / Incomplete / missing).
+    */
+  private def q84RedcapDet(s: SparkSession, dir: String): DataFrame = {
+    val k = $("o_orderkey")
+    val feed = materializedFeed(s, "q84", dir)(t(s, dir, "orders").select(
+      k.as("id"),
+      to_json(struct(
+        when(k % 11 === 0, "https://other.example.org")
+          .otherwise("https://redcap.example.org").as("redcap_url"),
+        when(k % 13 === 0, "99").otherwise("17").as("project_id"),
+        concat(lit("rec-"), k % 997).as("record"),
+        lit("enrollment").as("instrument"),
+        when(k % 7 === 0, "0").when(k % 7 === 1, "Incomplete")
+          .when(k % 7 === 3, "Complete").when(k % 7 === 4, "2")
+          .when(k % 7 > 4, "2")
+          .as("enrollment_complete"))).as("document")))
+    graft.etl.Etl.redcapDetDispositions(
+        feed, "https://redcap.example.org", "17", detLimit = Some(5000))
+      .orderBy("id")
+  }
+
+  /** Location import end-to-end gate (reference
+    * cli/command/location.py:63-230 + point-default-from-polygon
+    * trigger): features with square polygons (centroid covered → point =
+    * centroid), concave C-shaped polygons (vertex centroid lands in the
+    * notch → fallback to a boundary point), and explicit points; self
+    * (scale ⇒ identifier) hierarchy pair; hstore merge over the current
+    * location table on identifier. All coordinates are integer-or-half
+    * valued, so the centroid sums and /4 and /8 divisions are IEEE-exact
+    * and the oracle can state expected points in closed form.
+    */
+  private def q85LocationImport(s: SparkSession, dir: String): DataFrame = {
+    val k = $("c_custkey")
+    val x0 = ((k % 170) - 85).cast("double")
+    val y0 = ((k % 80) - 40).cast("double")
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val square = array(pt(x0, y0), pt(x0 + 2, y0), pt(x0 + 2, y0 + 2),
+      pt(x0, y0 + 2), pt(x0, y0))
+    val cshape = array(pt(x0, y0), pt(x0 + 4, y0), pt(x0 + 4, y0 + 1),
+      pt(x0 + 1, y0 + 1), pt(x0 + 1, y0 + 3), pt(x0 + 4, y0 + 3),
+      pt(x0 + 4, y0 + 4), pt(x0, y0 + 4), pt(x0, y0))
+    val nullPt = lit(null).cast("struct<x:double,y:double>")
+    val features = t(s, dir, "customer").select(
+      concat(lit("loc-"), k).as("identifier"),
+      when(k % 2 === 0, "city").otherwise("state").as("scale"),
+      concat(lit("\"country\"=>\"us\", \"state\"=>\"st"), k % 50, lit("\""))
+        .as("hierarchy"),
+      when(k % 3 === 0, square).when(k % 3 === 1, cshape).as("polygon"),
+      when(k % 3 === 2, pt(x0 + 0.5, y0 + 0.5)).otherwise(nullPt).as("point"))
+    val current = t(s, dir, "customer").filter(k % 5 === 0).select(
+      concat(lit("loc-"), k).as("identifier"),
+      concat(lit("\"region\"=>\"r"), k % 7, lit("\"")).as("hierarchy"))
+    graft.etl.Etl.importLocations(features, current)
+      .select($("identifier"), $("scale"),
+        array_join(array_sort(transform(map_entries($("hierarchy")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+          .as("hierarchy"),
+        $("point").getField("x").as("px"),
+        $("point").getField("y").as("py"))
+      .orderBy("identifier")
+  }
+
   /** Pre-sort materialization for expensive pipelines: a global orderBy
     * range-partitions, and its sampling pass executes the full child plan
     * a second time. Checkpointing first makes the sample a cheap re-read.
@@ -1606,6 +1674,8 @@ object SparkEntry {
     "q81_corpus_build" -> (q81CorpusBuild _),
     "q82_session_window" -> (q82SessionWindow _),
     "q83_frame_sample" -> (q83FrameSample _),
+    "q84_redcap_det" -> (q84RedcapDet _),
+    "q85_location_import" -> (q85LocationImport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2708,6 +2778,58 @@ object SparkEntry {
         |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
         |  substring(text, (frame_no * 256 + 1)::BIGINT, 64) AS frame_text
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+    "q84_redcap_det" ->
+      """WITH det AS (
+        |  SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'https://other.example.org'
+        |         ELSE 'https://redcap.example.org' END AS redcap_url,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN '99' ELSE '17' END AS project_id,
+        |    'rec-' || CAST(o_orderkey % 997 AS VARCHAR) AS record,
+        |    'enrollment' AS instrument,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN '0'
+        |         WHEN o_orderkey % 7 = 1 THEN 'Incomplete'
+        |         WHEN o_orderkey % 7 = 2 THEN NULL
+        |         WHEN o_orderkey % 7 = 3 THEN 'Complete'
+        |         ELSE '2' END AS complete_val
+        |  FROM orders),
+        |routed AS (SELECT * FROM det
+        |  WHERE redcap_url = 'https://redcap.example.org' AND project_id = '17'
+        |  ORDER BY id LIMIT 5000),
+        |flagged AS (SELECT id, record, instrument,
+        |    coalesce(complete_val IN ('Complete','2'), false) AS eligible
+        |  FROM routed),
+        |ranked AS (SELECT id, record, instrument,
+        |    row_number() OVER (PARTITION BY record ORDER BY id) AS rn
+        |  FROM flagged WHERE eligible)
+        |SELECT id, record, instrument,
+        |  CASE WHEN rn = 1 THEN 'loaded' ELSE 'skipped' END AS status,
+        |  CASE WHEN rn > 1 THEN 'repeat REDCap record' END AS reason
+        |FROM ranked
+        |UNION ALL
+        |SELECT id, record, instrument, 'skipped' AS status,
+        |  'incomplete/unverified DET' AS reason
+        |FROM flagged WHERE NOT eligible
+        |ORDER BY id""".stripMargin,
+    "q85_location_import" ->
+      """WITH f AS (
+        |  SELECT c_custkey AS k,
+        |    'loc-' || CAST(c_custkey AS VARCHAR) AS identifier,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'city' ELSE 'state' END AS scale,
+        |    CAST((c_custkey % 170) - 85 AS DOUBLE) AS x0,
+        |    CAST((c_custkey % 80) - 40 AS DOUBLE) AS y0
+        |  FROM customer)
+        |SELECT identifier, scale,
+        |  CASE WHEN k % 2 = 0 THEN 'city=' || identifier || ',country=us'
+        |       ELSE 'country=us' END
+        |  || CASE WHEN k % 5 = 0 THEN ',region=r' || CAST(k % 7 AS VARCHAR)
+        |          ELSE '' END
+        |  || CASE WHEN k % 2 = 0 THEN ',state=st' || CAST(k % 50 AS VARCHAR)
+        |          ELSE ',state=' || identifier END AS hierarchy,
+        |  CASE WHEN k % 3 = 0 THEN x0 + 1 WHEN k % 3 = 1 THEN x0
+        |       ELSE x0 + 0.5 END AS px,
+        |  CASE WHEN k % 3 = 0 THEN y0 + 1 WHEN k % 3 = 1 THEN y0
+        |       ELSE y0 + 0.5 END AS py
+        |FROM f ORDER BY identifier""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

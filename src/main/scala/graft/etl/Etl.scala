@@ -206,4 +206,103 @@ object Etl {
     feed.withColumn("det_status",
       when(row_number().over(w) === 1, "primary").otherwise("repeat"))
   }
+
+  /** The location import pipeline composed end-to-end (reference
+    * cli/command/location.py:63-230 → upsert_location,
+    * cli/command/location.py:247-292): each feature's (scale, identifier)
+    * pair is added to its own hierarchy (location.py:136-139, self wins on
+    * key collision), a missing point defaults from the polygon — centroid
+    * when the polygon covers it, else a point guaranteed on the boundary
+    * (the first vertex; the reference trigger uses st_pointonsurface,
+    * warehouse/location/triggers/point-default-from-polygon.sql:8-24) —
+    * and matched rows hstore-merge their hierarchy over the current one
+    * (new keys win, hstore `||`).
+    *
+    * @param features identifier, scale, hierarchy (hstore text),
+    *                 point (struct&lt;x,y&gt;, nullable),
+    *                 polygon (ring array&lt;struct&lt;x,y&gt;&gt;, nullable)
+    * @param current  identifier, hierarchy (hstore text) — the warehouse
+    *                 location table
+    *
+    * Scale: defaulting is per-row column math (no geometry library, no
+    * UDF); the only shuffle is the upsert equi-join on identifier.
+    */
+  def importLocations(features: DataFrame, current: DataFrame): DataFrame = {
+    import graft.functions.{hstoreMerge, hstoreParse}
+    import graft.functions.Geo
+    val centroid = Geo.ringCentroid(col("polygon"))
+    val defaulted = features
+      .withColumn("h_new", hstoreMerge(hstoreParse(col("hierarchy")),
+        map(col("scale"), col("identifier"))))
+      .withColumn("point", coalesce(col("point"),
+        when(col("polygon").isNotNull,
+          when(Geo.pointInPolygon(centroid.getField("x"),
+            centroid.getField("y"), col("polygon")), centroid)
+            .otherwise(element_at(col("polygon"), 1)))))
+    defaulted
+      .join(current.select(col("identifier"),
+          hstoreParse(col("hierarchy")).as("h_cur")),
+        Seq("identifier"), "left")
+      .withColumn("hierarchy", hstoreMerge(col("h_cur"), col("h_new")))
+      .select("identifier", "scale", "hierarchy", "point", "polygon")
+  }
+
+  /** The redcap_det ETL pipeline composed end-to-end (reference
+    * etl/redcap_det.py:119-280): select DETs whose document contains the
+    * routine's (redcap_url, project_id) — FIFO by id with an optional
+    * det_limit (:127-135); skip DETs whose instrument isn't marked
+    * complete (:153-161; is_complete, redcap.py:693-721: the
+    * `<instrument>_complete` field ∈ {Complete, 2, "2"}, a missing field
+    * is not complete); the FIRST complete DET per REDCap record wins and
+    * later ones skip as repeats (:163-175, FIFO semantics); survivors
+    * load (mark_loaded :229-230 — the REDCap API fetch and per-project
+    * routine are out of scope, zero egress).
+    *
+    * Returns one disposition row per selected DET — exactly what
+    * mark_loaded/mark_skipped append to processing_log (sans timestamp):
+    * id, record, instrument, status ∈ (loaded|skipped), reason. Feed it
+    * to [[Receiving.statusDelta]] / [[Receiving.markProcessed]] to
+    * persist.
+    *
+    * Scale: routing and completeness are per-row; the repeat window
+    * partitions by REDCap record id (fine-grained, no skew); the FIFO
+    * limit plans as TakeOrdered (no global sort materialization).
+    */
+  def redcapDetDispositions(
+      feed: DataFrame,
+      redcapUrl: String,
+      projectId: String,
+      detLimit: Option[Int] = None,
+      includeIncomplete: Boolean = false): DataFrame = {
+    val m = from_json(col("document"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    val routed = routeByContainment(feed,
+      Seq("det" -> Map("redcap_url" -> redcapUrl, "project_id" -> projectId)))
+      .filter(col("route") === "det").drop("route")
+    val limited = detLimit.fold(routed)(n => routed.orderBy("id").limit(n))
+    val flagged = limited
+      .withColumn("record", element_at(m, lit("record")))
+      .withColumn("instrument", element_at(m, lit("instrument")))
+      .withColumn("eligible",
+        if (includeIncomplete) lit(true)
+        else coalesce(
+          element_at(m, concat(col("instrument"), lit("_complete")))
+            .isin("Complete", "2"), lit(false)))
+    // first complete DET per record loads; later complete ones are
+    // repeats; incomplete ones skip WITHOUT claiming the record
+    val complete = markRepeats(flagged.filter(col("eligible")),
+        col("record"), col("id"))
+      .withColumn("status",
+        when(col("det_status") === "primary", "loaded").otherwise("skipped"))
+      .withColumn("reason",
+        when(col("det_status") === "repeat", "repeat REDCap record"))
+      .drop("det_status")
+    val incomplete = flagged.filter(!col("eligible"))
+      .withColumn("status", lit("skipped"))
+      .withColumn("reason", lit("incomplete/unverified DET"))
+    complete.unionByName(incomplete)
+      .select("id", "record", "instrument", "status", "reason")
+  }
 }
