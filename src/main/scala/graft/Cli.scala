@@ -59,10 +59,20 @@ object Cli {
       val spark = session()
       refreshView(spark, whDir, view, outDir, dryRun = rest.contains("--dry-run"))
       spark.stop()
+    case "get-sample" :: identDir :: samplesDir :: barcode :: rest =>
+      val spark = session()
+      val rows = getSample(spark, identDir, samplesDir, barcode,
+        byCollection = rest.contains("--collection"))
+      rows.foreach(println)
+      spark.stop()
+      if (rows.isEmpty) {
+        System.err.println(s"sample not found: $barcode")
+        sys.exit(1)
+      }
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "commands: receive | etl-fhir | manifest-diff | mint | refresh-view")
+        "commands: receive | etl-fhir | manifest-diff | mint | refresh-view | get-sample")
       sys.exit(2)
   }
 
@@ -159,6 +169,26 @@ object Cli {
       case other => sys.error(s"unknown view: $other (pa_v1 | pa_v2)")
     }
     Receiving.snapshotSwap(df, outDir, dryRun)
+  }
+
+  /** API point-read face — `GET /warehouse/sample/<barcode>`
+    * (reference lib/id3c/api/routes.py:295-323): resolve the barcode to its
+    * identifier uuid, then fetch the sample keyed by `identifier` (or by
+    * `collection_identifier` with `--collection`, mirroring the
+    * `/sample/collection/<barcode>` route). The barcode equality filter is
+    * pushed to the parquet scan on both tables, so the "query" is a
+    * partition-pruned point lookup, not a shuffle. Returns the matching
+    * sample rows as JSON strings (empty → the CLI reports 404-equivalent).
+    */
+  def getSample(spark: SparkSession, identDir: String, samplesDir: String,
+      barcode: String, byCollection: Boolean): Seq[String] = {
+    val uuids = spark.read.parquet(identDir)
+      .filter(col("barcode") === barcode)
+      .select(col("uuid"))
+    val key = if (byCollection) "collection_identifier" else "identifier"
+    spark.read.parquet(samplesDir)
+      .join(broadcast(uuids), col(key) === col("uuid"), "left_semi")
+      .toJSON.collect().toSeq
   }
 
   private def readFeedIfAny(spark: SparkSession, dir: String): Option[DataFrame] = {

@@ -101,6 +101,28 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!minted.contains("aaaaaaaa"))
   }
 
+  test("get-sample resolves barcode → identifier uuid → sample row") {
+    import spark.implicits._
+    val identDir = tmp() + "/identifiers"
+    val samplesDir = tmp() + "/samples"
+    Seq(("abcdefgh", "u-1", "samples"), ("ijklmnop", "u-2", "collections"))
+      .toDF("barcode", "uuid", "set_name").write.parquet(identDir)
+    Seq((1L, "u-1", "u-2"), (2L, "u-9", "u-8"))
+      .toDF("sample_id", "identifier", "collection_identifier")
+      .write.parquet(samplesDir)
+
+    val byIdent = Cli.getSample(spark, identDir, samplesDir, "abcdefgh",
+      byCollection = false)
+    assert(byIdent.size == 1 && byIdent.head.contains("\"sample_id\":1"))
+    // collection route: ijklmnop → u-2 → the same sample's collection key
+    val byColl = Cli.getSample(spark, identDir, samplesDir, "ijklmnop",
+      byCollection = true)
+    assert(byColl.size == 1 && byColl.head.contains("\"sample_id\":1"))
+    // unknown barcode → empty (the CLI maps this to exit 1 / 404)
+    assert(Cli.getSample(spark, identDir, samplesDir, "zzzzzzzz",
+      byCollection = false).isEmpty)
+  }
+
   test("manifest-diff emits only records whose content hash is new") {
     val a = tmp() + "/old.ndjson"
     val b = tmp() + "/new.ndjson"

@@ -23,6 +23,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   import scala.jdk.CollectionConverters._
 
+  test("RangeBinJoin matches the v2 intervalrange bins, month precision") {
+    import spark.implicits._
+    // the reference's age-bin v2 tables (shipping/age-bin-v2.sql:6-66) are
+    // month-precision intervalranges — [0,1 mon), [1 mon,6 mons),
+    // [6 mons,1 year), … [90 years,∞). Normalized to half-open month
+    // bounds; the sub-year lower bounds (1, 6 mons) are the fixture the
+    // integer-year bins never exercised.
+    val fineV2 = Seq(
+      (0, Option(1), "[0,1mo)"), (1, Option(6), "[1mo,6mo)"),
+      (6, Option(12), "[6mo,1y)"), (12, Option(60), "[1y,5y)"),
+      (60, Option(120), "[5y,10y)"), (1080, Option.empty[Int], "[90y,)"))
+      .toDF("lo", "hi", "label")
+    val ages = Seq(0, 1, 5, 6, 11, 12, 59, 1500).toDF("age_months")
+    val out = RangeBinJoin(ages, "age_months", fineV2)
+      .orderBy("age_months")
+      .collect().map(r => r.getInt(0) -> r.getAs[String]("label")).toSeq
+    assert(out == Seq(
+      0 -> "[0,1mo)", 1 -> "[1mo,6mo)", 5 -> "[1mo,6mo)", 6 -> "[6mo,1y)",
+      11 -> "[6mo,1y)", 12 -> "[1y,5y)", 59 -> "[1y,5y)", 1500 -> "[90y,)"))
+    // exclusion constraint analogue: v2 bins never overlap, so the join
+    // is one-to-at-most-one
+    assert(RangeBinJoin(ages, "age_months", fineV2).count() == ages.count())
+  }
+
   test("hamming_distance: native expression, interpreted and codegen") {
     import spark.implicits._
     val df = Seq(("abcd", "abcd"), ("abcd", "abxd"), ("abcd", "xbxd"), ("ab", "abcd"))
