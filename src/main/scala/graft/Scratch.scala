@@ -12,6 +12,20 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("SPARK_GRAFT_JOBLOG"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, System.nanoTime())
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val t0 = Option(starts.remove(j.jobId)).getOrElse(0L)
+            println(f"  [job ${j.jobId}%3d] ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+          }
+        })
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names =
       if (args.nonEmpty) args.toSeq
@@ -31,14 +45,21 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    names.foreach { n =>
-      try noop(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
-      catch { case e: Throwable => println(s"warm $n failed: $e") }
-      scrub()
-    }
-    for (p <- 1 to 2; n <- names) {
-      time(s"$n p$p")(noop(SparkEntry.queries(n)(spark, dir)))
-      scrub()
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      names.foreach { n =>
+        println(s"########## $n")
+        SparkEntry.queries(n)(spark, dir).explain("formatted")
+      }
+    } else {
+      names.foreach { n =>
+        try noop(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
+        catch { case e: Throwable => println(s"warm $n failed: $e") }
+        scrub()
+      }
+      for (p <- 1 to 2; n <- names) {
+        time(s"$n p$p")(noop(SparkEntry.queries(n)(spark, dir)))
+        scrub()
+      }
     }
     spark.stop()
   }

@@ -783,7 +783,12 @@ object SparkEntry {
       s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_feeds",
       s"${name}_${Integer.toHexString(dir.hashCode)}_$planHash").getPath
     if (!new java.io.File(path, "_SUCCESS").exists())
-      feed.write.mode("overwrite").parquet(path)
+      // write at session parallelism: a single-file feed reads back as ONE
+      // partition (a 2 MB file is below any split threshold), serializing
+      // every downstream Jackson parse onto one thread — ingest layout is
+      // where read parallelism is decided
+      feed.repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(path)
     s.read.parquet(path)
   }
 

@@ -186,13 +186,21 @@ object Etl {
   def routeByContainment(
       feed: DataFrame,
       routes: Seq[(String, Map[String, String])]): DataFrame = {
-    val routeCol = routes.foldRight(lit(null).cast("string")) {
-      case ((name, fields), els) =>
-        val cond = fields.map { case (k, v) =>
-          get_json_object(col("document"), s"$$.$k") === lit(v)
-        }.reduce(_ && _)
-        when(cond, lit(name)).otherwise(els)
-    }
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // one Jackson parse for the union of routing keys: a get_json_object
+    // per (route × field) re-parses the document each time — at feed scale
+    // the parse IS the routing cost, so it must happen exactly once/row
+    val keys = routes.flatMap(_._2.keys).distinct
+    val parsed = from_json(col("document"),
+      StructType(keys.map(k => StructField(k, StringType))))
+    val routeCol = graft.operators.Dedup.bind(parsed, p =>
+      routes.foldRight(lit(null).cast("string")) {
+        case ((name, fields), els) =>
+          val cond = fields.map { case (k, v) =>
+            p.getField(k) === lit(v)
+          }.reduce(_ && _)
+          when(cond, lit(name)).otherwise(els)
+      })
     feed.withColumn("route", routeCol)
   }
 
@@ -230,15 +238,20 @@ object Etl {
   def importLocations(features: DataFrame, current: DataFrame): DataFrame = {
     import graft.functions.{hstoreMerge, hstoreParse}
     import graft.functions.Geo
-    val centroid = Geo.ringCentroid(col("polygon"))
+    import graft.operators.Dedup.bind
+    // let-bind the centroid: passing the raw aggregate expression into
+    // pointInPolygon would splice it into the per-edge crossing-test
+    // lambda, re-computing the centroid sum once per polygon edge (the
+    // interpreted-HOF trap — measured 8× expression blow-up in the plan)
+    val defaultedPoint = when(col("polygon").isNotNull,
+      bind(Geo.ringCentroid(col("polygon")), cen =>
+        when(Geo.pointInPolygon(cen.getField("x"), cen.getField("y"),
+          col("polygon")), cen)
+          .otherwise(element_at(col("polygon"), 1))))
     val defaulted = features
       .withColumn("h_new", hstoreMerge(hstoreParse(col("hierarchy")),
         map(col("scale"), col("identifier"))))
-      .withColumn("point", coalesce(col("point"),
-        when(col("polygon").isNotNull,
-          when(Geo.pointInPolygon(centroid.getField("x"),
-            centroid.getField("y"), col("polygon")), centroid)
-            .otherwise(element_at(col("polygon"), 1)))))
+      .withColumn("point", coalesce(col("point"), defaultedPoint))
     defaulted
       .join(current.select(col("identifier"),
           hstoreParse(col("hierarchy")).as("h_cur")),
@@ -291,18 +304,22 @@ object Etl {
           element_at(m, concat(col("instrument"), lit("_complete")))
             .isin("Complete", "2"), lit(false)))
     // first complete DET per record loads; later complete ones are
-    // repeats; incomplete ones skip WITHOUT claiming the record
-    val complete = markRepeats(flagged.filter(col("eligible")),
-        col("record"), col("id"))
+    // repeats; incomplete ones skip WITHOUT claiming the record. One pass:
+    // "am I the first eligible row of my record" is a windowed count of
+    // eligible predecessors — splitting into complete/incomplete branches
+    // and unioning would execute the routed+limited subtree twice.
+    import org.apache.spark.sql.expressions.Window
+    val priors = Window.partitionBy(col("record")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val priorEligible = coalesce(
+      sum(when(col("eligible"), 1L).otherwise(0L)).over(priors), lit(0L))
+    flagged
       .withColumn("status",
-        when(col("det_status") === "primary", "loaded").otherwise("skipped"))
+        when(col("eligible") && priorEligible === 0, "loaded")
+          .otherwise("skipped"))
       .withColumn("reason",
-        when(col("det_status") === "repeat", "repeat REDCap record"))
-      .drop("det_status")
-    val incomplete = flagged.filter(!col("eligible"))
-      .withColumn("status", lit("skipped"))
-      .withColumn("reason", lit("incomplete/unverified DET"))
-    complete.unionByName(incomplete)
+        when(!col("eligible"), "incomplete/unverified DET")
+          .when(col("status") === "skipped", "repeat REDCap record"))
       .select("id", "record", "instrument", "status", "reason")
   }
 }

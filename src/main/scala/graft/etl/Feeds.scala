@@ -81,7 +81,8 @@ object Feeds {
       // parse once, consume per-branch: the typed doc struct feeds the
       // status classification and every delta frame (a lazy localCheckpoint
       // — RDD-level, ContextCleaner-reclaimed — not a CacheManager entry)
-      val parsed = feed.repartition(col("id")) // parse at cluster width, not feed-file width
+      val parsed = feed.repartition(feed.sparkSession.sparkContext.defaultParallelism,
+        col("id")) // parse at cluster width (explicit, AQE-uncoalescible)
         .select(col("id"), from_json(col("document"), schema).as("d"))
         .localCheckpoint(false)
       val statuses = parsed.select(col("id"),
@@ -210,7 +211,8 @@ object Feeds {
       // parse once, consume per-branch: the typed doc struct feeds the
       // status classification and every delta frame (a lazy localCheckpoint
       // — RDD-level, ContextCleaner-reclaimed — not a CacheManager entry)
-      val parsed = feed.repartition(col("id")) // parse at cluster width, not feed-file width
+      val parsed = feed.repartition(feed.sparkSession.sparkContext.defaultParallelism,
+        col("id")) // parse at cluster width (explicit, AQE-uncoalescible)
         .select(col("id"), from_json(col("document"), schema).as("d"))
         .localCheckpoint(false)
       val statuses = parsed.select(col("id"),
@@ -308,7 +310,8 @@ object Feeds {
 
     def decompose(feed: DataFrame, identifiers: DataFrame): Delta = {
       val ident = identifiers.select(col("barcode"), col("uuid"), col("set_name"))
-      val parsed = feed.repartition(col("id")) // parse at cluster width, not feed-file width
+      val parsed = feed.repartition(feed.sparkSession.sparkContext.defaultParallelism,
+        col("id")) // parse at cluster width (explicit, AQE-uncoalescible)
         .select(col("id"), from_json(col("document"), schema).as("d"))
         .join(ident.select(col("barcode").as("sb"), col("uuid").as("s_uuid"),
             col("set_name").as("s_set")),
@@ -364,7 +367,8 @@ object Feeds {
         samples: DataFrame // identifier, sample_type (utm|rdt|other)
     ): Delta = {
       val ident = identifiers.select(col("barcode"), col("uuid"), col("set_name"))
-      val parsed = feed.repartition(col("id")) // parse at cluster width, not feed-file width
+      val parsed = feed.repartition(feed.sparkSession.sparkContext.defaultParallelism,
+        col("id")) // parse at cluster width (explicit, AQE-uncoalescible)
         .select(col("id"), from_json(col("document"), schema).as("d"))
         .join(ident.select(col("barcode").as("sb"), col("uuid").as("s_uuid"),
             col("set_name").as("s_set")),
@@ -433,7 +437,8 @@ object Feeds {
       // parse once, consume per-branch: the typed doc struct feeds the
       // status classification and every delta frame (a lazy localCheckpoint
       // — RDD-level, ContextCleaner-reclaimed — not a CacheManager entry)
-      val parsed = feed.repartition(col("id")) // parse at cluster width, not feed-file width
+      val parsed = feed.repartition(feed.sparkSession.sparkContext.defaultParallelism,
+        col("id")) // parse at cluster width (explicit, AQE-uncoalescible)
         .select(col("id"), from_json(col("document"), schema).as("d"))
         .localCheckpoint(false)
       // organism resolution: each known reference name's lquery matched

@@ -157,8 +157,14 @@ object FhirEtl {
       // few files the log writer produced, and Jackson billed to the scan
       // stage would run at file parallelism (measured: a 2-file feed
       // parsed on 2 of 32 cores, 4.3s of a 10s query). Shuffling the raw
-      // documents first is one narrow exchange.
-      .repartition(col("id"))
+      // documents first is one narrow exchange. The partition count must
+      // be EXPLICIT: a bare repartition(col) is AQE-coalescible, and the
+      // raw-document bytes look small enough (64 MB advisory) that AQE
+      // folds the exchange to 1-2 partitions — serializing the parse,
+      // whose output is 5-10× the input bytes (measured: 2.8s of a 5s
+      // query on one core).
+      .repartition(feed.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
       .select(col("id"),
         from_json(col("document"), ddl(
           "STRUCT<resourceType: STRING, type: STRING, " +
