@@ -19,6 +19,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Scratchspace.sparkLocalDir)
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,8 +47,15 @@ object Bench {
       System.gc()
     }
 
-    // Warm-up at the smallest SF: JIT, codegen cache, parquet footer reads.
-    val warm = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // Warm-up at the TARGET SF (not sf0.001): JIT, codegen cache, parquet
+    // footers, and crucially the SAME generated classes the measured passes
+    // run. AQE picks size-dependent plans, so a small-SF warm compiles a
+    // different (broadcast-shaped) class set, pays the compile storm twice,
+    // and leaves tier-4 counters cold for the measured shapes — measured:
+    // heavy queries needed 4-5 executions to reach steady state with a
+    // sf0.001 warm, 2-3 with a target-SF warm (q53 20.3s first sf0.1 run
+    // after small warm vs 5.6s after target warm).
+    val warm = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     SparkEntry.queries.foreach { case (_, fn) =>
       try force(fn(spark, warm)) catch { case _: Throwable => () }
       scrub()

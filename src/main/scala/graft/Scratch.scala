@@ -10,6 +10,7 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Scratchspace.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (sys.env.contains("SPARK_GRAFT_JOBLOG"))
@@ -37,10 +38,10 @@ object Scratch {
       println(f"===== $label%-30s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
       r
     }
-    def scrub(): Unit = {
+    def scrub(): Unit = if (!sys.env.contains("SPARK_GRAFT_NOSCRUB")) {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      System.gc()
+      if (!sys.env.contains("SPARK_GRAFT_GCPASS")) System.gc()
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -51,14 +52,18 @@ object Scratch {
         SparkEntry.queries(n)(spark, dir).explain("formatted")
       }
     } else {
+      val warm = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
       names.foreach { n =>
-        try noop(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
+        try noop(SparkEntry.queries(n)(spark, warm))
         catch { case e: Throwable => println(s"warm $n failed: $e") }
         scrub()
       }
-      for (p <- 1 to 2; n <- names) {
-        time(s"$n p$p")(noop(SparkEntry.queries(n)(spark, dir)))
-        scrub()
+      for (p <- 1 to 2) {
+        for (n <- names) {
+          time(s"$n p$p")(noop(SparkEntry.queries(n)(spark, dir)))
+          scrub()
+        }
+        if (sys.env.contains("SPARK_GRAFT_GCPASS")) System.gc()
       }
     }
     spark.stop()

@@ -775,13 +775,32 @@ object SparkEntry {
     * invalidate stale materializations.
     */
   private def materializedFeed(s: SparkSession, name: String, dir: String)(
-      build: => DataFrame): DataFrame = {
-    val feed = build
-    val planHash = Integer.toHexString(
-      feed.queryExecution.logical.canonicalized.toString.hashCode)
-    val path = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_feeds",
-      s"${name}_${Integer.toHexString(dir.hashCode)}_$planHash").getPath
+      build: => DataFrame): DataFrame =
+    feedPathMemo.computeIfAbsent((name, dir), _ => {
+      val feed = build
+      // canonicalized normalizes attribute exprIds but NOT the fresh names
+      // of higher-order-function lambda variables (`lambda 'x_17` — a
+      // global counter in the functions API), so two builds of the SAME
+      // plan hash differently and the feed re-materializes every call.
+      // Normalize them before hashing.
+      val planHash = Integer.toHexString(
+        feed.queryExecution.logical.canonicalized.toString
+          .replaceAll("""\blambda '?x_\d+""", "lambda x").hashCode)
+      val path = new java.io.File(s"${Scratchspace.root}/graft_feeds",
+        s"${name}_${Integer.toHexString(dir.hashCode)}_$planHash").getPath
+      writeFeedIfAbsent(s, feed, path)
+      path
+    }) match { case path => s.read.parquet(path) }
+
+  /** Memo of materialized feed paths per (name, input dir): building the
+    * feed plan and canonicalizing it just to learn the path costs
+    * driver-side CPU on a HUGE expression tree — pay it once per session,
+    * not once per bench pass. */
+  private val feedPathMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def writeFeedIfAbsent(
+      s: SparkSession, feed: DataFrame, path: String): Unit = {
     if (!new java.io.File(path, "_SUCCESS").exists())
       // write at session parallelism: a single-file feed reads back as ONE
       // partition (a 2 MB file is below any split threshold), serializing
@@ -789,7 +808,6 @@ object SparkEntry {
       // where read parallelism is decided
       feed.repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
   }
 
   /** The materialized q55 feed (shared with plan audits). */
