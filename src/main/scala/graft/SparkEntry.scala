@@ -1516,6 +1516,19 @@ object SparkEntry {
         $("point").getField("y").as("py"))
   }
 
+  /** Benchmark decontamination — n-gram overlap of each corpus document
+    * against a benchmark/eval set's shingle set (test-set-leakage guard,
+    * a first-class training-corpus operator; same trigram definition as
+    * q20's Jaccard). Benchmark = every 97th document.
+    */
+  private def q86Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.contaminationScores(
+      d.filter($("doc_id") % 97 =!= 0).select($("doc_id").as("id"), $("text")),
+      d.filter($("doc_id") % 97 === 0).select($("text")),
+      "id", "text", n = 3, threshold = 0.05)
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1604,6 +1617,7 @@ object SparkEntry {
     "q83_frame_sample" -> (q83FrameSample _),
     "q84_redcap_det" -> (q84RedcapDet _),
     "q85_location_import" -> (q85LocationImport _),
+    "q86_decontaminate" -> (q86Decontaminate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2731,6 +2745,24 @@ object SparkEntry {
         |  CASE WHEN k % 3 = 0 THEN y0 + 1 WHEN k % 3 = 1 THEN y0
         |       ELSE y0 + 0.5 END AS py
         |FROM f""".stripMargin,
+    "q86_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ')
+        |                         for i in range(1, greatest(len(l)-2, 1)+1)]) AS g
+        |  FROM tk)),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM corp GROUP BY doc_id),
+        |ov AS (SELECT c.doc_id, count(*) AS overlap
+        |       FROM corp c JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
+        |SELECT s.doc_id,
+        |  CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap,
+        |  CAST(s.sz AS BIGINT) AS sz,
+        |  round(coalesce(o.overlap, 0)::DOUBLE / s.sz, 6) AS ratio,
+        |  coalesce(o.overlap, 0)::DOUBLE / s.sz >= 0.05 AS contaminated
+        |FROM sz s LEFT JOIN ov o ON s.doc_id = o.doc_id""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -109,6 +109,45 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: per-corpus-document n-gram overlap with a
+    * benchmark/eval shingle set — the standard guard against test-set
+    * leakage into a training corpus (flag or drop documents whose shingle
+    * overlap ratio exceeds a threshold).
+    *
+    * Relational plan: distinct word shingles per document (inverted-index
+    * rows, never per-row arrays), the benchmark side reduced to its
+    * distinct gram set, one equi-join on the gram. The benchmark set is
+    * tiny next to the corpus (eval suites are thousands of documents, the
+    * corpus is billions) so AQE broadcasts it; corpus text itself never
+    * shuffles — only (doc_id, gram) rows, and only for grams that also
+    * appear in the benchmark after the join prunes.
+    *
+    * Output: doc_id, overlap (grams shared with the benchmark), sz
+    * (distinct grams in the doc), ratio, contaminated (ratio >= threshold).
+    */
+  def contaminationScores(
+      corpus: DataFrame, // id, text
+      benchmark: DataFrame, // text
+      idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val corp = corpus.select(col(idCol).as("doc_id"),
+      explode(wordShingles(trim(col(textCol)), n)).as("g"))
+    val bench = benchmark
+      .select(explode(wordShingles(trim(col(textCol)), n)).as("g"))
+      .distinct()
+    val sz = corp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ov = corp.join(bench, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+    sz.join(ov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        col("sz"),
+        round(coalesce(col("overlap"), lit(0L)).cast("double") / col("sz"), 6)
+          .as("ratio"),
+        (coalesce(col("overlap"), lit(0L)).cast("double") / col("sz")
+          >= threshold).as("contaminated"))
+  }
+
   /** MinHash signature: for each of `numHashes` seeds, the minimum
     * hash60(shingle, seed) over the doc's shingle set. The shingle array is
     * let-bound so it is built once per row, not once per seed.

@@ -81,4 +81,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window ") || !p.contains("SinglePartition"),
       "capPerGroup lost its partitioning")
   }
+
+  test("q86 decontamination joins on the gram — equi join, no cartesian") {
+    val p = plan("q86_decontaminate")
+    assert(!p.contains("CartesianProduct"), "gram join degenerated")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "gram join degenerated")
+    // overlap aggregation must combine map-side before the shuffle
+    assert(p.contains("partial_count"), p.take(3000))
+  }
 }

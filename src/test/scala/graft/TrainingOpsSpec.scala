@@ -192,6 +192,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  test("contaminationScores flags the doc that quotes the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains benchmark run
+      (2L, "one two three four five six seven eight")) // disjoint
+      .toDF("id", "text")
+    val bench = Seq("alpha beta gamma delta x y z").toDF("text")
+    val got = Dedup.contaminationScores(corpus, bench, "id", "text",
+        n = 3, threshold = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // doc 1: 4 trigrams, 2 shared ("alpha beta gamma", "beta gamma delta")
+    assert(got(1L) == ((2L, 4L, true)))
+    // doc 2: 6 trigrams, none shared
+    assert(got(2L) == ((0L, 6L, false)))
+  }
+
   test("kmeansAssignQuantized separates two obvious blobs") {
     import spark.implicits._
     // ids 0,1 seed the two cells; the rest sit clearly in one blob each
