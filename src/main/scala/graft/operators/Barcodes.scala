@@ -65,11 +65,12 @@ object Barcodes {
     *
     * Spark shape: generate a candidate batch, drop candidates conflicting
     * with the existing set (slice similarity join), then resolve
-    * *intra-batch* conflicts: only the conflict edges (rare) are collected
-    * to the driver and resolved sequentially in candidate order — exactly
-    * the order-dependent accept/reject the reference's serialized inserts
-    * produce, without serializing the 99.9% of candidates that never
-    * conflict.
+    * *intra-batch* conflicts with one distributed anti-join: every
+    * conflict edge's higher-seq candidate is rejected (order-free, no
+    * driver-side loop). Where the reference's serialized inserts would
+    * keep the later member of a conflict CHAIN, this rejects it and the
+    * next round re-mints — a bounded amount of extra work on an event
+    * that is vanishingly rare among fresh uuids.
     *
     * Candidates derive from UUIDs exactly like the reference
     * (barcode = uuid suffix, barcode-default-from-uuid.sql:7-16). With
@@ -136,20 +137,20 @@ object Barcodes {
         .filter(hammingDistanceLte(col("code"), col("acc_code"), lit(maxDist)))
         .select("seq").distinct()
       val clean = batch.join(conflictsExisting, Seq("seq"), "left_anti")
-      // (2) intra-batch conflict edges, resolved in seq order on the driver
-      val pairs = similarityJoin(
-        clean.select(col("seq").as("id"), col("code")), maxDist)
-        .select(col("id_a"), col("id_b"))
-        .collect() // conflict edges only — tiny by construction
-      val rejected = scala.collection.mutable.Set[Long]()
-      pairs.sortBy(r => (r.getLong(0), r.getLong(1))).foreach { r =>
-        val (aId, bId) = (r.getLong(0), r.getLong(1))
-        if (!rejected.contains(aId)) rejected += bId // later candidate loses
-      }
-      intraRejects += rejected.size
-      val survivors =
-        if (rejected.isEmpty) clean
-        else clean.filter(!col("seq").isin(rejected.toSeq: _*))
+      // (2) intra-batch conflicts, resolved DISTRIBUTIVELY with the
+      // order-free conservative rule: a candidate loses when ANY lower-seq
+      // candidate conflicts with it (every edge's max side is rejected —
+      // one anti-join, no driver-side materialization). This rejects at
+      // most one extra candidate vs the reference's sequential greedy when
+      // conflicts chain (a<b<c with edges (a,b),(b,c): greedy keeps c);
+      // the loop's next round re-mints the difference, and conflict chains
+      // among a fresh uuid batch are vanishingly rare. Same rule as the
+      // q34 oracle's `intra` CTE.
+      val intraRejected = similarityJoin(
+          clean.select(col("seq").as("id"), col("code")), maxDist)
+        .select(col("id_b").as("seq")).distinct()
+      intraRejects += intraRejected.count()
+      val survivors = clean.join(intraRejected, Seq("seq"), "left_anti")
       val take = keep(survivors.orderBy("seq").limit(need)
         .select(col("uuid"), col("code")))
       out = Some(out.map(_.unionByName(take)).getOrElse(take))
