@@ -1529,6 +1529,13 @@ object SparkEntry {
       "id", "text", n = 3, threshold = 0.05)
   }
 
+  /** Overlapping token-window chunking (context-window prep; 32-token
+    * windows, 8-token overlap).
+    */
+  private def q87ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkWithOverlap(t(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 32, overlap = 8)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1618,6 +1625,7 @@ object SparkEntry {
     "q84_redcap_det" -> (q84RedcapDet _),
     "q85_location_import" -> (q85LocationImport _),
     "q86_decontaminate" -> (q86Decontaminate _),
+    "q87_chunk_overlap" -> (q87ChunkOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2763,6 +2771,17 @@ object SparkEntry {
         |  round(coalesce(o.overlap, 0)::DOUBLE / s.sz, 6) AS ratio,
         |  coalesce(o.overlap, 0)::DOUBLE / s.sz >= 0.05 AS contaminated
         |FROM sz s LEFT JOIN ov o ON s.doc_id = o.doc_id""".stripMargin,
+    "q87_chunk_overlap" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents),
+        |st AS (SELECT doc_id, l,
+        |         unnest(range(0, greatest(len(l)-8-1, 0)+1, 24)) AS start
+        |       FROM tk)
+        |SELECT doc_id,
+        |  CAST(start/24 AS BIGINT) AS chunk_no,
+        |  array_to_string(l[start+1:start+32], ' ') AS chunk,
+        |  CAST(least(32, len(l) - start) AS BIGINT) AS n_tokens
+        |FROM st""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -185,4 +185,37 @@ object TextAnalysis {
         when(col(tokenCol) > 0, floor((col("_end") - 1) / budget))
           .as("chunk_last"))
   }
+
+  /** Overlapping token-window chunking: split each document into windows
+    * of `chunkTokens` whitespace tokens advancing by `chunkTokens -
+    * overlap`, the standard context-window preparation for embedding /
+    * training pipelines (distinct from [[packChunks]], which packs WHOLE
+    * documents into a token budget).
+    *
+    * Chunk starts stop once the remaining tail is fully covered by the
+    * previous window's overlap (a start is emitted while
+    * `start <= n - overlap - 1`; start 0 always emits), so no chunk is a
+    * suffix of its predecessor. Per-row sequence+explode — no shuffle at
+    * all; the output inherits the input's partitioning.
+    *
+    * Output: doc_id, chunk_no, chunk (space-joined tokens), n_tokens.
+    */
+  def chunkWithOverlap(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, $chunkTokens)")
+    val step = chunkTokens - overlap
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("_toks")) - overlap - 1, lit(0)),
+          lit(step))).as("_start"))
+      .select(col("doc_id"),
+        (col("_start") / step).cast("long").as("chunk_no"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(chunkTokens)),
+          " ").as("chunk"),
+        least(lit(chunkTokens), size(col("_toks")) - col("_start"))
+          .cast("long").as("n_tokens"))
+  }
 }

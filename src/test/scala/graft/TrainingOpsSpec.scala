@@ -209,6 +209,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == ((0L, 6L, false)))
   }
 
+  test("chunkWithOverlap windows tokens with the documented stride + tail") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, overlap 1 -> stride 3: starts 0,3,6 and a tail
+    // start 9 would add only overlap-covered tokens, so it must NOT emit
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b")).toDF("id", "text")
+    val got = TextAnalysis.chunkWithOverlap(df, "id", "text", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(got((1L, 0L)) == (("t0 t1 t2 t3", 4L)))
+    assert(got((1L, 1L)) == (("t3 t4 t5 t6", 4L)))
+    assert(got((1L, 2L)) == (("t6 t7 t8 t9", 4L)))
+    assert(!got.contains((1L, 3L)))
+    // short doc: one chunk, actual token count
+    assert(got((2L, 0L)) == (("a b", 2L)))
+  }
+
   test("kmeansAssignQuantized separates two obvious blobs") {
     import spark.implicits._
     // ids 0,1 seed the two cells; the rest sit clearly in one blob each
