@@ -82,7 +82,7 @@ object Bench {
     // third pass for the slowest queries only: this box shows ~10% CPU
     // steal and the heavy queries swing 1-3× between passes — min-of-3 on
     // the tail pins them down without tripling the whole run.
-    val slow = twoPass.sortBy(-_._2).take(8).map(_._1).toSet
+    val slow = twoPass.sortBy(-_._2).take(16).map(_._1).toSet
     System.gc()
     val p3 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => slow(name) }
