@@ -9,23 +9,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (PushedFilters + ReadSchema pruning) on every downstream query.
   */
 object Tables {
-  /** (sessionId, path) → base relation. `spark.read.parquet` re-lists the
-    * directory and re-reads footers to re-infer the schema on EVERY call —
-    * measured 150-300 ms per table on this box's filesystem, paid by every
-    * query in a bench pass. The resolved relation is immutable, so reuse
-    * it: downstream plans build on the same LogicalRelation and keep full
-    * pushdown/pruning. Keyed by session so tests with their own sessions
-    * never share state; values are weakly referenced via the session's own
-    * lifecycle (a bounded map of tiny plan objects — at most
-    * #sessions × #tables entries).
+  /** `spark.read.parquet` re-lists the directory and re-reads footers to
+    * re-infer the schema on EVERY call — measured 150-300 ms per table on
+    * this box's filesystem, paid by every query in a bench pass. The
+    * resolved relation is immutable, so reuse it: the first read per
+    * (session, path) is parked as a session-local temp view and every
+    * later call resolves through the session's own catalog. Lifecycle is
+    * exactly the session's — no global map pinning dead sessions for JVM
+    * lifetime — and downstream plans build on the same LogicalRelation,
+    * keeping full pushdown/pruning.
+    *
+    * Assumption: a cached path is not rewritten within the session (the
+    * parked relation keeps the first file listing). Rewriting tables
+    * mid-session should go through a fresh `spark.read.parquet`, as
+    * Receiving.snapshotSwap's readers do.
     */
-  private val relationCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    relationCache.computeIfAbsent(
-      (spark, s"$dir/$name.parquet"),
-      { case (_, path) => spark.read.parquet(path) })
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val view = "graft_rel_" +
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(path).take(12)
+    if (!spark.catalog.tableExists(view))
+      spark.read.parquet(path).createOrReplaceTempView(view)
+    spark.table(view)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

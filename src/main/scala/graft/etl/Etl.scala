@@ -260,6 +260,74 @@ object Etl {
       .select("identifier", "scale", "hierarchy", "point", "polygon")
   }
 
+  /** S7 — the paged record fetch (reference redcap.py:327-360,
+    * `_fetch_records_paged`) over a LOCAL api fixture (the REST egress
+    * itself is out of scope, zero egress): pages tile the auto-numbered
+    * record-id space `[1, nextRecordId)` in `pageSize` strides, and the
+    * LAST page has no upper bound, so records created after pagination
+    * begins are still caught (redcap.py:337-344). `nextRecordId` defaults
+    * to max(id)+1 of the fixture — the `generateNextRecordName` probe
+    * (redcap.py:332-335); pass the probe's snapshot explicitly to model
+    * records arriving mid-drain. Returns the fixture rows tagged with
+    * their 1-based `page`: (page, id) is exactly the order the
+    * reference's iterator yields them, so FIFO consumers sort on it.
+    *
+    * Scale: one tiny max() aggregate, then a pure per-row page formula —
+    * the fixture is never shuffled.
+    */
+  def pagedFetch(
+      fixture: DataFrame, idCol: String, pageSize: Int,
+      nextRecordId: Option[Long] = None): DataFrame = {
+    require(pageSize > 0, s"pageSize $pageSize must be positive")
+    val next = nextRecordId.getOrElse(
+      fixture.agg(coalesce(max(col(idCol)), lit(0L)).cast("long"))
+        .head().getLong(0) + 1)
+    if (next <= 1) // pages = range(1, next, size) is empty: nothing to drain
+      return fixture.withColumn("page", lit(null).cast("int")).limit(0)
+    val lastPage = (next - 2) / pageSize // 0-based index of the unbounded page
+    fixture.filter(col(idCol) >= 1) // ids below every page's lower bound
+      .withColumn("page",
+        (least(floor((col(idCol) - 1) / pageSize), lit(lastPage)) + 1)
+          .cast("int"))
+  }
+
+  /** S7 — the DET-driven batched record fetch (reference
+    * redcap_det.py:180-198): loaded DETs' record ids are drained in FIFO
+    * order (by DET id — `first_complete_dets` preserves first-seen order)
+    * and chunked into `batchSize` api requests. Returns the input tagged
+    * with (batch, batch_pos), the exact drain order.
+    *
+    * The global FIFO rank is distributed, not a single-partition window
+    * (same coarse-bucket prefix-sum as TextAnalysis.packChunks): ids
+    * bucket by `floor(id / bucketSize)`, ranks are local per bucket, and
+    * only the per-bucket counts (thousands of rows at any scale) pass
+    * through the tiny single-partition cumsum before broadcasting back.
+    */
+  def fetchBatches(
+      loaded: DataFrame, idCol: String, batchSize: Int = 5000,
+      bucketSize: Long = 1L << 13): DataFrame = {
+    require(batchSize > 0, s"batchSize $batchSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = floor(col(idCol) / bucketSize).as("_bucket")
+    val local = loaded.withColumn("_bucket", bucket)
+      .withColumn("_local_rk", row_number().over(
+        Window.partitionBy("_bucket").orderBy(idCol)))
+    // constant-valued non-foldable key: states the one-partition plan for
+    // the bucket-count cumsum on purpose (see packChunks)
+    val one = floor(col("_bucket") / lit(Long.MaxValue))
+    val offsets = local.groupBy("_bucket").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(sum(col("_n")).over(
+        Window.partitionBy(one).orderBy("_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_bucket", "_offset")
+    local.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("_rk", col("_offset") + col("_local_rk"))
+      .withColumn("batch", (floor((col("_rk") - 1) / batchSize) + 1).cast("int"))
+      .withColumn("batch_pos",
+        (col("_rk") - (col("batch") - 1).cast("long") * batchSize).cast("int"))
+      .drop("_bucket", "_local_rk", "_rk", "_offset")
+  }
+
   /** The redcap_det ETL pipeline composed end-to-end (reference
     * etl/redcap_det.py:119-280): select DETs whose document contains the
     * routine's (redcap_url, project_id) — FIFO by id with an optional

@@ -331,6 +331,9 @@ object Feeds {
               "collection identifier in unexpected set")) // :154-159
         .withColumn("status",
           when(col("skip_reason").isNull, "processed").otherwise("skipped"))
+        // parse + classify once, consume per-branch (statuses AND
+        // sampleUpdates): lazy RDD-level checkpoint, ContextCleaner-reclaimed
+        .localCheckpoint(false)
       val statuses = classified.select("id", "status", "skip_reason")
       val sampleUpdates = classified.filter(col("status") === "processed")
         .select(col("id"), col("s_uuid").as("identifier"),
@@ -395,6 +398,9 @@ object Feeds {
           when(col("skip_reason").isNull, "processed")
             .when(col("skip_reason").startsWith("error"), "error")
             .otherwise("skipped"))
+        // parse + classify once, consume per-branch (statuses AND
+        // kitUpdates): lazy RDD-level checkpoint, ContextCleaner-reclaimed
+        .localCheckpoint(false)
       val statuses = classified.select("id", "status", "skip_reason")
       val kitUpdates = classified.filter(col("status") === "processed")
         .select(col("id"), col("k_uuid").as("kit_identifier"),

@@ -78,11 +78,10 @@ object Barcodes {
     * seq) instead of random — bit-for-bit reproducible across engines, so
     * results are oracle-checkable; `None` keeps production `uuid()`.
     *
-    * Minting is inherently small-batch (the reference serializes every
-    * insert under a table lock): the result is materialized to the driver
-    * at the end, which both bounds it and lets every intermediate cache be
-    * dropped before return — round 1 leaked these caches into long-lived
-    * sessions.
+    * The result stays distributed: an eager localCheckpoint pins the
+    * accepted rows on the executors (lineage severed — uuid() candidates
+    * must not replay), intermediate caches are dropped before return, and
+    * only the MintStats counters ever reach the driver.
     */
   def mint(
       spark: SparkSession,
@@ -146,10 +145,10 @@ object Barcodes {
       // the loop's next round re-mints the difference, and conflict chains
       // among a fresh uuid batch are vanishingly rare. Same rule as the
       // q34 oracle's `intra` CTE.
-      val intraRejected = similarityJoin(
+      val intraRejected = keep(similarityJoin(
           clean.select(col("seq").as("id"), col("code")), maxDist)
-        .select(col("id_b").as("seq")).distinct()
-      intraRejects += intraRejected.count()
+        .select(col("id_b").as("seq")).distinct())
+      intraRejects += intraRejected.count() // cached: the anti-join below reuses it
       val survivors = clean.join(intraRejected, Seq("seq"), "left_anti")
       val take = keep(survivors.orderBy("seq").limit(need)
         .select(col("uuid"), col("code")))
@@ -160,17 +159,21 @@ object Barcodes {
       accepted = keep(accepted.unionByName(take.select("code")))
       round += 1
     }
-    // Materialize to the driver, then release every intermediate cache —
-    // the returned frame must not pin executor storage or lineage.
-    val rows = out.map(_.collect()).getOrElse(Array.empty[org.apache.spark.sql.Row])
-    cached.foreach(_.unpersist(blocking = false))
+    // Return the result DISTRIBUTED: an eager localCheckpoint materializes
+    // the accepted (uuid, code) rows as executor blocks and severs lineage
+    // (mandatory — with seed=None the uuid() candidates are
+    // non-deterministic, so a lineage replay would re-mint different
+    // codes), after which every intermediate cache can be dropped. Only
+    // MintStats live on the driver; a 100M-identifier mint never leaves
+    // the cluster.
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("uuid", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("code", org.apache.spark.sql.types.StringType)))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, math.max(1, rows.length / 10000)),
-      schema)
-    (df, MintStats(n, rows.length, round, tried, extConflicts, intraRejects,
+    val result = out.map(_.localCheckpoint(true)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    cached.foreach(_.unpersist(blocking = false))
+    (result, MintStats(n, n - need, round, tried, extConflicts, intraRejects,
       System.currentTimeMillis() - t0))
   }
 }

@@ -51,20 +51,30 @@ object Sampling {
   /** Per-group quota cap (the Common-Crawl-style per-domain cap): keep at
     * most `cap` rows per group, selected in deterministic hash order so
     * the survivors are a stable uniform choice, not "whatever arrived
-    * first". One shuffle on the group key. A head-heavy group funnels
-    * through one partition's window scan; for web-scale domain caps
-    * pre-filter the few head groups with [[hashSample]] at rate
-    * ≈ cap/|group| first, then the window only ranks the tail.
+    * first".
+    *
+    * Head-group routing: only groups whose count exceeds the cap need
+    * ranking at all. The over-cap set is the head of the distribution —
+    * tiny by construction at web scale — so it broadcasts, the long tail
+    * of under-cap groups passes through a pure per-row anti-join filter
+    * (no shuffle, no window), and the one window shuffle ranks only the
+    * head groups' rows. Same exact semantics as a global
+    * row_number-per-group; the common path never touches a window.
     */
   def capPerGroup(
       df: DataFrame, groupCol: String, keyCol: String, cap: Int,
       salt: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val over = df.groupBy(groupCol).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > cap).select(groupCol)
+    val pass = df.join(broadcast(over), Seq(groupCol), "left_anti")
     val w = Window.partitionBy(groupCol)
       .orderBy(keyHash60(col(keyCol), salt), col(keyCol))
-    df.withColumn("_rk", row_number().over(w))
+    val ranked = df.join(broadcast(over), Seq(groupCol), "left_semi")
+      .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= cap)
       .drop("_rk")
+    pass.unionByName(ranked).select(df.columns.map(col): _*)
   }
 
   /** Temperature-flattening resample at T = 2 (multilingual mixing à la

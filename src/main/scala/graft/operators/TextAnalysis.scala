@@ -198,6 +198,12 @@ object TextAnalysis {
     * suffix of its predecessor. Per-row sequence+explode — no shuffle at
     * all; the output inherits the input's partitioning.
     *
+    * Blank documents: a whitespace-only text still emits ONE chunk (empty
+    * string, n_tokens = 1) because `split` of an empty string yields [""]
+    * — every document is represented in the output, unlike [[tokenCount]]
+    * which reports 0 tokens for blank text. Filter
+    * `length(trim(text)) > 0` upstream to drop blank docs instead.
+    *
     * Output: doc_id, chunk_no, chunk (space-joined tokens), n_tokens.
     */
   def chunkWithOverlap(

@@ -186,6 +186,41 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Etl.pagedFetch tiles the id space; last page is unbounded") {
+    import spark.implicits._
+    val fixture = (1L to 13L).map(i => (i, s"r$i")).toDF("rid", "payload")
+    // next = max+1 = 14: pages [1,6) [6,11) [11,∞)
+    val pages = Etl.pagedFetch(fixture, "rid", pageSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(pages(1L) == 1 && pages(5L) == 1)
+    assert(pages(6L) == 2 && pages(10L) == 2)
+    assert(pages(11L) == 3 && pages(13L) == 3)
+    // explicit mid-drain snapshot next=11: pages [1,6) [6,∞) — ids 11-13
+    // were "created after pagination started" and land in the LAST page
+    val late = Etl.pagedFetch(fixture, "rid", pageSize = 5,
+        nextRecordId = Some(11L))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(late(5L) == 1 && late(6L) == 2 && late(13L) == 2)
+    // empty project: pages = range(1, 1) is empty, nothing drained
+    assert(Etl.pagedFetch(fixture.limit(0), "rid", 5).count() == 0)
+  }
+
+  test("Etl.fetchBatches chunks FIFO by id across bucket boundaries") {
+    import spark.implicits._
+    // 10 records, batchSize 4 → 2.5 batches; bucketSize 4 forces the rank
+    // to cross coarse-bucket offsets (ids 0-3 | 4-7 | 8-9)
+    val loaded = (0L until 10L).map(i => (i, s"rec-$i")).toDF("id", "record")
+    val got = Etl.fetchBatches(loaded.repartition(5), "id",
+        batchSize = 4, bucketSize = 4L)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Int]("batch"), r.getAs[Int]("batch_pos")))
+      .sortBy(_._1)
+    val expected = (0L until 10L).map { i =>
+      (i, (i / 4 + 1).toInt, (i % 4 + 1).toInt)
+    }
+    assert(got.toSeq == expected)
+  }
+
   test("Etl.markRepeats keeps first per record as primary") {
     import spark.implicits._
     val feed = Seq((10L, "r1"), (11L, "r1"), (12L, "r2")).toDF("id", "record")

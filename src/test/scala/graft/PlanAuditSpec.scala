@@ -82,6 +82,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "capPerGroup lost its partitioning")
   }
 
+  test("q73 head-group routing: the common path bypasses the window") {
+    val p = plan("q73_domain_cap")
+    // under-cap groups pass through a pure anti-join filter; only rows of
+    // over-cap (head) groups are routed into the one per-group window
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(4000))
+    assert(p.contains("LeftAnti"), "common path lost its anti-join route")
+    assert(p.contains("LeftSemi"), "window side lost its semi-join route")
+  }
+
+  test("q87 chunk-overlap never shuffles the corpus — no window, no exchange") {
+    val p = plan("q87_chunk_overlap")
+    assert(!p.contains("Window"), "chunking must stay per-row")
+    assert(!p.contains("Exchange"), "chunking must inherit input partitioning")
+  }
+
+  test("q88 paged fetch: equi joins only, distributed FIFO rank") {
+    val p = plan("q88_paged_fetch")
+    assert(!p.contains("CartesianProduct"), "fetch join degenerated")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "fetch join degenerated")
+    // the FIFO rank must be the coarse-bucket form: a window partitioned
+    // by the bucket key, never a corpus-wide single-partition row_number
+    assert(p.contains("_bucket"), p.take(4000))
+  }
+
   test("q86 decontamination joins on the gram — equi join, no cartesian") {
     val p = plan("q86_decontaminate")
     assert(!p.contains("CartesianProduct"), "gram join degenerated")

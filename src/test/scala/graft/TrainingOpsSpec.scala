@@ -60,6 +60,19 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("capPerGroup passes under-cap groups through untouched") {
+    import spark.implicits._
+    // g0 has 2 rows (under cap 3 — the anti-join fast path must keep BOTH
+    // regardless of hash order), g1 has 10 (over cap — windowed to 3)
+    val df = ((0L until 2L).map(i => (i, "g0")) ++
+      (10L until 20L).map(i => (i, "g1"))).toDF("id", "g")
+    val kept = Sampling.capPerGroup(df, "g", "id", cap = 3)
+      .collect().map(r => (r.getAs[String]("g"), r.getLong(0)))
+    assert(kept.count(_._1 == "g0") == 2)
+    assert(kept.count(_._1 == "g1") == 3)
+    assert(kept.filter(_._1 == "g0").map(_._2).sorted.toSeq == Seq(0L, 1L))
+  }
+
   test("temperatureResample keeps the whole smallest group") {
     import spark.implicits._
     val df = ((0L until 8L).map(i => (i, "rare")) ++
