@@ -31,4 +31,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // code cache; once full, compilation stops and later queries run
   // interpreted (measured 10-40x slowdowns in Bench).
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))

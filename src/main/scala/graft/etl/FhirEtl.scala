@@ -257,11 +257,25 @@ object FhirEtl {
     val encRes = resOf(col("e"))
     // age answers (encounter_age/process_age, fhir.py:710-756): months take
     // precedence within a response; first response with an age wins
-    // (entry order — the filtered array preserves it)
-    def qrAnswer(q: Column, linkId: String): Column =
-      try_element_at(filter(coalesce(resOf(q).getField("item"), array()),
-        i => i.getField("linkId") === lit(linkId)), lit(1))
-        .getField("answer").getField("valueInteger").getItem(0)
+    // (entry order — the filtered array preserves it).
+    // HOF lambdas are interpreted, never codegen'd: pre-extract each
+    // response's (enc_ref, months, years) ONCE via let-binding instead of
+    // re-running the item filter up to 5× per response (the nested-HOF
+    // re-evaluation trap — and the interpreted hot path is also this
+    // JVM's bimodal-slowdown victim, so less interpreted work is both
+    // faster and lower-variance).
+    def itemAnswer(items: Column, linkId: String): Column =
+      try_element_at(filter(items, i => i.getField("linkId") === lit(linkId)),
+        lit(1)).getField("answer").getField("valueInteger").getItem(0)
+    val qrAges = transform(col("qrs"), q =>
+      graft.operators.Dedup.bind(
+        coalesce(resOf(q).getField("item"),
+          array().cast(ddl("ARRAY<STRUCT<linkId: STRING, " +
+            "answer: ARRAY<STRUCT<valueInteger: INT>>>>"))),
+        items => struct(
+          resOf(q).getField("encounter").getField("reference").as("enc_ref"),
+          itemAnswer(items, "age_months").as("months"),
+          itemAnswer(items, "age").as("years"))))
     val encounters = encRows
       // subject → the bundle's Patient (fhir.py:404-409, 563-573)
       .withColumn("subj", resOf(resolve(col("pats"),
@@ -270,17 +284,17 @@ object FhirEtl {
       .withColumn("po", resOf(resolve(col("encs"),
         encRes.getField("partOf").getField("reference"))))
       .withColumn("age",
-        try_element_at(transform(
-          filter(col("qrs"), q =>
-            resOf(q).getField("encounter").getField("reference")
-              === col("e").getField("fullUrl") &&
-              (qrAnswer(q, "age_months").isNotNull ||
-                qrAnswer(q, "age").isNotNull)),
-          q => when(qrAnswer(q, "age_months").isNotNull,
-            concat((qrAnswer(q, "age_months") / lit(12.0)).cast("string"),
-              lit(" years")))
-            .otherwise(concat(qrAnswer(q, "age").cast("string"),
-              lit(" years")))), lit(1)))
+        graft.operators.Dedup.bind(qrAges, ages =>
+          try_element_at(transform(
+            filter(ages, a =>
+              a.getField("enc_ref") === col("e").getField("fullUrl") &&
+                (a.getField("months").isNotNull ||
+                  a.getField("years").isNotNull)),
+            a => when(a.getField("months").isNotNull,
+              concat((a.getField("months") / lit(12.0)).cast("string"),
+                lit(" years")))
+              .otherwise(concat(a.getField("years").cast("string"),
+                lit(" years")))), lit(1))))
       .select(
         col("id"), col("pos"), col("e").getField("fullUrl").as("full_url"),
         identifierFor(encRes.getField("identifier"), encSys).as("identifier"),
