@@ -1584,6 +1584,27 @@ object SparkEntry {
         $("page"), $("payload"))
   }
 
+  /** Model-based quality scoring: bigram LM trained on an in-domain
+    * reference slice (every 7th document), scored over the rest —
+    * integer-exact smoothed conditional probabilities (see
+    * TextAnalysis.bigramLmScore).
+    */
+  private def q89NgramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.bigramLmScore(
+      d.filter($("doc_id") % 7 =!= 0).select($("doc_id"), $("text")),
+      d.filter($("doc_id") % 7 === 0).select($("text")),
+      "doc_id", "text")
+  }
+
+  /** Deterministic training-order shuffle: reproducible global ordinal in
+    * md5 order, round-robin into 7 shards (see Sampling.shardAssign).
+    */
+  private def q90ShardAssign(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardAssign(
+      t(s, dir, "documents").select($("doc_id"), $("lang")),
+      "doc_id", nShards = 7)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1675,6 +1696,8 @@ object SparkEntry {
     "q86_decontaminate" -> (q86Decontaminate _),
     "q87_chunk_overlap" -> (q87ChunkOverlap _),
     "q88_paged_fetch" -> (q88PagedFetch _),
+    "q89_ngram_lm" -> (q89NgramLm _),
+    "q90_shard_assign" -> (q90ShardAssign _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2854,6 +2877,35 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey >= 1)
         |SELECT record, id, batch, batch_pos, page, payload
         |FROM batched JOIN paged ON rec_num = record_id""".stripMargin,
+    "q89_ngram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents),
+        |pr AS (SELECT doc_id,
+        |         unnest([{'w1': l[i], 'w2': l[i+1]} for i in range(1, len(l))]) AS p
+        |       FROM tk WHERE len(l) >= 2),
+        |prs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM prs
+        |        WHERE doc_id % 7 = 0 GROUP BY w1, w2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM prs
+        |        WHERE doc_id % 7 = 0 GROUP BY w1),
+        |sc AS (SELECT p.doc_id, count(*) AS n_pairs,
+        |         CAST(sum(coalesce(CAST(floor(1048576 *
+        |           (CAST(c12 AS DOUBLE) / CAST(c1 + 1 AS DOUBLE))) AS BIGINT),
+        |           0)) AS BIGINT) AS score_q20
+        |       FROM prs p LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
+        |       WHERE p.doc_id % 7 <> 0
+        |       GROUP BY p.doc_id)
+        |SELECT d.doc_id, coalesce(n_pairs, 0) AS n_pairs,
+        |  coalesce(score_q20, 0) AS score_q20
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+        |LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "q90_shard_assign" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    md5(CAST(doc_id AS VARCHAR) || '|graft') AS hh FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (ORDER BY hh, doc_id) - 1 AS rk FROM h)
+        |SELECT doc_id, lang, CAST(rk % 7 AS INTEGER) AS shard,
+        |  CAST(rk // 7 AS BIGINT) AS shard_pos FROM r""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

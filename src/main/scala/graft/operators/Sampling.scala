@@ -77,6 +77,48 @@ object Sampling {
     pass.unionByName(ranked).select(df.columns.map(col): _*)
   }
 
+  /** Deterministic training-order shuffle + shard assignment: every row
+    * gets a reproducible pseudo-random global ordinal (rank in
+    * md5(key, salt) order) and a round-robin shard, the standard prep for
+    * writing training shards whose read order must be a stable uniform
+    * shuffle — reproducible across runs, engines, and partitionings,
+    * unlike `repartition`/`orderBy(rand())`.
+    *
+    * The global rank is distributed, not a single-partition window: the
+    * hash's first two hex chars give 256 uniformly-filled buckets, ranks
+    * are local per bucket, and only the 256 bucket counts pass through
+    * the tiny single-partition cumsum before broadcasting back (the same
+    * coarse-bucket prefix-sum as TextAnalysis.packChunks). The corpus is
+    * shuffled once, on the bucket key.
+    *
+    * Output: input columns + shard (0-based round-robin) + shard_pos
+    * (0-based position within the shard).
+    */
+  def shardAssign(
+      df: DataFrame, keyCol: String, nShards: Int,
+      salt: String = "graft"): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws("|", col(keyCol).cast("string"), lit(salt)))
+    val local = df.withColumn("_h", h)
+      .withColumn("_bucket", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("_local_rk", row_number().over(
+        Window.partitionBy("_bucket").orderBy(col("_h"), col(keyCol))))
+    // constant-valued non-foldable key: one partition for the 256-row
+    // bucket-count cumsum, on purpose (see packChunks)
+    val one = floor(col("_bucket") / lit(Int.MaxValue))
+    val offsets = local.groupBy("_bucket").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(sum(col("_n")).over(
+        Window.partitionBy(one).orderBy("_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_bucket", "_offset")
+    local.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("_rk", col("_offset") + col("_local_rk") - 1) // 0-based
+      .withColumn("shard", (col("_rk") % nShards).cast("int"))
+      .withColumn("shard_pos", floor(col("_rk") / nShards).cast("long"))
+      .drop("_h", "_bucket", "_local_rk", "_rk", "_offset")
+  }
+
   /** Temperature-flattening resample at T = 2 (multilingual mixing à la
     * public multilingual-pretraining recipes: group shares are reweighted
     * toward share^(1/T), boosting low-resource groups): every group's keep

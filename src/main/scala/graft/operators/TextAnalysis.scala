@@ -186,6 +186,62 @@ object TextAnalysis {
           .as("chunk_last"))
   }
 
+  /** Model-based quality scoring via a distributed bigram language model
+    * (the public CCNet/KenLM-filtering recipe, reduced to the n = 2 case
+    * so counts stay exact): "train" = bigram + unigram counts over a
+    * reference corpus; "score" = per document, the sum of smoothed
+    * conditional probabilities c(w1 w2) / (c(w1) + 1) over its adjacent
+    * token pairs. In-domain fluent text scores high, out-of-domain or
+    * shuffled text low.
+    *
+    * All arithmetic is integer-exact for cross-engine determinism: each
+    * pair's probability is quantized to floor(2^20 · p) — the 2^20 scale
+    * is a power of two so the multiply is exact, the divide is a single
+    * IEEE correctly-rounded op, and the per-doc SUM is a BIGINT sum
+    * (order-independent, unlike a float accumulation).
+    *
+    * Plan shape at 100 TB: tokenize → explode pairs (narrow), two
+    * map-side-combined count aggregates over the reference, then two
+    * equi-joins of the corpus pair stream against the count tables
+    * (broadcast when the vocabulary is small, shuffle-hash when it is
+    * web-scale — AQE's call), and one partial-agg groupBy(doc). The text
+    * itself never shuffles; only (doc_id, w1, w2) triples move.
+    *
+    * Output: doc_id, n_pairs, score_q20 (both BIGINT; score_q20 = 0 for
+    * docs with < 2 tokens).
+    */
+  def bigramLmScore(
+      corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def pairs(df: DataFrame, cols: Column*): DataFrame =
+      df.select((cols :+ Dedup.bind(tokens(col(textCol)), toks =>
+          when(size(toks) >= 2,
+            zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+              slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+              (a, b) => struct(a.as("w1"), b.as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("_prs")): _*)
+        .select((cols :+ explode(col("_prs")).as("_p")): _*)
+        .select((cols :+ col("_p.w1") :+ col("_p.w2")): _*)
+    val refPairs = pairs(reference)
+    val bigrams = refPairs.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+    val unigrams = refPairs.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    val scored = pairs(corpus, col(idCol))
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(
+          floor(lit(1048576) * (col("_c12").cast("double") /
+            (col("_c1") + 1).cast("double"))).cast("long"),
+          lit(0L))).as("score_q20"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("score_q20"), lit(0L)).as("score_q20"))
+  }
+
   /** Overlapping token-window chunking: split each document into windows
     * of `chunkTokens` whitespace tokens advancing by `chunkTokens -
     * overlap`, the standard context-window preparation for embedding /

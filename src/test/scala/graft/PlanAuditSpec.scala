@@ -106,6 +106,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("_bucket"), p.take(4000))
   }
 
+  test("q89 bigram LM: equi joins only, map-side partial counts") {
+    val p = plan("q89_ngram_lm")
+    assert(!p.contains("CartesianProduct"), "count join degenerated")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "count join degenerated")
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("q90 shard assign: rank is bucket-partitioned, not one global window") {
+    val p = plan("q90_shard_assign")
+    // the corpus-side row_number must partition by the hash bucket; the
+    // only unpartitioned-looking window is the 256-row bucket cumsum
+    assert(p.contains("_bucket"), p.take(3000))
+    assert("Window \\[".r.findAllIn(p).size == 2, p.take(4000))
+  }
+
   test("q86 decontamination joins on the gram — equi join, no cartesian") {
     val p = plan("q86_decontaminate")
     assert(!p.contains("CartesianProduct"), "gram join degenerated")

@@ -60,6 +60,35 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("bigramLmScore: integer-exact smoothed conditional probabilities") {
+    import spark.implicits._
+    val reference = Seq("a b a b", "a c").toDF("text")
+    // ref pairs: (a,b)x2, (b,a), (a,c); prefix counts: a->3, b->1
+    val corpus = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(corpus, reference, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // (a,b): 2/(3+1) = 0.5 -> 524288; (b,c): unseen -> 0; "x": no pairs
+    assert(got == Seq((1L, 2L, 524288L), (2L, 0L, 0L)))
+  }
+
+  test("shardAssign: reproducible permutation, round-robin balance") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"d$i")).toDF("id", "v")
+    val a = Sampling.shardAssign(df, "id", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("shard"),
+        r.getAs[Long]("shard_pos"))).sortBy(_._1)
+    // (shard, pos) pairs are exactly the 100 ordinals, 25 per shard
+    assert(a.map(x => (x._2, x._3)).toSet.size == 100)
+    assert(a.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+    // deterministic under re-partitioning
+    val b = Sampling.shardAssign(df.repartition(7), "id", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("shard"),
+        r.getAs[Long]("shard_pos"))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("capPerGroup passes under-cap groups through untouched") {
     import spark.implicits._
     // g0 has 2 rows (under cap 3 — the anti-join fast path must keep BOTH
