@@ -32,6 +32,49 @@ object Sources {
     spark.read.option("header", "true").option("sep", sep).schema(schema).csv(path)
   }
 
+  /** S4 — workbook provenance + digest-keyed conditional re-parse
+    * (reference cli/io/google.py:66-99 and cli/command/manifest.py:
+    * 297-317): a docs.google.com URL yields its document id (the Drive
+    * export + etag REST calls themselves are external SaaS, out of scope
+    * per SURVEY — zero egress). A LOCAL workbook's provenance digest is
+    * sha1 of its bytes — the reference's non-Google branch
+    * (manifest.py:313-316) — or sha1 of a supplied etag (the Google
+    * branch, manifest.py:309-310). [[readWorkbookCached]] re-parses the
+    * all-strings sheet only when the digest changed: the etag-conditional
+    * export, locally.
+    */
+  def googleDocumentId(url: String): Option[String] = {
+    val u = try new java.net.URI(url) catch { case _: Exception => return None }
+    if (u.getHost != "docs.google.com") None
+    else "^/[^/]+/d/([a-zA-Z0-9\\-_]+)".r
+      .findFirstMatchIn(Option(u.getPath).getOrElse(""))
+      .map(_.group(1))
+  }
+
+  /** sha1 provenance digest: of the etag when one is known (Google
+    * branch), else of the workbook bytes. */
+  def workbookDigest(path: String, etag: Option[String] = None): String =
+    org.apache.commons.codec.digest.DigestUtils.sha1Hex(
+      etag.map(_.getBytes("UTF-8")).getOrElse(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+
+  /** All-strings sheet read, cached by provenance digest: an unchanged
+    * workbook (same digest) is served from the parquet cache without
+    * re-parsing — the conditional-fetch semantics of the reference's
+    * etag check. Returns (frame, digest); thread the digest into
+    * `_provenance` downstream exactly as manifest.py:316-331 does.
+    */
+  def readWorkbookCached(
+      spark: SparkSession, path: String, sheet: Option[String],
+      cacheDir: String, etag: Option[String] = None): (DataFrame, String) = {
+    val digest = workbookDigest(path, etag)
+    val dest = new java.io.File(
+      cacheDir, digest + sheet.map("_" + _).getOrElse(""))
+    if (!new java.io.File(dest, "_SUCCESS").exists())
+      Xlsx.read(spark, path, sheet).write.mode("overwrite").parquet(dest.getPath)
+    (spark.read.parquet(dest.getPath), digest)
+  }
+
   /** S5 — GeoJSON FeatureCollection reader (reference fiona-based location
     * import, cli/command/location.py:63-230): one row per feature with
     * properties map + geometry kept as a JSON string (geometry predicates

@@ -113,4 +113,38 @@ class DeletesXlsxSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Xlsx.columnIndex("Z2") == 25)
     assert(Xlsx.columnIndex("AA10") == 26)
   }
+
+  test("googleDocumentId extracts docs ids; non-Google urls yield None") {
+    assert(graft.sources.Sources.googleDocumentId(
+      "https://docs.google.com/spreadsheets/d/1BxiMVs0XRA5nFMdKvBdBZjgmUUqptlbs74OgvE2upms/edit#gid=0")
+      .contains("1BxiMVs0XRA5nFMdKvBdBZjgmUUqptlbs74OgvE2upms"))
+    assert(graft.sources.Sources.googleDocumentId(
+      "s3://my-s3-bucket/filepath.xlsx").isEmpty)
+    assert(graft.sources.Sources.googleDocumentId("not a url").isEmpty)
+  }
+
+  test("readWorkbookCached re-parses only when the digest changes") {
+    import graft.sources.Sources
+    val f = java.io.File.createTempFile("graft-wb", ".xlsx")
+    f.deleteOnExit()
+    val out = new FileOutputStream(f)
+    out.write(minimalXlsx()); out.close()
+    val cache = java.nio.file.Files.createTempDirectory("graft_wbcache").toString
+
+    val (df1, digest1) = Sources.readWorkbookCached(
+      spark, f.getAbsolutePath, Some("Manifest"), cache)
+    assert(df1.count() == 2)
+    // same digest of same bytes; second read is served from the cache
+    // (the cached parquet's mtime does not move)
+    val dest = new java.io.File(cache, digest1 + "_Manifest")
+    val mtime = new java.io.File(dest, "_SUCCESS").lastModified()
+    val (df2, digest2) = Sources.readWorkbookCached(
+      spark, f.getAbsolutePath, Some("Manifest"), cache)
+    assert(digest2 == digest1 && df2.count() == 2)
+    assert(new java.io.File(dest, "_SUCCESS").lastModified() == mtime)
+    // an etag keys the digest instead of the bytes (the Google branch)
+    val (_, digestE) = Sources.readWorkbookCached(
+      spark, f.getAbsolutePath, Some("Manifest"), cache, etag = Some("v2"))
+    assert(digestE != digest1)
+  }
 }
