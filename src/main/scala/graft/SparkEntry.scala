@@ -1605,6 +1605,59 @@ object SparkEntry {
       t(s, dir, "documents").select($("doc_id"), $("lang")),
       "doc_id", nShards = 7)
 
+  /** Dedup finalization — one representative per minhash-LSH near-dup
+    * cluster (max n_chars, ties → min doc_id); singletons survive as
+    * themselves. GroupBy-argmax, no per-cluster window.
+    */
+  private def q91ClusterRep(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+      shingleN = 4, numHashes = 16, bandSize = 4, minAgree = 8)
+    val clusters = Dedup.connectedComponents(pairs)
+      .select($("id").as("doc_id"), $("cluster_id"))
+    Dedup.clusterRepresentatives(
+      d.select($("doc_id"), $("n_chars")), clusters, "doc_id", "n_chars")
+  }
+
+  /** Vocabulary build — top-400 lowercased tokens by corpus frequency
+    * with contiguous ids (TakeOrdered top-V; the corpus-wide token-count
+    * frame is never globally sorted).
+    */
+  private def q92Vocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.buildVocab(docs(s, dir), "text", size = 20)
+
+  /** Per-document OOV rate against the q92 vocabulary — broadcast vocab
+    * probe + per-doc partial aggregation.
+    */
+  private def q93OovCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.oovStats(d, "doc_id", "text",
+      TextAnalysis.buildVocab(d, "text", size = 20))
+  }
+
+  /** Corpus snapshot diff — v2 synthesized deterministically from the
+    * documents table (every 11th doc dropped, every 7th edited, a new doc
+    * per 13th), classified added/removed/changed/unchanged by digest.
+    */
+  private def q94SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val v2 = d.filter($("doc_id") % 11 =!= 0)
+      .select($("doc_id"),
+        when($("doc_id") % 7 === 0, concat($("text"), lit(" [edited]")))
+          .otherwise($("text")).as("text"))
+      .unionByName(d.filter($("doc_id") % 13 === 0)
+        .select(($("doc_id") + 1000000).as("doc_id"), $("text")))
+    Merge.snapshotDiff(d, v2, "doc_id", "text")
+  }
+
+  /** Corpus length profile — token-count histogram per language (width
+    * 32); text never shuffles, one map-side-combining aggregation.
+    */
+  private def q95TokenHistogram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenLengthHistogram(docs(s, dir), "text", width = 32)
+      .select($("lang"), $("bucket"), $("n_docs"), $("total_tokens"),
+        $("min_tokens"), $("max_tokens"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1698,6 +1751,11 @@ object SparkEntry {
     "q88_paged_fetch" -> (q88PagedFetch _),
     "q89_ngram_lm" -> (q89NgramLm _),
     "q90_shard_assign" -> (q90ShardAssign _),
+    "q91_cluster_rep" -> (q91ClusterRep _),
+    "q92_vocab" -> (q92Vocab _),
+    "q93_oov_coverage" -> (q93OovCoverage _),
+    "q94_snapshot_diff" -> (q94SnapshotDiff _),
+    "q95_token_histogram" -> (q95TokenHistogram _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2906,6 +2964,105 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY hh, doc_id) - 1 AS rk FROM h)
         |SELECT doc_id, lang, CAST(rk % 7 AS INTEGER) AS shard,
         |  CAST(rk // 7 AS BIGINT) AS shard_pos FROM r""".stripMargin,
+    "q91_cluster_rep" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |            for i in range(1, greatest(len(l)-3, 1)+1)])] AS bs
+        |  FROM tk),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl] AS sg
+        |  FROM base, css),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a, sig b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_filter(range(0, 4), b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
+        |    AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |clus AS (SELECT id AS doc_id, min(label) AS cluster_id
+        |         FROM reach GROUP BY id),
+        |j AS (SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        |        d.doc_id, d.n_chars
+        |      FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+        |r AS (SELECT cluster_id, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |          ORDER BY n_chars DESC, doc_id ASC) AS rn FROM j)
+        |SELECT cluster_id, doc_id, n_chars FROM r WHERE rn = 1""".stripMargin,
+    "q92_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM t WHERE len(token) > 0
+        |      GROUP BY token ORDER BY n DESC, token ASC LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS token_id,
+        |  token, n FROM c""".stripMargin,
+    "q93_oov_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM t WHERE len(token) > 0),
+        |v AS (SELECT token FROM (
+        |        SELECT token, count(*) AS n FROM tk
+        |        GROUP BY token ORDER BY n DESC, token ASC LIMIT 20)),
+        |st AS (SELECT tk.doc_id, count(*) AS n_tokens,
+        |         count(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov
+        |       FROM tk LEFT JOIN v ON tk.token = v.token GROUP BY tk.doc_id)
+        |SELECT d.doc_id, coalesce(st.n_tokens, 0) AS n_tokens,
+        |  coalesce(st.n_oov, 0) AS n_oov
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+    "q94_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |o AS (SELECT doc_id, md5(text) AS oh FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS nh FROM v2)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.oh IS NULL THEN 'added'
+        |       WHEN n.nh IS NULL THEN 'removed'
+        |       WHEN o.oh = n.nh THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    "q95_token_histogram" ->
+      """WITH h AS (
+        |  SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS nt,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('el','la','de','que','y','los','una'))) AS es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('le','la','les','et','des','une','est'))) AS fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('的','是','了','在','我','有','和'))) AS zh
+        |  FROM documents),
+        |g AS (SELECT CASE
+        |    WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |    WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |    WHEN es >= fr AND es >= zh THEN 'es'
+        |    WHEN fr >= zh THEN 'fr'
+        |    ELSE 'zh' END AS lang, nt, nt // 32 AS bucket FROM h)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  min(nt) AS min_tokens, max(nt) AS max_tokens
+        |FROM g GROUP BY lang, bucket""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

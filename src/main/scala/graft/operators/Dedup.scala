@@ -483,4 +483,32 @@ object Dedup {
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
+
+  /** Dedup finalization: keep ONE representative document per near-dup
+    * cluster — the corpus that actually ships to training. `clusters` is
+    * a (idCol, cluster_id) frame from [[connectedComponents]] /
+    * [[connectedComponentsAlternating]]; documents absent from it (no
+    * near-dup edge) are their own singleton cluster. The winner is the
+    * max-`weightCol` member, ties broken toward the smallest id.
+    *
+    * Scale shape: the attach join is a plain equi-join on the id (AQE
+    * broadcasts it when the clustered fraction is small; web-scale near
+    * -dup clusters can cover half the corpus, so it must not be forced);
+    * the argmax is `max(struct(weight, -id))` under a hash groupBy, which
+    * partial-aggregates map-side and never funnels a hot cluster through
+    * one task the way a `row_number` window would.
+    */
+  def clusterRepresentatives(
+      docs: DataFrame, clusters: DataFrame,
+      idCol: String, weightCol: String): DataFrame = {
+    val attached = docs
+      .join(clusters, Seq(idCol), "left")
+      .select(coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        col(idCol), col(weightCol))
+    attached.groupBy("cluster_id")
+      .agg(max(struct(col(weightCol).as("w"), (-col(idCol)).as("_negid")))
+        .as("best"))
+      .select(col("cluster_id"), (-col("best._negid")).as(idCol),
+        col("best.w").as(weightCol))
+  }
 }

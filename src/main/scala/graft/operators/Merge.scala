@@ -127,4 +127,24 @@ object Merge {
       },
       schema)
   }
+
+  /** Corpus snapshot diff: classify every id across two corpus versions
+    * as added / removed / changed / unchanged by content digest — the
+    * DeepHash manifest-diff semantics (reference utils/__init__.py
+    * DeepHashDict, cli/command/etl docs) lifted from per-file manifests
+    * to a distributed table. Payloads never shuffle: each side reduces to
+    * (id, md5) before the one full-outer equi-join on the id.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, payloadCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(payloadCol)).as("_oh"))
+    val n = newDf.select(col(idCol), md5(col(payloadCol)).as("_nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_oh").isNull, "added")
+          .when(col("_nh").isNull, "removed")
+          .when(col("_oh") === col("_nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

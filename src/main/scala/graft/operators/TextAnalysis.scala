@@ -280,4 +280,78 @@ object TextAnalysis {
         least(lit(chunkTokens), size(col("_toks")) - col("_start"))
           .cast("long").as("n_tokens"))
   }
+
+  /** Vocabulary build: the top-`size` lowercased whitespace tokens by
+    * corpus frequency, with contiguous 0-based ids ordered (count desc,
+    * token asc) — the id assignment every tokenizer/embedding-table
+    * pipeline needs.
+    *
+    * Scale shape: explode → hash groupBy count (map-side partial
+    * aggregation collapses each partition to its distinct tokens before
+    * the shuffle) → `orderBy.limit(size)` which Spark plans as
+    * TakeOrderedAndProject (a per-partition top-`size` heap, merged on
+    * the driver — the full token-count frame is never globally sorted)
+    * → `row_number` over the `size` survivors only. The single-partition
+    * window is bounded by the vocab size, not the corpus.
+    *
+    * Output: token_id (long), token, n (corpus frequency).
+    */
+  def buildVocab(df: DataFrame, textCol: String, size: Int): DataFrame = {
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(size)
+    counts.select(
+      (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token").asc)) - 1)
+        .cast("long").as("token_id"),
+      col("token"), col("n"))
+  }
+
+  /** Per-document vocabulary coverage: total token count and how many of
+    * those tokens fall outside `vocab` (a frame with a `token` column,
+    * e.g. [[buildVocab]]'s output). Blank documents report (0, 0),
+    * matching [[tokenCount]]'s convention.
+    *
+    * Scale shape: the vocab is bounded (top-V) so it broadcasts; the
+    * corpus side explodes, probes the broadcast hash table, and
+    * partial-aggregates per doc before the one shuffle on the doc id.
+    * Output: idCol, n_tokens, n_oov.
+    */
+  def oovStats(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+    val stats = toks
+      .join(broadcast(vocab.select(col("token"), lit(1).as("_inv"))),
+        Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_inv").isNull, 1)).as("n_oov"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+  }
+
+  /** Corpus length profile: token-count histogram per language — the
+    * summary a curriculum/packing planner reads before choosing sequence
+    * lengths. Bucket = n_tokens / `width` (integer floor). One map-side
+    * -combining aggregation over (lang, bucket); the text itself never
+    * shuffles. Output: lang, bucket, n_docs, total_tokens, min_tokens,
+    * max_tokens.
+    */
+  def tokenLengthHistogram(
+      df: DataFrame, textCol: String, width: Int): DataFrame =
+    df.select(langId(col(textCol)).as("lang"),
+        tokenCount(col(textCol)).cast("long").as("_nt"))
+      .withColumn("bucket", floor(col("_nt") / width))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("_nt").as("total_tokens"),
+        min("_nt").as("min_tokens"), max("_nt").as("max_tokens"))
 }

@@ -128,4 +128,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // overlap aggregation must combine map-side before the shuffle
     assert(p.contains("partial_count"), p.take(3000))
   }
+
+  test("q91 cluster representatives: groupBy-argmax, no per-cluster window") {
+    val p = plan("q91_cluster_rep")
+    // the representative pick must be max(struct) under a hash aggregate
+    // (map-side partial) — a hot cluster through a row_number window is
+    // the skew funnel this operator exists to avoid. The only windows in
+    // the plan belong to the upstream CC label-prop, none over cluster_id.
+    assert(p.contains("partial_max") || p.contains("partial_finalmerge"),
+      p.take(4000))
+    assert(!"Window \\[row_number".r.findFirstIn(p).isDefined,
+      "representative pick degenerated to a window")
+  }
+
+  test("q92 vocab: top-V via TakeOrdered, never a global sort of the counts") {
+    val p = plan("q92_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // the only Sort allowed is the bounded row_number over the V survivors
+    assert(p.contains("partial_count"), "token counting lost map-side combine")
+  }
+
+  test("q93 oov coverage probes a broadcast vocab") {
+    val p = plan("q93_oov_coverage")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_count"), "per-doc stats lost map-side combine")
+  }
+
+  test("q95 token histogram: one map-side-combining agg, text never shuffles") {
+    val p = plan("q95_token_histogram")
+    assert(p.contains("partial_count"), p.take(3000))
+    // the only exchange is the (lang, bucket) agg shuffle + the docs()
+    // fan-out repartition; text must not appear in any exchange schema
+    assert(!p.contains("Window"), "histogram must not window")
+  }
 }

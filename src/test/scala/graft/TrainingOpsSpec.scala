@@ -282,4 +282,42 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == got(4L) && got(4L) == got(5L))
     assert(got(0L) != got(1L))
   }
+
+  test("clusterRepresentatives keeps max-weight (tie: min id) + singletons") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 7L))
+      .toDF("doc_id", "w")
+    // cluster {1,2,3} rooted at 1; 4 and 9 are singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterRepresentatives(docs, clusters, "doc_id", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 2 and 3 tie on weight 30 → min doc_id 2 wins
+    assert(got == Set((1L, 2L, 30L), (4L, 4L, 5L), (9L, 9L, 7L)))
+  }
+
+  test("buildVocab ranks by count desc then token asc; oovStats counts misses") {
+    import spark.implicits._
+    val d = Seq((1L, "a b b c"), (2L, "b c d"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.buildVocab(d, "text", size = 2)
+    val ranked = v.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // b:3, c:2, a:1, d:1 → top-2 is b then c
+    assert(ranked.toSeq == Seq((0L, "b", 3L), (1L, "c", 2L)))
+    val m = TextAnalysis.oovStats(d, "doc_id", "text", v)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L) == ((4L, 1L))) // 'a' is OOV
+    assert(m(2L) == ((3L, 1L))) // 'd' is OOV
+    assert(m(3L) == ((0L, 0L))) // blank doc: tokenCount convention
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val nw = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("doc_id", "text")
+    val got = Merge.snapshotDiff(old, nw, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
 }
