@@ -1658,6 +1658,19 @@ object SparkEntry {
       .select($("lang"), $("bucket"), $("n_docs"), $("total_tokens"),
         $("min_tokens"), $("max_tokens"))
 
+  /** S11 local shape — duplicate-layout label sheet (LCRY-2380: 2 copies,
+    * blank before every 4th barcode, 7-across grid) over customer-derived
+    * barcodes. Ordinals come from the bucketed prefix sum, not a global
+    * row_number.
+    */
+  private def q96LabelLayout(s: SparkSession, dir: String): DataFrame =
+    Barcodes.labelLayout(
+      t(s, dir, "customer").select(
+        substring(md5($("c_custkey").cast("string")), 1, 8).as("code"),
+        $("c_custkey")),
+      "code", "c_custkey", copies = 2, blankEvery = 3, across = 7, down = 15,
+      barcodeType = "SAMPLE", referenceText = "graft.test")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1756,6 +1769,7 @@ object SparkEntry {
     "q93_oov_coverage" -> (q93OovCoverage _),
     "q94_snapshot_diff" -> (q94SnapshotDiff _),
     "q95_token_histogram" -> (q95TokenHistogram _),
+    "q96_label_layout" -> (q96LabelLayout _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3063,6 +3077,27 @@ object SparkEntry {
         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
         |  min(nt) AS min_tokens, max(nt) AS max_tokens
         |FROM g GROUP BY lang, bucket""".stripMargin,
+    "q96_label_layout" ->
+      """WITH b AS (
+        |  SELECT substr(md5(c_custkey::VARCHAR), 1, 8) AS code,
+        |    row_number() OVER (ORDER BY c_custkey) - 1 AS m
+        |  FROM customer),
+        |l AS (SELECT code, m,
+        |    CASE WHEN m > 0 AND m % 3 = 0 THEN 1 ELSE 0 END AS blanks,
+        |    m * 2 + m // 3 AS strt FROM b),
+        |e AS (SELECT code, blanks, strt,
+        |    unnest(range(0, blanks + 2)) AS idx FROM l)
+        |SELECT CAST(strt - blanks + idx AS BIGINT) AS seq,
+        |  CASE WHEN idx >= blanks THEN code END AS barcode,
+        |  CASE WHEN idx >= blanks THEN CAST(idx - blanks AS BIGINT) END
+        |    AS copy_idx,
+        |  idx < blanks AS is_blank,
+        |  CASE WHEN idx < blanks THEN ''
+        |    ELSE 'SAMPLE ' || code || chr(10) || 'graft.test' END AS text,
+        |  CAST((strt - blanks + idx) // 105 AS BIGINT) AS page,
+        |  CAST(((strt - blanks + idx) % 105) // 7 AS BIGINT) AS sheet_row,
+        |  CAST((strt - blanks + idx) % 7 AS BIGINT) AS sheet_col
+        |FROM e""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -176,4 +176,84 @@ object Barcodes {
     (result, MintStats(n, n - need, round, tried, extConflicts, intraRejects,
       System.currentTimeMillis() - t0))
   }
+
+  /** Label-sheet layout (SURVEY §2 S11, local shape): place each barcode's
+    * `copies` labels — plus the cosmetic blank the reference inserts so a
+    * sheet's last column stays empty — onto a fixed `across`×`down` grid,
+    * emitting one row per physical label with its global sequence index
+    * and (page, row, col) position. This is the query-shaped half of the
+    * reference's labelmaker (lib/id3c/labelmaker.py:18-135: `label()`,
+    * `blanks_before()`, `spec()`); the PDF rendering itself is an external
+    * service the SURVEY scopes out.
+    *
+    * Blank rule, matching the reference's closed forms: one blank before
+    * barcode ordinal m (0-based) whenever `m > 0 && m % blankEvery == 0`
+    * — `blankEvery = 1` is the triplicate-on-4-wide rule
+    * (labelmaker.py:89-97), `blankEvery = 3` the duplicate-on-7-wide rule
+    * (labelmaker.py:103-113), `blankEvery = 0` disables blanks (singlet).
+    * Cumulative blanks before m are then `floor(m / blankEvery)`, so every
+    * label position is closed-form once the ordinal is known:
+    * `start(m) = m·copies + m/blankEvery`.
+    *
+    * Scale shape: the only non-embarrassing step is the dense ordinal.
+    * A global `row_number` would funnel the corpus through one task, so
+    * ordinals are computed like [[TextAnalysis.packChunks]]'s prefix sum:
+    * rank within a value-range bucket of `orderCol` (narrow window per
+    * bucket), then a tiny single-partition cumsum over bucket counts is
+    * broadcast back as offsets. The per-barcode explode is `copies + 1`
+    * wide at most — no shuffle after the ordinal join.
+    *
+    * Output: seq, barcode (null on blanks), copy_idx (null on blanks),
+    * is_blank, text, page, sheet_row, sheet_col.
+    */
+  def labelLayout(
+      codes: DataFrame, // barcodeCol: string; orderCol: unique numeric
+      barcodeCol: String, orderCol: String,
+      copies: Int, blankEvery: Int,
+      across: Int, down: Int,
+      barcodeType: String, referenceText: String,
+      bucketSize: Long = 1L << 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(copies > 0 && across > 0 && down > 0 && blankEvery >= 0)
+    val bucket = floor(col(orderCol) / bucketSize).as("_bucket")
+    val local = codes.select(col(barcodeCol).as("_code"), col(orderCol), bucket)
+      .withColumn("_local_rank",
+        row_number().over(Window.partitionBy("_bucket").orderBy(orderCol)))
+    // bucket-count cumsum: numBuckets rows, one partition on purpose (the
+    // constant-valued non-foldable key documents that, as in packChunks)
+    val one = floor(col("_bucket") / lit(Long.MaxValue))
+    val offsets = local.groupBy("_bucket")
+      .agg(count(lit(1)).as("_bucket_n"))
+      .withColumn("_offset", coalesce(sum(col("_bucket_n")).over(
+        Window.partitionBy(one).orderBy("_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_bucket", "_offset")
+    val perPage = across.toLong * down
+    val ordinal = local.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("_m", col("_offset") + col("_local_rank") - 1)
+      .withColumn("_blanks",
+        if (blankEvery > 0)
+          when(col("_m") > 0 && col("_m") % blankEvery === 0, 1).otherwise(0)
+        else lit(0))
+      .withColumn("_start",
+        col("_m") * copies +
+          (if (blankEvery > 0) floor(col("_m") / blankEvery) else lit(0L)))
+    val seq = col("_start") - col("_blanks") + col("_idx")
+    ordinal
+      .select(col("_code"), col("_blanks"), col("_start"),
+        posexplode(sequence(lit(0), col("_blanks") + copies - 1)))
+      .withColumnRenamed("pos", "_idx")
+      .select(
+        seq.cast("long").as("seq"),
+        when(col("_idx") >= col("_blanks"), col("_code")).as("barcode"),
+        when(col("_idx") >= col("_blanks"),
+          (col("_idx") - col("_blanks")).cast("long")).as("copy_idx"),
+        (col("_idx") < col("_blanks")).as("is_blank"),
+        when(col("_idx") < col("_blanks"), lit(""))
+          .otherwise(concat(lit(barcodeType + " "), col("_code"),
+            lit("\n" + referenceText))).as("text"),
+        floor(seq / perPage).cast("long").as("page"),
+        floor((seq % perPage) / across).cast("long").as("sheet_row"),
+        (seq % across).cast("long").as("sheet_col"))
+  }
 }

@@ -220,4 +220,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(graft.functions.jsonbMergeShallow(col("a"), col("b")).as("m"))
     assert(df.head().getString(0) == """{"a":1,"b":{"y":2},"c":3}""")
   }
+
+  test("Barcodes.labelLayout triplicate: 4th column blank, reference offsets") {
+    import spark.implicits._
+    // triplicate on a 4-wide sheet (labelmaker.py:89-97): 3 copies + one
+    // blank before every barcode after the first → every idx%4==3 label
+    // on the sheet is blank
+    val codes = Seq(("AAA", 10L), ("BBB", 20L), ("CCC", 30L))
+      .toDF("code", "ord")
+    val rows = Barcodes.labelLayout(codes, "code", "ord",
+        copies = 3, blankEvery = 1, across = 4, down = 20,
+        barcodeType = "KIT", referenceText = "ref")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getBoolean(3), r.getLong(6), r.getLong(7))).sortBy(_._1)
+    // barcode m: blank at 4m-1 (m>0), copies at 4m..4m+2
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
+    assert(rows.filter(_._3).map(_._1).toSeq == Seq(3L, 7L))
+    assert(rows.filter(_._2.contains("BBB")).map(_._1).toSeq == Seq(4L, 5L, 6L))
+    // grid: seq 5 → row 1, col 1 on a 4-wide sheet
+    val r5 = rows.find(_._1 == 5L).get
+    assert(r5._4 == 1L && r5._5 == 1L)
+    // bucket-boundary ordinals: force multiple buckets and a straddle
+    val many = (0L until 40L).map(i => (f"C$i%03d", i)).toDF("code", "ord")
+    val seqs = Barcodes.labelLayout(many, "code", "ord",
+        copies = 2, blankEvery = 3, across = 7, down = 15, "S", "r",
+        bucketSize = 16L)
+      .collect().map(_.getLong(0)).sorted
+    // 40 barcodes × 2 copies + floor(39/3)=13 blanks = 93 labels, dense
+    assert(seqs.length == 93 && seqs.head == 0L && seqs.last == 92L
+      && seqs.distinct.length == 93)
+  }
 }

@@ -154,6 +154,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_count"), "per-doc stats lost map-side combine")
   }
 
+  test("q96 label layout: bucketed ordinal, offsets broadcast back") {
+    val p = plan("q96_label_layout")
+    // dense ordinals come from per-bucket windows + a broadcast of the
+    // tiny bucket-offset frame — never a global row_number funnel
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_count"), "bucket counts lost map-side combine")
+    assert(p.contains("Generate"), "label explode missing")
+  }
+
   test("q95 token histogram: one map-side-combining agg, text never shuffles") {
     val p = plan("q95_token_histogram")
     assert(p.contains("partial_count"), p.take(3000))
