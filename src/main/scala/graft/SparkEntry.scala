@@ -1671,6 +1671,12 @@ object SparkEntry {
       "code", "c_custkey", copies = 2, blankEvery = 3, across = 7, down = 15,
       barcodeType = "SAMPLE", referenceText = "graft.test")
 
+  /** Per-doc top-5 rarity-weighted keywords (integer-exact tf-idf with
+    * linear idf). The top-k window partitions by doc_id — no hot key.
+    */
+  private def q97TfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfKeywords(docs(s, dir), "doc_id", "text", k = 5)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1770,6 +1776,7 @@ object SparkEntry {
     "q94_snapshot_diff" -> (q94SnapshotDiff _),
     "q95_token_histogram" -> (q95TokenHistogram _),
     "q96_label_layout" -> (q96LabelLayout _),
+    "q97_tfidf_keywords" -> (q97TfidfKeywords _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3098,6 +3105,21 @@ object SparkEntry {
         |  CAST(((strt - blanks + idx) % 105) // 7 AS BIGINT) AS sheet_row,
         |  CAST((strt - blanks + idx) % 7 AS BIGINT) AS sheet_col
         |FROM e""".stripMargin,
+    "q97_tfidf_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+        |       WHERE len(token) > 0 GROUP BY doc_id, token),
+        |d AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf, d.df,
+        |        (tf.tf * 1048576) // d.df AS score_q20
+        |      FROM tf JOIN d USING (token)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_q20 DESC, token ASC) AS rk FROM s)
+        |SELECT doc_id, token, tf, df, CAST(score_q20 AS BIGINT) AS score_q20,
+        |  CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -354,4 +354,41 @@ object TextAnalysis {
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"), sum("_nt").as("total_tokens"),
         min("_nt").as("min_tokens"), max("_nt").as("max_tokens"))
+
+  /** Per-document top-`k` keywords by rarity-weighted term frequency —
+    * tf-idf with a linear idf (`score = tf / df`, the N factor is
+    * constant per corpus so per-document ranking is unchanged), kept in
+    * exact integer arithmetic for cross-engine determinism:
+    * `score_q20 = floor(tf · 2^20 / df)`. Ties break toward the
+    * lexicographically smaller token.
+    *
+    * Scale shape: explode → one map-side-combined count to (doc, token,
+    * tf); `df` is a second partial-agg count over that frame (each row is
+    * already a distinct doc×token, so no count-distinct shuffle); the
+    * tf⋈df equi-join on token is AQE's call (broadcast for a bounded
+    * vocabulary, shuffle-hash at web scale); the final top-k is a
+    * `row_number` window partitioned by the DOC id — millions of small
+    * partitions, no hot key, nothing like a global sort.
+    *
+    * Output: idCol, token, tf, df, score_q20, rk (1..k).
+    */
+  def tfIdfKeywords(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .withColumn("score_q20",
+        expr("(tf * 1048576L) div df"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(idCol)
+          .orderBy(col("score_q20").desc, col("token").asc)))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("score_q20"), col("rk").cast("long").as("rk"))
+  }
 }

@@ -163,6 +163,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Generate"), "label explode missing")
   }
 
+  test("q97 tf-idf: map-side tf combine, top-k window keyed by doc id") {
+    val p = plan("q97_tfidf_keywords")
+    assert(p.contains("partial_count"), p.take(3000))
+    // the only window must partition by the doc id — never an
+    // unpartitioned corpus-wide row_number
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined,
+      p.take(4000))
+  }
+
   test("q95 token histogram: one map-side-combining agg, text never shuffles") {
     val p = plan("q95_token_histogram")
     assert(p.contains("partial_count"), p.take(3000))

@@ -311,6 +311,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(3L) == ((0L, 0L))) // blank doc: tokenCount convention
   }
 
+  test("tfIdfKeywords ranks by tf/df with lexicographic tie-break") {
+    import spark.implicits._
+    val d = Seq((1L, "apple banana banana"), (2L, "banana cherry"),
+      (3L, "apple cherry cherry date")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfKeywords(d, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getString(1), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    // doc 3: cherry 2/2 and date 1/1 tie at 2^20 → cherry wins on token
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == Seq(
+      (1L, 1L, "banana"), (1L, 2L, "apple"),
+      (2L, 1L, "banana"), (2L, 2L, "cherry"),
+      (3L, 1L, "cherry"), (3L, 2L, "date")))
+    assert(got.find(t => t._1 == 3L && t._3 == "cherry").get._4 == 1048576L)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
