@@ -1677,6 +1677,22 @@ object SparkEntry {
   private def q97TfidfKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfIdfKeywords(docs(s, dir), "doc_id", "text", k = 5)
 
+  /** As-of join — each click attributed to the user's latest view
+    * at-or-before it (one shuffle per side on user_id, per-key ordered
+    * window; DuckDB oracle is its native ASOF LEFT JOIN).
+    */
+  private def q98AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($("event_type") === "click")
+      .select($("event_id").as("click_id"), $("user_id"), $("ts"))
+    val views = ev.filter($("event_type") === "view")
+      .select($("event_id").as("view_id"), $("user_id"), $("ts"),
+        $("value"))
+    AsofJoin.asofJoin(clicks, views, "user_id", "ts")
+      .select($("click_id"), $("user_id"), $("r_view_id").as("view_id"),
+        $("r_value").as("view_value"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1777,6 +1793,7 @@ object SparkEntry {
     "q95_token_histogram" -> (q95TokenHistogram _),
     "q96_label_layout" -> (q96LabelLayout _),
     "q97_tfidf_keywords" -> (q97TfidfKeywords _),
+    "q98_asof_join" -> (q98AsofJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3120,6 +3137,16 @@ object SparkEntry {
         |        ORDER BY score_q20 DESC, token ASC) AS rk FROM s)
         |SELECT doc_id, token, tf, df, CAST(score_q20 AS BIGINT) AS score_q20,
         |  CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
+    "q98_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT event_id AS view_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id, v.view_id, v.value AS view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

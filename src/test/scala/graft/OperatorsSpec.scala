@@ -221,6 +221,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.head().getString(0) == """{"a":1,"b":{"y":2},"c":3}""")
   }
 
+  test("AsofJoin picks latest at-or-before per key; tolerance voids stale") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (1L, 40L, "x"), (2L, 5L, "c"))
+      .toDF("k", "sec", "name")
+      .select($"k", timestamp_seconds($"sec").as("t"), $"name")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 50L, 300L))
+      .toDF("k", "sec", "v")
+      .select($"k", timestamp_seconds($"sec").as("t"), $"v")
+    def run(tol: Option[Long]) =
+      AsofJoin.asofJoin(left, right, "k", "t", tol)
+        .collect()
+        .map(r => (r.getString(2), Option(r.get(5)).map(_.asInstanceOf[Long])))
+        .toMap
+    // equal timestamps match (at-or-before is inclusive); no match → null
+    assert(run(None) == Map("a" -> Some(100L), "b" -> Some(200L),
+      "x" -> Some(200L), "c" -> None))
+    // 5s tolerance: b (25-20=5s) survives inclusively, x (40-20=20s) voids
+    assert(run(Some(5000L)) == Map("a" -> Some(100L), "b" -> Some(200L),
+      "x" -> None, "c" -> None))
+  }
+
   test("Barcodes.labelLayout triplicate: 4th column blank, reference offsets") {
     import spark.implicits._
     // triplicate on a 4-wide sheet (labelmaker.py:89-97): 3 copies + one

@@ -163,6 +163,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Generate"), "label explode missing")
   }
 
+  test("q98 as-of join: one per-key window, no range explode or NL join") {
+    val p = plan("q98_asof_join")
+    assert("windowspecdefinition\\(_k".r.findFirstIn(p).isDefined, p.take(4000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join degenerated to a nested-loop plan")
+  }
+
   test("q97 tf-idf: map-side tf combine, top-k window keyed by doc id") {
     val p = plan("q97_tfidf_keywords")
     assert(p.contains("partial_count"), p.take(3000))
