@@ -1693,6 +1693,15 @@ object SparkEntry {
         $("r_value").as("view_value"))
   }
 
+  /** Per-language exact p90 length threshold (discrete lower quantile in
+    * integer basis-point arithmetic); corpus never windowed — only the
+    * compact (lang, score) count frame is.
+    */
+  private def q99QuantileThreshold(s: SparkSession, dir: String): DataFrame =
+    Sampling.quantileThresholdFilter(
+      t(s, dir, "documents"), "lang", "n_chars", qBp = 9000)
+      .select($("doc_id"), $("lang"), $("n_chars"), $("threshold"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1794,6 +1803,7 @@ object SparkEntry {
     "q96_label_layout" -> (q96LabelLayout _),
     "q97_tfidf_keywords" -> (q97TfidfKeywords _),
     "q98_asof_join" -> (q98AsofJoin _),
+    "q99_quantile_threshold" -> (q99QuantileThreshold _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3147,6 +3157,18 @@ object SparkEntry {
         |SELECT c.click_id, c.user_id, v.view_id, v.value AS view_value
         |FROM c ASOF LEFT JOIN v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+    "q99_quantile_threshold" ->
+      """WITH c AS (
+        |  SELECT lang, n_chars, count(*) AS n FROM documents
+        |  GROUP BY lang, n_chars),
+        |t AS (SELECT lang, n_chars,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS tot FROM c),
+        |th AS (SELECT lang, min(n_chars) AS threshold FROM t
+        |       WHERE cum * 10000 >= tot * 9000 GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, th.threshold
+        |FROM documents d JOIN th USING (lang)
+        |WHERE d.n_chars >= th.threshold""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

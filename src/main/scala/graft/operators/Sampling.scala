@@ -146,4 +146,43 @@ object Sampling {
         floor(col("_rate") * lit(Two60)).cast("long"))
       .drop("_rate")
   }
+
+  /** Per-group exact-quantile threshold filter — the quality-cutoff
+    * calibration step of a filtering pipeline ("keep each language's top
+    * 10% by model score"). The quantile is the DISCRETE lower quantile at
+    * `qBp` basis points (qBp = 9000 → p90): the smallest observed score
+    * whose cumulative count reaches `ceil(qBp · n_group / 10000)` =
+    * `(qBp·n + 9999) div 10000` — exact integer arithmetic end-to-end
+    * (a float `ceil(q·n)` is an engine-dependent coin flip: SQL engines
+    * parse 0.9 as decimal, Spark as double, and they round differently).
+    * Rows with `score >= threshold(group)` survive.
+    *
+    * Scale shape: the corpus collapses to a COMPACT (group, score) count
+    * frame first (map-side combined — its size is bounded by score
+    * cardinality, not corpus rows); the per-group cumulative sum windows
+    * over that compact frame only; thresholds broadcast back and the
+    * final filter is a broadcast-probe — the corpus itself is never
+    * shuffled and never windowed.
+    *
+    * Output: the input rows that meet their group's threshold, plus the
+    * group's `threshold` column.
+    */
+  def quantileThresholdFilter(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      qBp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qBp > 0 && qBp < 10000, "qBp must be in (0, 10000)")
+    val compact = df.groupBy(groupCol, scoreCol)
+      .agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(groupCol).orderBy(scoreCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thresholds = compact
+      .withColumn("_cum", sum(col("_n")).over(w))
+      .withColumn("_tot", sum(col("_n")).over(Window.partitionBy(groupCol)))
+      .filter(col("_cum") * 10000 >= col("_tot") * qBp)
+      .groupBy(groupCol)
+      .agg(min(col(scoreCol)).as("threshold"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol) >= col("threshold"))
+  }
 }

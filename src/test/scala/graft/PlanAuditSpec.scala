@@ -171,6 +171,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "as-of join degenerated to a nested-loop plan")
   }
 
+  test("q99 quantile threshold: compact counts, thresholds broadcast back") {
+    val p = plan("q99_quantile_threshold")
+    // the corpus-side filter probes a broadcast of the tiny threshold
+    // frame; the cumsum windows only the (group, score) count frame
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_count"), "score counts lost map-side combine")
+  }
+
   test("q97 tf-idf: map-side tf combine, top-k window keyed by doc id") {
     val p = plan("q97_tfidf_keywords")
     assert(p.contains("partial_count"), p.take(3000))

@@ -327,6 +327,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.find(t => t._1 == 3L && t._3 == "cherry").get._4 == 1048576L)
   }
 
+  test("quantileThresholdFilter: discrete lower quantile, tie-heavy groups") {
+    import spark.implicits._
+    val a = (1 to 10).map(i => ("a", i.toLong))
+    val b = Seq(("b", 1L), ("b", 1L), ("b", 1L), ("b", 5L))
+    val df = (a ++ b).toDF("g", "score")
+    // p90 over 1..10 → threshold 9, keeps {9, 10}; over [1,1,1,5] cum at
+    // score 1 is 3 < ceil(0.9*4)=4 → threshold 5, keeps the single 5
+    val got = Sampling.quantileThresholdFilter(df, "g", "score", qBp = 9000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.filter(_._1 == "a").map(_._2).sorted.toSeq == Seq(9L, 10L))
+    assert(got.filter(_._1 == "a").forall(_._3 == 9L))
+    assert(got.filter(_._1 == "b").toSeq == Seq(("b", 5L, 5L)))
+    // p50 over the tie-heavy group: cum at score 1 is 3 >= 2 → keeps all
+    val p50 = Sampling.quantileThresholdFilter(df, "g", "score", qBp = 5000)
+      .filter($"g" === "b").count()
+    assert(p50 == 4L)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
