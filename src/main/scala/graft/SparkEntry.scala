@@ -1702,6 +1702,13 @@ object SparkEntry {
       t(s, dir, "documents"), "lang", "n_chars", qBp = 9000)
       .select($("doc_id"), $("lang"), $("n_chars"), $("threshold"))
 
+  /** Contrastive negatives — 4 deterministic md5-drawn partners per doc,
+    * skip-self adjusted; dense indices via the bucketed prefix sum.
+    */
+  private def q100NegativePairs(s: SparkSession, dir: String): DataFrame =
+    Sampling.negativePairs(
+      t(s, dir, "documents").select($("doc_id")), "doc_id", k = 4)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1804,6 +1811,7 @@ object SparkEntry {
     "q97_tfidf_keywords" -> (q97TfidfKeywords _),
     "q98_asof_join" -> (q98AsofJoin _),
     "q99_quantile_threshold" -> (q99QuantileThreshold _),
+    "q100_negative_pairs" -> (q100NegativePairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3169,6 +3177,19 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.n_chars, th.threshold
         |FROM documents d JOIN th USING (lang)
         |WHERE d.n_chars >= th.threshold""".stripMargin,
+    "q100_negative_pairs" ->
+      """WITH idx AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS N FROM documents),
+        |p AS (SELECT a.doc_id, r.j, a.i,
+        |    ('0x' || substr(md5(a.doc_id::VARCHAR || ':' || r.j::VARCHAR
+        |      || '|' || 'graft'), 1, 15))::BIGINT % (t.N - 1) AS raw
+        |  FROM idx a, tot t, range(0, 4) AS r(j)),
+        |a2 AS (SELECT doc_id, j,
+        |    CASE WHEN raw >= i THEN raw + 1 ELSE raw END AS tix FROM p)
+        |SELECT a2.doc_id, CAST(a2.j AS BIGINT) AS j, b.doc_id AS neg_doc_id
+        |FROM a2 JOIN idx b ON b.i = a2.tix""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -167,6 +167,58 @@ object Sampling {
     * Output: the input rows that meet their group's threshold, plus the
     * group's `threshold` column.
     */
+  /** Contrastive negative sampling: `k` deterministic pseudo-random
+    * negative partners per anchor row — the pair generator for
+    * contrastive / triplet training data. Negative `j` of anchor `a` is
+    * the row at dense index `H(a, j) mod (N-1)`, bumped by one when it
+    * lands at-or-past the anchor's own index (the classic skip-self
+    * adjustment, keeping the draw uniform over the other N-1 rows).
+    * Everything is md5-derived, so resamples are reproducible and
+    * engine-portable; changing `salt` redraws the negatives.
+    *
+    * Scale shape: dense indices come from the bucketed prefix sum (per-
+    * bucket windows + a broadcast bucket-offset frame — no global
+    * row_number); N is one broadcast scalar; the only corpus-sized
+    * shuffle is the final equi-join of (anchor, target-index) against
+    * the index frame, which is exactly the join any gather-by-index
+    * pays. No RNG state, no driver involvement.
+    *
+    * Output: idCol (anchor), j (0-based draw), neg_<idCol> (partner).
+    */
+  def negativePairs(
+      df: DataFrame, idCol: String, k: Int,
+      salt: String = "graft", bucketSize: Long = 1L << 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0)
+    val bucket = floor(col(idCol) / bucketSize).as("_bucket")
+    val local = df.select(col(idCol), bucket)
+      .withColumn("_lr",
+        row_number().over(Window.partitionBy("_bucket").orderBy(idCol)))
+    val one = floor(col("_bucket") / lit(Long.MaxValue))
+    val offsets = local.groupBy("_bucket")
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        Window.partitionBy(one).orderBy("_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_bucket", "_off")
+    val idx = local.join(broadcast(offsets), Seq("_bucket"))
+      .select(col(idCol), (col("_off") + col("_lr") - 1).as("_i"))
+    val total = df.agg(count(lit(1)).as("_N"))
+    val raw = keyHash60(
+      concat(col(idCol).cast("string"), lit(":"), col("j").cast("string")),
+      salt) % (col("_N") - 1)
+    val targets = idx
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("_i"), col("_N"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("_t",
+        when(raw >= col("_i"), raw + 1).otherwise(raw))
+    targets.join(idx.select(col(idCol).as("_nid"), col("_i").as("_t")),
+        Seq("_t"))
+      .select(col(idCol), col("j").cast("long").as("j"),
+        col("_nid").as("neg_" + idCol))
+  }
+
   def quantileThresholdFilter(
       df: DataFrame, groupCol: String, scoreCol: String,
       qBp: Int): DataFrame = {

@@ -171,6 +171,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "as-of join degenerated to a nested-loop plan")
   }
 
+  test("q100 negative pairs: no cartesian beyond the broadcast scalar") {
+    val p = plan("q100_negative_pairs")
+    // N is one broadcast row; the gather is an equi-join on the dense
+    // index — a real cartesian/NL join here would be quadratic at scale
+    assert(!p.contains("CartesianProduct"), "corpus-sized cartesian")
+    assert("windowspecdefinition\\(_bucket".r.findFirstIn(p).isDefined,
+      "ordinal window lost its bucket partitioning")
+  }
+
   test("q99 quantile threshold: compact counts, thresholds broadcast back") {
     val p = plan("q99_quantile_threshold")
     // the corpus-side filter probes a broadcast of the tiny threshold

@@ -345,6 +345,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p50 == 4L)
   }
 
+  test("negativePairs: k per anchor, never self, repartition-stable") {
+    import spark.implicits._
+    val ids = (0L until 30L).toDF("id")
+    val got = Sampling.negativePairs(ids, "id", k = 3, bucketSize = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 90)
+    assert(got.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L)))
+    assert(got.forall(t => t._1 != t._3))
+    assert(got.forall(t => t._3 >= 0L && t._3 < 30L))
+    val again = Sampling.negativePairs(ids.repartition(7), "id", k = 3,
+      bucketSize = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
