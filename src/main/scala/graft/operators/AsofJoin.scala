@@ -33,7 +33,11 @@ object AsofJoin {
       left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String,
       toleranceMs: Option[Long] = None,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_",
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
     val lSide = left.select(
@@ -44,15 +48,22 @@ object AsofJoin {
       col(keyCol).as("_k"), col(timeCol).as("_t"), lit(0).as("_tag"),
       lit(null).cast(lType).as("_l"),
       struct(right.columns.map(right(_)): _*).as("_r"))
-    val w = Window.partitionBy("_k").orderBy(col("_t").asc, col("_tag").asc)
+    // forward = the mirror image: scan times descending, so the "most
+    // recent preceding" right row in scan order is the EARLIEST right row
+    // at-or-after the left row's time. Right still sorts first at equal
+    // times (inclusive match) — only the time axis flips.
+    val w = Window.partitionBy("_k")
+      .orderBy(if (fwd) col("_t").desc else col("_t").asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lSide.unionByName(rSide)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
     val gated = toleranceMs match {
-      case Some(tol) => matched.withColumn("_m",
-        when(col("_t").cast("double") - col(s"_m.$timeCol").cast("double")
-          <= tol / 1000.0, col("_m")))
+      case Some(tol) =>
+        val gap =
+          if (fwd) col(s"_m.$timeCol").cast("double") - col("_t").cast("double")
+          else col("_t").cast("double") - col(s"_m.$timeCol").cast("double")
+        matched.withColumn("_m", when(gap <= tol / 1000.0, col("_m")))
       case None => matched
     }
     val leftCols = left.columns.map(c => col(s"_l.$c").as(c))

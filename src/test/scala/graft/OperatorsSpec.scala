@@ -240,6 +240,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 5s tolerance: b (25-20=5s) survives inclusively, x (40-20=20s) voids
     assert(run(Some(5000L)) == Map("a" -> Some(100L), "b" -> Some(200L),
       "x" -> None, "c" -> None))
+    // forward: earliest right at-or-after; c (t=5) now sees k=2's t=50 row
+    val fwd = AsofJoin.asofJoin(left, right, "k", "t",
+        direction = "forward")
+      .collect()
+      .map(r => (r.getString(2), Option(r.get(5)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(fwd == Map("a" -> Some(100L), "b" -> None, "x" -> None,
+      "c" -> Some(300L)))
   }
 
   test("Barcodes.labelLayout triplicate: 4th column blank, reference offsets") {
