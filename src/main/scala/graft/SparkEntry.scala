@@ -1709,6 +1709,25 @@ object SparkEntry {
     Sampling.negativePairs(
       t(s, dir, "documents").select($("doc_id")), "doc_id", k = 4)
 
+  /** Interval-overlap join — same-supplier shipping windows (shipdate +
+    * quantity days) intersecting across even/odd orders. Tiled equi-join
+    * with canonical-tile emit-once; never a nested loop.
+    */
+  private def q101IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val day0 = to_date(lit("1992-01-01"))
+    val sd = datediff($("l_shipdate"), day0).cast("long")
+    val base = t(s, dir, "lineitem")
+      .filter($("l_partkey") % 23 === 0)
+      .select(($("l_orderkey") * 10 + $("l_linenumber")).as("id"),
+        $("l_suppkey").as("key"),
+        sd.as("s"), (sd + $("l_quantity").cast("int")).as("e"),
+        ($("l_orderkey") % 2).as("_side"))
+    IntervalJoin.overlapJoin(
+      base.filter($("_side") === 0).drop("_side"),
+      base.filter($("_side") === 1).drop("_side"),
+      bucketWidth = 32)
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1812,6 +1831,7 @@ object SparkEntry {
     "q98_asof_join" -> (q98AsofJoin _),
     "q99_quantile_threshold" -> (q99QuantileThreshold _),
     "q100_negative_pairs" -> (q100NegativePairs _),
+    "q101_interval_overlap" -> (q101IntervalOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3190,6 +3210,21 @@ object SparkEntry {
         |    CASE WHEN raw >= i THEN raw + 1 ELSE raw END AS tix FROM p)
         |SELECT a2.doc_id, CAST(a2.j AS BIGINT) AS j, b.doc_id AS neg_doc_id
         |FROM a2 JOIN idx b ON b.i = a2.tix""".stripMargin,
+    "q101_interval_overlap" ->
+      """WITH base AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS id, l_suppkey AS key,
+        |    datediff('day', DATE '1992-01-01', l_shipdate) AS sd,
+        |    datediff('day', DATE '1992-01-01', l_shipdate)
+        |      + CAST(l_quantity AS INTEGER) AS ed,
+        |    l_orderkey % 2 AS side
+        |  FROM lineitem WHERE l_partkey % 23 = 0),
+        |a AS (SELECT * FROM base WHERE side = 0),
+        |b AS (SELECT * FROM base WHERE side = 1)
+        |SELECT a.key, a.id AS id_a, b.id AS id_b,
+        |  CAST(a.sd AS BIGINT) AS s_a, CAST(a.ed AS BIGINT) AS e_a,
+        |  CAST(b.sd AS BIGINT) AS s_b, CAST(b.ed AS BIGINT) AS e_b
+        |FROM a JOIN b
+        |  ON a.key = b.key AND a.sd < b.ed AND b.sd < a.ed""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -250,6 +250,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "c" -> Some(300L)))
   }
 
+  test("IntervalJoin.overlapJoin: brute-force equal, half-open, emit-once") {
+    import spark.implicits._
+    val a = Seq((1L, "k", 0L, 10L), (2L, "k", 50L, 90L), (3L, "k", 5L, 6L),
+      (4L, "z", 0L, 100L)).toDF("id", "key", "s", "e")
+    val b = Seq((10L, "k", 9L, 20L), (11L, "k", 10L, 30L), (12L, "k", 60L, 61L),
+      (13L, "z", 99L, 200L), (14L, "z", 100L, 101L)).toDF("id", "key", "s", "e")
+    val got = IntervalJoin.overlapJoin(a, b, bucketWidth = 4L)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // [1,10): touches [10,30) only at the open end — no match; emit-once
+    // must not duplicate (4,13) though they share many tiles
+    assert(got.sorted == Seq((1L, 10L), (2L, 12L), (4L, 13L)))
+    assert(got.distinct.length == got.length)
+    val brute = a.as("a").crossJoin(b.as("b"))
+      .filter($"a.key" === $"b.key" && $"a.s" < $"b.e" && $"b.s" < $"a.e")
+      .select($"a.id", $"b.id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got.sorted == brute)
+  }
+
   test("Barcodes.labelLayout triplicate: 4th column blank, reference offsets") {
     import spark.implicits._
     // triplicate on a 4-wide sheet (labelmaker.py:89-97): 3 copies + one

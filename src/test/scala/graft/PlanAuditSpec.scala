@@ -171,6 +171,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "as-of join degenerated to a nested-loop plan")
   }
 
+  test("q101 interval overlap: tiled equi-join, never a nested loop") {
+    val p = plan("q101_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "inequality join degenerated to a nested loop")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+  }
+
   test("q100 negative pairs: no cartesian beyond the broadcast scalar") {
     val p = plan("q100_negative_pairs")
     // N is one broadcast row; the gather is an equi-join on the dense
