@@ -1728,6 +1728,18 @@ object SparkEntry {
       bucketWidth = 32)
   }
 
+  /** Sliding event-time windows — 1h windows every 15min (each event in
+    * exactly 4), the streaming-compatible form of q30's tumbling hours:
+    * the same expression runs under `readStream` with a watermark.
+    */
+  private def q102SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window($("ts"), "1 hour", "15 minutes").as("w"),
+        $("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp($("w.start")).as("w_start"), $("event_type"),
+        $("n_events"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1832,6 +1844,7 @@ object SparkEntry {
     "q99_quantile_threshold" -> (q99QuantileThreshold _),
     "q100_negative_pairs" -> (q100NegativePairs _),
     "q101_interval_overlap" -> (q101IntervalOverlap _),
+    "q102_sliding_window" -> (q102SlidingWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3225,6 +3238,14 @@ object SparkEntry {
         |  CAST(b.sd AS BIGINT) AS s_b, CAST(b.ed AS BIGINT) AS e_b
         |FROM a JOIN b
         |  ON a.key = b.key AND a.sd < b.ed AND b.sd < a.ed""".stripMargin,
+    "q102_sliding_window" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 900000000000 AS q, event_type FROM events),
+        |w AS (SELECT (q - o.off) * 900 AS w_start, event_type
+        |      FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) AS o(off))
+        |SELECT CAST(w_start AS BIGINT) AS w_start, event_type,
+        |  count(*) AS n_events
+        |FROM w GROUP BY w_start, event_type""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -57,10 +57,15 @@ object StreamingEtl {
       events: DataFrame,
       tsCol: String,
       window: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("event_type"))
+      .groupBy(
+        slide.fold(
+          org.apache.spark.sql.functions.window(col(tsCol), window))(sl =>
+          org.apache.spark.sql.functions.window(col(tsCol), window, sl)),
+        col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))

@@ -298,4 +298,39 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(r => r.getAs[String]("event_type") == "click"
       && r.getAs[Long]("cnt") == 2L))
   }
+
+  test("StreamingEtl.windowedCounts sliding windows stream == batch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream3").toString
+    val inDir = s"$base/in"
+    val data = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), "view", 5.0))
+    data.toDF("ts", "event_type", "value").write.parquet(inDir)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val agg = StreamingEtl.windowedCounts(
+      StreamingEtl.readFeed(spark, inDir, schema), "ts",
+      slide = Some("15 minutes"))
+    val q = agg.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ck")
+      .outputMode("complete")
+      .format("memory").queryName("win_slide")
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("select * from win_slide").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .sorted
+    // every event lands in exactly 4 sliding windows
+    assert(streamed.map(_._3).sum == 12L)
+    val batch = StreamingEtl.windowedCounts(
+      data.toDF("ts", "event_type", "value"), "ts",
+      slide = Some("15 minutes"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .sorted
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
