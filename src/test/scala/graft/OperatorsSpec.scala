@@ -270,6 +270,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sorted == brute)
   }
 
+  test("AsofJoin == brute-force argmax on seeded random data, both directions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+      .toDF("lid", "k", "sec")
+      .select($"lid", $"k", timestamp_seconds($"sec").as("t"))
+    val right = (0 until 150).map(i =>
+      (1000L + i, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+      .toDF("rid", "k", "sec")
+      .select($"rid", $"k", timestamp_seconds($"sec").as("t"))
+    for (dir <- Seq("backward", "forward")) {
+      // (lid -> matched right timestamp) from the one distributed run
+      val got = AsofJoin.asofJoin(left, right, "k", "t", direction = dir)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(5))))
+        .toMap
+      val cmp = if (dir == "backward") "r.t <= l.t" else "r.t >= l.t"
+      val pick = if (dir == "backward") "max(r.t)" else "min(r.t)"
+      left.createOrReplaceTempView("al")
+      right.createOrReplaceTempView("ar")
+      val brute = spark.sql(
+        s"""SELECT l.lid, (SELECT $pick FROM ar r
+           |  WHERE r.k = l.k AND $cmp) AS bt FROM al l""".stripMargin)
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1))))
+        .toMap
+      assert(got.keySet == brute.keySet)
+      got.foreach { case (lid, m) =>
+        assert(m == brute(lid), s"$dir lid=$lid: got $m vs ${brute(lid)}")
+      }
+    }
+  }
+
   test("Barcodes.labelLayout triplicate: 4th column blank, reference offsets") {
     import spark.implicits._
     // triplicate on a 4-wide sheet (labelmaker.py:89-97): 3 copies + one
