@@ -1740,6 +1740,14 @@ object SparkEntry {
       .select(unix_timestamp($("w.start")).as("w_start"), $("event_type"),
         $("n_events"))
 
+  /** Leak-free 80/10/10 split assignment — integer hash-band buckets,
+    * pure per-row map, repartition-stable.
+    */
+  private def q103SplitAssign(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(
+      t(s, dir, "documents").select($("doc_id")), "doc_id",
+      Seq(("train", 8000), ("val", 1000), ("test", 1000)))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1845,6 +1853,7 @@ object SparkEntry {
     "q100_negative_pairs" -> (q100NegativePairs _),
     "q101_interval_overlap" -> (q101IntervalOverlap _),
     "q102_sliding_window" -> (q102SlidingWindow _),
+    "q103_split_assign" -> (q103SplitAssign _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3246,6 +3255,15 @@ object SparkEntry {
         |SELECT CAST(w_start AS BIGINT) AS w_start, event_type,
         |  count(*) AS n_events
         |FROM w GROUP BY w_start, event_type""".stripMargin,
+    "q103_split_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '|' || 'graft'), 1, 15))
+        |      ::BIGINT % 10000 AS b
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
+        |  WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM h""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -167,6 +167,32 @@ object Sampling {
     * Output: the input rows that meet their group's threshold, plus the
     * group's `threshold` column.
     */
+  /** Leak-free train/val/test split assignment: each key's 60-bit hash,
+    * reduced mod 10000, is bucketed into consecutive basis-point bands —
+    * `splits = Seq(("train", 8000), ("val", 1000), ("test", 1000))`
+    * assigns ~80/10/10. Integer-exact end-to-end (no float thresholds to
+    * disagree across engines), deterministic under repartitioning, and
+    * leak-free by construction: a key always lands in the same band, so
+    * duplicates of a document can never straddle train and test. The
+    * same salt+bands reproduce the split on any engine; a different salt
+    * redraws it. Pure per-row map — nothing shuffles, nothing broadcast.
+    */
+  def splitAssign(
+      df: DataFrame, keyCol: String,
+      splits: Seq[(String, Int)], // (label, basis points), sums to 10000
+      salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).forall(_ > 0)
+      && splits.map(_._2).sum == 10000, "split basis points must sum to 10000")
+    val bucket = keyHash60(col(keyCol), salt) % 10000
+    val bounds = splits.scanLeft(0) { case (acc, (_, bp)) => acc + bp }
+    // first band whose upper bound exceeds the bucket wins
+    val assigned = splits.zip(bounds.tail).reverse
+      .foldLeft[Column](lit(splits.last._1)) { case (acc, ((label, _), hi)) =>
+        when(bucket < hi, label).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Contrastive negative sampling: `k` deterministic pseudo-random
     * negative partners per anchor row — the pair generator for
     * contrastive / triplet training data. Negative `j` of anchor `a` is

@@ -345,6 +345,26 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p50 == 4L)
   }
 
+  test("splitAssign: exhaustive, leak-free, repartition-stable, ~proportional") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val splits = Seq(("train", 8000), ("val", 1000), ("test", 1000))
+    val got = Sampling.splitAssign(ids, "id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 2000 && got.values.toSet == Set("train", "val", "test"))
+    val frac = got.values.count(_ == "train") / 2000.0
+    assert(frac > 0.75 && frac < 0.85, s"train fraction $frac")
+    // duplicates of a key always co-locate (leak-free) and order/partition
+    // layout cannot move a key across bands
+    val again = Sampling.splitAssign(ids.repartition(13), "id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(again == got)
+    // different salt redraws
+    val redrawn = Sampling.splitAssign(ids, "id", splits, salt = "other")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(redrawn != got)
+  }
+
   test("negativePairs: k per anchor, never self, repartition-stable") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("id")
