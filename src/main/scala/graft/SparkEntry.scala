@@ -1748,6 +1748,19 @@ object SparkEntry {
       t(s, dir, "documents").select($("doc_id")), "doc_id",
       Seq(("train", 8000), ("val", 1000), ("test", 1000)))
 
+  /** Multimodal resize — area-average downsample to 8 buckets (stub
+    * kernel, real partition-batched plumbing; integer-exact averaging).
+    */
+  private def q104Resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Multimodal.attachBinary(
+      t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      .select($("id"), $("content"), $("meta.mime").as("mime"))
+      .as[Multimodal.Blob]
+    Multimodal.resize(blobs, outLen = 8).toDF()
+      .select($("id").as("doc_id"), $("byte_len"), $("resized"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1854,6 +1867,7 @@ object SparkEntry {
     "q101_interval_overlap" -> (q101IntervalOverlap _),
     "q102_sliding_window" -> (q102SlidingWindow _),
     "q103_split_assign" -> (q103SplitAssign _),
+    "q104_resize" -> (q104Resize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3264,6 +3278,21 @@ object SparkEntry {
         |SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
         |  WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM h""".stripMargin,
+    "q104_resize" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+        |  CASE WHEN length(text) = 0 THEN ''
+        |  ELSE array_to_string(
+        |    [ CASE WHEN list_sum([CASE WHEN ((i-1) * 8) // length(text) = k
+        |              THEN 1 ELSE 0 END for i in range(1, length(text)+1)]) = 0
+        |        THEN 0
+        |        ELSE list_sum([CASE WHEN ((i-1) * 8) // length(text) = k
+        |               THEN ord(substr(text, i, 1)) ELSE 0 END
+        |               for i in range(1, length(text)+1)])
+        |          // list_sum([CASE WHEN ((i-1) * 8) // length(text) = k
+        |               THEN 1 ELSE 0 END for i in range(1, length(text)+1)])
+        |      END for k in range(0, 8) ], ',')
+        |  END AS resized
+        |FROM documents""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

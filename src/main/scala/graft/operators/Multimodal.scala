@@ -66,6 +66,45 @@ object Multimodal {
     }
   }
 
+  case class Resized(id: Long, byte_len: Long, resized: String)
+
+  /** ======== STUB ========
+    * Deterministic fake resize kernel: area-average the byte stream down
+    * to `outLen` buckets (bucket of byte i = `i·outLen div len`, value =
+    * integer mean of the bucket's bytes; sparse buckets of short blobs
+    * are 0). A real implementation would decode + bilinear-resample here;
+    * the bucket boundaries, integer-exact averaging, and empty-input
+    * convention are the contract a real kernel must keep.
+    */
+  def resizeStub(bytes: Array[Byte], outLen: Int): Array[Int] = {
+    val sum = new Array[Long](outLen)
+    val cnt = new Array[Long](outLen)
+    var i = 0
+    while (i < bytes.length) {
+      val k = (i.toLong * outLen / bytes.length).toInt
+      sum(k) += (bytes(i) & 0xff); cnt(k) += 1; i += 1
+    }
+    Array.tabulate(outLen)(k => if (cnt(k) == 0) 0 else (sum(k) / cnt(k)).toInt)
+  }
+
+  /** Partition-batched resize over blobs — same mapPartitions shape as
+    * [[extractFeatures]] (kernel init once per partition). Empty blobs
+    * resize to the empty string, mirroring tokenCount's blank convention.
+    * The resized vector rides as a comma-joined string (like q35's
+    * features) so engines hash it identically.
+    */
+  def resize(blobs: Dataset[Blob], outLen: Int = 8): Dataset[Resized] = {
+    implicit val enc = Encoders.product[Resized]
+    blobs.mapPartitions { it =>
+      // real impl: val kernel = Codec.open() — once per partition
+      it.map { b =>
+        val r = if (b.content.isEmpty) ""
+          else resizeStub(b.content, outLen).mkString(",")
+        Resized(b.id, b.content.length.toLong, r)
+      }
+    }
+  }
+
   /** Deterministic frame sampling for "video" blobs: every `stride`-th
     * frame window of `frameBytes` bytes, as its own row (explode shape —
     * downstream per-frame models join on (id, frame_no)). One frame per

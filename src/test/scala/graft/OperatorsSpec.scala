@@ -270,6 +270,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sorted == brute)
   }
 
+  test("Multimodal.resizeStub area-averages; sparse buckets 0; empty -> ''") {
+    import spark.implicits._
+    // 4 bytes → 2 buckets: mean(10,20)=15, mean(30,41)=35 (integer div)
+    assert(Multimodal.resizeStub(Array[Byte](10, 20, 30, 41), 2).toSeq
+      == Seq(15, 35))
+    // short input: byte i lands in bucket i*K/len; the rest are 0
+    assert(Multimodal.resizeStub(Array[Byte](100), 4).toSeq
+      == Seq(100, 0, 0, 0))
+    val blobs = Seq((1L, "aabb", "t"), (2L, "", "t"))
+      .toDF("id", "content", "mime")
+      .select($"id", $"content".cast("binary").as("content"), $"mime")
+      .as[Multimodal.Blob]
+    val got = Multimodal.resize(blobs, 2).collect()
+      .map(r => (r.id, r.resized)).toMap
+    assert(got(1L) == "97,98" && got(2L) == "")
+  }
+
   test("AsofJoin == brute-force argmax on seeded random data, both directions") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
