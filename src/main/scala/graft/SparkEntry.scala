@@ -1761,6 +1761,20 @@ object SparkEntry {
       .select($("id").as("doc_id"), $("byte_len"), $("resized"))
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the brute-force and
+    * LSH ANN paths (integer-exact RRF, per-query top-k window).
+    */
+  private def q105RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings")
+      .select($("vec_id").as("id"), $("embedding").as("vec"))
+    val queries = t(s, dir, "embeddings").filter($("vec_id") < 8)
+      .select($("vec_id").as("qid"), $("embedding").as("qvec"))
+    SimilaritySearch.rrfFuse(Seq(
+      SimilaritySearch.bruteForceTopK(corpus, queries, 5),
+      SimilaritySearch.lshTopK(corpus, queries, k = 5, numBands = 2,
+        bandBits = 8)), k = 5)
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1868,6 +1882,7 @@ object SparkEntry {
     "q102_sliding_window" -> (q102SlidingWindow _),
     "q103_split_assign" -> (q103SplitAssign _),
     "q104_resize" -> (q104Resize _),
+    "q105_rrf_fusion" -> (q105RrfFusion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3293,6 +3308,47 @@ object SparkEntry {
         |      END for k in range(0, 8) ], ',')
         |  END AS resized
         |FROM documents""".stripMargin,
+    "q105_rrf_fusion" ->
+      """WITH bf AS (
+        |  SELECT qid, id, rank FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+        |          q.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+        |    FROM embeddings c, embeddings q WHERE q.vec_id < 8)
+        |  WHERE rank <= 5),
+        |sig AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_sum([CASE WHEN list_sum([v2[i+1] *
+        |        (CASE WHEN ('0x'||substr(md5('plane'||p||'|'||i),1,15))::BIGINT & 1 = 1
+        |              THEN 1.0 ELSE -1.0 END)
+        |        for i in range(0, len(v2))]) > 0
+        |      THEN (1::BIGINT << p) ELSE 0 END
+        |      for p in range(0, 16)]) AS sg
+        |  FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS v2 FROM embeddings)),
+        |bands AS (
+        |  SELECT vec_id, v, b AS band, (sg >> (8*b)::INT) & 255 AS bucket
+        |  FROM sig, range(0, 2) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+        |  FROM bands c JOIN bands q ON c.band = q.band AND c.bucket = q.bucket
+        |  WHERE q.vec_id < 8),
+        |lsh AS (
+        |  SELECT qid, id, rank FROM (
+        |    SELECT qid, id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY list_cosine_similarity(cv.v, qv.v) DESC, id) AS rank
+        |    FROM cand JOIN sig cv ON cand.id = cv.vec_id
+        |              JOIN sig qv ON cand.qid = qv.vec_id)
+        |  WHERE rank <= 5),
+        |u AS (SELECT qid, id, 1000000 // (rank + 60) AS c FROM bf
+        |      UNION ALL SELECT qid, id, 1000000 // (rank + 60) FROM lsh),
+        |f AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf
+        |      FROM u GROUP BY qid, id),
+        |r AS (SELECT qid, id, rrf, row_number() OVER (PARTITION BY qid
+        |        ORDER BY rrf DESC, id) AS rank FROM f)
+        |SELECT qid, id, rrf, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -203,4 +203,32 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select("qid", "id", "cosine", "rank")
   }
+
+  /** Reciprocal-rank fusion — combine several ranked retrieval lists
+    * (e.g. a lexical top-k and a vector top-k, or the brute-force and
+    * LSH ANN paths) into one ranking:
+    * `rrf(d) = Σ_lists floor(10^6 / (c + rank_list(d)))`, the standard
+    * RRF with the 10^6 scale making the score integer-exact across
+    * engines (float 1/(c+r) sums would be accumulation-order-dependent).
+    * Documents missing from a list simply contribute nothing — exactly
+    * RRF's semantics, no outer-join gymnastics.
+    *
+    * Scale shape: a unionAll of (qid, id, contribution) projections, one
+    * map-side-combined sum per (qid, id), and a per-QUERY top-k window —
+    * partitioned by qid, so fan-in is bounded by k·lists per query and
+    * no hot key exists. Input lists need columns (qid, id, rank).
+    *
+    * Output: qid, id, rrf, rank (1..k by rrf desc, id asc).
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty && k > 0 && c >= 0)
+    val contribs = lists.map(_.select(col("qid"), col("id"),
+      expr(s"CAST(1000000 AS BIGINT) div (CAST(rank AS BIGINT) + $c)")
+        .as("_c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("qid", "id").agg(sum(col("_c")).as("rrf"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -270,6 +270,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sorted == brute)
   }
 
+  test("SimilaritySearch.rrfFuse sums reciprocal ranks, absent docs free") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("qid", "id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("qid", "id", "rank")
+    val got = SimilaritySearch.rrfFuse(Seq(a, b), k = 3, c = 0)
+      .collect().map(r => (r.getLong(3), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // d20: 1e6/2 + 1e6/1 = 1.5e6 wins; d10: 1e6; d30: 5e5
+    assert(got.toSeq == Seq((1L, 20L, 1500000L), (2L, 10L, 1000000L),
+      (3L, 30L, 500000L)))
+  }
+
   test("Multimodal.resizeStub area-averages; sparse buckets 0; empty -> ''") {
     import spark.implicits._
     // 4 bytes → 2 buckets: mean(10,20)=15, mean(30,41)=35 (integer div)
