@@ -1775,6 +1775,12 @@ object SparkEntry {
         bandBits = 8)), k = 5)
   }
 
+  /** Int8 vector quantization — symmetric max-abs scaling, engine-exact
+    * codes; pure per-row map over the embeddings table.
+    */
+  private def q106QuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    Embeddings.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1883,6 +1889,7 @@ object SparkEntry {
     "q103_split_assign" -> (q103SplitAssign _),
     "q104_resize" -> (q104Resize _),
     "q105_rrf_fusion" -> (q105RrfFusion _),
+    "q106_quantize_int8" -> (q106QuantizeInt8 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3349,6 +3356,18 @@ object SparkEntry {
         |        ORDER BY rrf DESC, id) AS rank FROM f)
         |SELECT qid, id, rrf, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5""".stripMargin,
+    "q106_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+        |      AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale = 0 THEN '' ELSE
+        |    array_to_string(list_transform(v,
+        |      x -> CAST(floor(x * 127 / scale + 0.5) AS BIGINT)), ',')
+        |  END AS q
+        |FROM s""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

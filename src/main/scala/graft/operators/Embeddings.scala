@@ -88,4 +88,31 @@ object Embeddings {
     }
     assign
   }
+
+  /** Symmetric int8 quantization — the vector-index compression step
+    * (4× smaller than float32, what IVF/HNSW stores at scale): per
+    * vector, `scale = max|x|` and `q_i = floor(x_i · 127 / scale + 0.5)`
+    * ∈ [-127, 127]. Both the multiply and divide are single
+    * correctly-rounded IEEE ops over identical inputs, so the quantized
+    * codes are bit-identical on every engine — no round() tie-mode
+    * differences (floor(+0.5) pins half-up everywhere). Zero vectors
+    * quantize to the empty code with scale 0. Pure per-row map: one
+    * projection, nothing shuffles.
+    *
+    * Output: idCol, scale (double), q (comma-joined int codes — the
+    * string form hashes identically across engines, as q35/q21 do).
+    */
+  def quantizeInt8(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scaled = df.select(col(idCol),
+      array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+        .as("_scale"),
+      col(vecCol).as("_v"))
+    scaled.select(col(idCol), col("_scale").as("scale"),
+      when(col("_scale") === 0d, lit(""))
+        .otherwise(array_join(transform(col("_v"), x =>
+          floor(x.cast("double") * 127d / col("_scale") + lit(0.5d))
+            .cast("long").cast("string")), ","))
+        .as("q"))
+  }
 }

@@ -345,6 +345,19 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p50 == 4L)
   }
 
+  test("quantizeInt8: max-abs code 127, half-up rounding, zero vector empty") {
+    import spark.implicits._
+    val d = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.quantizeInt8(d, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getString(2))))
+      .toMap
+    // scale 1.0: 0.5→floor(64.0)=64, -1.0→floor(-126.5)=-127 (half-up),
+    // 0.25→floor(32.25)=32
+    assert(got(1L) == ((1.0, "64,-127,32")))
+    assert(got(2L) == ((0.0, "")))
+  }
+
   test("splitAssign: exhaustive, leak-free, repartition-stable, ~proportional") {
     import spark.implicits._
     val ids = (0L until 2000L).toDF("id")
