@@ -1781,6 +1781,21 @@ object SparkEntry {
   private def q106QuantizeInt8(s: SparkSession, dir: String): DataFrame =
     Embeddings.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
 
+  /** Hierarchical corpus profile — ROLLUP(lang, source) with grand and
+    * per-lang subtotals (multi-level agg in ONE pass: Spark expands the
+    * grouping sets map-side, so the corpus is read and shuffled once,
+    * not once per level). `grouping()` flags disambiguate real NULL keys
+    * from subtotal rows, engine-portably.
+    */
+  private def q107Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .rollup($("lang"), $("source"))
+      .agg(grouping($("lang")).cast("long").as("g_lang"),
+        grouping($("source")).cast("long").as("g_source"),
+        count(lit(1)).as("n_docs"), sum($("n_chars")).as("total_chars"))
+      .select($("lang"), $("source"), $("g_lang"), $("g_source"),
+        $("n_docs"), $("total_chars"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1890,6 +1905,7 @@ object SparkEntry {
     "q104_resize" -> (q104Resize _),
     "q105_rrf_fusion" -> (q105RrfFusion _),
     "q106_quantize_int8" -> (q106QuantizeInt8 _),
+    "q107_rollup" -> (q107Rollup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3368,6 +3384,15 @@ object SparkEntry {
         |      x -> CAST(floor(x * 127 / scale + 0.5) AS BIGINT)), ',')
         |  END AS q
         |FROM s""".stripMargin,
+    "q107_rollup" ->
+      """SELECT lang, source,
+        |  CAST(CASE WHEN GROUPING(lang) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS g_lang,
+        |  CAST(CASE WHEN GROUPING(source) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS g_source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY ROLLUP(lang, source)""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,
