@@ -1796,6 +1796,19 @@ object SparkEntry {
       .select($("lang"), $("source"), $("g_lang"), $("g_source"),
         $("n_docs"), $("total_chars"))
 
+  /** Quantized ANN — int8-code coarse ranking (exact integer dots) +
+    * float rerank; the full compression→search loop over q106's codes.
+    */
+  private def q108QuantizedSearch(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings")
+      .select($("vec_id").as("id"), $("embedding").as("vec"))
+    val queries = t(s, dir, "embeddings").filter($("vec_id") < 8)
+      .select($("vec_id").as("qid"), $("embedding").as("qvec"))
+    SimilaritySearch.quantizedTopK(corpus, queries, k = 5, coarseK = 20)
+      .withColumn("cosine", round($("cosine"), 6))
+      .withColumn("rank", $("rank").cast("long"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1906,6 +1919,7 @@ object SparkEntry {
     "q105_rrf_fusion" -> (q105RrfFusion _),
     "q106_quantize_int8" -> (q106QuantizeInt8 _),
     "q107_rollup" -> (q107Rollup _),
+    "q108_quantized_search" -> (q108QuantizedSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3393,6 +3407,33 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents
         |GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "q108_quantized_search" ->
+      """WITH cs AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+        |      AS scale
+        |  FROM embeddings),
+        |cq AS (SELECT vec_id, v,
+        |    CASE WHEN scale = 0 THEN CAST([] AS BIGINT[])
+        |    ELSE list_transform(v,
+        |      x -> CAST(floor(x * 127 / scale + 0.5) AS BIGINT)) END AS codes
+        |  FROM cs),
+        |coarse AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    COALESCE(list_sum([c.codes[i+1] * q.codes[i+1]
+        |      for i in range(0, len(c.codes))]), 0) AS dot_q
+        |  FROM cq c, cq q WHERE q.vec_id < 8),
+        |r1 AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |         ORDER BY dot_q DESC, id) AS cr FROM coarse),
+        |cand AS (SELECT qid, id FROM r1 WHERE cr <= 20)
+        |SELECT qid, id, round(cos, 6) AS cosine, rank FROM (
+        |  SELECT cand.qid, cand.id, list_cosine_similarity(cv.v, qv.v) AS cos,
+        |    row_number() OVER (PARTITION BY cand.qid
+        |      ORDER BY list_cosine_similarity(cv.v, qv.v) DESC, cand.id)
+        |      AS rank
+        |  FROM cand JOIN cs cv ON cand.id = cv.vec_id
+        |            JOIN cs qv ON cand.qid = qv.vec_id)
+        |WHERE rank <= 5""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

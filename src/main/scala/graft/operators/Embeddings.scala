@@ -103,16 +103,26 @@ object Embeddings {
     * string form hashes identically across engines, as q35/q21 do).
     */
   def quantizeInt8(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeInt8Codes(df, idCol, vecCol)
+      .select(col(idCol), col("scale"),
+        array_join(transform(col("codes"), _.cast("string")), ",").as("q"))
+
+  /** Array form of [[quantizeInt8]] for composition (e.g. the coarse
+    * integer-dot stage of a quantized search): idCol, scale, codes
+    * (array<long>; empty for zero vectors).
+    */
+  def quantizeInt8Codes(
       df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val scaled = df.select(col(idCol),
       array_max(transform(col(vecCol), x => abs(x.cast("double"))))
         .as("_scale"),
       col(vecCol).as("_v"))
     scaled.select(col(idCol), col("_scale").as("scale"),
-      when(col("_scale") === 0d, lit(""))
-        .otherwise(array_join(transform(col("_v"), x =>
+      when(col("_scale") === 0d, array().cast("array<bigint>"))
+        .otherwise(transform(col("_v"), x =>
           floor(x.cast("double") * 127d / col("_scale") + lit(0.5d))
-            .cast("long").cast("string")), ","))
-        .as("q"))
+            .cast("long")))
+        .as("codes"))
   }
 }

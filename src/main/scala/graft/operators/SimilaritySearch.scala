@@ -204,6 +204,43 @@ object SimilaritySearch {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Two-stage quantized ANN — the compression→search loop a production
+    * vector index runs: coarse-rank every (query, doc) by the INTEGER dot
+    * product of their [[Embeddings.quantizeInt8Codes]] codes (exact
+    * int64 math — order-independent, engine-identical, 4× less memory
+    * traffic than float vectors), keep `coarseK` candidates per query,
+    * then rerank exactly by float cosine on the true vectors and take
+    * top-`k`. Recall loss is bounded by how well max-abs int8 preserves
+    * dot-product order — the standard SQ8 trade.
+    *
+    * Scale shape: queries broadcast (both stages), corpus never
+    * shuffles; the rerank join pulls full vectors for only coarseK·|Q|
+    * rows. Ties break by id at BOTH cut boundaries, so the candidate set
+    * and final ranking are deterministic.
+    */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      k: Int, coarseK: Int): DataFrame = {
+    val cq = Embeddings.quantizeInt8Codes(corpus, "id", "vec")
+    val qq = Embeddings.quantizeInt8Codes(queries, "qid", "qvec")
+    val dot = aggregate(
+      zip_with(col("codes"), col("qcodes"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val w1 = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("id"))
+    val cands = cq
+      .crossJoin(broadcast(qq.select(col("qid"), col("codes").as("qcodes"))))
+      .withColumn("dot_q", dot)
+      .withColumn("_cr", row_number().over(w1))
+      .filter(col("_cr") <= coarseK)
+      .select("qid", "id")
+    val w2 = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    cands.join(corpus, Seq("id")).join(broadcast(queries), Seq("qid"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
   /** Reciprocal-rank fusion — combine several ranked retrieval lists
     * (e.g. a lexical top-k and a vector top-k, or the brute-force and
     * LSH ANN paths) into one ranking:

@@ -270,6 +270,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sorted == brute)
   }
 
+  test("quantizedTopK with full coarseK degenerates to exact brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("id", "vec")
+    val queries = corpus.filter($"id" < 3)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .sortBy(t => (t._1, t._2))
+    val exact = norm(SimilaritySearch.bruteForceTopK(corpus, queries, 5))
+    val quant = norm(SimilaritySearch.quantizedTopK(corpus, queries,
+      k = 5, coarseK = 60))
+    assert(quant.toSeq == exact.toSeq)
+  }
+
   test("SimilaritySearch.rrfFuse sums reciprocal ranks, absent docs free") {
     import spark.implicits._
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("qid", "id", "rank")
