@@ -31,6 +31,13 @@ package object functions {
   def hammingDistanceLte(a: Column, b: Column, k: Column): Column =
     toCol(HammingDistanceLte(toExpr(a), toExpr(b), toExpr(k)))
 
+  /** Codegen'd integer dot product of two long arrays — the int8-code
+    * scoring loop of quantized search (HOF zip_with/aggregate forms are
+    * interpreted per element; this stays in whole-stage codegen).
+    */
+  def int8Dot(a: Column, b: Column): Column =
+    toCol(Int8Dot(toExpr(a), toExpr(b)))
+
   /** Overlapping 2-char slices tagged with 1-based position, the minting
     * prefilter key (reference functions/barcode_slices.sql:5-23 and
     * dev/doc/01-barcode-slices.md): `i || '__' || substr(b, i, 2)`.

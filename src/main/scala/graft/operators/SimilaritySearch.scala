@@ -223,9 +223,9 @@ object SimilaritySearch {
       k: Int, coarseK: Int): DataFrame = {
     val cq = Embeddings.quantizeInt8Codes(corpus, "id", "vec")
     val qq = Embeddings.quantizeInt8Codes(queries, "qid", "qvec")
-    val dot = aggregate(
-      zip_with(col("codes"), col("qcodes"), (x, y) => x * y),
-      lit(0L), (acc, v) => acc + v)
+    // codegen'd primitive loop — a zip_with/aggregate HOF here would run
+    // interpreted inside the |corpus|×|queries| coarse stage
+    val dot = graft.functions.int8Dot(col("codes"), col("qcodes"))
     val w1 = Window.partitionBy("qid").orderBy(col("dot_q").desc, col("id"))
     val cands = cq
       .crossJoin(broadcast(qq.select(col("qid"), col("codes").as("qcodes"))))

@@ -270,6 +270,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sorted == brute)
   }
 
+  test("int8Dot matches the interpreted HOF form; empty arrays give 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, -2L, 3L), Array(4L, 5L, -6L)),
+      (Array.empty[Long], Array.empty[Long]),
+      (Array(7L), Array(2L, 9L))) // length mismatch: shorter bounds
+      .toDF("a", "b")
+      .select(graft.functions.int8Dot($"a", $"b").as("d"),
+        aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L),
+          (acc, v) => acc + v).as("h"))
+    val rows = df.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    assert(rows.map(_._1).toSeq == Seq(-24L, 0L, 14L))
+    // HOF zip_with pads the short side with null (nulling the whole sum);
+    // our expression defines the shorter-bounded sum instead — compare
+    // only where lengths agree
+    assert(rows.take(2).forall(t => t._2.contains(t._1)))
+  }
+
   test("quantizedTopK with full coarseK degenerates to exact brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
