@@ -1809,6 +1809,32 @@ object SparkEntry {
       .withColumn("rank", $("rank").cast("long"))
   }
 
+  /** PIVOT — lang × source doc-count matrix over a FIXED source list
+    * (explicit pivot values keep the schema static, so Spark skips the
+    * distinct-values pre-scan a dynamic pivot needs).
+    */
+  private def q109Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy($("lang"))
+      .pivot("source", Seq("src0", "src1", "src2", "src3", "src4"))
+      .agg(count(lit(1)))
+      .select($("lang"),
+        coalesce($("src0"), lit(0L)).as("src0"),
+        coalesce($("src1"), lit(0L)).as("src1"),
+        coalesce($("src2"), lit(0L)).as("src2"),
+        coalesce($("src3"), lit(0L)).as("src3"),
+        coalesce($("src4"), lit(0L)).as("src4"))
+
+  /** UNPIVOT — melt per-doc metric columns into (doc_id, metric, value)
+    * rows; the inverse reshape, one narrow Expand, no shuffle.
+    */
+  private def q110Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select($("doc_id"), $("n_chars"),
+        length($("text")).cast("long").as("n_bytes"))
+      .unpivot(Array($("doc_id")),
+        Array($("n_chars"), $("n_bytes")), "metric", "value")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1920,6 +1946,8 @@ object SparkEntry {
     "q106_quantize_int8" -> (q106QuantizeInt8 _),
     "q107_rollup" -> (q107Rollup _),
     "q108_quantized_search" -> (q108QuantizedSearch _),
+    "q109_pivot" -> (q109Pivot _),
+    "q110_unpivot" -> (q110Unpivot _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3434,6 +3462,20 @@ object SparkEntry {
         |  FROM cand JOIN cs cv ON cand.id = cv.vec_id
         |            JOIN cs qv ON cand.qid = qv.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    "q109_pivot" ->
+      """SELECT lang,
+        |  count(CASE WHEN source = 'src0' THEN 1 END) AS src0,
+        |  count(CASE WHEN source = 'src1' THEN 1 END) AS src1,
+        |  count(CASE WHEN source = 'src2' THEN 1 END) AS src2,
+        |  count(CASE WHEN source = 'src3' THEN 1 END) AS src3,
+        |  count(CASE WHEN source = 'src4' THEN 1 END) AS src4
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q110_unpivot" ->
+      """SELECT doc_id, 'n_chars' AS metric, n_chars AS value
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'n_bytes', CAST(length(text) AS BIGINT)
+        |FROM documents""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,
