@@ -1430,7 +1430,11 @@ object SparkEntry {
   /** Event sessionization — `session_window` with a 30-minute gap (the
     * batch face of the streaming session operator; identical semantics
     * under `readStream`). Computed on whole epoch-seconds so the gap
-    * comparison is integer-exact in any engine.
+    * comparison is integer-exact in any engine. Boundary semantics:
+    * Spark merges an event at EXACTLY last+gap into the session (windows
+    * [a, a+gap] and [a+gap, ...] touch ⇒ merge), so the oracle breaks on
+    * `diff > gap`, not `>=` — verified empirically; `>=` diverged by one
+    * session at sf0.1 where an exact-1800s gap occurs.
     */
   private def q82SessionWindow(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
@@ -3006,7 +3010,7 @@ object SparkEntry {
         |           FROM events),
         |o AS (SELECT user_id, sec,
         |  CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
-        |         OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 1800
+        |         OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
         |       THEN 1 ELSE 0 END AS brk
         |  FROM e),
         |g AS (SELECT user_id, sec, sum(brk) OVER (PARTITION BY user_id
