@@ -1839,6 +1839,21 @@ object SparkEntry {
       .unpivot(Array($("doc_id")),
         Array($("n_chars"), $("n_bytes")), "metric", "value")
 
+  /** CUBE — the full grouping-sets lattice over (lang, source): grand
+    * total, per-lang, per-source, and per-cell subtotals in ONE pass
+    * (one Expand + one shuffle, vs four scans for four GROUP BYs).
+    * Complements q107's ROLLUP, which lacks the per-source marginal.
+    * `grouping()` flags disambiguate real NULL keys from subtotal rows.
+    */
+  private def q111Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube($("lang"), $("source"))
+      .agg(grouping($("lang")).cast("long").as("g_lang"),
+        grouping($("source")).cast("long").as("g_source"),
+        count(lit(1)).as("n_docs"), sum($("n_chars")).as("total_chars"))
+      .select($("lang"), $("source"), $("g_lang"), $("g_source"),
+        $("n_docs"), $("total_chars"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1952,6 +1967,7 @@ object SparkEntry {
     "q108_quantized_search" -> (q108QuantizedSearch _),
     "q109_pivot" -> (q109Pivot _),
     "q110_unpivot" -> (q110Unpivot _),
+    "q111_cube" -> (q111Cube _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3480,6 +3496,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'n_bytes', CAST(length(text) AS BIGINT)
         |FROM documents""".stripMargin,
+    "q111_cube" ->
+      """SELECT lang, source,
+        |  CAST(CASE WHEN GROUPING(lang) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS g_lang,
+        |  CAST(CASE WHEN GROUPING(source) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS g_source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY CUBE (lang, source)""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,
