@@ -1854,6 +1854,50 @@ object SparkEntry {
       .select($("lang"), $("source"), $("g_lang"), $("g_source"),
         $("n_docs"), $("total_chars"))
 
+  /** Time-series gap fill + forward fill — per-user daily spine
+    * (`sequence` explode between each user's own bounds, so spine size is
+    * observed-range-bounded, not global-calendar × users), gap days get
+    * n_events=0, and the last observed max event id carries forward via
+    * `last(ignoreNulls)` over a per-user window (partitioned by user —
+    * never a global sort). The duplicated daily-agg subtree collapses to
+    * one execution via exchange reuse. Integer day arithmetic end-to-end.
+    */
+  private def q112GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy($("user_id"), floor(epochS($("ts")) / 86400).as("day"))
+      .agg(count(lit(1)).as("n"), max($("event_id")).as("max_eid"))
+    val spine = daily.groupBy($("user_id"))
+      .agg(min($("day")).as("d0"), max($("day")).as("d1"))
+      .select($("user_id"), explode(sequence($("d0"), $("d1"))).as("day"))
+    val w = Window.partitionBy($("user_id")).orderBy($("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select($("user_id"), $("day"),
+        coalesce($("n"), lit(0L)).as("n_events"),
+        last($("max_eid"), ignoreNulls = true).over(w).as("last_eid"))
+  }
+
+  /** Incremental aggregate maintenance — refresh a materialized
+    * count/sum aggregate with a new batch by merging decomposable
+    * partials (Merge.mergeAggState), never rescanning the standing 80%.
+    * The oracle is the full-table aggregate: incremental merge must be
+    * EXACT (long counts, decimal sums).
+    */
+  private def q113IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select($("l_returnflag"), $("l_linestatus"),
+      $("l_orderkey"), $("l_quantity").cast("decimal(18,2)").as("q"))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy($("l_returnflag"), $("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum($("q")).as("s"))
+    val state = partials(li.filter($("l_orderkey") % 10 < 8))
+    val delta = partials(li.filter($("l_orderkey") % 10 >= 8))
+    Merge.mergeAggState(state, delta,
+        Seq("l_returnflag", "l_linestatus"), Seq("cnt", "s"))
+      .select($("l_returnflag"), $("l_linestatus"), $("cnt"),
+        $("s").cast("double").as("sum_qty"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1968,6 +2012,8 @@ object SparkEntry {
     "q109_pivot" -> (q109Pivot _),
     "q110_unpivot" -> (q110Unpivot _),
     "q111_cube" -> (q111Cube _),
+    "q112_gap_fill" -> (q112GapFill _),
+    "q113_incremental_agg" -> (q113IncrementalAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3505,6 +3551,26 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents
         |GROUP BY CUBE (lang, source)""".stripMargin,
+    "q112_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n, max(event_id) AS max_eid
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |      FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+        |          FROM b)
+        |SELECT s.user_id, s.day,
+        |  coalesce(d.n, 0) AS n_events,
+        |  last_value(d.max_eid IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_eid
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+    "q113_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -147,4 +147,22 @@ object Merge {
           .when(col("_oh") === col("_nh"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** Incremental aggregate-state maintenance — the 100 TB refresh path
+    * for M11-style materialized aggregates (reference refresh-materialized
+    * -view re-RUNS the defining query, schema/deploy/shipping; at warehouse
+    * scale that rescan is the cost to kill). Both inputs carry DECOMPOSABLE
+    * partials (count → sum, sum → sum), so refreshing with a new batch is
+    * `state ∪ partialAgg(batch)` re-reduced on the group key: one shuffle
+    * of |groups| + |batch-groups| rows, never a rescan of the base table.
+    * Exact for count/sum (long + decimal arithmetic); avg derives as s/cnt
+    * downstream.
+    */
+  def mergeAggState(
+      state: DataFrame, deltaPartials: DataFrame,
+      groupCols: Seq[String], partialCols: Seq[String]): DataFrame =
+    state.unionByName(deltaPartials)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col(partialCols.head)).as(partialCols.head),
+        partialCols.tail.map(c => sum(col(c)).as(c)): _*)
 }

@@ -213,4 +213,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fan-out repartition; text must not appear in any exchange schema
     assert(!p.contains("Window"), "histogram must not window")
   }
+
+  test("q112 gap fill: forward-fill window is per-user, never global") {
+    val p = plan("q112_gap_fill")
+    assert(p.contains("Window"), "forward fill lost its window")
+    assert(!p.contains("SinglePartition"),
+      "gap fill must never sort the spine globally")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "spine join must stay an equi join")
+  }
+
+  test("q113 incremental agg merges partials map-side") {
+    val p = plan("q113_incremental_agg")
+    // both the per-batch partials and the merge re-reduce combine before
+    // their shuffles — the incremental path never moves raw rows
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(3000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
 }
