@@ -1898,6 +1898,29 @@ object SparkEntry {
         $("s").cast("double").as("sum_qty"))
   }
 
+  /** BPE tokenizer-training statistics — corpus-wide adjacent character
+    * -pair frequencies (the argmax of this frame is the next BPE merge).
+    */
+  private def q114BpePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairCounts(docs(s, dir), "text")
+
+  /** Training-sequence construction — each user's event history as one
+    * ordered sequence row (the session→sequence reshape feeding
+    * sequence-model training). collect_list is order-nondeterministic in
+    * a distributed shuffle, so the sort happens INSIDE the row:
+    * array_sort over (sec, event_id) structs — one per-user agg shuffle,
+    * never a global orderBy.
+    */
+  private def q115EventSequence(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select($("user_id"), epochS($("ts")).as("sec"),
+        $("event_id"), $("event_type"))
+      .groupBy($("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("concat_ws(',', transform(" +
+          "array_sort(collect_list(struct(sec, event_id, event_type))), " +
+          "s -> s.event_type))").as("seq"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2014,6 +2037,8 @@ object SparkEntry {
     "q111_cube" -> (q111Cube _),
     "q112_gap_fill" -> (q112GapFill _),
     "q113_incremental_agg" -> (q113IncrementalAgg _),
+    "q114_bpe_pairs" -> (q114BpePairs _),
+    "q115_event_sequence" -> (q115EventSequence _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3571,6 +3596,20 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q114_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)),
+        |        i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+        |      FROM w WHERE length(w) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY pair""".stripMargin,
+    "q115_event_sequence" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  string_agg(event_type, ','
+        |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS seq
+        |FROM events GROUP BY user_id""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -310,6 +310,26 @@ object TextAnalysis {
       col("token"), col("n"))
   }
 
+  /** One BPE-training statistics pass — adjacent symbol-pair frequencies
+    * over whitespace words, the inner loop of byte-pair-encoding tokenizer
+    * training (count all adjacent pairs → merge the argmax → repeat). At
+    * corpus scale this counting pass IS the training cost, and it is pure
+    * map-reduce: words explode to per-position character pairs
+    * (relational explode over an index sequence — codegen'd, no
+    * interpreted array lambda in the hot path), and the pair counts
+    * combine map-side before the one shuffle, whose width is bounded by
+    * the alphabet (≤|Σ|² groups), not the corpus.
+    *
+    * Output: pair (2-char symbol pair), n (corpus frequency).
+    */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+
   /** Per-document vocabulary coverage: total token count and how many of
     * those tokens fall outside `vocab` (a frame with a `token` column,
     * e.g. [[buildVocab]]'s output). Blank documents report (0, 0),

@@ -223,6 +223,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "spine join must stay an equi join")
   }
 
+  test("q114 BPE pair counts combine map-side; alphabet-bounded shuffle") {
+    val p = plan("q114_bpe_pairs")
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      "pair counting is pure map-reduce")
+  }
+
+  test("q115 event sequences sort inside the row, never globally") {
+    val p = plan("q115_event_sequence")
+    assert(!p.contains("SinglePartition"),
+      "sequence build must shuffle per user, not to one partition")
+    assert(!p.contains("Sort ") || !p.contains("global=true"),
+      "ordering must come from array_sort, not a global sort")
+  }
+
   test("q113 incremental agg merges partials map-side") {
     val p = plan("q113_incremental_agg")
     // both the per-batch partials and the merge re-reduce combine before
