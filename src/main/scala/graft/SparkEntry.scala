@@ -1921,6 +1921,24 @@ object SparkEntry {
           "array_sort(collect_list(struct(sec, event_id, event_type))), " +
           "s -> s.event_type))").as("seq"))
 
+  /** Time-series downsampling — per-user daily OHLC bars (open/high/low/
+    * close), the metric-pipeline reshape that turns raw event streams
+    * into bounded per-interval summaries. Every output is an exact
+    * SELECTION (min_by/max_by/min/max — no float accumulation, so the
+    * result is reduction-order-independent and engine-exact); open/close
+    * pick by the unique (sec, event_id) struct order. One partial-agg
+    * shuffle on (user, day).
+    */
+  private def q116OhlcBars(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select($("user_id"), floor(epochS($("ts")) / 86400).as("day"),
+        epochS($("ts")).as("sec"), $("event_id"), $("value"))
+      .groupBy($("user_id"), $("day"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by($("value"), struct($("sec"), $("event_id"))).as("open"),
+        max($("value")).as("high"), min($("value")).as("low"),
+        max_by($("value"), struct($("sec"), $("event_id"))).as("close"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2039,6 +2057,7 @@ object SparkEntry {
     "q113_incremental_agg" -> (q113IncrementalAgg _),
     "q114_bpe_pairs" -> (q114BpePairs _),
     "q115_event_sequence" -> (q115EventSequence _),
+    "q116_ohlc_bars" -> (q116OhlcBars _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3610,6 +3629,15 @@ object SparkEntry {
         |  string_agg(event_type, ','
         |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS seq
         |FROM events GROUP BY user_id""".stripMargin,
+    "q116_ohlc_bars" ->
+      """SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  first(value ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        |    AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  last(value ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        |    AS close
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

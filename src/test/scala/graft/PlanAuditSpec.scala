@@ -238,6 +238,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ordering must come from array_sort, not a global sort")
   }
 
+  test("q116 OHLC bars: selection aggregates combine map-side, no window") {
+    val p = plan("q116_ohlc_bars")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("SinglePartition"),
+      "bars must reduce per (user, day), never sort globally")
+  }
+
   test("q113 incremental agg merges partials map-side") {
     val p = plan("q113_incremental_agg")
     // both the per-batch partials and the merge re-reduce combine before
