@@ -1859,14 +1859,19 @@ object SparkEntry {
     * observed-range-bounded, not global-calendar × users), gap days get
     * n_events=0, and the last observed max event id carries forward via
     * `last(ignoreNulls)` over a per-user window (partitioned by user —
-    * never a global sort). The duplicated daily-agg subtree collapses to
-    * one execution via exchange reuse. Integer day arithmetic end-to-end.
+    * never a global sort). The daily frame has two consumers (spine
+    * bounds + the fill join) and is |users×days| — tiny next to the raw
+    * events — so it is checkpointed once rather than re-deriving the
+    * events scan per consumer (probe: without it, exchange reuse does
+    * NOT kick in — the join side re-aggregates into its broadcast).
+    * Integer day arithmetic end-to-end.
     */
   private def q112GapFill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(s, dir)
       .groupBy($("user_id"), floor(epochS($("ts")) / 86400).as("day"))
       .agg(count(lit(1)).as("n"), max($("event_id")).as("max_eid"))
+      .localCheckpoint(false)
     val spine = daily.groupBy($("user_id"))
       .agg(min($("day")).as("d0"), max($("day")).as("d1"))
       .select($("user_id"), explode(sequence($("d0"), $("d1"))).as("day"))

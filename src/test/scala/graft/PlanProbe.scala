@@ -10,8 +10,10 @@ object PlanProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    for (q <- Seq("q97_tfidf_keywords", "q100_negative_pairs",
-        "q91_cluster_rep", "q99_quantile_threshold")) {
+    val qs = if (args.length > 1) args(1).split(",").toSeq
+      else Seq("q97_tfidf_keywords", "q100_negative_pairs",
+        "q91_cluster_rep", "q99_quantile_threshold")
+    for (q <- qs) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
