@@ -1885,9 +1885,10 @@ object SparkEntry {
 
   /** Incremental aggregate maintenance — refresh a materialized
     * count/sum aggregate with a new batch by merging decomposable
-    * partials (Merge.mergeAggState), never rescanning the standing 80%.
-    * The oracle is the full-table aggregate: incremental merge must be
-    * EXACT (long counts, decimal sums).
+    * partials (Merge.mergeAggState). In production the state side is a
+    * stored table (no base rescan on refresh); here it is synthesized
+    * from the 80% split so the full-table oracle can check that the
+    * incremental merge is EXACT (long counts, decimal sums).
     */
   private def q113IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select($("l_returnflag"), $("l_linestatus"),
