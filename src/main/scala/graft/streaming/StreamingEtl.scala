@@ -70,6 +70,27 @@ object StreamingEtl {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Per-interval OHLC downsampling bars — the streaming twin of
+    * SparkEntry's q116. Every output is an exact selection (min_by/
+    * max_by/min/max), which makes the streamed result identical to the
+    * batch result regardless of micro-batch boundaries: selections
+    * commute with partial aggregation, unlike float accumulations.
+    * Watermark bounds state to live windows.
+    */
+  def ohlcBars(
+      events: DataFrame, tsCol: String, keyCol: String,
+      window: String = "1 day", watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), struct(col(tsCol), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col(tsCol), col("event_id"))).as("close"))
+      .select(col("window.start").as("bar_start"), col(keyCol),
+        col("n_events"), col("open"), col("high"), col("low"), col("close"))
+
   /** Stateful per-key sessionization via flatMapGroupsWithState-style
     * dedup: keep the first occurrence of each (key) across micro-batches
     * using dropDuplicates with a watermark — bounded state, exactly the

@@ -333,4 +333,42 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sorted
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("StreamingEtl.ohlcBars selection aggregates stream == batch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream4").toString
+    val inDir = s"$base/in"
+    val data = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "u1", 3.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 2L, "u1", 9.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 23:50:00"), 3L, "u1", 5.0),
+      // same-timestamp tie: event_id must break it identically in both
+      (java.sql.Timestamp.valueOf("2024-01-01 23:50:00"), 4L, "u1", 7.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 01:00:00"), 5L, "u1", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 6L, "u2", 4.0))
+    data.toDF("ts", "event_id", "user", "value").write.parquet(inDir)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("user", StringType),
+      StructField("value", DoubleType)))
+    val q = StreamingEtl.ohlcBars(
+        StreamingEtl.readFeed(spark, inDir, schema), "ts", "user")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ck")
+      .outputMode("complete")
+      .format("memory").queryName("ohlc_bars")
+      .start()
+    q.awaitTermination(60000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    val streamed = spark.sql("select * from ohlc_bars").collect().map(key).sorted
+    val batch = StreamingEtl.ohlcBars(
+      data.toDF("ts", "event_id", "user", "value"), "ts", "user")
+      .collect().map(key).sorted
+    assert(streamed.toSeq == batch.toSeq)
+    // day 1 for u1: open=3.0 (00:10), close=7.0 (23:50 tie → higher id)
+    val d1 = streamed.find(r => r._2 == "u1" && r._3 == 4L).get
+    assert(d1._4 == 3.0 && d1._5 == 9.0 && d1._6 == 3.0 && d1._7 == 7.0)
+  }
 }
