@@ -1945,6 +1945,17 @@ object SparkEntry {
         max($("value")).as("high"), min($("value")).as("low"),
         max_by($("value"), struct($("sec"), $("event_id"))).as("close"))
 
+  /** Product-quantization codes — every vector compressed to 4 subspace
+    * codes (16 dims each, 8-cell codebooks, 2 Lloyd iterations); the
+    * IVF-PQ storage form. Exact integer k-means per subspace in one
+    * composite job.
+    */
+  private def q117PqCodes(s: SparkSession, dir: String): DataFrame =
+    Embeddings.pqAssignQuantized(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      subDim = 16, k = 8, iters = 2)
+      .select($("id").as("vec_id"), $("sub"), $("cell").as("code"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2064,6 +2075,7 @@ object SparkEntry {
     "q114_bpe_pairs" -> (q114BpePairs _),
     "q115_event_sequence" -> (q115EventSequence _),
     "q116_ohlc_bars" -> (q116OhlcBars _),
+    "q117_pq_codes" -> (q117PqCodes _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3644,6 +3656,36 @@ object SparkEntry {
         |  last(value ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
         |    AS close
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q117_pq_codes" ->
+      """WITH emb AS (SELECT vec_id AS id,
+        |    [floor(x::DOUBLE * 100)::BIGINT for x in embedding] AS qv
+        |  FROM embeddings),
+        |flat AS (SELECT id, unnest(range(0, len(qv))) AS dim, unnest(qv) AS x
+        |         FROM emb),
+        |f2 AS (SELECT id, dim, CAST(floor(dim / 16.0) AS BIGINT) AS sub, x
+        |       FROM flat),
+        |c0 AS (SELECT id AS cell, sub, dim, x AS s, 1::BIGINT AS n
+        |       FROM f2 WHERE id < 8),
+        |s1 AS (SELECT f.id, f.sub, c.cell,
+        |         sum((c.n*f.x - c.s)*(c.n*f.x - c.s))::DOUBLE / (c.n*c.n)
+        |           AS score
+        |       FROM f2 f JOIN c0 c ON f.dim = c.dim AND f.sub = c.sub
+        |       GROUP BY f.id, f.sub, c.cell, c.n),
+        |a1 AS (SELECT id, sub, cell FROM (
+        |         SELECT id, sub, cell, row_number() OVER (PARTITION BY id, sub
+        |           ORDER BY score, cell) AS rn FROM s1) WHERE rn = 1),
+        |c1 AS (SELECT a.sub, a.cell, f.dim, sum(f.x) AS s, count(*) AS n
+        |       FROM f2 f JOIN a1 a ON f.id = a.id AND f.sub = a.sub
+        |       GROUP BY 1, 2, 3),
+        |s2 AS (SELECT f.id, f.sub, c.cell,
+        |         sum((c.n*f.x - c.s)*(c.n*f.x - c.s))::DOUBLE / (c.n*c.n)
+        |           AS score
+        |       FROM f2 f JOIN c1 c ON f.dim = c.dim AND f.sub = c.sub
+        |       GROUP BY f.id, f.sub, c.cell, c.n),
+        |a2 AS (SELECT id, sub, cell FROM (
+        |         SELECT id, sub, cell, row_number() OVER (PARTITION BY id, sub
+        |           ORDER BY score, cell) AS rn FROM s2) WHERE rn = 1)
+        |SELECT id AS vec_id, sub, cell AS code FROM a2""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -89,6 +89,52 @@ object Embeddings {
     assign
   }
 
+  /** Product-quantization code assignment — the PQ compression stored by
+    * ANN indexes (IVF-PQ) at corpus scale: the vector splits into
+    * contiguous `D / subDim` subspaces and each subvector is
+    * k-means-coded independently, so a vector compresses to m small
+    * codes (a k^m composite codebook) instead of one k-entry cell id.
+    * Same EXACT integer arithmetic, deterministic seeding (the k
+    * smallest ids' subvectors) and lower-cell tie-break as
+    * [[kmeansAssignQuantized]], with the subspace id carried through
+    * every key — training all m codebooks is ONE set of joins and
+    * aggregations over the flattened (id, sub, dim, x) rows, not m
+    * separate jobs; the plan per iteration is identical to the plain
+    * k-means one (broadcast centroids ⋈ facts, three narrow shuffles).
+    *
+    * Output: id, sub (subspace index), cell (that subspace's code).
+    */
+  def pqAssignQuantized(
+      df: DataFrame, idCol: String, vecCol: String,
+      subDim: Int, k: Int, iters: Int, scale: Int = 100): DataFrame = {
+    val flat = df
+      .select(col(idCol).as("id"),
+        posexplode(quantize(col(vecCol), scale)).as(Seq("dim", "x")))
+      .withColumn("sub", floor(col("dim") / subDim).cast("long"))
+      .localCheckpoint(false) // consumed once per iteration
+    var centroids = flat.filter(col("id") < k)
+      .select(col("sub"), col("id").as("cell"), col("dim"),
+        col("x").as("s"), lit(1L).as("n"))
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      val d = col("n") * col("x") - col("s") // exact long arithmetic
+      val scores = flat
+        .join(broadcast(centroids), Seq("dim", "sub"))
+        .groupBy("id", "sub", "cell", "n")
+        .agg(sum(d * d).as("_num"))
+        .select(col("id"), col("sub"), col("cell"),
+          (col("_num").cast("double") / (col("n") * col("n"))).as("score"))
+      assign = scores.groupBy("id", "sub")
+        .agg(min(struct(col("score"), col("cell"))).as("_m"))
+        .select(col("id"), col("sub"), col("_m.cell").as("cell"))
+      centroids = flat.join(assign, Seq("id", "sub"))
+        .groupBy("sub", "cell", "dim")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .localCheckpoint(false) // truncate the per-iteration lineage
+    }
+    assign
+  }
+
   /** Symmetric int8 quantization — the vector-index compression step
     * (4× smaller than float32, what IVF/HNSW stores at scale): per
     * vector, `scale = max|x|` and `q_i = floor(x_i · 127 / scale + 0.5)`

@@ -245,6 +245,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bars must reduce per (user, day), never sort globally")
   }
 
+  test("q117 PQ coding broadcasts centroids; facts never re-shuffle to them") {
+    val p = plan("q117_pq_codes")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"),
+      "PQ scoring must stay a broadcast equi-join per subspace")
+  }
+
   test("q113 incremental agg merges partials map-side") {
     val p = plan("q113_incremental_agg")
     // both the per-batch partials and the merge re-reduce combine before
