@@ -1956,6 +1956,49 @@ object SparkEntry {
       subDim = 16, k = 8, iters = 2)
       .select($("id").as("vec_id"), $("sub"), $("cell").as("code"))
 
+  /** Funnel analysis — per-user ordered view → click → purchase stage
+    * progression by FIRST-occurrence times (each stage's clock starts at
+    * the previous stage's first event; same-second ties advance, `>=`).
+    * Three per-user min-aggregations chained by co-partitioned equi-joins
+    * on the user key — the per-type filters prune before any shuffle and
+    * nothing ever windows or sorts events globally.
+    */
+  private def q118Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select($("user_id"), epochS($("ts")).as("sec"), $("event_type"))
+    val users = e.select($("user_id")).distinct()
+    val s1 = e.filter($("event_type") === "view")
+      .groupBy($("user_id")).agg(min($("sec")).as("t1"))
+    val s2 = e.filter($("event_type") === "click")
+      .join(s1, Seq("user_id")).filter($("sec") >= $("t1"))
+      .groupBy($("user_id")).agg(min($("sec")).as("t2"))
+    val s3 = e.filter($("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter($("sec") >= $("t2"))
+      .groupBy($("user_id")).agg(min($("sec")).as("t3"))
+    users.join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select($("user_id"), $("t1"), $("t2"), $("t3"),
+        when($("t3").isNotNull, 3L).when($("t2").isNotNull, 2L)
+          .when($("t1").isNotNull, 1L).otherwise(0L).as("stage"))
+  }
+
+  /** Cohort retention — users bucketed by first-activity day, counted on
+    * each later active day as (cohort_day, day_offset, n_users). The
+    * (user, day) distinct pass bounds everything downstream to
+    * users × active-days rows; the cohort join is co-partitioned on the
+    * user key. Integer day arithmetic end-to-end.
+    */
+  private def q119Retention(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .select($("user_id"), floor(epochS($("ts")) / 86400).as("day"))
+      .distinct()
+    val cohort = d.groupBy($("user_id")).agg(min($("day")).as("cohort_day"))
+    d.join(cohort, Seq("user_id"))
+      .groupBy($("cohort_day"), ($("day") - $("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2076,6 +2119,8 @@ object SparkEntry {
     "q115_event_sequence" -> (q115EventSequence _),
     "q116_ohlc_bars" -> (q116OhlcBars _),
     "q117_pq_codes" -> (q117PqCodes _),
+    "q118_funnel" -> (q118Funnel _),
+    "q119_retention" -> (q119Retention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3686,6 +3731,30 @@ object SparkEntry {
         |         SELECT id, sub, cell, row_number() OVER (PARTITION BY id, sub
         |           ORDER BY score, cell) AS rn FROM s2) WHERE rn = 1)
         |SELECT id AS vec_id, sub, cell AS code FROM a2""".stripMargin,
+    "q118_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |             event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(sec) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(sec) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND sec >= t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(sec) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND sec >= t2 GROUP BY 1)
+        |SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q119_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+        |           FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

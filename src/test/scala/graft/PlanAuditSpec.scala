@@ -252,6 +252,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "PQ scoring must stay a broadcast equi-join per subspace")
   }
 
+  test("q118 funnel: per-user min chains, equi joins only, no windows") {
+    val p = plan("q118_funnel")
+    assert(p.contains("partial_min"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("SinglePartition"),
+      "funnel stages must chain keyed aggregations, never sort globally")
+  }
+
+  test("q119 retention: distinct + cohort agg combine map-side") {
+    val p = plan("q119_retention")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("q113 incremental agg merges partials map-side") {
     val p = plan("q113_incremental_agg")
     // both the per-batch partials and the merge re-reduce combine before
