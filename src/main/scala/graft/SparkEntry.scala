@@ -1999,6 +1999,57 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Data-quality constraint report — the distributed form of the
+    * reference's schema-enforced invariants (PK uniqueness, FK
+    * integrity, NOT NULL / CHECK): at ingest scale constraints can't be
+    * row-at-a-time triggers, they become audit aggregations. Each check
+    * is a count the optimizer can plan independently (anti-join for FK
+    * orphans, group-count for PK dups, predicate counts for domains);
+    * the union is 4 rows.
+    */
+  private def q120QualityReport(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    def check(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("check"), $("n"))
+    val orderKeys = ord.select($("o_orderkey"))
+    val orphan = li.join(orderKeys,
+        li("l_orderkey") === orderKeys("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    val dupPk = ord.groupBy($("o_orderkey")).agg(count(lit(1)).as("c"))
+      .filter($("c") > 1).agg(count(lit(1)).as("n"))
+    val nullDate = li.filter($("l_shipdate").isNull)
+      .agg(count(lit(1)).as("n"))
+    val negQty = li.filter($("l_quantity") <= 0).agg(count(lit(1)).as("n"))
+    check("orphan_lineitem", orphan)
+      .unionByName(check("dup_order_pk", dupPk))
+      .unionByName(check("null_l_shipdate", nullDate))
+      .unionByName(check("neg_quantity", negQty))
+  }
+
+  /** SCD2 history construction — each user's event-type timeline folded
+    * into validity intervals with change suppression (consecutive equal
+    * states merge; `valid_to` is the next change's start, NULL while
+    * current). Two per-user windows ordered by (sec, event_id) — the
+    * slowly-changing-dimension build that turns an update log into a
+    * point-in-time-queryable history table.
+    */
+  private def q121Scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select($("user_id"), epochS($("ts")).as("sec"), $("event_id"),
+        $("event_type"))
+    val w = Window.partitionBy($("user_id")).orderBy($("sec"), $("event_id"))
+    val changed = e
+      .withColumn("prev", lag($("event_type"), 1).over(w))
+      .filter($("prev").isNull || $("prev") =!= $("event_type"))
+    val w2 = Window.partitionBy($("user_id")).orderBy($("sec"), $("event_id"))
+    changed
+      .withColumn("valid_to", lead($("sec"), 1).over(w2))
+      .select($("user_id"), $("sec").as("valid_from"), $("valid_to"),
+        $("event_type").as("state"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2121,6 +2172,8 @@ object SparkEntry {
     "q117_pq_codes" -> (q117PqCodes _),
     "q118_funnel" -> (q118Funnel _),
     "q119_retention" -> (q119Retention _),
+    "q120_quality_report" -> (q120QualityReport _),
+    "q121_scd2" -> (q121Scd2 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3755,6 +3808,31 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "q120_quality_report" ->
+      """SELECT 'orphan_lineitem' AS check, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'dup_order_pk', CAST(count(*) AS BIGINT) FROM (
+        |  SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'null_l_shipdate', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_shipdate IS NULL
+        |UNION ALL
+        |SELECT 'neg_quantity', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_quantity <= 0""".stripMargin,
+    "q121_scd2" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |             event_id, event_type FROM events),
+        |ch AS (SELECT * FROM (
+        |  SELECT user_id, sec, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS prev
+        |  FROM e) WHERE prev IS NULL OR prev != event_type)
+        |SELECT user_id, sec AS valid_from,
+        |  lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |    AS valid_to,
+        |  event_type AS state
+        |FROM ch""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

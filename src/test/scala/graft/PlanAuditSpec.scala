@@ -267,6 +267,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(3000))
   }
 
+  test("q120 quality report: FK orphans via anti join, no cartesian") {
+    val p = plan("q120_quality_report")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q121 SCD2: both windows partition by the user key, never globally") {
+    val p = plan("q121_scd2")
+    assert(p.contains("Window"), "SCD2 lost its windows")
+    assert(!p.contains("SinglePartition"),
+      "history build must stay per-key")
+  }
+
   test("q113 incremental agg merges partials map-side") {
     val p = plan("q113_incremental_agg")
     // both the per-batch partials and the merge re-reduce combine before
