@@ -1963,25 +1963,11 @@ object SparkEntry {
     * on the user key — the per-type filters prune before any shuffle and
     * nothing ever windows or sorts events globally.
     */
-  private def q118Funnel(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-      .select($("user_id"), epochS($("ts")).as("sec"), $("event_type"))
-    val users = e.select($("user_id")).distinct()
-    val s1 = e.filter($("event_type") === "view")
-      .groupBy($("user_id")).agg(min($("sec")).as("t1"))
-    val s2 = e.filter($("event_type") === "click")
-      .join(s1, Seq("user_id")).filter($("sec") >= $("t1"))
-      .groupBy($("user_id")).agg(min($("sec")).as("t2"))
-    val s3 = e.filter($("event_type") === "purchase")
-      .join(s2, Seq("user_id")).filter($("sec") >= $("t2"))
-      .groupBy($("user_id")).agg(min($("sec")).as("t3"))
-    users.join(s1, Seq("user_id"), "left")
-      .join(s2, Seq("user_id"), "left")
-      .join(s3, Seq("user_id"), "left")
-      .select($("user_id"), $("t1"), $("t2"), $("t3"),
-        when($("t3").isNotNull, 3L).when($("t2").isNotNull, 2L)
-          .when($("t1").isNotNull, 1L).otherwise(0L).as("stage"))
-  }
+  private def q118Funnel(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.funnelStages(
+      Tables.events(s, dir)
+        .select($("user_id"), epochS($("ts")).as("sec"), $("event_type")),
+      "user_id", "event_type", "sec", Seq("view", "click", "purchase"))
 
   /** Cohort retention — users bucketed by first-activity day, counted on
     * each later active day as (cohort_day, day_offset, n_users). The
@@ -2034,21 +2020,12 @@ object SparkEntry {
     * slowly-changing-dimension build that turns an update log into a
     * point-in-time-queryable history table.
     */
-  private def q121Scd2(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.events(s, dir)
-      .select($("user_id"), epochS($("ts")).as("sec"), $("event_id"),
-        $("event_type"))
-    val w = Window.partitionBy($("user_id")).orderBy($("sec"), $("event_id"))
-    val changed = e
-      .withColumn("prev", lag($("event_type"), 1).over(w))
-      .filter($("prev").isNull || $("prev") =!= $("event_type"))
-    val w2 = Window.partitionBy($("user_id")).orderBy($("sec"), $("event_id"))
-    changed
-      .withColumn("valid_to", lead($("sec"), 1).over(w2))
-      .select($("user_id"), $("sec").as("valid_from"), $("valid_to"),
-        $("event_type").as("state"))
-  }
+  private def q121Scd2(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.scd2(
+      Tables.events(s, dir)
+        .select($("user_id"), epochS($("ts")).as("sec"), $("event_id"),
+          $("event_type")),
+      "user_id", "sec", "event_id", "event_type")
 
   // ------------------------------------------------------------ the surface
 

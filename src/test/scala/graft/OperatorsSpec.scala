@@ -396,4 +396,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seqs.length == 93 && seqs.head == 0L && seqs.last == 92L
       && seqs.distinct.length == 93)
   }
+
+  test("funnelStages: same-second ties advance; out-of-order does not") {
+    import spark.implicits._
+    val e = Seq(
+      // u1: view@10, click@10 (tie advances), purchase@9 (before → no),
+      //     purchase@20 (counts)
+      (1L, 10L, "view"), (1L, 10L, "click"), (1L, 9L, "purchase"),
+      (1L, 20L, "purchase"),
+      // u2: click@5 BEFORE first view@8 → stage stops at 1
+      (2L, 8L, "view"), (2L, 5L, "click"),
+      // u3: no view at all → stage 0 even with later events
+      (3L, 4L, "click"), (3L, 6L, "purchase"))
+      .toDF("user_id", "sec", "event_type")
+    val got = EventAnalytics.funnelStages(e, "user_id", "event_type", "sec",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("stage")))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("scd2: consecutive equal states merge; intervals chain exactly") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), // duplicate state merges
+      (1L, 30L, 3L, "B"), (1L, 40L, 4L, "A"),
+      (2L, 5L, 5L, "X")) // single event → one open interval
+      .toDF("user_id", "sec", "event_id", "event_type")
+    val got = EventAnalytics.scd2(e, "user_id", "sec", "event_id",
+        "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 30L, "A"), (1L, 30L, 40L, "B"), (1L, 40L, -1L, "A"),
+      (2L, 5L, -1L, "X")))
+  }
 }

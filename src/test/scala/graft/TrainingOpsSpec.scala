@@ -402,4 +402,37 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
   }
+
+  test("mergeAggState: empty delta is identity; new groups appear") {
+    import spark.implicits._
+    val state = Seq(("a", 2L, 10L), ("b", 1L, 5L)).toDF("g", "cnt", "s")
+    val empty = state.filter(lit(false))
+    val same = Merge.mergeAggState(state, empty, Seq("g"), Seq("cnt", "s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(same.toSeq == Seq(("a", 2L, 10L), ("b", 1L, 5L)))
+    val delta = Seq(("b", 3L, 7L), ("c", 1L, 1L)).toDF("g", "cnt", "s")
+    val merged = Merge.mergeAggState(state, delta, Seq("g"), Seq("cnt", "s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(merged.toSeq == Seq(("a", 2L, 10L), ("b", 4L, 12L), ("c", 1L, 1L)))
+  }
+
+  test("pqAssignQuantized with one full-width subspace equals plain k-means") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat / 3f)))
+      .toDF("vec_id", "embedding")
+    val pq = Embeddings.pqAssignQuantized(vecs, "vec_id", "embedding",
+        subDim = 8, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    val km = Embeddings.kmeansAssignQuantized(vecs, "vec_id", "embedding",
+        k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pq.toSeq == km.toSeq)
+    // and with 2 subspaces every vector gets exactly one code per subspace
+    val pq2 = Embeddings.pqAssignQuantized(vecs, "vec_id", "embedding",
+        subDim = 4, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq2.length == 80)
+    assert(pq2.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(0L, 1L)))
+  }
 }
