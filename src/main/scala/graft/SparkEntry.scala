@@ -2027,6 +2027,29 @@ object SparkEntry {
           $("event_type")),
       "user_id", "sec", "event_id", "event_type")
 
+  /** Point-in-time join — the feature-store lookup that keeps training
+    * joins leak-free: each probe (here: every error event) is matched to
+    * the state interval covering its timestamp in the q121-style SCD2
+    * history (valid_from <= t < valid_to, open current interval). An
+    * equi-join on the user key carries the handful of history rows per
+    * user; the interval predicate is a residual filter, never a range
+    * explosion. Probes before any state produce no row.
+    */
+  private def q122PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select($("user_id"), epochS($("ts")).as("sec"), $("event_id"),
+        $("event_type"))
+    val hist = EventAnalytics.scd2(e.filter($("event_type") =!= "error"),
+      "user_id", "sec", "event_id", "event_type")
+    val probes = e.filter($("event_type") === "error")
+      .select($("user_id"), $("sec").as("probe_sec"),
+        $("event_id").as("probe_id"))
+    probes.join(hist, Seq("user_id"))
+      .filter($("valid_from") <= $("probe_sec") &&
+        ($("valid_to").isNull || $("probe_sec") < $("valid_to")))
+      .select($("user_id"), $("probe_id"), $("probe_sec"), $("state"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2151,6 +2174,7 @@ object SparkEntry {
     "q119_retention" -> (q119Retention _),
     "q120_quality_report" -> (q120QualityReport _),
     "q121_scd2" -> (q121Scd2 _),
+    "q122_pit_join" -> (q122PitJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3810,6 +3834,26 @@ object SparkEntry {
         |    AS valid_to,
         |  event_type AS state
         |FROM ch""".stripMargin,
+    "q122_pit_join" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |             event_id, event_type FROM events),
+        |ch AS (SELECT * FROM (
+        |  SELECT user_id, sec, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS prev
+        |  FROM e WHERE event_type != 'error')
+        |  WHERE prev IS NULL OR prev != event_type),
+        |h AS (SELECT user_id, sec AS valid_from,
+        |        lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |          AS valid_to,
+        |        event_type AS state
+        |      FROM ch),
+        |p AS (SELECT user_id, sec AS probe_sec, event_id AS probe_id
+        |      FROM e WHERE event_type = 'error')
+        |SELECT p.user_id, p.probe_id, p.probe_sec, h.state
+        |FROM p JOIN h ON p.user_id = h.user_id
+        |WHERE h.valid_from <= p.probe_sec
+        |  AND (h.valid_to IS NULL OR p.probe_sec < h.valid_to)""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -280,6 +280,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "history build must stay per-key")
   }
 
+  test("q122 PIT join: keyed equi join with residual interval filter") {
+    val p = plan("q122_pit_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "PIT lookup must join on the user key, not range-explode")
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
   test("q113 incremental agg merges partials map-side") {
     val p = plan("q113_incremental_agg")
     // both the per-batch partials and the merge re-reduce combine before
