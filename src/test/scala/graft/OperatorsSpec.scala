@@ -397,6 +397,43 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       && seqs.distinct.length == 93)
   }
 
+  test("scd2 + PIT lookup == brute-force last-event on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random keyed update log (duplicate states and same-second events
+    // included on purpose) + random probes
+    val log = (0 until 300).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(50).toLong, i.toLong,
+        s"s${rnd.nextInt(3)}"))
+      .toDF("k", "sec", "seq", "v")
+    val probes = (0 until 120).map(i =>
+      (1000L + i, rnd.nextInt(10).toLong, rnd.nextInt(55).toLong))
+      .toDF("pid", "k", "t")
+    val hist = EventAnalytics.scd2(log, "k", "sec", "seq", "v")
+    val got = probes.join(hist, Seq("k"))
+      .filter($"valid_from" <= $"t" &&
+        ($"valid_to".isNull || $"t" < $"valid_to"))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("pid")),
+        r.getString(r.fieldIndex("state")))).toMap
+    // brute force: the state at probe time t is the value of the last
+    // update with sec <= t (ties broken by seq — change suppression must
+    // not alter any lookup)
+    log.createOrReplaceTempView("ulog")
+    probes.createOrReplaceTempView("uprobes")
+    val brute = spark.sql(
+      """SELECT p.pid, (SELECT max_by(v, struct(sec, seq)) FROM ulog u
+        |  WHERE u.k = p.k AND u.sec <= p.t) AS v
+        |FROM uprobes p""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    // every PIT hit must equal brute force; probes before any update
+    // appear in neither
+    brute.foreach { case (pid, bv) =>
+      assert(got.get(pid) == bv, s"pid=$pid: got ${got.get(pid)} vs $bv")
+    }
+    assert(got.keySet == brute.filter(_._2.isDefined).keySet)
+  }
+
   test("funnelStages: same-second ties advance; out-of-order does not") {
     import spark.implicits._
     val e = Seq(
