@@ -434,6 +434,61 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == brute.filter(_._2.isDefined).keySet)
   }
 
+  test("funnelStages == sequential per-user fold on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val types = Vector("view", "click", "purchase", "other")
+    val raw = (0 until 400).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(100).toLong,
+        types(rnd.nextInt(4))))
+    val e = raw.toDF("user_id", "sec", "event_type")
+    val got = EventAnalytics.funnelStages(e, "user_id", "event_type", "sec",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("stage")))).toMap
+    // brute force: per user, walk stages over the time-sorted log; each
+    // stage's first-reach is the min sec >= the previous stage's reach
+    val brute = raw.groupBy(_._1).map { case (u, evs) =>
+      var stage = 0L
+      var clock = Long.MinValue
+      for (st <- Seq("view", "click", "purchase")) {
+        val hit = evs.filter(x => x._3 == st && x._2 >= clock)
+          .map(_._2).sorted.headOption
+        if (hit.isDefined && stage == Seq("view", "click", "purchase")
+              .indexOf(st)) {
+          stage += 1; clock = hit.get
+        }
+      }
+      u -> stage
+    }
+    brute.foreach { case (u, s) =>
+      assert(got(u) == s, s"user=$u: got ${got(u)} vs brute $s")
+    }
+  }
+
+  test("mergeAggState is associative and split-order-independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 300).map(_ =>
+      (s"g${rnd.nextInt(6)}", rnd.nextInt(100).toLong))
+    def partials(xs: Seq[(String, Long)]) =
+      xs.toDF("g", "x").groupBy("g")
+        .agg(count(lit(1)).as("cnt"), sum($"x").as("s"))
+    val full = partials(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    // three random splits, merged two different ways
+    val (a, rest) = rows.splitAt(100)
+    val (b, c) = rest.splitAt(120)
+    def m(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Merge.mergeAggState(x, y, Seq("g"), Seq("cnt", "s"))
+    for (merged <- Seq(m(m(partials(a), partials(b)), partials(c)),
+        m(partials(c), m(partials(b), partials(a))))) {
+      val got = merged.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got.toSeq == full.toSeq)
+    }
+  }
+
   test("funnelStages: same-second ties advance; out-of-order does not") {
     import spark.implicits._
     val e = Seq(
