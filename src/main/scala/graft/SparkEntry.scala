@@ -1867,20 +1867,11 @@ object SparkEntry {
     * Integer day arithmetic end-to-end.
     */
   private def q112GapFill(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(s, dir)
       .groupBy($("user_id"), floor(epochS($("ts")) / 86400).as("day"))
-      .agg(count(lit(1)).as("n"), max($("event_id")).as("max_eid"))
+      .agg(count(lit(1)).as("n_events"), max($("event_id")).as("last_eid"))
       .localCheckpoint(false)
-    val spine = daily.groupBy($("user_id"))
-      .agg(min($("day")).as("d0"), max($("day")).as("d1"))
-      .select($("user_id"), explode(sequence($("d0"), $("d1"))).as("day"))
-    val w = Window.partitionBy($("user_id")).orderBy($("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq("user_id", "day"), "left")
-      .select($("user_id"), $("day"),
-        coalesce($("n"), lit(0L)).as("n_events"),
-        last($("max_eid"), ignoreNulls = true).over(w).as("last_eid"))
+    TimeSeries.gapFillForward(daily, "user_id", "day", "n_events", "last_eid")
   }
 
   /** Incremental aggregate maintenance — refresh a materialized

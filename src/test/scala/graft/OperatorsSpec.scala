@@ -434,6 +434,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == brute.filter(_._2.isDefined).keySet)
   }
 
+  test("gapFillForward == per-key brute fill on seeded random sparse data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val raw = (0 until 25).flatMap { k =>
+      val days = (0 until (1 + rnd.nextInt(8)))
+        .map(_ => rnd.nextInt(30).toLong).distinct
+      days.map(d => (k.toLong, d, 1L + rnd.nextInt(9).toLong,
+        rnd.nextInt(1000).toLong))
+    }
+    val daily = raw.toDF("k", "day", "n", "v")
+    val got = TimeSeries.gapFillForward(daily, "k", "day", "n", "v")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val brute = raw.groupBy(_._1).flatMap { case (k, rows) =>
+      val byDay = rows.map(r => r._2 -> (r._3, r._4)).toMap
+      val (d0, d1) = (rows.map(_._2).min, rows.map(_._2).max)
+      var carry = 0L
+      (d0 to d1).map { d =>
+        val (n, v) = byDay.getOrElse(d, (0L, -1L))
+        if (v != -1L) carry = v
+        (k, d) -> ((n, carry))
+      }
+    }
+    assert(got.size == brute.size)
+    brute.foreach { case (kd, exp) =>
+      assert(got(kd) == exp, s"$kd: got ${got(kd)} vs $exp")
+    }
+  }
+
   test("funnelStages == sequential per-user fold on seeded random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
