@@ -1995,13 +1995,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
     val dupPk = ord.groupBy($("o_orderkey")).agg(count(lit(1)).as("c"))
       .filter($("c") > 1).agg(count(lit(1)).as("n"))
-    val nullDate = li.filter($("l_shipdate").isNull)
-      .agg(count(lit(1)).as("n"))
-    val negQty = li.filter($("l_quantity") <= 0).agg(count(lit(1)).as("n"))
+    // the row-local predicate checks share ONE scan of the fact table
+    // (conditional sums), not one scan per check
+    val predicates = li.agg(
+        sum(when($("l_shipdate").isNull, 1L).otherwise(0L)).as("nullDate"),
+        sum(when($("l_quantity") <= 0, 1L).otherwise(0L)).as("negQty"))
+      .localCheckpoint(false)
     check("orphan_lineitem", orphan)
       .unionByName(check("dup_order_pk", dupPk))
-      .unionByName(check("null_l_shipdate", nullDate))
-      .unionByName(check("neg_quantity", negQty))
+      .unionByName(check("null_l_shipdate",
+        predicates.select($("nullDate").as("n"))))
+      .unionByName(check("neg_quantity",
+        predicates.select($("negQty").as("n"))))
   }
 
   /** SCD2 history construction — each user's event-type timeline folded

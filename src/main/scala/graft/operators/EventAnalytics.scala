@@ -29,10 +29,17 @@ object EventAnalytics {
       stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val users = events.select(col(userCol)).distinct()
+    // the stage chain consumes the log once per stage; prune to stage
+    // events and checkpoint so the full log is scanned once for the
+    // chain (plus once above for the user universe), not once per stage
+    val pruned = events
+      .filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol), col(typeCol), col(secCol))
+      .localCheckpoint(false)
     var prev: DataFrame = null
     val stageFrames = stages.zipWithIndex.map { case (st, i) =>
       val tcol = s"t${i + 1}"
-      val base = events.filter(col(typeCol) === st)
+      val base = pruned.filter(col(typeCol) === st)
       val cur =
         if (i == 0)
           base.groupBy(col(userCol)).agg(min(col(secCol)).as(tcol))

@@ -271,6 +271,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("q120_quality_report")
     assert(p.contains("LeftAnti"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+    // row-local predicate checks share one fact scan (the anti-join side
+    // is the only other lineitem read)
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 2,
+      "predicate checks must not scan the fact table per check")
   }
 
   test("q121 SCD2: both windows partition by the user key, never globally") {
