@@ -434,6 +434,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == brute.filter(_._2.isDefined).keySet)
   }
 
+  test("bpePairCounts == naive pair counting on seeded random text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abcde"
+    def word() = (0 until (1 + rnd.nextInt(6)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (0 until 60).map(_ =>
+      (0 until (1 + rnd.nextInt(10))).map(_ => word()).mkString(" "))
+    val got = TextAnalysis.bpePairCounts(docs.toDF("text"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val brute = docs.flatMap(_.toLowerCase.trim.split("\\s+"))
+      .filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == brute)
+  }
+
+  test("OHLC bars == brute per-bucket selection on seeded random events") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val raw = (0 until 300).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(500).toLong * 1000L, i.toLong,
+        rnd.nextDouble()))
+    val bars = streaming.StreamingEtl.ohlcBars(
+        raw.toDF("user", "sec", "event_id", "value")
+          .select($"user", timestamp_seconds($"sec").as("ts"), $"event_id",
+            $"value"),
+        "ts", "user", window = "1 hour", watermark = "100 days")
+      .collect()
+      .map(r => ((r.getLong(1), r.getTimestamp(0).getTime / 1000),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    val brute = raw.groupBy(e => (e._1, e._2 / 3600 * 3600)).map {
+      case (k, evs) =>
+        val ord = evs.sortBy(e => (e._2, e._3))
+        k -> ((evs.size.toLong, ord.head._4, evs.map(_._4).max,
+          evs.map(_._4).min, ord.last._4))
+    }
+    assert(bars.size == brute.size)
+    brute.foreach { case (k, exp) =>
+      assert(bars(k) == exp, s"$k: got ${bars(k)} vs $exp")
+    }
+  }
+
   test("gapFillForward == per-key brute fill on seeded random sparse data") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
