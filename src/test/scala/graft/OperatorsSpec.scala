@@ -434,6 +434,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == brute.filter(_._2.isDefined).keySet)
   }
 
+  test("retention matrix == brute cohort counting on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val raw = (0 until 400).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(15).toLong))
+    val d = raw.toDF("user_id", "day").distinct()
+    val cohort = d.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val got = d.join(cohort, Seq("user_id"))
+      .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val dedup = raw.distinct
+    val coh = dedup.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val brute = dedup.groupBy(e => (coh(e._1), e._2 - coh(e._1)))
+      .view.mapValues(_.size.toLong).toMap
+    assert(got == brute)
+  }
+
   test("bpePairCounts == naive pair counting on seeded random text") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
