@@ -2046,6 +2046,24 @@ object SparkEntry {
       .select($("user_id"), $("probe_id"), $("probe_sec"), $("state"))
   }
 
+  /** User-journey transition matrix — consecutive event-type pairs per
+    * user (Markov counts for funnel design / anomaly detection): one
+    * per-user `lead` window ordered by (sec, event_id), then a bounded
+    * (|types|²) count aggregation. The event log shuffles once on the
+    * user key; nothing sorts globally.
+    */
+  private def q123Transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select($("user_id"), epochS($("ts")).as("sec"), $("event_id"),
+        $("event_type"))
+    val w = Window.partitionBy($("user_id")).orderBy($("sec"), $("event_id"))
+    e.withColumn("to_type", lead($("event_type"), 1).over(w))
+      .filter($("to_type").isNotNull)
+      .groupBy($("event_type").as("from_type"), $("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2171,6 +2189,7 @@ object SparkEntry {
     "q120_quality_report" -> (q120QualityReport _),
     "q121_scd2" -> (q121Scd2 _),
     "q122_pit_join" -> (q122PitJoin _),
+    "q123_transitions" -> (q123Transitions _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3850,6 +3869,15 @@ object SparkEntry {
         |FROM p JOIN h ON p.user_id = h.user_id
         |WHERE h.valid_from <= p.probe_sec
         |  AND (h.valid_to IS NULL OR p.probe_sec < h.valid_to)""".stripMargin,
+    "q123_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |             event_id, event_type FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY sec, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

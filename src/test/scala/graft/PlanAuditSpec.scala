@@ -291,6 +291,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("q123 transitions: per-user lead window, bounded count shuffle") {
+    val p = plan("q123_transitions")
+    assert(p.contains("Window"), "transition pairing lost its window")
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("SinglePartition"),
+      "journey pairing must stay per-user")
+  }
+
   test("q113 incremental agg merges partials map-side") {
     val p = plan("q113_incremental_agg")
     // both the per-batch partials and the merge re-reduce combine before
