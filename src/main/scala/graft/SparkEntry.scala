@@ -2064,6 +2064,71 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** PageRank over a deterministic link graph (the q79 chain plus skip
+    * edges doc_id → doc_id+7; each block's tail ids have no out-edges, so
+    * dangling-mass redistribution is exercised): 5 power-iteration rounds
+    * at damping 0.85 via [[Graph.pageRank]]. Ranks round to 6 dp so the
+    * cross-engine compare is insensitive to float summation order.
+    */
+  private def q124Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select($("doc_id"))
+    val ids = d.select($("doc_id").as("dst"))
+    val chain = d.filter($("doc_id") % 50 =!= 49)
+      .select($("doc_id").as("src"), ($("doc_id") + 1).as("dst"))
+      .join(ids, Seq("dst"))
+    val skip = d.filter($("doc_id") % 50 < 40)
+      .select($("doc_id").as("src"), ($("doc_id") + 7).as("dst"))
+      .join(ids, Seq("dst"))
+    Graph.pageRank(chain.unionByName(skip), "src", "dst",
+        iterations = 5, damping = 0.85)
+      .select($("id"), round($("rank"), 6).as("rank"))
+  }
+
+  /** Corpus text cleanup — NFC composition (native codegen expression
+    * [[graft.functions.NfcNormalize]]), control-char strip, whitespace
+    * collapse, trim — on text deliberately dirtied with decomposed accents
+    * (e+U+0301, A+U+030A), a BEL control and ragged whitespace, so the
+    * normalization is observable: n_chars shrinks where NFC composes.
+    * Pure per-row map over the scan — the plan has no exchange at all.
+    */
+  private def q125CleanText(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(lit("  Café\t"), $("text"),
+      lit("  Å  "))
+    t(s, dir, "documents").select($("doc_id"),
+        graft.functions.cleanText(dirty).as("clean"))
+      .withColumn("n_chars", length($("clean")).cast("long"))
+  }
+
+  /** Triangle enumeration over the q124 graph plus span edges
+    * (doc_id → doc_id+8 for doc_id%50 < 30, closing 1+7=8 and 7+1=8
+    * wedges into triangles) via the degree-oriented pair join
+    * ([[Graph.triangles]]) — never a neighbor self-join on a raw hub.
+    */
+  private def q126Triangles(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select($("doc_id"))
+    val ids = d.select($("doc_id").as("dst"))
+    def gen(offset: Int, pred: Column): DataFrame =
+      d.filter(pred).select($("doc_id").as("src"),
+        ($("doc_id") + offset).as("dst")).join(ids, Seq("dst"))
+    val edges = gen(1, $("doc_id") % 50 =!= 49)
+      .unionByName(gen(7, $("doc_id") % 50 < 40))
+      .unionByName(gen(8, $("doc_id") % 50 < 30))
+    Graph.triangles(edges, "src", "dst")
+  }
+
+  /** Z-order (Morton) layout audit: interleave (o_custkey%256,
+    * o_orderkey%256) into a 16-bit curve key ([[graft.functions.zOrder2]])
+    * and count rows per 64-wide curve block — the distribution a layout
+    * optimizer consults before `sortWithinPartitions(z)` writes
+    * dual-dimension-prunable files. Integer-exact end to end.
+    */
+  private def q127Zorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(graft.functions.zOrder2($("o_custkey") % 256,
+        $("o_orderkey") % 256).as("z"))
+      .groupBy(shiftright($("z"), 10).as("z_block"))
+      .agg(count(lit(1)).as("n"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2190,6 +2255,10 @@ object SparkEntry {
     "q121_scd2" -> (q121Scd2 _),
     "q122_pit_join" -> (q122PitJoin _),
     "q123_transitions" -> (q123Transitions _),
+    "q124_pagerank" -> (q124Pagerank _),
+    "q125_clean_text" -> (q125CleanText _),
+    "q126_triangles" -> (q126Triangles _),
+    "q127_zorder" -> (q127Zorder _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3878,6 +3947,79 @@ object SparkEntry {
         |      FROM e)
         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
         |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q124_pagerank" -> {
+      // 5 unrolled power-iteration rounds, each mirroring Graph.pageRank's
+      // arithmetic shape exactly (same op order, all-double) so the two
+      // engines differ only by float summation order, absorbed by round(6).
+      val iters = (1 to 5).map { k =>
+        val p = s"r${k - 1}"
+        s"""d$k AS (SELECT coalesce(sum(rank), 0) AS dang FROM $p
+           |        WHERE id NOT IN (SELECT src FROM od)),
+           |c$k AS (SELECT w.dst AS id, sum($p.rank * w.w) AS c
+           |        FROM w JOIN $p ON $p.id = w.src GROUP BY w.dst),
+           |r$k AS (SELECT n.id,
+           |          (CAST(1 AS DOUBLE) - 0.85)/nn.n
+           |            + 0.85*(coalesce(c$k.c, 0) + d$k.dang/nn.n) AS rank
+           |        FROM nodes n CROSS JOIN nn CROSS JOIN d$k
+           |        LEFT JOIN c$k ON c$k.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |e AS (SELECT a.doc_id AS src, a.doc_id + 1 AS dst FROM ids a
+         |        JOIN ids b ON b.doc_id = a.doc_id + 1
+         |        WHERE a.doc_id % 50 != 49
+         |      UNION
+         |      SELECT a.doc_id, a.doc_id + 7 FROM ids a
+         |        JOIN ids b ON b.doc_id = a.doc_id + 7
+         |        WHERE a.doc_id % 50 < 40),
+         |nodes AS (SELECT DISTINCT src AS id FROM e
+         |          UNION SELECT DISTINCT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |w AS (SELECT e.src, e.dst, 1.0 / CAST(od.deg AS DOUBLE) AS w
+         |      FROM e JOIN od ON od.src = e.src),
+         |r0 AS (SELECT id, 1.0/nn.n AS rank FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT id, round(rank, 6) AS rank FROM r5""".stripMargin
+    },
+    "q126_triangles" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |e AS (SELECT a.doc_id AS x, a.doc_id + 1 AS y FROM ids a
+        |        JOIN ids b ON b.doc_id = a.doc_id + 1
+        |        WHERE a.doc_id % 50 != 49
+        |      UNION
+        |      SELECT a.doc_id, a.doc_id + 7 FROM ids a
+        |        JOIN ids b ON b.doc_id = a.doc_id + 7
+        |        WHERE a.doc_id % 50 < 40
+        |      UNION
+        |      SELECT a.doc_id, a.doc_id + 8 FROM ids a
+        |        JOIN ids b ON b.doc_id = a.doc_id + 8
+        |        WHERE a.doc_id % 50 < 30)
+        |SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |FROM e e1 JOIN e e2 ON e2.x = e1.y
+        |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y""".stripMargin,
+    "q127_zorder" -> {
+      val z = (0 until 8).map { i =>
+        s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH m AS (SELECT o_custkey % 256 AS x, o_orderkey % 256 AS y
+         |           FROM orders),
+         |zv AS (SELECT $z AS z FROM m)
+         |SELECT z >> 10 AS z_block, CAST(count(*) AS BIGINT) AS n
+         |FROM zv GROUP BY 1""".stripMargin
+    },
+    "q125_clean_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    nfc_normalize('  Cafe' || chr(769) || chr(9) || text ||
+        |                  ' ' || chr(7) || ' A' || chr(778) || '  '),
+        |    '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS clean,
+        |  CAST(length(trim(regexp_replace(regexp_replace(
+        |    nfc_normalize('  Cafe' || chr(769) || chr(9) || text ||
+        |                  ' ' || chr(7) || ' A' || chr(778) || '  '),
+        |    '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
     "q59_lquery" ->
       """WITH org AS (
         |  SELECT range AS organism_id,

@@ -19,6 +19,8 @@ package object functions {
     reg.createOrReplaceTempFunction(
       "hamming_distance_lte",
       exprs => HammingDistanceLte(exprs(0), exprs(1), exprs(2)), "builtin")
+    reg.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs(0)), "builtin")
   }
 
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
@@ -37,6 +39,41 @@ package object functions {
     */
   def int8Dot(a: Column, b: Column): Column =
     toCol(Int8Dot(toExpr(a), toExpr(b)))
+
+  /** Unicode NFC canonical composition as a codegen'd native expression
+    * (see [[NfcNormalize]]) — identity-fast on already-normalized text.
+    */
+  def nfcNormalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))
+
+  /** Z-order (Morton) bit-interleave of two non-negative ints confined to
+    * `bits` bits each — the multi-dimensional layout key:
+    * `sortWithinPartitions(zOrder2(a, b))` before a columnar write keeps
+    * per-file min/max ranges tight on BOTH dimensions, so scans filtered
+    * on either column prune files at 100 TB (the clustering that table
+    * formats surface as Z-ORDER optimization). Pure integer bit math over
+    * built-ins — stays inside whole-stage codegen, no UDF.
+    */
+  def zOrder2(x: Column, y: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 31, s"bits $bits out of range")
+    val xs = x.cast("long"); val ys = y.cast("long")
+    (0 until bits).map { i =>
+      shiftright(xs, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(ys, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Canonical text cleanup for corpus ingestion: NFC-compose, strip
+    * C0/C1-ish control characters (keeping \t \n \f \r as whitespace),
+    * collapse whitespace runs to single spaces, trim. The control class
+    * excludes the whitespace controls it keeps and also drops \x0B
+    * (vertical tab), which Java and RE2 `\s` disagree about — after the
+    * strip, both engines' `\s` see the same characters, so the pipeline
+    * is engine-portable by construction.
+    */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcNormalize(c), "[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
 
   /** Overlapping 2-char slices tagged with 1-based position, the minting
     * prefilter key (reference functions/barcode_slices.sql:5-23 and

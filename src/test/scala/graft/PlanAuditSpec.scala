@@ -308,4 +308,47 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       p.take(3000))
   }
+
+  test("q126 triangles: oriented pair join stays equi-keyed, no cartesian") {
+    // the degree agg sits upstream of the oriented-edge checkpoint; this
+    // plan covers the pair build + closure probe — the explosion-prone part
+    val p = plan("q126_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q127 z-order block counts combine map-side; no window, no sort") {
+    val p = plan("q127_zorder")
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("q125 text cleanup is a pure per-row map — no exchange at all") {
+    val p = plan("q125_clean_text")
+    assert(!p.contains("Exchange"), "cleanup must inherit input partitioning")
+    assert(!p.contains("Window") && !p.contains("Sort"), p.take(3000))
+  }
+
+  test("pageRank iteration: keyed join + partial agg, dangling mass rides " +
+      "a 1-row broadcast, no data-sized cartesian") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val weighted = e.withColumn("w", lit(1.0))
+    val srcIds = e.select(col("src").as("id")).distinct()
+    val ranks = nodes.withColumn("rank", lit(1.0 / 3))
+    val p = graft.operators.Graph
+      .step(nodes, weighted, srcIds, ranks, 3.0, 0.85)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "the only cross join must be the broadcast 1-row dangling mass")
+    assert(p.contains("partial_sum"), p.take(3000))
+    // no window anywhere; the only single-partition stage is the 1-row
+    // dangling-mass aggregate (which then broadcasts)
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }

@@ -435,4 +435,88 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pq2.length == 80)
     assert(pq2.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(0L, 1L)))
   }
+
+  test("pageRank matches dense power iteration; total mass conserved") {
+    import spark.implicits._
+    // hub (0), a cycle, and a dangling node (4) with no out-edges
+    val edgeSeq = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 4L), (2L, 0L),
+      (3L, 0L), (3L, 2L))
+    val got = Graph.pageRank(edgeSeq.toDF("src", "dst"), "src", "dst",
+        iterations = 8, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val nodes = (edgeSeq.map(_._1) ++ edgeSeq.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edgeSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until 8) {
+      val dang = nodes.filterNot(out.contains).map(r).sum
+      val contrib = edgeSeq
+        .groupBy(_._2)
+        .view.mapValues(_.map { case (s, _) => r(s) / out(s).size }.sum)
+        .toMap
+      r = nodes.map(id => id ->
+        ((1.0 - 0.85) / n +
+          0.85 * (contrib.getOrElse(id, 0.0) + dang / n))).toMap
+    }
+    assert(got.keySet == r.keySet)
+    got.foreach { case (id, v) => assert(math.abs(v - r(id)) < 1e-12,
+      s"node $id: spark $v vs dense ${r(id)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass ${got.values.sum}")
+  }
+
+  test("triangles match brute-force enumeration on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val canon = edges.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+    val nodes = canon.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = for {
+      a <- nodes; b <- nodes if a < b && canon((a, b))
+      c <- nodes if b < c && canon((b, c)) && canon((a, c))
+    } yield (a, b, c)
+    assert(got == brute.sorted, s"got ${got.size} vs brute ${brute.size}")
+    assert(got.nonEmpty, "fixture graph should contain triangles")
+  }
+
+  test("zOrder2 equals per-bit interleave for the full 4-bit square") {
+    import spark.implicits._
+    val df = (for { x <- 0 until 16; y <- 0 until 16 } yield (x, y))
+      .toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        graft.functions.zOrder2(col("x"), col("y"), bits = 4).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    for (x <- 0 until 16; y <- 0 until 16) {
+      val expect = (0 until 4).map(i =>
+        (((x >> i) & 1).toLong << (2 * i)) |
+          (((y >> i) & 1).toLong << (2 * i + 1))).sum
+      assert(got((x, y)) == expect, s"($x,$y)")
+    }
+    // the curve is a bijection on the square
+    assert(got.values.toSeq.distinct.size == 256)
+  }
+
+  test("cleanText: NFC composes, controls stripped, whitespace collapsed") {
+    import spark.implicits._
+    val dirty = "  Café \tx   yz  "
+    val got = Seq(dirty).toDF("t")
+      .select(graft.functions.cleanText(col("t")).as("c"))
+      .head().getString(0)
+    // e+U+0301 composes to é; BEL and VT are stripped (VT before the \s
+    // collapse, so Java/RE2 \s dialects agree); runs collapse; ends trim
+    assert(got == "Café x yz", got.map(_.toInt.toHexString).mkString(","))
+    // already-NFC text is untouched (identity fast path)
+    val id = Seq("Café ok").toDF("t")
+      .select(graft.functions.nfcNormalize(col("t")).as("c"))
+      .head().getString(0)
+    assert(id == "Café ok")
+    // interpreted kernel agrees with the column path
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.NormalizeImpl.nfc(
+      UTF8String.fromString("Café")).toString == "Café")
+  }
 }
