@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for columnar tables — the write-side half of the
+  * 100 TB design. Query plans prune with partition values and per-file
+  * column min/max statistics; both only help if the writer CLUSTERED the
+  * data so those ranges are tight. This module owns the two standard
+  * mechanisms:
+  *
+  *  - [[writeZClustered]]: multi-dimensional clustering — range-partition
+  *    and sort by a Z-order curve key ([[graft.functions.zOrder2]]) so
+  *    per-file min/max stays tight on BOTH interleaved dimensions and
+  *    scans filtered on either prune files.
+  *  - [[writeBucketed]]: hash-bucket a join/aggregation key at write time
+  *    so later joins and groupBys between co-bucketed tables need NO
+  *    exchange at all — the shuffle is paid once, at write, not per query.
+  */
+object Layout {
+
+  /** Write `df` as parquet clustered on the Z-order curve of two bounded
+    * non-negative dimensions. `repartitionByRange` on the curve key gives
+    * each output file a disjoint curve interval (range exchange + local
+    * sort); a curve interval is a small set of rectangles in (x, y), so
+    * every file's min/max footprint is tight on both columns — the
+    * property scans rely on to skip files for a predicate on either
+    * dimension. One shuffle total, the same cost profile as any
+    * repartition write.
+    *
+    * `numFiles` sizes output files (at 100 TB: total bytes / ~128 MB).
+    */
+  def writeZClustered(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      numFiles: Int,
+      path: String): Unit = {
+    val z = graft.functions.zOrder2(col(xCol), col(yCol), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Write `df` hash-bucketed (and sorted) by `keys` as a catalog table.
+    * Two tables bucketed the same way equi-join with ZERO exchange — at
+    * corpus scale that turns every recurring join against a standing
+    * index (dedup corpus, identifier dimension, embedding index) from a
+    * per-query 100 TB shuffle into a one-time write-side cost. Sorted
+    * buckets additionally let the join skip its sort.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      numBuckets: Int,
+      keys: Seq[String],
+      table: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Per-file (min, max) of a column across a parquet directory — the
+    * pruning-tightness audit [[writeZClustered]] is judged by. Distributed
+    * (`input_file_name` + hash agg), no footer reads on the driver.
+    */
+  def fileRanges(spark: SparkSession, path: String, colName: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colName)).as("lo"), max(col(colName)).as("hi"),
+        count(lit(1)).as("rows"))
+}

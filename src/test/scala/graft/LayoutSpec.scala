@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Layout
+
+/** Write-side layout specs: Z-order clustering must actually tighten
+  * per-file min/max on both dimensions (measured from the written files,
+  * not the plan), and co-bucketed tables must join with zero exchange.
+  */
+class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val warehouse = Files.createTempDirectory("graft_wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("writeZClustered keeps per-file min/max tight on BOTH dimensions") {
+    import spark.implicits._
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+      .toDF("x", "y")
+    val out = Files.createTempDirectory("graft_z").toString + "/t"
+    Layout.writeZClustered(grid, "x", "y", bits = 6, numFiles = 16, out)
+
+    def spreads(c: String): Seq[Long] =
+      Layout.fileRanges(spark, out, c)
+        .select((col("hi").cast("long") - col("lo").cast("long")).as("s"))
+        .collect().map(_.getLong(0)).toSeq
+    val (sx, sy) = (spreads("x"), spreads("y"))
+    assert(sx.size >= 8, s"expected many files, got ${sx.size}")
+    // global range is 63; a curve-interval file must stay well under it on
+    // both axes (an x-sorted write would leave y spreads at the full 63)
+    assert(sx.max <= 31, s"x spreads $sx")
+    assert(sy.max <= 31, s"y spreads $sy")
+  }
+
+  test("co-bucketed tables equi-join and aggregate with zero exchange") {
+    import spark.implicits._
+    val facts = (0L until 1000L).map(i => (i % 97, i)).toDF("k", "v")
+    val dims = (0L until 97L).map(i => (i, s"d$i")).toDF("k", "name")
+    Layout.writeBucketed(facts, 8, Seq("k"), "graft_bkt_facts")
+    Layout.writeBucketed(dims, 8, Seq("k"), "graft_bkt_dims")
+    val a = spark.table("graft_bkt_facts")
+    val b = spark.table("graft_bkt_dims")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = a.join(b, Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(3000)}")
+      assert(joined.count() == 1000L)
+      // groupBy on the bucket key also rides the write-time distribution
+      val agg = a.groupBy("k").agg(sum("v").as("s"))
+      assert(!agg.queryExecution.executedPlan.toString.contains(
+        "Exchange hashpartitioning"), "bucketed groupBy must not shuffle")
+      assert(agg.count() == 97L)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
