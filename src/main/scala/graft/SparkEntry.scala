@@ -2129,6 +2129,16 @@ object SparkEntry {
       .groupBy(shiftright($("z"), 10).as("z_block"))
       .agg(count(lit(1)).as("n"))
 
+  /** Single-pass table profile ([[Profile.summarize]]) over four orders
+    * columns — one scan + one aggregate for every column's
+    * nonnull/null/distinct/min/max, then a driver-free `stack` unpivot.
+    * Long and string columns only, so min/max render identically across
+    * engines.
+    */
+  private def q128Profile(s: SparkSession, dir: String): DataFrame =
+    Profile.summarize(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2259,6 +2269,7 @@ object SparkEntry {
     "q125_clean_text" -> (q125CleanText _),
     "q126_triangles" -> (q126Triangles _),
     "q127_zorder" -> (q127Zorder _),
+    "q128_profile" -> (q128Profile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4006,6 +4017,19 @@ object SparkEntry {
          |zv AS (SELECT $z AS z FROM m)
          |SELECT z >> 10 AS z_block, CAST(count(*) AS BIGINT) AS n
          |FROM zv GROUP BY 1""".stripMargin
+    },
+    "q128_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count($c) AS BIGINT) AS n_nonnull,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
     },
     "q125_clean_text" ->
       """SELECT doc_id,

@@ -61,11 +61,18 @@ object Graph {
       .localCheckpoint(false)
     val srcIds = outDeg.select(col("src").as("id")).localCheckpoint(false)
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(false)
     var i = 0
     while (i < iterations) {
+      // LAZY checkpoint: a fixed-iteration loop makes no per-round driver
+      // decision (unlike the CC convergence check), so nothing should
+      // block — the final action materializes all rounds in one job
+      // cascade, and each round's persisted RDD still cuts lineage and is
+      // computed once even though two branches (dangling + contrib)
+      // consume it. Eager-checkpoint only if k grows far past ~20 and the
+      // compiled plan depth starts to hurt.
       ranks = step(nodes, weighted, srcIds, ranks, n, damping)
-        .localCheckpoint() // eager: truncate lineage every round
+        .localCheckpoint(false)
       i += 1
     }
     ranks

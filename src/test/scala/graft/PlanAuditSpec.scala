@@ -326,6 +326,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(3000))
   }
 
+  test("q128 profile reads the table exactly once for all four columns") {
+    val p = plan("q128_profile")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"profiler must be single-scan, saw $scans:\n" +
+      p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(3000))
+  }
+
   test("q125 text cleanup is a pure per-row map — no exchange at all") {
     val p = plan("q125_clean_text")
     assert(!p.contains("Exchange"), "cleanup must inherit input partitioning")

@@ -500,6 +500,20 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.toSeq.distinct.size == 256)
   }
 
+  test("Profile.summarize: exact per-column stats from one aggregate") {
+    import spark.implicits._
+    val df = Seq((Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "a"))
+      .toDF("x", "s")
+    val got = Profile.summarize(df, Seq("x", "s"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5))))
+      .toMap
+    assert(got("x") == ((2L, 1L, 2L, "1", "2")))
+    assert(got("s") == ((3L, 0L, 2L, "a", "b")))
+  }
+
   test("cleanText: NFC composes, controls stripped, whitespace collapsed") {
     import spark.implicits._
     val dirty = "  Café \tx   yz  "
