@@ -2139,6 +2139,23 @@ object SparkEntry {
     Profile.summarize(t(s, dir, "orders"),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
 
+  /** Local clustering profile over the q126 graph
+    * ([[Graph.clusteringProfile]]): per-node triangle membership and
+    * wedge counts as exact integers — the clustering-coefficient
+    * numerator/denominator without a float ratio in the gate.
+    */
+  private def q129Clustering(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select($("doc_id"))
+    val ids = d.select($("doc_id").as("dst"))
+    def gen(offset: Int, pred: Column): DataFrame =
+      d.filter(pred).select($("doc_id").as("src"),
+        ($("doc_id") + offset).as("dst")).join(ids, Seq("dst"))
+    val edges = gen(1, $("doc_id") % 50 =!= 49)
+      .unionByName(gen(7, $("doc_id") % 50 < 40))
+      .unionByName(gen(8, $("doc_id") % 50 < 30))
+    Graph.clusteringProfile(edges, "src", "dst")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2270,6 +2287,7 @@ object SparkEntry {
     "q126_triangles" -> (q126Triangles _),
     "q127_zorder" -> (q127Zorder _),
     "q128_profile" -> (q128Profile _),
+    "q129_clustering" -> (q129Clustering _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4018,6 +4036,32 @@ object SparkEntry {
          |SELECT z >> 10 AS z_block, CAST(count(*) AS BIGINT) AS n
          |FROM zv GROUP BY 1""".stripMargin
     },
+    "q129_clustering" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |e AS (SELECT a.doc_id AS x, a.doc_id + 1 AS y FROM ids a
+        |        JOIN ids b ON b.doc_id = a.doc_id + 1
+        |        WHERE a.doc_id % 50 != 49
+        |      UNION
+        |      SELECT a.doc_id, a.doc_id + 7 FROM ids a
+        |        JOIN ids b ON b.doc_id = a.doc_id + 7
+        |        WHERE a.doc_id % 50 < 40
+        |      UNION
+        |      SELECT a.doc_id, a.doc_id + 8 FROM ids a
+        |        JOIN ids b ON b.doc_id = a.doc_id + 8
+        |        WHERE a.doc_id % 50 < 30),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+        |          (SELECT x AS id FROM e UNION ALL SELECT y FROM e)
+        |        GROUP BY id),
+        |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |        FROM e e1 JOIN e e2 ON e2.x = e1.y
+        |          JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM
+        |          (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |           UNION ALL SELECT c FROM tri)
+        |       GROUP BY id)
+        |SELECT deg.id, coalesce(tc.n_tri, 0) AS n_tri,
+        |  (deg.deg * (deg.deg - 1)) >> 1 AS n_wedge
+        |FROM deg LEFT JOIN tc ON tc.id = deg.id""".stripMargin,
     "q128_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderpriority")

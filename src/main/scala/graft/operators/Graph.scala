@@ -129,6 +129,35 @@ object Graph {
         col("t").getItem(2).as("c"))
   }
 
+  /** Local clustering profile per node — triangle membership count and
+    * wedge (open-pair) count, the integer numerator/denominator of the
+    * local clustering coefficient. Kept as two exact integers rather than
+    * their float ratio: cross-engine comparable, and the aggregation
+    * (explode each [[triangles]] row to its 3 members → hash count; deg
+    * choose 2 from the degree count) is all map-side-combining groupBys.
+    * Nodes in no triangle report n_tri = 0.
+    */
+  def clusteringProfile(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct()
+    val deg = canon.select(col("x").as("id"))
+      .unionByName(canon.select(col("y").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = triangles(canon, "x", "y")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        // deg*(deg-1) >> 1: all-integer (a float `/ 2` would lose
+        // exactness past 2^53 at web-scale hub degrees)
+        shiftright(col("deg") * (col("deg") - 1), 1).as("n_wedge"))
+  }
+
   /** One power-iteration round, lazily (the plan PlanAuditSpec pins):
     * ranks ⋈ weighted edges on src + hash agg on dst — both partial-agg
     * map-side; the dangling mass rides a broadcast 1-row cross join, so

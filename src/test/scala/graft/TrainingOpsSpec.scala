@@ -500,6 +500,19 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.toSeq.distinct.size == 256)
   }
 
+  test("clusteringProfile: exact triangle and wedge counts per node") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} plus pendant 4—0: node 0 has deg 4, 3 triangles
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (4L, 0L)).toDF("src", "dst")
+    val got = Graph.clusteringProfile(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(0L) == ((3L, 6L))) // deg 4 → 6 wedges, 3 of K4's 4 triangles
+    assert(got(1L) == ((3L, 3L)))
+    assert(got(4L) == ((0L, 0L))) // pendant: no wedge, no triangle
+  }
+
   test("Profile.summarize: exact per-column stats from one aggregate") {
     import spark.implicits._
     val df = Seq((Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "a"))
