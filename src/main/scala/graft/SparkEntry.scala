@@ -2156,6 +2156,28 @@ object SparkEntry {
     Graph.clusteringProfile(edges, "src", "dst")
   }
 
+  /** Event-time rolling aggregates — per-user trailing-1-hour event count
+    * and exact value sum via a RANGE window frame
+    * (`rangeBetween(-3599, 0)` over epoch seconds): the feature-engineering
+    * staple ("activity in the last hour, as of each event") that neither a
+    * tumbling nor a sliding bucket expresses. One shuffle on the user key;
+    * the frame is evaluated per partition with a moving bound, never a
+    * self-join. The sum routes through decimal(18,6) so accumulation order
+    * cannot move the result (surfaced as double, same as moneySum).
+    */
+  private def q130Rolling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select($("user_id"), epochS($("ts")).as("sec"), $("event_id"),
+        $("value"))
+    val w = Window.partitionBy($("user_id")).orderBy($("sec"))
+      .rangeBetween(-3599, 0)
+    e.select($("user_id"), $("sec"), $("event_id"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum($("value").cast("decimal(18,6)")).over(w).cast("double")
+        .as("sum_1h"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2288,6 +2310,7 @@ object SparkEntry {
     "q127_zorder" -> (q127Zorder _),
     "q128_profile" -> (q128Profile _),
     "q129_clustering" -> (q129Clustering _),
+    "q130_rolling" -> (q130Rolling _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4036,6 +4059,15 @@ object SparkEntry {
          |SELECT z >> 10 AS z_block, CAST(count(*) AS BIGINT) AS n
          |FROM zv GROUP BY 1""".stripMargin
     },
+    "q130_rolling" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |             event_id, value FROM events)
+        |SELECT user_id, sec, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q129_clustering" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |e AS (SELECT a.doc_id AS x, a.doc_id + 1 AS y FROM ids a

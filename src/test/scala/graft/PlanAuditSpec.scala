@@ -335,6 +335,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(3000))
   }
 
+  test("q130 rolling range-frame window partitions by user, never globally") {
+    val p = plan("q130_rolling")
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("SinglePartition"),
+      "rolling frame must stay per-user")
+  }
+
   test("q125 text cleanup is a pure per-row map — no exchange at all") {
     val p = plan("q125_clean_text")
     assert(!p.contains("Exchange"), "cleanup must inherit input partitioning")
