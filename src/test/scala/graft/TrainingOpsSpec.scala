@@ -465,6 +465,26 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass ${got.values.sum}")
   }
 
+  test("pageRank and triangles are repartition-stable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(80)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(e => e._1 != e._2).distinct.toDF("src", "dst")
+    val pr1 = Graph.pageRank(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr2 = Graph.pageRank(edges.repartition(7), "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr1.keySet == pr2.keySet)
+    // float sums re-associate under a different partitioning; semantics
+    // must agree to ~ulp scale
+    pr1.foreach { case (k, v) => assert(math.abs(v - pr2(k)) < 1e-12) }
+    val t1 = Graph.triangles(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val t2 = Graph.triangles(edges.repartition(5), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(t1.toSeq == t2.toSeq) // integer plan: exactly equal
+  }
+
   test("triangles match brute-force enumeration on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
