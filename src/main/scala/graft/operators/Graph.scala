@@ -158,6 +158,51 @@ object Graph {
         shiftright(col("deg") * (col("deg") - 1), 1).as("n_wedge"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete nodes
+    * of degree < k (with their edges) until the remainder is stable — the
+    * standard way to isolate the densely-connected heart of a link graph
+    * (or, inverted, to prune link-spam tendrils before ranking).
+    *
+    * Each round is one degree aggregation (map-side partial) and two
+    * anti-joins against the (broadcastable, shrinking) drop set; edges
+    * are eagerly checkpointed per round, exactly the CC loop's
+    * discipline. Round count is the graph's peeling depth, which is
+    * O(log n) for power-law web graphs.
+    *
+    * Output: (id, deg) of the surviving k-core subgraph — empty when no
+    * k-core exists.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("x").as("id"))
+        .unionByName(e.select(col("y").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var e = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct()
+      .localCheckpoint()
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val drop = degrees(e).filter(col("deg") < k).select(col("id"))
+        .localCheckpoint() // consumed twice below + the isEmpty probe
+      if (drop.isEmpty) stable = true
+      else e = e
+        .join(drop.select(col("id").as("x")), Seq("x"), "left_anti")
+        .join(drop.select(col("id").as("y")), Seq("y"), "left_anti")
+        .select(col("x"), col("y"))
+        .localCheckpoint()
+      round += 1
+    }
+    degrees(e)
+  }
+
   /** One power-iteration round, lazily (the plan PlanAuditSpec pins):
     * ranks ⋈ weighted edges on src + hash agg on dst — both partial-agg
     * map-side; the dangling mass rides a broadcast 1-row cross join, so

@@ -485,6 +485,32 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t1.toSeq == t2.toSeq) // integer plan: exactly equal
   }
 
+  test("kCore matches brute-force peeling; empty when no core exists") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val raw = Seq.fill(70)((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Graph.kCore(raw.toDF("src", "dst"), "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    var canon = raw.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    var changed = true
+    while (changed) {
+      val deg = canon.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val dead = deg.filter(_._2 < 3).keySet
+      changed = dead.nonEmpty
+      canon = canon.filterNot(e => dead(e._1) || dead(e._2))
+    }
+    val brute = canon.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == brute, s"got $got vs brute $brute")
+
+    // a tree has no 2-core at all
+    val tree = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(Graph.kCore(tree, "src", "dst", k = 2).isEmpty)
+  }
+
   test("triangles match brute-force enumeration on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
