@@ -54,6 +54,8 @@ object Graph {
       .distinct()
       .localCheckpoint(false)
     val n = nodes.count().toDouble
+    if (n == 0) // empty graph: empty (id, rank), not a 1/0 = Inf base rank
+      return nodes.withColumn("rank", lit(0.0))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val weighted = e.join(outDeg, "src")
       .select(col("src"), col("dst"),

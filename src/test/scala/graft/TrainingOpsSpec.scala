@@ -465,6 +465,14 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass ${got.values.sum}")
   }
 
+  test("pageRank, triangles, clusteringProfile: empty graph → empty result") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(none, "src", "dst").isEmpty)
+    assert(Graph.triangles(none, "src", "dst").isEmpty)
+    assert(Graph.clusteringProfile(none, "src", "dst").isEmpty)
+  }
+
   test("pageRank and triangles are repartition-stable") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
