@@ -147,4 +147,50 @@ object StreamingEtl {
           out.result().iterator
       }
   }
+
+  /** An event entering [[rollingFeatures]]. */
+  final case class Tick(user: String, sec: Long, eventId: Long, value: Double)
+  /** Per-user trailing-window buffer carried between micro-batches. */
+  final case class TailBuf(window: Seq[(Long, Long, Double)]) // sec, id, value
+  /** Per-event rolling feature row. */
+  final case class Rolling(
+      user: String, sec: Long, eventId: Long, n1h: Long, sum1h: Double)
+
+  /** Streaming twin of SparkEntry's q130 rolling RANGE-frame features:
+    * each event emits its user's trailing-`horizonSec` count and value
+    * sum AS OF that event — the online feature-serving form of the batch
+    * lookback. `flatMapGroupsWithState` keeps one bounded buffer per user
+    * (events inside the horizon only), evicting as time advances.
+    *
+    * RANGE-frame peer semantics are preserved: all events sharing a
+    * second are appended before any of them emits, so same-second peers
+    * see each other exactly as the batch window frame does. Equality with
+    * the batch expression holds when each user's events arrive in
+    * event-time order across micro-batches (the spec pins it); a late
+    * event cannot retroactively amend rows already emitted — that
+    * reconciliation belongs to the batch backfill.
+    */
+  def rollingFeatures(
+      ticks: org.apache.spark.sql.Dataset[Tick],
+      horizonSec: Long = 3600): org.apache.spark.sql.Dataset[Rolling] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[Tick], state: GroupState[TailBuf]) =>
+          var buf = state.getOption.map(_.window).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[Rolling]
+          rows.toSeq.sortBy(t => (t.sec, t.eventId)).groupBy(_.sec).toSeq
+            .sortBy(_._1).foreach { case (sec, peers) =>
+              buf = (buf ++ peers.map(t => (t.sec, t.eventId, t.value)))
+                .filter(_._1 > sec - horizonSec)
+              for (t <- peers.sortBy(_.eventId))
+                out += Rolling(user, t.sec, t.eventId, buf.size,
+                  buf.map(_._3).sum)
+            }
+          state.update(TailBuf(buf))
+          out.result().iterator
+      }
+  }
 }

@@ -371,4 +371,41 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d1 = streamed.find(r => r._2 == "u1" && r._3 == 4L).get
     assert(d1._4 == 3.0 && d1._5 == 9.0 && d1._6 == 3.0 && d1._7 == 7.0)
   }
+
+  test("StreamingEtl.rollingFeatures: trailing window stream == batch") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingEtl.Tick
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Tick]
+    val q = StreamingEtl.rollingFeatures(mem.toDS(), horizonSec = 3600)
+      .writeStream.format("memory").queryName("rolling")
+      .outputMode("append").start()
+    // binary-exact values so double summation matches decimal exactly;
+    // same-second peers (ids 3, 4) must see each other in both engines
+    val b1 = Seq(Tick("u1", 1000L, 1L, 1.5), Tick("u1", 2000L, 2L, 2.25),
+      Tick("u1", 4000L, 3L, 4.0), Tick("u1", 4000L, 4L, 0.5),
+      Tick("u2", 1000L, 5L, 8.0))
+    val b2 = Seq(Tick("u1", 5500L, 6L, 1.0), // evicts sec=1000 (1901 floor)
+      Tick("u2", 4599L, 7L, 2.0)) // sec-3599 = 1000: u2's first still in
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.sql("select * from rolling").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).sorted
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user").orderBy($"sec").rangeBetween(-3599, 0)
+      val batch = (b1 ++ b2).toDF()
+        .select($"user", $"sec", $"eventId",
+          count(lit(1)).over(w).as("n1h"), sum($"value").over(w).as("sum1h"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).sorted
+      assert(streamed.toSeq == batch.toSeq)
+      // spot-check eviction: at 5500 the window floor is 1901, so 1000 is
+      // out and {2000, 4000, 4000, 5500} remain
+      assert(streamed.toSeq.contains(("u1", 5500L, 6L, 4L, 7.75)))
+    } finally q.stop()
+  }
 }
