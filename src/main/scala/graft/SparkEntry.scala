@@ -2178,6 +2178,23 @@ object SparkEntry {
         .as("sum_1h"))
   }
 
+  /** 3-core of the q126 graph ([[Graph.kCore]]): iterative degree peeling
+    * to a fixpoint. The %50 block structure peels in exactly 10 rounds at
+    * every SF (peeling is block-local), so the DuckDB oracle can unroll a
+    * fixed 12 rounds — the 2 spare rounds are no-ops at the fixpoint.
+    */
+  private def q131Kcore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select($("doc_id"))
+    val ids = d.select($("doc_id").as("dst"))
+    def gen(offset: Int, pred: Column): DataFrame =
+      d.filter(pred).select($("doc_id").as("src"),
+        ($("doc_id") + offset).as("dst")).join(ids, Seq("dst"))
+    val edges = gen(1, $("doc_id") % 50 =!= 49)
+      .unionByName(gen(7, $("doc_id") % 50 < 40))
+      .unionByName(gen(8, $("doc_id") % 50 < 30))
+    Graph.kCore(edges, "src", "dst", k = 3)
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2311,6 +2328,7 @@ object SparkEntry {
     "q128_profile" -> (q128Profile _),
     "q129_clustering" -> (q129Clustering _),
     "q130_rolling" -> (q130Rolling _),
+    "q131_kcore" -> (q131Kcore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4058,6 +4076,38 @@ object SparkEntry {
          |zv AS (SELECT $z AS z FROM m)
          |SELECT z >> 10 AS z_block, CAST(count(*) AS BIGINT) AS n
          |FROM zv GROUP BY 1""".stripMargin
+    },
+    "q131_kcore" -> {
+      // 12 unrolled peel rounds (fixpoint at 10 for the %50 block pattern
+      // at any SF; rounds 11-12 are no-ops there). Every CTE is
+      // MATERIALIZED: each round references its predecessor twice, so
+      // inlined CTEs would expand the base scan 2^12 times (observed as
+      // an fd-exhaustion error, not just slowness).
+      val rounds = (1 to 12).map { r =>
+        val p = s"e${r - 1}"
+        s"""d$r AS MATERIALIZED (SELECT id FROM
+           |          (SELECT x AS id FROM $p UNION ALL SELECT y FROM $p)
+           |        GROUP BY id HAVING count(*) < 3),
+           |e$r AS MATERIALIZED (SELECT x, y FROM $p
+           |        WHERE x NOT IN (SELECT id FROM d$r)
+           |          AND y NOT IN (SELECT id FROM d$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |e0 AS MATERIALIZED (SELECT a.doc_id AS x, a.doc_id + 1 AS y FROM ids a
+         |        JOIN ids b ON b.doc_id = a.doc_id + 1
+         |        WHERE a.doc_id % 50 != 49
+         |      UNION
+         |      SELECT a.doc_id, a.doc_id + 7 FROM ids a
+         |        JOIN ids b ON b.doc_id = a.doc_id + 7
+         |        WHERE a.doc_id % 50 < 40
+         |      UNION
+         |      SELECT a.doc_id, a.doc_id + 8 FROM ids a
+         |        JOIN ids b ON b.doc_id = a.doc_id + 8
+         |        WHERE a.doc_id % 50 < 30),
+         |$rounds
+         |SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+         |  (SELECT x AS id FROM e12 UNION ALL SELECT y FROM e12)
+         |GROUP BY id""".stripMargin
     },
     "q130_rolling" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
