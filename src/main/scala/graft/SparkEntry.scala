@@ -2195,6 +2195,94 @@ object SparkEntry {
     Graph.kCore(edges, "src", "dst", k = 3)
   }
 
+  /** Exact duplicate-substring statistics (Lee et al. ExactSubstr shape):
+    * 8-token sliding windows, a window duplicated when its text recurs
+    * anywhere in the corpus; per-doc duplicated-window count + covered
+    * token span. On this corpus the ~47 near-duplicate cluster docs carry
+    * real multi-window overlaps, so the signal is structural, not
+    * birthday noise.
+    */
+  private def q132WindowDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateWindowStats(docs(s, dir), "doc_id", "text", w = 8)
+
+  /** Boilerplate segment removal (CCNet / RefinedWeb line-dedup shape):
+    * 8-token aligned segments recurring in >= 2 distinct documents are
+    * cut from every document; the corpus text never shuffles (indices
+    * and 60-bit hashes do).
+    */
+  private def q133Boilerplate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stripBoilerplate(docs(s, dir), "doc_id", "text",
+      segTokens = 8, minDf = 2)
+
+  /** BM25 lexical retrieval top-5: the %97 query docs against the rest of
+    * the corpus — the lexical twin of the embedding searches (q29/q47/
+    * q67) and the other input to the q105 RRF hybrid fusion.
+    */
+  private def q134Bm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.bm25TopK(
+      d.filter($("doc_id") % 97 =!= 0),
+      d.filter($("doc_id") % 97 === 0).select($("doc_id"), $("text")),
+      "doc_id", "text", "doc_id", k = 5)
+  }
+
+  /** k-hop BFS reachability (min-hop labels) from the %100 seed docs over
+    * the q124 link graph, k = 3 — frontier joins, never a whole-graph
+    * pass per round.
+    */
+  private def q135Khop(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select($("doc_id"))
+    val ids = d.select($("doc_id").as("dst"))
+    val chain = d.filter($("doc_id") % 50 =!= 49)
+      .select($("doc_id").as("src"), ($("doc_id") + 1).as("dst"))
+      .join(ids, Seq("dst"))
+    val skip = d.filter($("doc_id") % 50 < 40)
+      .select($("doc_id").as("src"), ($("doc_id") + 7).as("dst"))
+      .join(ids, Seq("dst"))
+    Graph.kHopReachability(chain.unionByName(skip), "src", "dst",
+        d.filter($("doc_id") % 100 === 0), "doc_id", k = 3)
+      .select($("id"), $("hops"))
+  }
+
+  /** SemDeDup: k-means clusters (the exact q76 assignment) bound the
+    * cosine pair search; within-cluster pairs >= 0.3 drop the larger id.
+    */
+  private def q136Semdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val assign = Embeddings.kmeansAssignQuantized(
+      e, "vec_id", "embedding", k = 8, iters = 2)
+    Dedup.semanticDedup(e, "vec_id", "embedding", assign, threshold = 0.3)
+  }
+
+  /** DeepWalk random-walk corpus: 4-step deterministic hash-argmin walks
+    * from the %25 seed docs over the q124 link graph — reproducible
+    * graph-to-sequence training data.
+    */
+  private def q137RandomWalks(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select($("doc_id"))
+    val ids = d.select($("doc_id").as("dst"))
+    val chain = d.filter($("doc_id") % 50 =!= 49)
+      .select($("doc_id").as("src"), ($("doc_id") + 1).as("dst"))
+      .join(ids, Seq("dst"))
+    val skip = d.filter($("doc_id") % 50 < 40)
+      .select($("doc_id").as("src"), ($("doc_id") + 7).as("dst"))
+      .join(ids, Seq("dst"))
+    Graph.randomWalks(chain.unionByName(skip), "src", "dst",
+      d.filter($("doc_id") % 25 === 0), "doc_id", steps = 4)
+  }
+
+  /** DSIR importance weights: every doc scored under the %7 target bigram
+    * model minus the %11 source model, exact q20 integers throughout.
+    */
+  private def q138Dsir(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.dsirWeights(
+      d.select($("doc_id"), $("text")),
+      d.filter($("doc_id") % 7 === 0).select($("text")),
+      d.filter($("doc_id") % 11 === 0).select($("text")),
+      "doc_id", "text")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2329,6 +2417,13 @@ object SparkEntry {
     "q129_clustering" -> (q129Clustering _),
     "q130_rolling" -> (q130Rolling _),
     "q131_kcore" -> (q131Kcore _),
+    "q132_window_dedup" -> (q132WindowDedup _),
+    "q133_boilerplate" -> (q133Boilerplate _),
+    "q134_bm25" -> (q134Bm25 _),
+    "q135_khop" -> (q135Khop _),
+    "q136_semdedup" -> (q136Semdedup _),
+    "q137_random_walks" -> (q137RandomWalks _),
+    "q138_dsir" -> (q138Dsir _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4186,5 +4281,200 @@ object SparkEntry {
         |  regexp_matches('.'||lineage||'.',
         |    '^\.virus\.(?:rsv|influenza)\.(?:[^.]+\.)*$') AS m_alt
         |FROM org""".stripMargin,
+    "q132_window_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |wp AS (SELECT doc_id, l,
+        |         unnest(range(1, greatest(n - 7, 0) + 1)) AS pos FROM tk),
+        |win AS (SELECT doc_id, pos,
+        |  ('0x'||substr(md5(array_to_string(l[pos:pos+7], ' ')),1,15))::BIGINT
+        |    AS h FROM wp),
+        |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+        |dw AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM dup)),
+        |perdoc AS (SELECT doc_id, count(*) AS dup_windows FROM dw
+        |           GROUP BY doc_id),
+        |cov AS (SELECT doc_id, count(DISTINCT ti) AS covered_tokens FROM
+        |          (SELECT doc_id, unnest(range(pos, pos + 8)) AS ti FROM dw)
+        |        GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN t.n >= 8 THEN t.n - 7 ELSE 0 END AS BIGINT)
+        |    AS n_windows,
+        |  CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+        |  CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+        |  CASE WHEN t.n = 0 THEN 0.0
+        |       ELSE round(coalesce(c.covered_tokens, 0)::DOUBLE / t.n, 6)
+        |  END AS dup_fraction
+        |FROM tk t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+        |LEFT JOIN cov c ON c.doc_id = t.doc_id""".stripMargin,
+    "q133_boilerplate" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE (len(string_split_regex(trim(text), '\s+')) + 7) // 8
+        |  END AS ns FROM documents),
+        |sp AS (SELECT doc_id, l, unnest(range(1, ns + 1)) AS idx FROM tk),
+        |seg AS (SELECT doc_id, idx,
+        |  array_to_string(l[(idx-1)*8+1:(idx-1)*8+8], ' ') AS g FROM sp),
+        |boiler AS (SELECT g FROM seg GROUP BY g
+        |           HAVING count(DISTINCT doc_id) >= 2),
+        |dn AS (SELECT doc_id, count(*) AS c FROM seg
+        |       WHERE g IN (SELECT g FROM boiler) GROUP BY doc_id),
+        |clean AS (SELECT doc_id, string_agg(g, ' ' ORDER BY idx) AS ct
+        |          FROM seg WHERE g NOT IN (SELECT g FROM boiler)
+        |          GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.ns AS BIGINT) AS n_segments,
+        |  CAST(coalesce(d.c, 0) AS BIGINT) AS dropped_segments,
+        |  coalesce(c.ct, '') AS clean_text
+        |FROM tk t LEFT JOIN dn d ON d.doc_id = t.doc_id
+        |LEFT JOIN clean c ON c.doc_id = t.doc_id""".stripMargin,
+    "q134_bm25" ->
+      """WITH ctf AS (SELECT doc_id, t AS token, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |   FROM documents WHERE doc_id % 97 <> 0)
+        |  WHERE length(t) > 0 GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ctf
+        |       GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ctf
+        |          GROUP BY token),
+        |qt AS (SELECT DISTINCT doc_id AS qid, t AS token FROM
+        |  (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |   FROM documents WHERE doc_id % 97 = 0)
+        |  WHERE length(t) > 0),
+        |terms AS (SELECT q.qid, c.doc_id,
+        |  CAST(floor((1048576.0 *
+        |    (((s.n - f.df)::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))) *
+        |    ((c.tf::DOUBLE * 2.2) / (c.tf::DOUBLE + 1.2 *
+        |      (0.25 + 0.75 * (d.dl::DOUBLE /
+        |        (s.tot::DOUBLE / s.n::DOUBLE)))))) AS BIGINT) AS tq
+        |  FROM qt q JOIN ctf c ON c.token = q.token
+        |  JOIN dfreq f ON f.token = q.token
+        |  JOIN dl d ON d.doc_id = c.doc_id CROSS JOIN stats s),
+        |sc AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(tq) AS BIGINT) AS score_q20 FROM terms
+        |       GROUP BY qid, doc_id),
+        |rnk AS (SELECT qid, doc_id, n_terms, score_q20,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY qid ORDER BY score_q20 DESC, doc_id ASC)
+        |    AS BIGINT) AS rk FROM sc)
+        |SELECT qid AS query_id, doc_id, n_terms, score_q20, rk
+        |FROM rnk WHERE rk <= 5""".stripMargin,
+    "q135_khop" -> {
+      val rounds = (1 to 3).map { h =>
+        s"""f$h AS MATERIALIZED (SELECT DISTINCT s.dst AS id FROM sym s
+           |  JOIN f${h - 1} f ON f.id = s.src
+           |  WHERE s.dst NOT IN (SELECT id FROM v${h - 1})),
+           |v$h AS MATERIALIZED (SELECT * FROM v${h - 1}
+           |  UNION ALL SELECT id, $h AS hops FROM f$h)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.doc_id AS src, a.doc_id + 1 AS dst FROM ids a
+         |    JOIN ids b ON b.doc_id = a.doc_id + 1
+         |    WHERE a.doc_id % 50 != 49
+         |  UNION
+         |  SELECT a.doc_id, a.doc_id + 7 FROM ids a
+         |    JOIN ids b ON b.doc_id = a.doc_id + 7
+         |    WHERE a.doc_id % 50 < 40),
+         |sym AS MATERIALIZED (SELECT src, dst FROM e0
+         |  UNION SELECT dst, src FROM e0),
+         |v0 AS MATERIALIZED (SELECT doc_id AS id, 0 AS hops FROM ids
+         |  WHERE doc_id % 100 = 0),
+         |f0 AS MATERIALIZED (SELECT id FROM v0),
+         |$rounds
+         |SELECT id, CAST(hops AS BIGINT) AS hops FROM v3""".stripMargin
+    },
+    "q136_semdedup" ->
+      """WITH emb AS (SELECT vec_id AS id,
+        |    [floor(x::DOUBLE * 100)::BIGINT for x in embedding] AS qv
+        |  FROM embeddings),
+        |flat AS (SELECT id, unnest(range(0, len(qv))) AS dim, unnest(qv) AS x
+        |         FROM emb),
+        |c0 AS (SELECT id AS cell, dim, x AS s, 1::BIGINT AS n
+        |       FROM flat WHERE id < 8),
+        |s1 AS (SELECT f.id, c.cell,
+        |         sum((c.n*f.x - c.s)*(c.n*f.x - c.s))::DOUBLE / (c.n*c.n) AS score
+        |       FROM flat f JOIN c0 c USING (dim) GROUP BY f.id, c.cell, c.n),
+        |a1 AS (SELECT id, cell FROM (
+        |         SELECT id, cell, row_number() OVER (PARTITION BY id
+        |           ORDER BY score, cell) AS rn FROM s1) WHERE rn = 1),
+        |c1 AS (SELECT a.cell, f.dim, sum(f.x) AS s, count(*) AS n
+        |       FROM flat f JOIN a1 a USING (id) GROUP BY 1, 2),
+        |s2 AS (SELECT f.id, c.cell,
+        |         sum((c.n*f.x - c.s)*(c.n*f.x - c.s))::DOUBLE / (c.n*c.n) AS score
+        |       FROM flat f JOIN c1 c USING (dim) GROUP BY f.id, c.cell, c.n),
+        |a2 AS (SELECT id, cell FROM (
+        |         SELECT id, cell, row_number() OVER (PARTITION BY id
+        |           ORDER BY score, cell) AS rn FROM s2) WHERE rn = 1),
+        |ev AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |wc AS (SELECT a2.id, a2.cell, ev.v FROM a2 JOIN ev USING (id)),
+        |drops AS (SELECT DISTINCT b.id FROM wc a JOIN wc b
+        |          ON a.cell = b.cell AND a.id < b.id
+        |          WHERE list_cosine_similarity(a.v, b.v) >= 0.3)
+        |SELECT id AS vec_id, CAST(cell AS BIGINT) AS cell FROM wc
+        |WHERE id NOT IN (SELECT id FROM drops)""".stripMargin,
+    "q137_random_walks" -> {
+      val steps = (1 to 4).map { t =>
+        s"""c$t AS (SELECT w.walk, e.dst,
+           |  ('0x'||substr(md5(w.walk::VARCHAR||'|$t|'||e.dst::VARCHAR||
+           |    '|graft'),1,15))::BIGINT AS h
+           |  FROM w${t - 1} w JOIN e0 e ON e.src = w.node),
+           |w$t AS MATERIALIZED (SELECT walk, dst AS node FROM (
+           |  SELECT walk, dst, row_number() OVER
+           |    (PARTITION BY walk ORDER BY h, dst) AS rn FROM c$t)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val emits = (0 to 4).map { t =>
+        s"SELECT walk AS walk_id, CAST($t AS BIGINT) AS step, node FROM w$t"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.doc_id AS src, a.doc_id + 1 AS dst FROM ids a
+         |    JOIN ids b ON b.doc_id = a.doc_id + 1
+         |    WHERE a.doc_id % 50 != 49
+         |  UNION
+         |  SELECT a.doc_id, a.doc_id + 7 FROM ids a
+         |    JOIN ids b ON b.doc_id = a.doc_id + 7
+         |    WHERE a.doc_id % 50 < 40),
+         |w0 AS MATERIALIZED (SELECT doc_id AS walk, doc_id AS node FROM ids
+         |  WHERE doc_id % 25 = 0),
+         |$steps
+         |$emits""".stripMargin
+    },
+    "q138_dsir" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents),
+        |pr AS (SELECT doc_id,
+        |         unnest([{'w1': l[i], 'w2': l[i+1]} for i in range(1, len(l))]) AS p
+        |       FROM tk WHERE len(l) >= 2),
+        |prs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr),
+        |bigt AS (SELECT w1, w2, count(*) AS c12t FROM prs
+        |         WHERE doc_id % 7 = 0 GROUP BY w1, w2),
+        |unit AS (SELECT w1, count(*) AS c1t FROM prs
+        |         WHERE doc_id % 7 = 0 GROUP BY w1),
+        |bigs AS (SELECT w1, w2, count(*) AS c12s FROM prs
+        |         WHERE doc_id % 11 = 0 GROUP BY w1, w2),
+        |unis AS (SELECT w1, count(*) AS c1s FROM prs
+        |         WHERE doc_id % 11 = 0 GROUP BY w1),
+        |sc AS (SELECT p.doc_id, count(*) AS n_pairs,
+        |         CAST(sum(coalesce(CAST(floor(1048576 *
+        |           (CAST(c12t AS DOUBLE) / CAST(c1t + 1 AS DOUBLE))) AS BIGINT),
+        |           0)) AS BIGINT) AS target_q20,
+        |         CAST(sum(coalesce(CAST(floor(1048576 *
+        |           (CAST(c12s AS DOUBLE) / CAST(c1s + 1 AS DOUBLE))) AS BIGINT),
+        |           0)) AS BIGINT) AS source_q20
+        |       FROM prs p LEFT JOIN bigt USING (w1, w2)
+        |       LEFT JOIN unit USING (w1)
+        |       LEFT JOIN bigs USING (w1, w2)
+        |       LEFT JOIN unis USING (w1)
+        |       GROUP BY p.doc_id)
+        |SELECT d.doc_id, coalesce(n_pairs, 0) AS n_pairs,
+        |  coalesce(target_q20, 0) AS target_q20,
+        |  coalesce(source_q20, 0) AS source_q20,
+        |  coalesce(target_q20, 0) - coalesce(source_q20, 0) AS weight_q20
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN sc USING (doc_id)""".stripMargin,
   )
 }

@@ -511,4 +511,95 @@ object Dedup {
       .select(col("cluster_id"), (-col("best._negid")).as(idCol),
         col("best.w").as(weightCol))
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate removal by clustering embeddings first and
+    * comparing cosine similarity only WITHIN a cluster — the step that
+    * turns an intractable corpus-wide pairwise search into k independent
+    * bounded problems. `clusters` is the (id, cell) assignment from
+    * [[Embeddings.kmeansAssignQuantized]] (or any partitioner); of every
+    * within-cluster pair with cosine >= `threshold` the larger id drops
+    * (the same min-id survivor policy as [[survivors]]).
+    *
+    * Scale shape: vectors shuffle ONCE on the cell key; the pair join is
+    * an equi-join on cell whose quadratic term is bounded by cluster
+    * size, which stays roughly constant when k grows with the corpus
+    * (SemDeDup's own regime: 50k clusters over 5 B embeddings). No
+    * global pairwise stage exists anywhere. Output columns carry no
+    * floats, so results hash-compare bit-exactly across engines.
+    *
+    * Output: (idCol, cell) — the surviving rows.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      clusters: DataFrame, threshold: Double): DataFrame = {
+    val withC = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(clusters, Seq("id"))
+    val drops = withC.as("a").hint("shuffle_hash").join(withC.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(SimilaritySearch.cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    withC.join(drops, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
+
+  /** Exact duplicate-substring statistics — the ExactSubstr dedup of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), recast from a suffix array into a relational
+    * plan: every sliding `w`-token window of every document is keyed by
+    * its 60-bit md5 hash, and a window is DUPLICATED when its text occurs
+    * at two or more (doc, pos) sites corpus-wide (repeats inside one
+    * document count, exactly as a suffix array sees them). Per document
+    * the operator reports the duplicated-window count and how many tokens
+    * are covered by at least one duplicated window — the span statistic
+    * the suffix-array method cuts from the corpus.
+    *
+    * Plan shape at 100 TB: tokenize → per-row window hashes → posexplode
+    * (narrow; only (id, pos, hash) triples leave the row — document text
+    * never shuffles), ONE map-side-combined count per hash (uniform key
+    * by construction — a hash, not a word), a semi-join of the window
+    * stream against the duplicated-hash set, and a distinct-covered-index
+    * count whose ×w fan-out applies to duplicated windows only (rare on a
+    * clean corpus). No all-pairs stage anywhere; memory per task is
+    * bounded by the window stream, not the documents.
+    */
+  def duplicateWindowStats(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    require(w >= 2, s"window size $w must be >= 2")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nTokens = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(size(toks).cast("long"))
+    val base = df.select(col(idCol).as("id"), toks.as("_toks"),
+      nTokens.as("n_tokens"))
+    val wins = base
+      .select(col("id"),
+        when(col("n_tokens") >= w,
+          transform(sequence(lit(1), (col("n_tokens") - (w - 1)).cast("int")),
+            i => hash60Base(array_join(slice(col("_toks"), i, lit(w)), " "))))
+          .otherwise(array().cast("array<long>")).as("_hs"))
+      .select(col("id"), posexplode(col("_hs")).as(Seq("_p0", "h")))
+      .select(col("id"), (col("_p0") + 1).as("pos"), col("h"))
+    val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("h")
+    val dupWins = wins.join(dupHashes, Seq("h"), "left_semi")
+    val perDoc = dupWins.groupBy("id")
+      .agg(count(lit(1)).as("dup_windows"))
+    val covered = dupWins
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("_ti"))
+      .groupBy("id").agg(count_distinct(col("_ti")).as("covered_tokens"))
+    base.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        when(col("n_tokens") >= w, col("n_tokens") - (w - 1))
+          .otherwise(lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(
+            coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+              col("n_tokens"), 6)).as("dup_fraction"))
+  }
 }

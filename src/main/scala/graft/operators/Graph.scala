@@ -205,6 +205,102 @@ object Graph {
     degrees(e)
   }
 
+  /** k-hop reachability by frontier BFS — the crawl-depth / link-distance
+    * labeling a corpus-curation pipeline uses to bound expansion from a
+    * seed set (trusted domains, verified pages): every node reachable in
+    * at most `k` undirected hops from a seed, labeled with its MINIMUM
+    * hop distance.
+    *
+    * Scale shape: the classic frontier algorithm, one round per hop —
+    * each round is ONE equi-join (frontier ⋈ edges on the source key,
+    * shuffle-partitioned on the node id) + a min-aggregate + an anti-join
+    * against the visited set; work per round is proportional to the
+    * frontier's out-edge count, never the whole graph. Frontier and
+    * visited frames are eagerly checkpointed per round (the CC/kCore
+    * loop discipline) so the plan stays O(1) deep for any k. No windows,
+    * no driver-side collection — the loop's only driver value is the
+    * emptiness probe that stops early when the frontier dies.
+    *
+    * Output: (id, hops), one row per reachable node (seeds at hops = 0).
+    */
+  def kHopReachability(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, k: Int): DataFrame = {
+    require(k >= 0, s"k $k must be >= 0")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    var visited = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint()
+    var frontier = visited
+    var hop = 1
+    while (hop <= k && !frontier.isEmpty) {
+      val next = sym
+        .join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("hops", lit(hop.toLong))
+        .localCheckpoint() // consumed by the union AND the next probe
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      hop += 1
+    }
+    visited
+  }
+
+  /** Deterministic random-walk corpus generation — DeepWalk (Perozzi et
+    * al. 2014, arXiv:1403.6652; node2vec's uniform case): one
+    * `steps`-hop walk per seed node, emitted as (walk_id, step, node)
+    * rows — the graph-to-sequence step that turns a link graph into
+    * skip-gram training data. The "random" next hop from a walk at step
+    * t is the out-neighbor minimizing the 60-bit md5 hash of
+    * (walk, t, neighbor, salt): uniform-ish, engine-portable, and
+    * REPRODUCIBLE — rerunning the build yields byte-identical walks, the
+    * same determinism-over-rand discipline as [[Sampling]]'s hash gates
+    * (`orderBy(rand())` walks would differ per retry and per engine).
+    *
+    * Scale shape per step: ONE equi-join (current walk positions ⋈ edges
+    * on the node key) + one map-side-combined min-struct argmin per walk
+    * — never a window, never a hot-node funnel (the argmin groups by
+    * walk, and walks are uniformly spread by construction). Eager
+    * checkpoint per step keeps the plan O(1) deep. Walks at a node with
+    * no out-edge simply end (the emitted prefix stays).
+    */
+  def randomWalks(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, steps: Int,
+      salt: String = "graft"): DataFrame = {
+    require(steps >= 0, s"steps $steps must be >= 0")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    var cur = seeds.select(col(seedCol).as("walk")).distinct()
+      .select(col("walk"), col("walk").as("node"), lit(0L).as("step"))
+      .localCheckpoint()
+    var out = cur
+    for (t <- 1 to steps) {
+      val cand = e
+        .join(cur.select(col("node").as("src"), col("walk")), Seq("src"))
+        .select(col("walk"), col("dst"),
+          Dedup.hash60Base(concat_ws("|",
+            col("walk"), lit(t), col("dst"), lit(salt))).as("h"))
+      cur = cand.groupBy("walk")
+        .agg(min(struct(col("h"), col("dst"))).as("_m"))
+        .select(col("walk"), col("_m.dst").as("node"),
+          lit(t.toLong).as("step"))
+        .localCheckpoint() // consumed by the union AND the next join
+      out = out.unionByName(cur)
+    }
+    out.select(col("walk").as("walk_id"), col("step"), col("node"))
+  }
+
   /** One power-iteration round, lazily (the plan PlanAuditSpec pins):
     * ranks ⋈ weighted edges on src + hash agg on dst — both partial-agg
     * map-side; the dangling mass rides a broadcast 1-row cross join, so

@@ -210,23 +210,27 @@ object TextAnalysis {
     * Output: doc_id, n_pairs, score_q20 (both BIGINT; score_q20 = 0 for
     * docs with < 2 tokens).
     */
+  /** The (w1, w2) adjacent-token pair stream of `textCol`, carrying
+    * `cols` through — shared by [[bigramLmScore]] and [[dsirWeights]]. */
+  private def bigramPairs(
+      textCol: String)(df: DataFrame, cols: Column*): DataFrame =
+    df.select((cols :+ Dedup.bind(tokens(col(textCol)), toks =>
+        when(size(toks) >= 2,
+          zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+            slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+      .as("_prs")): _*)
+      .select((cols :+ explode(col("_prs")).as("_p")): _*)
+      .select((cols :+ col("_p.w1") :+ col("_p.w2")): _*)
+
   def bigramLmScore(
       corpus: DataFrame, reference: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    def pairs(df: DataFrame, cols: Column*): DataFrame =
-      df.select((cols :+ Dedup.bind(tokens(col(textCol)), toks =>
-          when(size(toks) >= 2,
-            zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-              slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-              (a, b) => struct(a.as("w1"), b.as("w2"))))
-            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("_prs")): _*)
-        .select((cols :+ explode(col("_prs")).as("_p")): _*)
-        .select((cols :+ col("_p.w1") :+ col("_p.w2")): _*)
-    val refPairs = pairs(reference)
+    val refPairs = bigramPairs(textCol)(reference)
     val bigrams = refPairs.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
     val unigrams = refPairs.groupBy("w1").agg(count(lit(1)).as("_c1"))
-    val scored = pairs(corpus, col(idCol))
+    val scored = bigramPairs(textCol)(corpus, col(idCol))
       .join(bigrams, Seq("w1", "w2"), "left")
       .join(unigrams, Seq("w1"), "left")
       .groupBy(idCol)
@@ -240,6 +244,63 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("score_q20"), lit(0L)).as("score_q20"))
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every pool document under a TARGET-domain bigram model and a SOURCE
+    * (general-pool) bigram model and weight by the difference — documents
+    * that look more like the target than like the average pool get
+    * positive weight and survive the downstream resampling gate
+    * ([[Sampling.temperatureResample]] / quantile thresholds). Same
+    * engine-exact quantization as [[bigramLmScore]]: each pair's
+    * probability estimate is ONE correctly-rounded IEEE division, floor
+    * -quantized to q20, summed as BIGINT — the weight is an exact integer
+    * difference, bit-identical across engines and partition orders (a
+    * float log-likelihood ratio would not be).
+    *
+    * Scale shape: the pool's pair stream is built ONCE and joined against
+    * both models' count tables in a single pass (4 left joins, broadcast
+    * when the reference vocabularies are bounded — AQE's call), then one
+    * map-side-combined groupBy(doc). The pool text never shuffles; only
+    * (doc, w1, w2) triples move. Scoring under m reference domains is m
+    * more joins on the same stream, not m more corpus scans.
+    *
+    * Output: id, n_pairs, target_q20, source_q20, weight_q20 (all BIGINT;
+    * zero-pair docs carry all-zero scores).
+    */
+  def dsirWeights(
+      corpus: DataFrame, target: DataFrame, source: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def model(ref: DataFrame, suffix: String): (DataFrame, DataFrame) = {
+      val p = bigramPairs(textCol)(ref)
+      (p.groupBy("w1", "w2").agg(count(lit(1)).as(s"_c12$suffix")),
+        p.groupBy("w1").agg(count(lit(1)).as(s"_c1$suffix")))
+    }
+    val (bigT, uniT) = model(target, "t")
+    val (bigS, uniS) = model(source, "s")
+    def q20(c12: Column, c1: Column): Column =
+      coalesce(
+        floor(lit(1048576) * (c12.cast("double") /
+          (c1 + 1).cast("double"))).cast("long"),
+        lit(0L))
+    val scored = bigramPairs(textCol)(corpus, col(idCol))
+      .join(bigT, Seq("w1", "w2"), "left")
+      .join(uniT, Seq("w1"), "left")
+      .join(bigS, Seq("w1", "w2"), "left")
+      .join(uniS, Seq("w1"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(q20(col("_c12t"), col("_c1t"))).as("target_q20"),
+        sum(q20(col("_c12s"), col("_c1s"))).as("source_q20"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("target_q20"), lit(0L)).as("target_q20"),
+        coalesce(col("source_q20"), lit(0L)).as("source_q20"),
+        (coalesce(col("target_q20"), lit(0L)) -
+          coalesce(col("source_q20"), lit(0L))).as("weight_q20"))
   }
 
   /** Overlapping token-window chunking: split each document into windows
@@ -410,5 +471,131 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"),
         col("score_q20"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Boilerplate segment removal — the line-level dedup of CCNet /
+    * RefinedWeb (headers, nav bars, cookie banners repeated verbatim
+    * across pages) on a corpus whose "lines" are fixed non-overlapping
+    * `segTokens`-token blocks: a segment is BOILERPLATE when its exact
+    * text occurs in at least `minDf` DISTINCT documents, and every
+    * boilerplate segment is cut from every document, the remaining
+    * segments re-joined in order.
+    *
+    * Plan shape at 100 TB — the document text NEVER shuffles:
+    * per-row segment hashes → posexplode of (id, idx, hash60) triples
+    * only; one map-side-combined distinct-doc count per hash; a semi-join
+    * picks each doc's dropped segment INDICES, which aggregate to a tiny
+    * per-doc int array; that drop-list joins back to the corpus on id
+    * (broadcast when the affected-doc set is small — the common case —
+    * else a co-partitioned equi-join of ids and int arrays) and the cut +
+    * re-join happens inside the row via an index filter. The only wide
+    * stages move 60-bit hashes and int arrays.
+    *
+    * Blank documents pass through unchanged with n_segments = 0
+    * (tokenCount's 0-for-blank convention).
+    *
+    * Output: id, n_segments, dropped_segments, clean_text.
+    */
+  def stripBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int, minDf: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens $segTokens must be >= 1")
+    require(minDf >= 2, s"minDf $minDf must be >= 2")
+    val toks = tokens(col(textCol))
+    val nSegs = when(length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(ceil(size(toks).cast("double") / segTokens).cast("int"))
+    val base = df.select(col(idCol).as("id"), toks.as("_toks"),
+      nSegs.as("n_segments"))
+    def segText(arr: Column, i: Column): Column =
+      array_join(slice(arr, (i - 1) * segTokens + 1, lit(segTokens)), " ")
+    val segs = base
+      .select(col("id"),
+        when(col("n_segments") > 0,
+          transform(sequence(lit(1), col("n_segments")),
+            i => Dedup.hash60Base(segText(col("_toks"), i))))
+          .otherwise(array().cast("array<long>")).as("_hs"))
+      .select(col("id"), posexplode(col("_hs")).as(Seq("_i0", "h")))
+      .select(col("id"), (col("_i0") + 1).as("idx"), col("h"))
+    val boiler = segs.groupBy("h")
+      .agg(count_distinct(col("id")).as("_df"))
+      .filter(col("_df") >= minDf).select("h")
+    val drops = segs.join(boiler, Seq("h"), "left_semi")
+      .groupBy("id").agg(collect_set(col("idx")).as("_drop"))
+    base.join(drops, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_segments").cast("long").as("n_segments"),
+        coalesce(size(col("_drop")), lit(0)).cast("long")
+          .as("dropped_segments"),
+        when(col("n_segments") === 0, lit(""))
+          .otherwise(array_join(
+            transform(
+              filter(sequence(lit(1), greatest(col("n_segments"), lit(1))),
+                i => coalesce(!array_contains(col("_drop"), i), lit(true))),
+              i => segText(col("_toks"), i)),
+            " ")).as("clean_text"))
+  }
+
+  /** BM25 lexical retrieval: top-`k` corpus documents per query by the
+    * Okapi BM25 family score (k1 = 1.2, b = 0.75) — the lexical half of
+    * the hybrid search whose rank fusion is
+    * [[SimilaritySearch.rrfFuse]]. The idf is the LOG-FREE rational
+    * (N - df + 0.5) / (df + 0.5): log is monotone per-term but `ln` is
+    * not a correctly-rounded IEEE op, so the rational form (only +, /,
+    * × — all correctly rounded) keeps scores bit-identical across
+    * engines; each term contribution is floor-quantized to a q20 fixed
+    * point and the per-(query, doc) score is a BIGINT sum, so partial
+    * -aggregation order cannot change the result.
+    *
+    * Plan shape at 100 TB: corpus → (id, token, tf) postings via explode
+    * + map-side-combined count (the inverted index — the classic BM25
+    * layout); df and the (N, total_tokens) stats are two more partial
+    * aggregates; the query side reduces to DISTINCT (query, term) rows —
+    * tiny next to the corpus — and AQE broadcasts it into the postings
+    * equi-join on the term. Corpus text never shuffles; only postings
+    * triples move, and only for terms some query mentions (the join
+    * prunes the rest). The final top-k window partitions by query over
+    * candidate sets already shrunk to matching docs.
+    *
+    * Output: query_id, doc_id, n_terms (matched query terms), score_q20,
+    * rk (1-based, score desc / doc_id asc).
+    */
+  def bm25TopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qidCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = corpus
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col(qidCol).as("qid"), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfn = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") /
+            (col("tot").cast("double") / col("n").cast("double")))))
+    val terms = qterms
+      .join(tf, Seq("token"))
+      .join(dfreq, Seq("token"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("id"),
+        floor((lit(1048576.0) * idf) * tfn).cast("long").as("tq"))
+    val scored = terms.groupBy("qid", "id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tq")).as("score_q20"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("score_q20").desc, col("id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("id").as("doc_id"),
+        col("n_terms"), col("score_q20"), col("rk").cast("long").as("rk"))
   }
 }

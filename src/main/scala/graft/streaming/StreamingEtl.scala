@@ -102,6 +102,36 @@ object StreamingEtl {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join — the two-stream face of the
+    * batch interval join ([[graft.operators.IntervalJoin]]): each left
+    * event matches right events with the same key whose event time falls
+    * in [left.ts + lowerSec, left.ts + upperSec] — the impression→click /
+    * order→result attribution shape. BOTH sides carry watermarks and the
+    * join condition bounds event-time skew, which is exactly what lets
+    * Spark derive a state-retention horizon and EVICT buffered rows
+    * instead of holding either stream forever — the stream-stream scale
+    * requirement; without the time bound, state grows with the corpus.
+    *
+    * The same call works on batch frames (withWatermark is a no-op there),
+    * so backfill and live attribution share one code path; the spec pins
+    * stream == batch equality.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      lowerSec: Long, upperSec: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    require(lowerSec <= upperSec,
+      s"interval [$lowerSec, $upperSec] is empty")
+    val lw = left.withWatermark(leftTs, watermark)
+    val rw = right.withWatermark(rightTs, watermark)
+    lw.join(rw,
+        lw(keyCol) === rw(keyCol) &&
+          rw(rightTs) >= lw(leftTs) + expr(s"INTERVAL '$lowerSec' SECOND") &&
+          rw(rightTs) <= lw(leftTs) + expr(s"INTERVAL '$upperSec' SECOND"))
+      .drop(rw(keyCol))
+  }
+
   /** A keyed update event entering [[upsertChanges]]. */
   final case class Upsert(key: String, seq: Long, value: String)
   /** Per-key state carried between micro-batches. */

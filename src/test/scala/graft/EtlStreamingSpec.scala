@@ -408,4 +408,47 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed.toSeq.contains(("u1", 5500L, 6L, 4L, 7.75)))
     } finally q.stop()
   }
+
+  test("StreamingEtl.intervalJoin: stream-stream attribution == batch join") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_ssj").toString
+    val imps = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2L),
+      ("u2", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 3L))
+    val clicks = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 11L), // imp 1
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 01:20:00"), 12L), // imp 2
+      ("u2", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 13L), // late: no match
+      ("u3", java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 14L)) // no imp
+    imps.toDF("user", "imp_ts", "imp_id").write.parquet(s"$base/imps")
+    clicks.toDF("user", "click_ts", "click_id").write.parquet(s"$base/clicks")
+    val impSchema = StructType(Seq(StructField("user", StringType),
+      StructField("imp_ts", TimestampType), StructField("imp_id", LongType)))
+    val clickSchema = StructType(Seq(StructField("user", StringType),
+      StructField("click_ts", TimestampType), StructField("click_id", LongType)))
+    val joined = StreamingEtl.intervalJoin(
+      StreamingEtl.readFeed(spark, s"$base/imps", impSchema),
+      StreamingEtl.readFeed(spark, s"$base/clicks", clickSchema),
+      "user", "imp_ts", "click_ts", lowerSec = 0, upperSec = 1800)
+    val q = joined.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ck")
+      .outputMode("append")
+      .format("memory").queryName("ssj")
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("select user, imp_id, click_id from ssj")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed == Seq(("u1", 1L, 11L), ("u1", 2L, 12L)))
+    val batch = StreamingEtl.intervalJoin(
+        imps.toDF("user", "imp_ts", "imp_id"),
+        clicks.toDF("user", "click_ts", "click_id"),
+        "user", "imp_ts", "click_ts", lowerSec = 0, upperSec = 1800)
+      .select("user", "imp_id", "click_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed == batch)
+  }
 }

@@ -367,4 +367,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // dangling-mass aggregate (which then broadcasts)
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("q132 window dedup: hash equi-joins only, map-side partial counts") {
+    val p = plan("q132_window_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("partial_count"), "hash count must combine map-side")
+    // the duplicated-hash count shuffles 60-bit hashes, never a window
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q134 BM25: postings equi-join, no cartesian, bounded top-k window") {
+    val p = plan("q134_bm25")
+    assert(!p.contains("CartesianProduct"),
+      "the only cross join must be the broadcast 1-row stats frame")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "postings aggregation must combine map-side")
+    // the top-k window partitions by query id, never a single partition
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition"))
+    assert(winLines.forall(_.contains("qid")), p.take(3000))
+  }
 }

@@ -600,4 +600,152 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.functions.NormalizeImpl.nfc(
       UTF8String.fromString("Café")).toString == "Café")
   }
+
+  test("duplicateWindowStats: cross-doc, intra-doc and blank-doc windows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),        // "a b c d" shared with doc 2
+      (2L, "z a b c d w"),
+      (3L, " "),                  // blank: all zeros
+      (4L, "p q p q p q p q"))    // every window repeats intra-doc
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateWindowStats(df, "doc_id", "text", w = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (1L, 6L, 3L, 1L, 4L, math.round(4.0 / 6 * 1e6) / 1e6),
+      (2L, 6L, 3L, 1L, 4L, math.round(4.0 / 6 * 1e6) / 1e6),
+      (3L, 0L, 0L, 0L, 0L, 0.0),
+      (4L, 8L, 5L, 5L, 8L, 1.0)))
+  }
+
+  test("stripBoilerplate cuts cross-doc segments, keeps order, handles edges") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello world foo bar"),
+      (2L, "hello world baz qux"),
+      (3L, "hello world"),         // entirely boilerplate: empty result
+      (4L, ""))                    // blank: untouched
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stripBoilerplate(df, "doc_id", "text",
+        segTokens = 2, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, "foo bar"),
+      (2L, 2L, 1L, "baz qux"),
+      (3L, 1L, 1L, ""),
+      (4L, 0L, 0L, "")))
+  }
+
+  test("bm25TopK ranks matching docs, is repartition-stable") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry date fig"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "apple banana")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(corpus, queries,
+        "doc_id", "text", "doc_id", k = 5)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSeq
+    // doc 1 matches both terms (apple x2) so it ranks first; doc 2 matches
+    // banana only; doc 3 matches nothing and must be absent
+    assert(got == Seq((10L, 1L, 2L, 1L), (10L, 2L, 1L, 2L)))
+    val scores = TextAnalysis.bm25TopK(corpus, queries,
+        "doc_id", "text", "doc_id", k = 5)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val again = TextAnalysis.bm25TopK(corpus.repartition(7), queries,
+        "doc_id", "text", "doc_id", k = 5)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(again == scores) // quantized scores identical across partitionings
+  }
+
+  test("kHopReachability: min-hop labels, frontier stops at k, undirected") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus shortcut 1-3: node 3 is hop 1, not 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.kHopReachability(edges, "src", "dst", seeds, "id", k = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L)))
+    // undirected: seeding from the sink walks back up
+    val back = Graph.kHopReachability(edges, "src", "dst",
+        Seq(5L).toDF("id"), "id", k = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(back == Seq((4L, 1L), (5L, 0L)))
+    // k = 0: seeds only
+    val zero = Graph.kHopReachability(edges, "src", "dst", seeds, "id", k = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(zero == Seq((1L, 0L)))
+  }
+
+  test("semanticDedup drops within-cluster near-dups only") {
+    import spark.implicits._
+    val v = Array(1.0f, 0.0f)
+    val w = Array(0.0f, 1.0f)
+    val df = Seq((1L, v), (2L, v), (3L, v), (4L, w)).toDF("id", "vec")
+    // ids 1,2 share a cluster (dup pair); 3 is the SAME vector in another
+    // cluster and must survive: the search is cluster-bounded
+    val clusters = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("id", "cell")
+    val got = Dedup.semanticDedup(df, "id", "vec", clusters, threshold = 0.9)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 0L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("randomWalks: deterministic, edge-following, ends at dangling nodes") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    def run() = Graph.randomWalks(edges, "src", "dst", seeds, "id", steps = 3)
+      .orderBy("walk_id", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run()
+    // node 4 has no out-edges, so the walk is 1 -> {2|3} -> 4 and stops
+    assert(got.length == 3, got)
+    assert(got.head == ((1L, 0L, 1L)))
+    assert(got.last._3 == 4L)
+    // every consecutive pair is a real edge
+    val es = Set((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(es.contains((a._3, b._3)), s"$a -> $b not an edge") }
+    // reproducible: the hash argmin is partition-independent
+    assert(run() == got)
+  }
+
+  test("dsirWeights = target LM score minus source LM score, exactly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b a b a b"),   // pure target-domain text
+      (2L, "x y x y x y"),   // pure source-domain text
+      (3L, "q r"),           // matches neither model
+      (4L, "z"))             // no pairs at all
+      .toDF("doc_id", "text")
+    val target = Seq("a b a b").toDF("text")
+    val source = Seq("x y x y").toDF("text")
+    val got = TextAnalysis.dsirWeights(corpus, target, source,
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(got(0)._5 > 0 && got(1)._5 < 0) // sign separates the domains
+    assert(got(2) == ((3L, 1L, 0L, 0L, 0L)))
+    assert(got(3) == ((4L, 0L, 0L, 0L, 0L)))
+    // agreement with two independent bigramLmScore passes
+    val t = TextAnalysis.bigramLmScore(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val s2 = TextAnalysis.bigramLmScore(corpus, source, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, _, tq, sq, w) =>
+      assert(tq == t(id) && sq == s2(id) && w == tq - sq) }
+  }
 }
