@@ -2283,6 +2283,24 @@ object SparkEntry {
       "doc_id", "text")
   }
 
+  /** The ExactSubstr CUT: tokens covered by duplicated 8-token windows
+    * are removed and the survivors re-joined — q132's companion applying
+    * the decision it measures.
+    */
+  private def q139CutDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.cutDuplicateWindows(docs(s, dir), "doc_id", "text", w = 8)
+
+  /** Weighted epoch upsampling by language: the Pile/LLaMA mixture step
+    * with whole + fractional hash-gated copies.
+    */
+  private def q140EpochUpsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = Seq(("en", 0.5), ("de", 1.5), ("fr", 2.0),
+      ("es", 2.25), ("zh", 3.5)).toDF("lang", "weight")
+    Sampling.epochUpsample(docs(s, dir), "lang", "doc_id", weights)
+      .select($("doc_id"), $("lang"), $("copy"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2424,6 +2442,8 @@ object SparkEntry {
     "q136_semdedup" -> (q136Semdedup _),
     "q137_random_walks" -> (q137RandomWalks _),
     "q138_dsir" -> (q138Dsir _),
+    "q139_cut_dup" -> (q139CutDup _),
+    "q140_epoch_upsample" -> (q140EpochUpsample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4476,5 +4496,43 @@ object SparkEntry {
         |  coalesce(target_q20, 0) - coalesce(source_q20, 0) AS weight_q20
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "q139_cut_dup" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |wp AS (SELECT doc_id, l,
+        |         unnest(range(1, greatest(n - 7, 0) + 1)) AS pos FROM tk),
+        |win AS (SELECT doc_id, pos,
+        |  ('0x'||substr(md5(array_to_string(l[pos:pos+7], ' ')),1,15))::BIGINT
+        |    AS h FROM wp),
+        |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+        |dw AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM dup)),
+        |cov AS (SELECT DISTINCT doc_id, ti FROM
+        |          (SELECT doc_id, unnest(range(pos, pos + 8)) AS ti FROM dw)),
+        |cut AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY doc_id),
+        |ti AS (SELECT doc_id, l, unnest(range(1, n + 1)) AS i FROM tk),
+        |clean AS (SELECT t.doc_id, string_agg(t.l[i], ' ' ORDER BY i) AS ct
+        |          FROM ti t LEFT JOIN cov c
+        |            ON c.doc_id = t.doc_id AND c.ti = t.i
+        |          WHERE c.ti IS NULL GROUP BY t.doc_id)
+        |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cut.c, 0) AS BIGINT) AS cut_tokens,
+        |  coalesce(clean.ct, '') AS clean_text
+        |FROM tk t LEFT JOIN cut ON cut.doc_id = t.doc_id
+        |LEFT JOIN clean ON clean.doc_id = t.doc_id""".stripMargin,
+    "q140_epoch_upsample" ->
+      """WITH w(lang, weight) AS (VALUES ('en', 0.5), ('de', 1.5),
+        |  ('fr', 2.0), ('es', 2.25), ('zh', 3.5)),
+        |base AS (SELECT d.doc_id, d.lang,
+        |    CAST(floor(weight::DOUBLE) AS BIGINT) +
+        |    CASE WHEN ('0x'||substr(md5(d.doc_id::VARCHAR||'|graft'),1,15))
+        |        ::BIGINT <
+        |      CAST(floor((weight::DOUBLE - floor(weight::DOUBLE)) *
+        |        1152921504606846976.0) AS BIGINT)
+        |      THEN 1 ELSE 0 END AS n
+        |  FROM documents d JOIN w USING (lang))
+        |SELECT doc_id, lang, unnest(range(0, n)) AS copy
+        |FROM base WHERE n > 0""".stripMargin,
   )
 }

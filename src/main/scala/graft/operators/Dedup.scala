@@ -564,8 +564,11 @@ object Dedup {
     * clean corpus). No all-pairs stage anywhere; memory per task is
     * bounded by the window stream, not the documents.
     */
-  def duplicateWindowStats(
-      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+  /** Shared plumbing for the ExactSubstr pair: (base docs with token
+    * arrays and counts, the (id, pos) stream of DUPLICATED windows). */
+  private def windowDupFrames(
+      df: DataFrame, idCol: String, textCol: String, w: Int)
+      : (DataFrame, DataFrame) = {
     require(w >= 2, s"window size $w must be >= 2")
     val toks = split(trim(col(textCol)), "\\s+")
     val nTokens = when(length(trim(col(textCol))) === 0, lit(0L))
@@ -582,7 +585,12 @@ object Dedup {
       .select(col("id"), (col("_p0") + 1).as("pos"), col("h"))
     val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2).select("h")
-    val dupWins = wins.join(dupHashes, Seq("h"), "left_semi")
+    (base, wins.join(dupHashes, Seq("h"), "left_semi"))
+  }
+
+  def duplicateWindowStats(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val (base, dupWins) = windowDupFrames(df, idCol, textCol, w)
     val perDoc = dupWins.groupBy("id")
       .agg(count(lit(1)).as("dup_windows"))
     val covered = dupWins
@@ -601,5 +609,39 @@ object Dedup {
           .otherwise(round(
             coalesce(col("covered_tokens"), lit(0L)).cast("double") /
               col("n_tokens"), 6)).as("dup_fraction"))
+  }
+
+  /** Apply the ExactSubstr cut ([[duplicateWindowStats]]'s companion):
+    * remove every token covered by a duplicated `w`-token window and
+    * re-join the survivors in order — the aggressive both-sides cut
+    * (every occurrence of a duplicated span goes, which over-cuts vs the
+    * reference suffix-array tool's keep-one policy but needs no global
+    * occurrence ordering; Lee et al. report the choice barely matters at
+    * corpus scale because duplicated spans are a small minority).
+    *
+    * Same shuffle discipline as [[TextAnalysis.stripBoilerplate]]: the
+    * per-doc cut-index set rides back as a small int array and the cut +
+    * re-join happens inside the row — document text never shuffles.
+    *
+    * Output: id, n_tokens, cut_tokens, clean_text.
+    */
+  def cutDuplicateWindows(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val (base, dupWins) = windowDupFrames(df, idCol, textCol, w)
+    val covered = dupWins
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("_ti"))
+      .groupBy("id").agg(collect_set(col("_ti")).as("_cut"))
+    base.join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(size(col("_cut")), lit(0)).cast("long").as("cut_tokens"),
+        when(col("n_tokens") === 0, lit(""))
+          .otherwise(array_join(
+            transform(
+              filter(
+                sequence(lit(1), greatest(col("n_tokens").cast("int"), lit(1))),
+                i => coalesce(!array_contains(col("_cut"), i), lit(true))),
+              i => element_at(col("_toks"), i)),
+            " ")).as("clean_text"))
   }
 }

@@ -48,6 +48,41 @@ object Sampling {
         floor(col("rate") * lit(Two60)).cast("long"))
       .drop("rate")
 
+  /** Weighted epoch upsampling — the corpus-mixture step (The Pile's
+    * per-source epoch factors, Gao et al. arXiv:2101.00027; LLaMA's
+    * sampling proportions): each group's rows repeat for `weight`
+    * effective epochs — floor(weight) whole copies for every row, plus
+    * one more copy behind a deterministic hash gate that fires with
+    * probability frac(weight). Same md5 gate as [[hashSample]], so the
+    * mixture is reproducible across engines, runs, retries and
+    * partitionings — `rand()`-based upsampling re-draws per retry and
+    * silently changes the training mix.
+    *
+    * Scale shape: broadcast the tiny weight table, one per-row gate, one
+    * in-row `sequence` + explode for the copy fan-out — no shuffle at
+    * all; the output inherits the input's partitioning with copy rows
+    * adjacent (follow with [[shardAssign]] to spread them). Groups
+    * absent from `weights` drop (weight 0), matching
+    * [[stratifiedHashSample]].
+    *
+    * Output: input columns + copy (0-based copy index, long).
+    */
+  def epochUpsample(
+      df: DataFrame, groupCol: String, keyCol: String,
+      weights: DataFrame, // groupCol, weight (double >= 0)
+      salt: String = "graft"): DataFrame = {
+    val n = floor(col("weight")).cast("long") +
+      when(keyHash60(col(keyCol), salt) <
+          floor((col("weight") - floor(col("weight"))) * lit(Two60))
+            .cast("long"), lit(1L))
+        .otherwise(lit(0L))
+    df.join(broadcast(weights), Seq(groupCol))
+      .withColumn("_n", n)
+      .filter(col("_n") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("weight", "_n")
+  }
+
   /** Per-group quota cap (the Common-Crawl-style per-domain cap): keep at
     * most `cap` rows per group, selected in deterministic hash order so
     * the survivors are a stable uniform choice, not "whatever arrived

@@ -748,4 +748,49 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (id, _, tq, sq, w) =>
       assert(tq == t(id) && sq == s2(id) && w == tq - sq) }
   }
+
+  test("cutDuplicateWindows removes covered spans, keeps unique text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),        // "a b c d" shared with doc 2
+      (2L, "z a b c d w"),
+      (3L, " "))                  // blank passes through
+      .toDF("doc_id", "text")
+    val got = Dedup.cutDuplicateWindows(df, "doc_id", "text", w = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 6L, 4L, "e f"),     // tokens 1-4 covered
+      (2L, 6L, 4L, "z w"),     // tokens 2-5 covered
+      (3L, 0L, 0L, "")))
+  }
+
+  test("epochUpsample: whole copies + hash-gated fractional copy, no-weight drops") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val weights = Seq(("a", 2.0), ("b", 0.5)).toDF("g", "weight")
+    val got = Sampling.epochUpsample(df, "g", "id", weights)
+    val byG = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("a") == 100L) // exactly 2 copies of each of 50 rows
+    // fractional 0.5: hash gate keeps roughly half of the 50 "b" rows once
+    assert(byG("b") > 10L && byG("b") < 40L, byG("b"))
+    // copy indices are dense 0..n-1 per row
+    val copies = got.filter(col("g") === "a").groupBy("id")
+      .agg(sort_array(collect_list(col("copy"))).as("cs"))
+      .collect().map(_.getSeq[Long](1).toSeq).toSet
+    assert(copies == Set(Seq(0L, 1L)))
+    // group without a weight vanishes
+    val none = Sampling.epochUpsample(df, "g", "id",
+      Seq(("a", 1.0)).toDF("g", "weight"))
+    assert(none.filter(col("g") === "b").count() == 0)
+    // deterministic across partitionings
+    val again = Sampling.epochUpsample(df.repartition(7), "g", "id", weights)
+      .select("id", "copy").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(again == got.select("id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
 }
