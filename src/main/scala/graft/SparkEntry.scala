@@ -2244,13 +2244,15 @@ object SparkEntry {
       .select($("id"), $("hops"))
   }
 
-  /** SemDeDup: k-means clusters (the exact q76 assignment) bound the
-    * cosine pair search; within-cluster pairs >= 0.3 drop the larger id.
+  /** SemDeDup: exact quantized k-means clusters (the q76 algorithm at
+    * k = 25 — SemDeDup's own regime is many clusters so the within-cell
+    * pair space stays bounded) gate the cosine search; within-cluster
+    * pairs >= 0.3 drop the larger id.
     */
   private def q136Semdedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val assign = Embeddings.kmeansAssignQuantized(
-      e, "vec_id", "embedding", k = 8, iters = 2)
+      e, "vec_id", "embedding", k = 25, iters = 2)
     Dedup.semanticDedup(e, "vec_id", "embedding", assign, threshold = 0.3)
   }
 
@@ -4413,7 +4415,7 @@ object SparkEntry {
         |flat AS (SELECT id, unnest(range(0, len(qv))) AS dim, unnest(qv) AS x
         |         FROM emb),
         |c0 AS (SELECT id AS cell, dim, x AS s, 1::BIGINT AS n
-        |       FROM flat WHERE id < 8),
+        |       FROM flat WHERE id < 25),
         |s1 AS (SELECT f.id, c.cell,
         |         sum((c.n*f.x - c.s)*(c.n*f.x - c.s))::DOUBLE / (c.n*c.n) AS score
         |       FROM flat f JOIN c0 c USING (dim) GROUP BY f.id, c.cell, c.n),

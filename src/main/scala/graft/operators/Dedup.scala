@@ -534,11 +534,19 @@ object Dedup {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       clusters: DataFrame, threshold: Double): DataFrame = {
-    val withC = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // per-row norm computed ONCE here: the pair filter below then divides
+    // the pair dot by nrm_a * nrm_b — arithmetically identical to
+    // cosine(a, b) (same ops, same order) but the O(pairs) stage does one
+    // dot instead of a dot plus two norms, a 3× cut of the interpreted
+    // HOF work that dominates this operator
+    val withC = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        SimilaritySearch.norm(col(vecCol)).as("nrm"))
       .join(clusters, Seq("id"))
+      .localCheckpoint(false) // consumed by both pair sides + the anti-join
     val drops = withC.as("a").hint("shuffle_hash").join(withC.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .filter(SimilaritySearch.cosine(col("a.v"), col("b.v")) >= threshold)
+      .filter(SimilaritySearch.dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")) >= threshold)
       .select(col("b.id").as("id")).distinct()
     withC.join(drops, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cell"))
@@ -575,17 +583,30 @@ object Dedup {
       .otherwise(size(toks).cast("long"))
     val base = df.select(col(idCol).as("id"), toks.as("_toks"),
       nTokens.as("n_tokens"))
+    // lazy checkpoint: the narrow (id, pos, hash) window stream — never
+    // the document text — feeds the duplicate count AND the semi-join
+    // back; without it the tokenize + md5 pipeline executes once per
+    // consumer (measured 4× at sf0.1)
+    // `bind` pins the token array to a lambda variable: projection
+    // collapse otherwise substitutes the split(trim(text)) expression for
+    // _toks INSIDE the transform lambda, re-tokenizing the document once
+    // per window (the nested-HOF re-evaluation trap — measured 25× on
+    // this operator; see dev/PERF_r5.md §2)
     val wins = base
       .select(col("id"),
-        when(col("n_tokens") >= w,
-          transform(sequence(lit(1), (col("n_tokens") - (w - 1)).cast("int")),
-            i => hash60Base(array_join(slice(col("_toks"), i, lit(w)), " "))))
-          .otherwise(array().cast("array<long>")).as("_hs"))
+        bind(col("_toks"), toks =>
+          when(col("n_tokens") >= w,
+            transform(
+              sequence(lit(1), (col("n_tokens") - (w - 1)).cast("int")),
+              i => hash60Base(array_join(slice(toks, i, lit(w)), " "))))
+            .otherwise(array().cast("array<long>"))).as("_hs"))
       .select(col("id"), posexplode(col("_hs")).as(Seq("_p0", "h")))
       .select(col("id"), (col("_p0") + 1).as("pos"), col("h"))
+      .localCheckpoint(false)
     val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2).select("h")
-    (base, wins.join(dupHashes, Seq("h"), "left_semi"))
+    (base, wins.join(dupHashes, Seq("h"), "left_semi")
+      .localCheckpoint(false)) // both callers consume it twice
   }
 
   def duplicateWindowStats(
@@ -636,12 +657,12 @@ object Dedup {
       .select(col("id").as(idCol), col("n_tokens"),
         coalesce(size(col("_cut")), lit(0)).cast("long").as("cut_tokens"),
         when(col("n_tokens") === 0, lit(""))
-          .otherwise(array_join(
+          .otherwise(bind(col("_toks"), toks => array_join(
             transform(
               filter(
                 sequence(lit(1), greatest(col("n_tokens").cast("int"), lit(1))),
                 i => coalesce(!array_contains(col("_cut"), i), lit(true))),
-              i => element_at(col("_toks"), i)),
-            " ")).as("clean_text"))
+              i => element_at(toks, i)),
+            " "))).as("clean_text"))
   }
 }

@@ -508,14 +508,22 @@ object TextAnalysis {
       nSegs.as("n_segments"))
     def segText(arr: Column, i: Column): Column =
       array_join(slice(arr, (i - 1) * segTokens + 1, lit(segTokens)), " ")
+    // lazy checkpoint of the narrow (id, idx, hash) stream: consumed by
+    // the df-count and the drop semi-join — never re-derives the text
+    // Dedup.bind pins the token array to a lambda variable; a bare _toks
+    // reference inside the lambda would projection-collapse back to
+    // split(trim(text)) and re-tokenize once per segment (the nested-HOF
+    // re-evaluation trap, dev/PERF_r5.md §2)
     val segs = base
       .select(col("id"),
-        when(col("n_segments") > 0,
-          transform(sequence(lit(1), col("n_segments")),
-            i => Dedup.hash60Base(segText(col("_toks"), i))))
-          .otherwise(array().cast("array<long>")).as("_hs"))
+        Dedup.bind(col("_toks"), toks =>
+          when(col("n_segments") > 0,
+            transform(sequence(lit(1), col("n_segments")),
+              i => Dedup.hash60Base(segText(toks, i))))
+            .otherwise(array().cast("array<long>"))).as("_hs"))
       .select(col("id"), posexplode(col("_hs")).as(Seq("_i0", "h")))
       .select(col("id"), (col("_i0") + 1).as("idx"), col("h"))
+      .localCheckpoint(false)
     val boiler = segs.groupBy("h")
       .agg(count_distinct(col("id")).as("_df"))
       .filter(col("_df") >= minDf).select("h")
@@ -527,12 +535,12 @@ object TextAnalysis {
         coalesce(size(col("_drop")), lit(0)).cast("long")
           .as("dropped_segments"),
         when(col("n_segments") === 0, lit(""))
-          .otherwise(array_join(
+          .otherwise(Dedup.bind(col("_toks"), toks => array_join(
             transform(
               filter(sequence(lit(1), greatest(col("n_segments"), lit(1))),
                 i => coalesce(!array_contains(col("_drop"), i), lit(true))),
-              i => segText(col("_toks"), i)),
-            " ")).as("clean_text"))
+              i => segText(toks, i)),
+            " "))).as("clean_text"))
   }
 
   /** BM25 lexical retrieval: top-`k` corpus documents per query by the

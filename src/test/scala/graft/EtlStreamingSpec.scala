@@ -409,6 +409,32 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: broadcast dim joins into a stream") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_enrich").toString
+    Seq(("u1", 1L), ("u2", 2L), ("u3", 3L))
+      .toDF("user", "event_id").write.parquet(s"$base/in")
+    val dim = Seq(("u1", "gold"), ("u2", "basic")).toDF("user", "tier")
+    val schema = StructType(Seq(StructField("user", StringType),
+      StructField("event_id", LongType)))
+    // left join keeps unmatched stream rows; the static side broadcasts
+    // per micro-batch (no stateful shuffle at all)
+    val enriched = StreamingEtl.readFeed(spark, s"$base/in", schema)
+      .join(broadcast(dim), Seq("user"), "left")
+    val q = enriched.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ck")
+      .outputMode("append")
+      .format("memory").queryName("enrich")
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.sql("select user, event_id, tier from enrich")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+      .sorted.toSeq
+    assert(got == Seq(("u1", 1L, Some("gold")), ("u2", 2L, Some("basic")),
+      ("u3", 3L, None)))
+  }
+
   test("StreamingEtl.intervalJoin: stream-stream attribution == batch join") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_stream_ssj").toString
