@@ -793,4 +793,99 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == got.select("id", "copy").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
+
+  test("kHopReachability matches brute-force BFS on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val edges = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val seeds = Seq(0L, 7L)
+    val got = Graph.kHopReachability(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("id"), "id", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute BFS over the symmetrized adjacency
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    assert(got == dist, s"got $got vs brute $dist")
+  }
+
+  test("bm25TopK scores match a brute-force Scala computation exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val vocab = Vector("red", "blue", "green", "gold", "ash", "elm")
+    def doc() = Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    val corpus = (0L until 25L).map(i => i -> doc()).toMap
+    val queries = Map(100L -> doc(), 101L -> doc())
+    val got = TextAnalysis.bm25TopK(
+        corpus.toSeq.map { case (i, t) => (i, t.mkString(" ")) }
+          .toDF("doc_id", "text"),
+        queries.toSeq.map { case (i, t) => (i, t.mkString(" ")) }
+          .toDF("doc_id", "text"),
+        "doc_id", "text", "doc_id", k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // brute force with the library's exact op order
+    val tf = corpus.map { case (i, t) =>
+      i -> t.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val dl = tf.view.mapValues(_.values.sum).toMap
+    val n = dl.size.toLong
+    val tot = dl.values.sum
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val brute = (for {
+      (qid, qt) <- queries.toSeq
+      term <- qt.distinct
+      (id, tfs) <- tf if tfs.contains(term)
+    } yield {
+      val idf = ((n - df(term)).toDouble + 0.5) / (df(term).toDouble + 0.5)
+      val tfn = (tfs(term).toDouble * 2.2) / (tfs(term).toDouble +
+        1.2 * (0.25 + 0.75 * (dl(id).toDouble / (tot.toDouble / n.toDouble))))
+      (qid, id) -> math.floor((1048576.0 * idf) * tfn).toLong
+    }).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got == brute)
+  }
+
+  test("window-dedup family matches brute force on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val vocab = Vector("a", "b", "c")
+    val w = 3
+    val corpus = (0L until 30L).map { i =>
+      i -> Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    }.toMap
+    val df = corpus.toSeq.map { case (i, t) => (i, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    // brute: all (doc, pos) windows, dup = text seen at >= 2 sites
+    val wins = corpus.toSeq.flatMap { case (i, t) =>
+      t.sliding(w).zipWithIndex.collect {
+        case (g, p) if g.size == w => (i, p + 1, g.mkString(" ")) } }
+    val dupTexts = wins.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val dupWins = wins.filter(x => dupTexts(x._3))
+    val stats = Dedup.duplicateWindowStats(df, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    corpus.foreach { case (i, t) =>
+      val myDup = dupWins.filter(_._1 == i)
+      val covered = myDup.flatMap(x => x._2 until (x._2 + w)).toSet
+      assert(stats(i) == ((t.size.toLong,
+        math.max(t.size - w + 1, 0).toLong,
+        myDup.size.toLong, covered.size.toLong)), s"doc $i")
+    }
+    val cut = Dedup.cutDuplicateWindows(df, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    corpus.foreach { case (i, t) =>
+      val covered = dupWins.filter(_._1 == i)
+        .flatMap(x => x._2 until (x._2 + w)).toSet
+      val expect = t.zipWithIndex.collect {
+        case (tok, p) if !covered(p + 1) => tok }.mkString(" ")
+      assert(cut(i) == expect, s"doc $i")
+    }
+  }
 }
