@@ -2303,6 +2303,14 @@ object SparkEntry {
       .select($("doc_id"), $("lang"), $("copy"))
   }
 
+  /** Skip-gram (center, context) pair counts, window 2 — word2vec prep. */
+  private def q141SkipGrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.skipGramPairs(docs(s, dir), "doc_id", "text", window = 2)
+
+  /** Cross-source 3-gram contamination matrix over the 20 sources. */
+  private def q142SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlapMatrix(docs(s, dir), "source", "text", n = 3)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2446,6 +2454,8 @@ object SparkEntry {
     "q138_dsir" -> (q138Dsir _),
     "q139_cut_dup" -> (q139CutDup _),
     "q140_epoch_upsample" -> (q140EpochUpsample _),
+    "q141_skip_grams" -> (q141SkipGrams _),
+    "q142_source_overlap" -> (q142SourceOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4536,5 +4546,32 @@ object SparkEntry {
         |  FROM documents d JOIN w USING (lang))
         |SELECT doc_id, lang, unnest(range(0, n)) AS copy
         |FROM base WHERE n > 0""".stripMargin,
+    "q141_skip_grams" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents),
+        |ps AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS p FROM tk),
+        |t AS (SELECT doc_id, p, l[p] AS tok FROM ps WHERE length(l[p]) > 0),
+        |pr AS (SELECT a.tok AS center, b.tok AS context FROM t a JOIN t b
+        |       ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2),
+        |sym AS (SELECT center, context FROM pr
+        |        UNION ALL SELECT context, center FROM pr)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS n
+        |FROM sym GROUP BY 1, 2""".stripMargin,
+    "q142_source_overlap" ->
+      """WITH tk AS (SELECT source, string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents),
+        |sg AS (SELECT DISTINCT source, g FROM (
+        |  SELECT source, unnest([array_to_string(l[i:i+2], ' ')
+        |    for i in range(1, greatest(len(l)-2, 1)+1)]) AS g FROM tk)),
+        |sizes AS (SELECT source, count(*) AS sz FROM sg GROUP BY source),
+        |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS shared
+        |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b, CAST(i.shared AS BIGINT) AS shared,
+        |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+        |  round(i.shared::DOUBLE / (sa.sz + sb.sz - i.shared), 6) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.source = i.source_a
+        |JOIN sizes sb ON sb.source = i.source_b""".stripMargin,
   )
 }

@@ -512,6 +512,44 @@ object Dedup {
         col("best.w").as(weightCol))
   }
 
+  /** Cross-source contamination matrix — the pairwise generalization of
+    * [[contaminationScores]]: distinct word-`n`-gram overlap between
+    * every pair of corpus sources (subcorpora, crawl snapshots, vendor
+    * deliveries), the standard forensic audit before mixing sources into
+    * a training corpus (shared boilerplate, mirrored sites, resold
+    * scrapes all surface as off-diagonal mass).
+    *
+    * Plan: distinct (source, gram) rows (two map-side-combined
+    * aggregates), then a gram-keyed self-join whose fan-out per gram is
+    * bounded by |sources|² — never corpus-sized — and one count per
+    * source pair. Text reduces to grams at the scan; at 100 TB add the
+    * [[ngramJaccardPairs]] dfCap guard if a stop-gram is shared by every
+    * source.
+    *
+    * Output: source_a < source_b, shared, sz_a, sz_b, jaccard (round 6).
+    */
+  def sourceOverlapMatrix(
+      df: DataFrame, groupCol: String, textCol: String, n: Int): DataFrame = {
+    val sg = df.select(col(groupCol).as("g"),
+        explode(wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .localCheckpoint(false) // sizes + both join sides
+    val sizes = sg.groupBy("g").agg(count(lit(1)).as("sz"))
+    val inter = sg.as("a").hint("shuffle_hash").join(sg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.select(col("g").as("source_a"), col("sz").as("sz_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("g").as("source_b"), col("sz").as("sz_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("sz_a"), col("sz_b"),
+        round(col("shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("shared")), 6).as("jaccard"))
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
     * semantic near-duplicate removal by clustering embeddings first and

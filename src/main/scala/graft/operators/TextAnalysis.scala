@@ -543,6 +543,41 @@ object TextAnalysis {
             " "))).as("clean_text"))
   }
 
+  /** Skip-gram training-pair counts (word2vec, Mikolov et al. 2013,
+    * arXiv:1301.3781): (center, context) occurrence counts for every
+    * token pair within `window` positions, both directions — the
+    * embedding-training data a corpus pipeline feeds to word2vec/GloVe.
+    *
+    * Relational plan: posexplode the token stream once, take `window`
+    * `lead()` passes over (doc, pos) — per-row arrays never materialize
+    * and the only wide stages are the doc-keyed sort (free when the
+    * corpus is already partitioned by document) and one map-side-combined
+    * count whose key space is bounded by vocabulary², not corpus size.
+    *
+    * Output: center, context, n (BIGINT).
+    */
+  def skipGramPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window $window must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = df
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+    val wspec = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 to window).map(j => lead(col("t"), j).over(wspec).as(s"_l$j"))
+    val withLeads = toksDf.select((col("t") +: leads): _*)
+    val pairs = (1 to window).map { j =>
+      withLeads.filter(col(s"_l$j").isNotNull)
+        .select(col("t").as("center"), col(s"_l$j").as("context"))
+    }.reduce(_ unionByName _)
+    pairs
+      .unionByName(pairs.select(col("context").as("center"),
+        col("center").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+  }
+
   /** BM25 lexical retrieval: top-`k` corpus documents per query by the
     * Okapi BM25 family score (k1 = 1.2, b = 0.75) — the lexical half of
     * the hybrid search whose rank fusion is

@@ -888,4 +888,41 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cut(i) == expect, s"doc $i")
     }
   }
+
+  test("skipGramPairs matches brute-force pair enumeration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    val vocab = Vector("p", "q", "r", "s")
+    val corpus = (0L until 20L).map { i =>
+      i -> Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val df = corpus.map { case (i, t) => (i, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.skipGramPairs(df, "doc_id", "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val brute = corpus.flatMap { case (_, t) =>
+      for {
+        i <- t.indices; j <- t.indices
+        if i != j && math.abs(i - j) <= 2
+      } yield (t(i), t(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == brute)
+  }
+
+  test("sourceOverlapMatrix counts distinct shared shingles per pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e", "s1"),   // grams: "a b c","b c d","c d e"
+      (2L, "a b c x y", "s2"),   // shares "a b c" with s1
+      (3L, "a b c d q", "s2"),   // adds "b c d" overlap (distinct per source)
+      (4L, "z z z z z", "s3"))   // disjoint
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMatrix(df, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // s1 x s2 share {"a b c", "b c d"}; s1 has 3 grams, s2 has 5 distinct
+    assert(got(("s1", "s2")) == ((2L, 3L, 5L)))
+    assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")))
+  }
 }
