@@ -377,6 +377,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("q133/q142 segment and overlap joins are hash equi-joins only") {
+    for (q <- Seq("q133_boilerplate", "q142_source_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated")
+      assert(p.contains("partial_count"), s"$q must combine map-side")
+    }
+  }
+
+  test("q141 skip-gram leads window by doc, never a single partition") {
+    val p = plan("q141_skip_grams")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .toSeq
+    assert(winLines.nonEmpty, p.take(2000))
+    assert(winLines.forall(_.contains("id")), winLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q136 SemDeDup pair search is cell-bounded, no cartesian") {
+    val p = plan("q136_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster join must stay an equi-join on the cell key")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q134 BM25: postings equi-join, no cartesian, bounded top-k window") {
     val p = plan("q134_bm25")
     assert(!p.contains("CartesianProduct"),
