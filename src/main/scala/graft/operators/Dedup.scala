@@ -233,18 +233,30 @@ object Dedup {
     * Output: (corpus_id, batch_id, agree) for pairs agreeing on >=
     * `minAgree` of `numHashes` signature positions.
     */
+  /** The standing LSH band index of a corpus: one (id, sig, band, bucket)
+    * row per document per band — what an incremental dedup pipeline
+    * persists between batches and what the STREAMING gate
+    * ([[graft.streaming.StreamingEtl.dedupAgainstIndex]]) probes as its
+    * static side.
+    */
+  def minhashBandIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 4, numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+    val numBands = numHashes / bandSize
+    minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until numBands).map { b =>
+          md5(concat_ws(",", (0 until bandSize).map(i =>
+            element_at(col("sig"), b * bandSize + i + 1)): _*))
+        }: _*)).as(Seq("band", "bucket")))
+  }
+
   def minhashLshPairsAgainst(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 4, numHashes: Int = 16, bandSize: Int = 4,
       minAgree: Int = 12): DataFrame = {
-    val numBands = numHashes / bandSize
     def banded(df: DataFrame) =
-      minhashSignatures(df, idCol, textCol, shingleN, numHashes)
-        .select(col("id"), col("sig"),
-          posexplode(array((0 until numBands).map { b =>
-            md5(concat_ws(",", (0 until bandSize).map(i =>
-              element_at(col("sig"), b * bandSize + i + 1)): _*))
-          }: _*)).as(Seq("band", "bucket")))
+      minhashBandIndex(df, idCol, textCol, shingleN, numHashes, bandSize)
     banded(corpus).as("a").hint("shuffle_hash").join(banded(batch).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("corpus_id"), col("b.id").as("batch_id"),

@@ -132,6 +132,48 @@ object StreamingEtl {
       .drop(rw(keyCol))
   }
 
+  /** Streaming near-duplicate gate: each arriving document is minhashed
+    * PER ROW (the stateless column form — no groupBy, so the stream
+    * needs no watermark), banded, and probed against a STANDING corpus
+    * index ([[graft.operators.Dedup.minhashBandIndex]], loaded as a
+    * static frame) — the streaming twin of the batch incremental dedup
+    * (`minhashLshPairsAgainst`, q77). Signature agreement is verified
+    * inline on the matched rows, so the whole micro-batch pipeline is
+    * stateless: state lives in the persisted index, not the stream, and
+    * a restart replays exactly (the determinism the md5 minhash family
+    * guarantees).
+    *
+    * A pair matched by several bands emits one row per matching band —
+    * dedup of the flag belongs to the sink (or a
+    * `dropDuplicatesWithinWatermark` when event time exists); the spec
+    * pins distinct-pair equality with the batch operator.
+    *
+    * Output: batch_id, corpus_id, agree (matched signature positions).
+    */
+  def dedupAgainstIndex(
+      docs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 4, numHashes: Int = 16, bandSize: Int = 4,
+      minAgree: Int = 12): DataFrame = {
+    val numBands = numHashes / bandSize
+    val sig = graft.operators.Dedup.minhashSignature(
+      col(textCol), shingleN, numHashes)
+    val banded = docs
+      .select(col(idCol).as("batch_id"), sig.as("sig_b"))
+      .select(col("batch_id"), col("sig_b"),
+        posexplode(array((0 until numBands).map { b =>
+          md5(concat_ws(",", (0 until bandSize).map(i =>
+            element_at(col("sig_b"), b * bandSize + i + 1)): _*))
+        }: _*)).as(Seq("band", "bucket")))
+    banded
+      .join(index.select(col("id").as("corpus_id"), col("sig").as("sig_a"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .withColumn("agree", size(filter(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+      .filter(col("agree") >= minAgree)
+      .select("batch_id", "corpus_id", "agree")
+  }
+
   /** A keyed update event entering [[upsertChanges]]. */
   final case class Upsert(key: String, seq: Long, value: String)
   /** Per-key state carried between micro-batches. */

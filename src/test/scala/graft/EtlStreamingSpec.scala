@@ -409,6 +409,48 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("StreamingEtl.dedupAgainstIndex: streaming LSH gate == batch pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("graft_stream_dedup").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text about spark catalyst planning"),
+      (3L, "another unrelated corpus document mentioning parquet files"))
+      .toDF("doc_id", "text")
+    val arriving = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+      (11L, "the quick brown fox jumps over the lazy cat today"), // near-dup
+      (12L, "nothing like anything in the standing corpus here"))
+    arriving.toDF("doc_id", "text").write.parquet(s"$base/in")
+    val index = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val gated = StreamingEtl.dedupAgainstIndex(
+      StreamingEtl.readFeed(spark, s"$base/in", schema), index,
+      "doc_id", "text", minAgree = 8)
+    val q = gated.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ck")
+      .outputMode("append")
+      .format("memory").queryName("dedup_gate")
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+        "select distinct corpus_id, batch_id, agree from dedup_gate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    val batch = Dedup.minhashLshPairsAgainst(corpus,
+        arriving.toDF("doc_id", "text"), "doc_id", "text", minAgree = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    assert(streamed == batch)
+    // the exact duplicate must be flagged against corpus doc 1; the
+    // unrelated doc 12 must not be flagged at all
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 10L))
+    assert(!streamed.exists(_._2 == 12L))
+  }
+
   test("stream-static enrichment: broadcast dim joins into a stream") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_stream_enrich").toString
