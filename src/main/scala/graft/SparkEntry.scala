@@ -2311,6 +2311,20 @@ object SparkEntry {
   private def q142SourceOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlapMatrix(docs(s, dir), "source", "text", n = 3)
 
+  /** Positional-index exact phrase search: one scan + one vote aggregate
+    * for any phrase length, no m-way self-join.
+    */
+  private def q143PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    Search.phraseSearch(docs(s, dir), "doc_id", "text", "table window")
+
+  /** Trigram-index substring search (the pg_trgm plan): candidates must
+    * hold every needle trigram; only the sliver pays the exact verify.
+    * The oracle is the plain full-scan LIKE — the index must be
+    * recall-complete, so the answers are identical by construction.
+    */
+  private def q144TrigramSearch(s: SparkSession, dir: String): DataFrame =
+    Search.trigramSearch(docs(s, dir), "doc_id", "text", "scan group")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2456,6 +2470,8 @@ object SparkEntry {
     "q140_epoch_upsample" -> (q140EpochUpsample _),
     "q141_skip_grams" -> (q141SkipGrams _),
     "q142_source_overlap" -> (q142SourceOverlap _),
+    "q143_phrase_search" -> (q143PhraseSearch _),
+    "q144_trigram_search" -> (q144TrigramSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4573,5 +4589,22 @@ object SparkEntry {
         |  round(i.shared::DOUBLE / (sa.sz + sb.sz - i.shared), 6) AS jaccard
         |FROM inter i JOIN sizes sa ON sa.source = i.source_a
         |JOIN sizes sb ON sb.source = i.source_b""".stripMargin,
+    "q143_phrase_search" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents),
+        |ps AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS p FROM tk),
+        |tok AS (SELECT doc_id, p, l[p] AS tok FROM ps),
+        |ph(j, w) AS (VALUES (0, 'table'), (1, 'window')),
+        |votes AS (SELECT DISTINCT doc_id, tok.p - ph.j AS start, ph.j AS j
+        |          FROM tok JOIN ph ON tok.tok = ph.w),
+        |occ AS (SELECT doc_id, start FROM votes GROUP BY doc_id, start
+        |        HAVING count(*) = 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(start) AS BIGINT) AS first_pos
+        |FROM occ WHERE start >= 1 GROUP BY doc_id""".stripMargin,
+    "q144_trigram_search" ->
+      """SELECT doc_id,
+        |  CAST(strpos(text, 'scan group') AS BIGINT) AS first_ix
+        |FROM documents WHERE contains(text, 'scan group')""".stripMargin,
   )
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inverted-index text retrieval: exact phrase search over a positional
+  * index and substring search over a character-trigram index — the two
+  * index shapes a relational engine uses where Postgres would reach for
+  * `tsvector` positions and `pg_trgm` GIN indexes (the reference's
+  * database uses trigram indexes for its barcode similarity checks;
+  * here the same structure serves corpus-scale text search). Ranked
+  * retrieval over the same postings layout is
+  * [[TextAnalysis.bm25TopK]]; hybrid fusion is
+  * [[SimilaritySearch.rrfFuse]].
+  */
+object Search {
+
+  /** Exact phrase occurrences via a positional inverted index, ONE scan
+    * and one aggregation for any phrase length: a token at position p
+    * matching phrase word j is evidence for a phrase start at p − j, so
+    * matching tokens emit (doc, start, j) votes and a start is an
+    * occurrence iff it collected all m distinct j's. No m-way self-join
+    * (the naive positional-index plan), no per-row regex: work is
+    * proportional to occurrences of the phrase's WORDS, which the
+    * broadcast phrase join prunes from the postings stream at the scan.
+    *
+    * Output: id, n_occurrences, first_pos (1-based token position) for
+    * documents containing the phrase at least once.
+    */
+  def phraseSearch(
+      df: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq
+    require(words.nonEmpty && words.head.nonEmpty, "empty phrase")
+    val m = words.length
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ph = words.zipWithIndex.map { case (w, j) => (j.toLong, w) }
+      .toDF("j", "w")
+    df.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_p0", "tok")))
+      .select(col("id"), (col("_p0") + 1).as("p"), col("tok"))
+      .join(broadcast(ph), col("tok") === col("w"))
+      .select(col("id"), (col("p") - col("j")).as("start"), col("j"))
+      .distinct()
+      .groupBy("id", "start").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") === m && col("start") >= 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_occurrences"), min("start").as("first_pos"))
+      .select(col("id").as(idCol), col("n_occurrences"), col("first_pos"))
+  }
+
+  /** Substring search via a character-trigram index (the `pg_trgm`
+    * plan): candidate documents must contain EVERY trigram of the
+    * needle — an inverted-index intersection that prunes the corpus to
+    * a sliver — and only candidates pay the exact `contains` verify.
+    * The index is recall-complete (any document containing the needle
+    * contains all its trigrams), so results equal a full-scan LIKE; the
+    * trigram stage exists purely to keep the verify off 99% of a
+    * 100 TB corpus. Needles shorter than 3 characters fall back to the
+    * full-scan filter.
+    *
+    * Output: id, first_ix (1-based character position of the first
+    * occurrence) for matching documents.
+    */
+  def trigramSearch(
+      df: DataFrame, idCol: String, textCol: String,
+      needle: String): DataFrame = {
+    require(needle.nonEmpty, "empty needle")
+    val verified =
+      if (needle.length < 3) df
+      else {
+        val grams = needle.sliding(3).toSeq.distinct
+        val tg = df.select(col(idCol).as("id"),
+            explode(Dedup.bind(col(textCol).cast("string"), t =>
+              array_distinct(transform(
+                sequence(lit(1), greatest(length(t) - 2, lit(1))),
+                i => t.substr(i, lit(3))))))
+              .as("g"))
+        val cands = tg
+          .filter(col("g").isin(grams: _*))
+          .distinct()
+          .groupBy("id").agg(count(lit(1)).as("_c"))
+          .filter(col("_c") === grams.length)
+          .select("id")
+        df.join(cands.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+      }
+    verified
+      .filter(col(textCol).contains(needle))
+      .select(col(idCol), instr(col(textCol), needle).cast("long")
+        .as("first_ix"))
+  }
+}

@@ -925,4 +925,52 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(("s1", "s2")) == ((2L, 3L, 5L)))
     assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")))
   }
+
+  test("phraseSearch: overlapping occurrences, repeated words, brute force") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),        // "a a" occurs at 1 and 2 (overlapping)
+      (2L, "b a a"),          // at end
+      (3L, "a b a"),          // no "a a"
+      (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Search.phraseSearch(df, "doc_id", "text", "a a")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L), (2L, 1L, 2L)))
+    // random brute-force equivalence
+    val rnd = new scala.util.Random(83)
+    val vocab = Vector("m", "n", "o")
+    val corpus = (0L until 40L).map { i =>
+      i -> Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))) }
+    val cdf = corpus.map { case (i, t) => (i, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val phrase = Seq("m", "n", "m")
+    val got2 = Search.phraseSearch(cdf, "doc_id", "text", phrase.mkString(" "))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val brute = corpus.flatMap { case (i, t) =>
+      val starts = t.indices.filter(s =>
+        s + phrase.size <= t.size && t.slice(s, s + phrase.size) == phrase)
+      if (starts.isEmpty) None
+      else Some(i -> ((starts.size.toLong, starts.min.toLong + 1)))
+    }.toMap
+    assert(got2 == brute)
+  }
+
+  test("trigramSearch equals full-scan contains; short needle falls back") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val alpha = "abcde "
+    val corpus = (0L until 60L).map { i =>
+      i -> Seq.fill(30)(alpha(rnd.nextInt(alpha.size))).mkString }
+    val df = corpus.map { case (i, t) => (i, t) }.toDF("doc_id", "text")
+    for (needle <- Seq("ab", "abc", "a b", "cde a")) {
+      val got = Search.trigramSearch(df, "doc_id", "text", needle)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = corpus.collect { case (i, t) if t.contains(needle) =>
+        i -> (t.indexOf(needle) + 1).toLong }.toMap
+      assert(got == brute, s"needle '$needle'")
+    }
+  }
 }
