@@ -2325,6 +2325,40 @@ object SparkEntry {
   private def q144TrigramSearch(s: SparkSession, dir: String): DataFrame =
     Search.trigramSearch(docs(s, dir), "doc_id", "text", "scan group")
 
+  /** Length-bucketed dynamic batching: 16-token length buckets, batches
+    * of 8, deterministic hash-order packing.
+    */
+  private def q145LengthBatches(s: SparkSession, dir: String): DataFrame =
+    Sampling.lengthBucketBatches(docs(s, dir), "doc_id", "text",
+      bucketWidth = 16, batchSize = 8)
+
+  /** Rolling z-score anomaly signal over the q130 trailing-1h RANGE
+    * frame: mean and variance from DECIMAL-exact window sums (order
+    * -independent), one IEEE sqrt/divide chain per row — engine-exact,
+    * so even the z values hash-match. Windows with no variance emit
+    * null z (the same bit-identical decision in both engines).
+    */
+  private def q146RollingZscore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select($("user_id"), epochS($("ts")).as("sec"), $("event_id"),
+        $("value"))
+    val w = Window.partitionBy($("user_id")).orderBy($("sec"))
+      .rangeBetween(-3599, 0)
+    val d = $("value").cast("decimal(18,6)")
+    val base = e.select($("user_id"), $("sec"), $("event_id"), $("value"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum(d).over(w).cast("double").as("_s1"),
+      sum(d * d).over(w).cast("double").as("_s2"))
+    val mean = $("_s1") / $("n_1h")
+    val variance = $("_s2") / $("n_1h") - mean * mean
+    base.select($("user_id"), $("sec"), $("event_id"), $("n_1h"),
+      round(mean, 6).as("mean_1h"),
+      when($("n_1h") > 1 && variance > 0,
+        round(($("value") - mean) / sqrt(variance), 6))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2472,6 +2506,8 @@ object SparkEntry {
     "q142_source_overlap" -> (q142SourceOverlap _),
     "q143_phrase_search" -> (q143PhraseSearch _),
     "q144_trigram_search" -> (q144TrigramSearch _),
+    "q145_length_batches" -> (q145LengthBatches _),
+    "q146_rolling_zscore" -> (q146RollingZscore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4606,5 +4642,36 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(strpos(text, 'scan group') AS BIGINT) AS first_ix
         |FROM documents WHERE contains(text, 'scan group')""".stripMargin,
+    "q145_length_batches" ->
+      """WITH tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM documents),
+        |b AS (SELECT doc_id, nt, nt // 16 AS len_bucket,
+        |  md5(doc_id::VARCHAR||'|graft') AS h FROM tk),
+        |r AS (SELECT doc_id, nt, len_bucket,
+        |  row_number() OVER (PARTITION BY len_bucket ORDER BY h, doc_id) - 1
+        |    AS rk FROM b)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(len_bucket AS BIGINT) AS len_bucket,
+        |  CAST(rk // 8 AS BIGINT) AS batch_no,
+        |  CAST(rk % 8 AS BIGINT) AS pos_in_batch FROM r""".stripMargin,
+    "q146_rolling_zscore" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |             event_id, value FROM events),
+        |base AS (SELECT user_id, sec, event_id, value,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6)) *
+        |           CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, sec, event_id, n_1h,
+        |  round(s1 / n_1h, 6) AS mean_1h,
+        |  CASE WHEN n_1h > 1 AND
+        |    (s2 / n_1h - (s1 / n_1h) * (s1 / n_1h)) > 0
+        |    THEN round((value - s1 / n_1h) /
+        |      sqrt(s2 / n_1h - (s1 / n_1h) * (s1 / n_1h)), 6)
+        |    ELSE NULL END AS z
+        |FROM base""".stripMargin,
   )
 }

@@ -154,6 +154,56 @@ object Sampling {
       .drop("_h", "_bucket", "_local_rk", "_rk", "_offset")
   }
 
+  /** Length-bucketed batch assignment — "dynamic batching" for training
+    * efficiency: sequences of similar token length share a batch so
+    * per-batch padding waste stays bounded (the packing-adjacent trick
+    * every large-scale trainer applies; [[TextAnalysis.packChunks]] is
+    * the concat-and-chunk alternative). Documents bucket by
+    * `tokenCount / bucketWidth`, get a deterministic hash-order ordinal
+    * WITHIN their bucket, and pack into batches of `batchSize`.
+    *
+    * The per-bucket ordinal is the same two-level distributed rank as
+    * [[shardAssign]]: the hash's first two hex chars split each length
+    * bucket into 256 uniform sub-buckets ranked locally, and only the
+    * per-(bucket, sub) counts ride a tiny cumsum (window over 256 rows
+    * per bucket, partitioned by bucket — never a bucket-sized single
+    * task; a web-scale length bucket holds billions of rows). Because
+    * the sub-bucket is a prefix of the hash, the stitched ordinal equals
+    * a plain per-bucket rank by (hash, id) — which is exactly what the
+    * DuckDB oracle computes.
+    *
+    * Output: id, n_tokens, len_bucket, batch_no, pos_in_batch (the last
+    * batch of each bucket may be ragged, as in real loaders).
+    */
+  def lengthBucketBatches(
+      df: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int, batchSize: Int,
+      salt: String = "graft"): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      s"bucketWidth $bucketWidth and batchSize $batchSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws("|", col("id").cast("string"), lit(salt)))
+    val local = df
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("len_bucket", floor(col("n_tokens") / bucketWidth))
+      .withColumn("_h", h)
+      .withColumn("_sub", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("_local_rk", row_number().over(
+        Window.partitionBy("len_bucket", "_sub").orderBy(col("_h"), col("id"))))
+    val offsets = local.groupBy("len_bucket", "_sub")
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(sum(col("_n")).over(
+        Window.partitionBy("len_bucket").orderBy("_sub")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("len_bucket", "_sub", "_offset")
+    local.join(broadcast(offsets), Seq("len_bucket", "_sub"))
+      .withColumn("_rk", col("_offset") + col("_local_rk") - 1) // 0-based
+      .select(col("id").as(idCol), col("n_tokens"), col("len_bucket"),
+        floor(col("_rk") / batchSize).as("batch_no"),
+        (col("_rk") % batchSize).as("pos_in_batch"))
+  }
+
   /** Temperature-flattening resample at T = 2 (multilingual mixing à la
     * public multilingual-pretraining recipes: group shares are reweighted
     * toward share^(1/T), boosting low-resource groups): every group's keep

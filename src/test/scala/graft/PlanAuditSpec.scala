@@ -335,11 +335,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(3000))
   }
 
-  test("q130 rolling range-frame window partitions by user, never globally") {
-    val p = plan("q130_rolling")
-    assert(p.contains("Window"), p.take(3000))
-    assert(!p.contains("SinglePartition"),
-      "rolling frame must stay per-user")
+  test("q130/q146 rolling range-frame windows partition by user, never globally") {
+    for (q <- Seq("q130_rolling", "q146_rolling_zscore")) {
+      val p = plan(q)
+      assert(p.contains("Window"), p.take(3000))
+      assert(!p.contains("SinglePartition"),
+        s"$q rolling frame must stay per-user")
+    }
+  }
+
+  test("q145 length-batch ordinal windows stay sub-bucketed") {
+    // the rank window must partition by (len_bucket, _sub) — a bucket-only
+    // window would funnel a web-scale length class through one task; the
+    // only bucket-level window is the 256-row offset cumsum
+    val p = plan("q145_length_batches")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(l => l.contains("_sub") && l.contains("row_number")),
+      winLines.mkString("\n"))
+    assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
   test("q125 text cleanup is a pure per-row map — no exchange at all") {

@@ -973,4 +973,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == brute, s"needle '$needle'")
     }
   }
+
+  test("lengthBucketBatches: dense per-bucket packing, repartition-stable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    val df = (0L until 120L)
+      .map(i => (i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.lengthBucketBatches(d, "doc_id", "text",
+          bucketWidth = 16, batchSize = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val got = run(df)
+    // bucket = n_tokens / 16
+    got.foreach { case (_, nt, b, _, _) => assert(b == nt / 16) }
+    // within each bucket, (batch_no, pos) pairs are exactly the ordinals
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      val ords = rows.map(r => r._4 * 4 + r._5).sorted
+      assert(ords == (0L until rows.size.toLong), s"bucket not dense")
+      rows.groupBy(_._4).foreach { case (_, batch) =>
+        assert(batch.size <= 4) }
+    }
+    assert(run(df.repartition(7)) == got)
+  }
 }
