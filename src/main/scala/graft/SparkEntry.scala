@@ -2070,19 +2070,38 @@ object SparkEntry {
     * at damping 0.85 via [[Graph.pageRank]]. Ranks round to 6 dp so the
     * cross-engine compare is insensitive to float summation order.
     */
-  private def q124Pagerank(s: SparkSession, dir: String): DataFrame = {
+  /** The synthetic doc-id link graph all graph queries share: chain
+    * edges (+1, gapped every %50) plus the given extra skip families —
+    * (offset, doc_id-predicate) pairs; targets clipped to existing ids.
+    * q124/q135/q137 use offsets {1, 7}; q126/q129/q131 add {8}.
+    */
+  private def linkEdges(
+      s: SparkSession, dir: String,
+      families: Seq[(Int, Column => Column)]): DataFrame = {
     val d = docs(s, dir).select($("doc_id"))
     val ids = d.select($("doc_id").as("dst"))
-    val chain = d.filter($("doc_id") % 50 =!= 49)
-      .select($("doc_id").as("src"), ($("doc_id") + 1).as("dst"))
-      .join(ids, Seq("dst"))
-    val skip = d.filter($("doc_id") % 50 < 40)
-      .select($("doc_id").as("src"), ($("doc_id") + 7).as("dst"))
-      .join(ids, Seq("dst"))
-    Graph.pageRank(chain.unionByName(skip), "src", "dst",
+    families.map { case (offset, pred) =>
+      d.filter(pred($("doc_id")))
+        .select($("doc_id").as("src"), ($("doc_id") + offset).as("dst"))
+        .join(ids, Seq("dst"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def linkGraph(s: SparkSession, dir: String): DataFrame =
+    linkEdges(s, dir, Seq(
+      (1, (c: Column) => c % 50 =!= 49),
+      (7, (c: Column) => c % 50 < 40)))
+
+  private def linkGraphDense(s: SparkSession, dir: String): DataFrame =
+    linkEdges(s, dir, Seq(
+      (1, (c: Column) => c % 50 =!= 49),
+      (7, (c: Column) => c % 50 < 40),
+      (8, (c: Column) => c % 50 < 30)))
+
+  private def q124Pagerank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(linkGraph(s, dir), "src", "dst",
         iterations = 5, damping = 0.85)
       .select($("id"), round($("rank"), 6).as("rank"))
-  }
 
   /** Corpus text cleanup — NFC composition (native codegen expression
     * [[graft.functions.NfcNormalize]]), control-char strip, whitespace
@@ -2104,17 +2123,8 @@ object SparkEntry {
     * wedges into triangles) via the degree-oriented pair join
     * ([[Graph.triangles]]) — never a neighbor self-join on a raw hub.
     */
-  private def q126Triangles(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select($("doc_id"))
-    val ids = d.select($("doc_id").as("dst"))
-    def gen(offset: Int, pred: Column): DataFrame =
-      d.filter(pred).select($("doc_id").as("src"),
-        ($("doc_id") + offset).as("dst")).join(ids, Seq("dst"))
-    val edges = gen(1, $("doc_id") % 50 =!= 49)
-      .unionByName(gen(7, $("doc_id") % 50 < 40))
-      .unionByName(gen(8, $("doc_id") % 50 < 30))
-    Graph.triangles(edges, "src", "dst")
-  }
+  private def q126Triangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangles(linkGraphDense(s, dir), "src", "dst")
 
   /** Z-order (Morton) layout audit: interleave (o_custkey%256,
     * o_orderkey%256) into a 16-bit curve key ([[graft.functions.zOrder2]])
@@ -2144,17 +2154,8 @@ object SparkEntry {
     * wedge counts as exact integers — the clustering-coefficient
     * numerator/denominator without a float ratio in the gate.
     */
-  private def q129Clustering(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select($("doc_id"))
-    val ids = d.select($("doc_id").as("dst"))
-    def gen(offset: Int, pred: Column): DataFrame =
-      d.filter(pred).select($("doc_id").as("src"),
-        ($("doc_id") + offset).as("dst")).join(ids, Seq("dst"))
-    val edges = gen(1, $("doc_id") % 50 =!= 49)
-      .unionByName(gen(7, $("doc_id") % 50 < 40))
-      .unionByName(gen(8, $("doc_id") % 50 < 30))
-    Graph.clusteringProfile(edges, "src", "dst")
-  }
+  private def q129Clustering(s: SparkSession, dir: String): DataFrame =
+    Graph.clusteringProfile(linkGraphDense(s, dir), "src", "dst")
 
   /** Event-time rolling aggregates — per-user trailing-1-hour event count
     * and exact value sum via a RANGE window frame
@@ -2183,17 +2184,8 @@ object SparkEntry {
     * every SF (peeling is block-local), so the DuckDB oracle can unroll a
     * fixed 12 rounds — the 2 spare rounds are no-ops at the fixpoint.
     */
-  private def q131Kcore(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select($("doc_id"))
-    val ids = d.select($("doc_id").as("dst"))
-    def gen(offset: Int, pred: Column): DataFrame =
-      d.filter(pred).select($("doc_id").as("src"),
-        ($("doc_id") + offset).as("dst")).join(ids, Seq("dst"))
-    val edges = gen(1, $("doc_id") % 50 =!= 49)
-      .unionByName(gen(7, $("doc_id") % 50 < 40))
-      .unionByName(gen(8, $("doc_id") % 50 < 30))
-    Graph.kCore(edges, "src", "dst", k = 3)
-  }
+  private def q131Kcore(s: SparkSession, dir: String): DataFrame =
+    Graph.kCore(linkGraphDense(s, dir), "src", "dst", k = 3)
 
   /** Exact duplicate-substring statistics (Lee et al. ExactSubstr shape):
     * 8-token sliding windows, a window duplicated when its text recurs
@@ -2230,19 +2222,10 @@ object SparkEntry {
     * the q124 link graph, k = 3 — frontier joins, never a whole-graph
     * pass per round.
     */
-  private def q135Khop(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select($("doc_id"))
-    val ids = d.select($("doc_id").as("dst"))
-    val chain = d.filter($("doc_id") % 50 =!= 49)
-      .select($("doc_id").as("src"), ($("doc_id") + 1).as("dst"))
-      .join(ids, Seq("dst"))
-    val skip = d.filter($("doc_id") % 50 < 40)
-      .select($("doc_id").as("src"), ($("doc_id") + 7).as("dst"))
-      .join(ids, Seq("dst"))
-    Graph.kHopReachability(chain.unionByName(skip), "src", "dst",
-        d.filter($("doc_id") % 100 === 0), "doc_id", k = 3)
+  private def q135Khop(s: SparkSession, dir: String): DataFrame =
+    Graph.kHopReachability(linkGraph(s, dir), "src", "dst",
+        docs(s, dir).filter($("doc_id") % 100 === 0), "doc_id", k = 3)
       .select($("id"), $("hops"))
-  }
 
   /** SemDeDup: exact quantized k-means clusters (the q76 algorithm at
     * k = 25 — SemDeDup's own regime is many clusters so the within-cell
@@ -2260,18 +2243,9 @@ object SparkEntry {
     * from the %25 seed docs over the q124 link graph — reproducible
     * graph-to-sequence training data.
     */
-  private def q137RandomWalks(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select($("doc_id"))
-    val ids = d.select($("doc_id").as("dst"))
-    val chain = d.filter($("doc_id") % 50 =!= 49)
-      .select($("doc_id").as("src"), ($("doc_id") + 1).as("dst"))
-      .join(ids, Seq("dst"))
-    val skip = d.filter($("doc_id") % 50 < 40)
-      .select($("doc_id").as("src"), ($("doc_id") + 7).as("dst"))
-      .join(ids, Seq("dst"))
-    Graph.randomWalks(chain.unionByName(skip), "src", "dst",
-      d.filter($("doc_id") % 25 === 0), "doc_id", steps = 4)
-  }
+  private def q137RandomWalks(s: SparkSession, dir: String): DataFrame =
+    Graph.randomWalks(linkGraph(s, dir), "src", "dst",
+      docs(s, dir).filter($("doc_id") % 25 === 0), "doc_id", steps = 4)
 
   /** DSIR importance weights: every doc scored under the %7 target bigram
     * model minus the %11 source model, exact q20 integers throughout.

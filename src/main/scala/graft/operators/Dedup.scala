@@ -69,9 +69,13 @@ object Dedup {
   def bind(v: Column, body: Column => Column): Column =
     element_at(transform(array(v), body), 1)
 
-  /** Word n-gram shingles, distinct (first-occurrence order). */
+  /** Word n-gram shingles, distinct (first-occurrence order). Tokenizes
+    * via [[TextAnalysis.tokens]] (trimmed split), matching the DuckDB
+    * oracles' `string_split_regex(trim(text))` — an untrimmed split
+    * would emit a phantom empty first token on leading-whitespace text.
+    */
   def wordShingles(text: Column, n: Int): Column =
-    bind(split(text, "\\s+"), tokens =>
+    bind(TextAnalysis.tokens(text), tokens =>
       array_distinct(
         transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
           i => array_join(slice(tokens, i + 1, lit(n)), " "))))
@@ -205,10 +209,8 @@ object Dedup {
     // longs per banded row; candidate pairs << corpus, so the distinct
     // carrying two signatures stays small.
     val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until numBands).map { b =>
-        md5(concat_ws(",",
-          (0 until bandSize).map(i => element_at(col("sig"), b * bandSize + i + 1)): _*))
-      }: _*)).as(Seq("band", "bucket")))
+      posexplode(bandBuckets(col("sig"), numBands, bandSize))
+        .as(Seq("band", "bucket")))
     // shuffle_hash (not broadcast): a broadcast build side would recompute
     // the whole signature pipeline for the broadcast value; identical
     // shuffle exchanges on both sides let ReuseExchange materialize it once
@@ -233,6 +235,19 @@ object Dedup {
     * Output: (corpus_id, batch_id, agree) for pairs agreeing on >=
     * `minAgree` of `numHashes` signature positions.
     */
+  /** The per-band bucket keys of a minhash signature: band b's bucket is
+    * the md5 of its `bandSize` signature positions joined with "," —
+    * THE band-hash definition, shared by the self-join pairs, the
+    * standing index and the streaming gate so they can never drift
+    * apart (a silently different separator would stop streaming matches
+    * against a persisted index).
+    */
+  def bandBuckets(sig: Column, numBands: Int, bandSize: Int): Column =
+    array((0 until numBands).map { b =>
+      md5(concat_ws(",", (0 until bandSize).map(i =>
+        element_at(sig, b * bandSize + i + 1)): _*))
+    }: _*)
+
   /** The standing LSH band index of a corpus: one (id, sig, band, bucket)
     * row per document per band — what an incremental dedup pipeline
     * persists between batches and what the STREAMING gate
@@ -245,10 +260,8 @@ object Dedup {
     val numBands = numHashes / bandSize
     minhashSignatures(df, idCol, textCol, shingleN, numHashes)
       .select(col("id"), col("sig"),
-        posexplode(array((0 until numBands).map { b =>
-          md5(concat_ws(",", (0 until bandSize).map(i =>
-            element_at(col("sig"), b * bandSize + i + 1)): _*))
-        }: _*)).as(Seq("band", "bucket")))
+        posexplode(bandBuckets(col("sig"), numBands, bandSize))
+          .as(Seq("band", "bucket")))
   }
 
   def minhashLshPairsAgainst(
@@ -276,7 +289,7 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
       .withColumn("h", hash60(col("tok"), 0))
     val aggs = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
@@ -628,11 +641,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, w: Int)
       : (DataFrame, DataFrame) = {
     require(w >= 2, s"window size $w must be >= 2")
-    val toks = split(trim(col(textCol)), "\\s+")
-    val nTokens = when(length(trim(col(textCol))) === 0, lit(0L))
-      .otherwise(size(toks).cast("long"))
-    val base = df.select(col(idCol).as("id"), toks.as("_toks"),
-      nTokens.as("n_tokens"))
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("_toks"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     // lazy checkpoint: the narrow (id, pos, hash) window stream — never
     // the document text — feeds the duplicate count AND the semi-join
     // back; without it the tokenize + md5 pipeline executes once per

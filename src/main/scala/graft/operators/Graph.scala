@@ -285,7 +285,8 @@ object Graph {
       .select(col("walk"), col("walk").as("node"), lit(0L).as("step"))
       .localCheckpoint()
     var out = cur
-    for (t <- 1 to steps) {
+    var t = 1
+    while (t <= steps && !cur.isEmpty) { // all walks dangling → stop early
       val cand = e
         .join(cur.select(col("node").as("src"), col("walk")), Seq("src"))
         .select(col("walk"), col("dst"),
@@ -295,8 +296,9 @@ object Graph {
         .agg(min(struct(col("h"), col("dst"))).as("_m"))
         .select(col("walk"), col("_m.dst").as("node"),
           lit(t.toLong).as("step"))
-        .localCheckpoint() // consumed by the union AND the next join
+        .localCheckpoint() // consumed by the union, the probe AND the join
       out = out.unionByName(cur)
+      t += 1
     }
     out.select(col("walk").as("walk_id"), col("step"), col("node"))
   }

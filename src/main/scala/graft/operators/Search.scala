@@ -41,8 +41,10 @@ object Search {
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_p0", "tok")))
       .select(col("id"), (col("_p0") + 1).as("p"), col("tok"))
       .join(broadcast(ph), col("tok") === col("w"))
+      // (id, start, j) votes are unique by construction — postings are
+      // unique per (id, p) and (start, j) maps back to (p, j) — so the
+      // vote count needs no dedup pass
       .select(col("id"), (col("p") - col("j")).as("start"), col("j"))
-      .distinct()
       .groupBy("id", "start").agg(count(lit(1)).as("_c"))
       .filter(col("_c") === m && col("start") >= 1)
       .groupBy("id")
@@ -77,9 +79,8 @@ object Search {
                 sequence(lit(1), greatest(length(t) - 2, lit(1))),
                 i => t.substr(i, lit(3))))))
               .as("g"))
-        val cands = tg
+        val cands = tg // (id, g) already unique: grams are array_distinct'd
           .filter(col("g").isin(grams: _*))
-          .distinct()
           .groupBy("id").agg(count(lit(1)).as("_c"))
           .filter(col("_c") === grams.length)
           .select("id")

@@ -161,10 +161,8 @@ object StreamingEtl {
     val banded = docs
       .select(col(idCol).as("batch_id"), sig.as("sig_b"))
       .select(col("batch_id"), col("sig_b"),
-        posexplode(array((0 until numBands).map { b =>
-          md5(concat_ws(",", (0 until bandSize).map(i =>
-            element_at(col("sig_b"), b * bandSize + i + 1)): _*))
-        }: _*)).as(Seq("band", "bucket")))
+        posexplode(graft.operators.Dedup.bandBuckets(
+          col("sig_b"), numBands, bandSize)).as(Seq("band", "bucket")))
     banded
       .join(index.select(col("id").as("corpus_id"), col("sig").as("sig_a"),
         col("band"), col("bucket")), Seq("band", "bucket"))
