@@ -2333,6 +2333,13 @@ object SparkEntry {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Asymmetric 3-gram containment pairs at 0.5 — the subset-duplication
+    * (quote / reprint) detector Jaccard misses.
+    */
+  private def q147Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(docs(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2482,6 +2489,7 @@ object SparkEntry {
     "q144_trigram_search" -> (q144TrigramSearch _),
     "q145_length_batches" -> (q145LengthBatches _),
     "q146_rolling_zscore" -> (q146RollingZscore _),
+    "q147_containment" -> (q147Containment _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4647,5 +4655,22 @@ object SparkEntry {
         |      sqrt(s2 / n_1h - (s1 / n_1h) * (s1 / n_1h)), 6)
         |    ELSE NULL END AS z
         |FROM base""".stripMargin,
+    "q147_containment" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents),
+        |sh AS (SELECT DISTINCT doc_id AS id, g FROM (
+        |  SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ')
+        |    for i in range(1, greatest(len(l)-2, 1)+1)]) AS g FROM tk)),
+        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+        |          GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b,
+        |  round(i.inter::DOUBLE / sa.sz, 6) AS c_ab,
+        |  round(i.inter::DOUBLE / sb.sz, 6) AS c_ba
+        |FROM inter i JOIN sz sa ON sa.id = i.id_a
+        |JOIN sz sb ON sb.id = i.id_b
+        |WHERE greatest(round(i.inter::DOUBLE / sa.sz, 6),
+        |               round(i.inter::DOUBLE / sb.sz, 6)) >= 0.5""".stripMargin,
   )
 }

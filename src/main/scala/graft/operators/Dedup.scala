@@ -88,9 +88,13 @@ object Dedup {
     * many docs (they carry no discriminative signal and are the classic
     * skew key at corpus scale).
     */
-  def ngramJaccardPairs(
+  /** Shared inverted-index pair counting for the exact n-gram similarity
+    * family: (id_a < id_b, inter, sz_a, sz_b) of distinct-shingle
+    * intersections and per-doc set sizes.
+    */
+  private def ngramPairCounts(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, dfCap: Option[Int] = None): DataFrame = {
+      n: Int, dfCap: Option[Int]): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), n)).as("gram"))
     val filtered = dfCap match {
@@ -100,18 +104,45 @@ object Dedup {
       case None => sh
     }
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = filtered.as("a").hint("shuffle_hash").join(filtered.as("b"),
+    filtered.as("a").hint("shuffle_hash").join(filtered.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+  }
+
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, dfCap: Option[Int] = None): DataFrame =
+    ngramPairCounts(df, idCol, textCol, n, dfCap)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
+
+  /** Asymmetric n-gram CONTAINMENT pairs: containment(A→B) =
+    * |A ∩ B| / |A| — the subset-duplication signal Jaccard misses (a
+    * short document quoted whole inside a long one scores near 1.0 on
+    * containment but near |A|/|B| ≈ 0 on Jaccard; news-wire reprints,
+    * quoted tweets, and template-wrapped articles are the corpus-curation
+    * cases). Emits pairs where EITHER direction reaches `threshold`,
+    * with both containments. Same inverted-index plan (and `dfCap` skew
+    * guard) as [[ngramJaccardPairs]] — one shared candidate/count stage
+    * serves the whole exact-similarity family.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, dfCap: Option[Int] = None): DataFrame =
+    ngramPairCounts(df, idCol, textCol, n, dfCap)
+      .withColumn("c_ab",
+        round(col("inter").cast("double") / col("sz_a"), 6))
+      .withColumn("c_ba",
+        round(col("inter").cast("double") / col("sz_b"), 6))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("id_a", "id_b", "c_ab", "c_ba")
 
   /** Benchmark decontamination: per-corpus-document n-gram overlap with a
     * benchmark/eval shingle set — the standard guard against test-set

@@ -997,4 +997,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(run(df.repartition(7)) == got)
   }
+
+  test("ngramContainmentPairs flags subset duplication Jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta"
+    val long = "intro words here " + short + " plus a much longer tail " +
+      "of unrelated filler content extending the article body"
+    val df = Seq((1L, short), (2L, long), (3L, "nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // every 3-gram of the short doc appears in the long one: c_ab = 1.0
+    assert(cont.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(cont.head._3 == 1.0 && cont.head._4 < 0.5)
+    // Jaccard at the same bar misses the pair entirely
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      n = 3, threshold = 0.9).isEmpty)
+  }
 }
