@@ -985,14 +985,18 @@ object SparkEntry {
     * reference consensus_genome.py:225-236): `*`-wildcard and alternation
     * patterns compiled to anchored regexes, pure codegen'd RLIKE.
     */
-  private def q59Lquery(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.lqueryMatch
-    val org = s.range(0, 60).select($("id").as("organism_id"),
+  /** The synthetic 60-organism lineage table q59/q149 share. */
+  private def organisms(s: SparkSession): DataFrame =
+    s.range(0, 60).select($("id").as("organism_id"),
       concat(lit("virus."),
         when($("id") % 3 === 0, "influenza")
           .when($("id") % 3 === 1, "rsv").otherwise("hcov"),
         when($("id") % 2 === 0, concat(lit(".h"), $("id") % 4))
           .otherwise(lit(""))).as("lineage"))
+
+  private def q59Lquery(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.lqueryMatch
+    val org = organisms(s)
     org.select($("organism_id"), $("lineage"),
       lqueryMatch($("lineage"), "*.influenza.*").as("m_influenza"),
       lqueryMatch($("lineage"), "*.h2").as("m_h2"),
@@ -2340,6 +2344,23 @@ object SparkEntry {
     Dedup.ngramContainmentPairs(docs(s, dir), "doc_id", "text",
       n = 3, threshold = 0.5)
 
+  /** Deterministic ±1 random projection of the 64-d embeddings onto 8
+    * dims — per-row codegen arithmetic, even the doubles hash-match.
+    */
+  private def q148RandomProjection(s: SparkSession, dir: String): DataFrame =
+    Embeddings.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8)
+
+  /** ltree ancestor rollup: every organism counts toward each taxonomic
+    * prefix of its lineage — the ROLLUP lattice over dotted paths.
+    */
+  private def q149LineageRollup(s: SparkSession, dir: String): DataFrame =
+    organisms(s)
+      .select(explode(graft.functions.ltreePrefixes($("lineage")))
+        .as("prefix"))
+      .groupBy("prefix").agg(count(lit(1)).as("n"))
+      .withColumn("depth", size(split($("prefix"), "\\.")).cast("long"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2490,6 +2511,8 @@ object SparkEntry {
     "q145_length_batches" -> (q145LengthBatches _),
     "q146_rolling_zscore" -> (q146RollingZscore _),
     "q147_containment" -> (q147Containment _),
+    "q148_random_projection" -> (q148RandomProjection _),
+    "q149_lineage_rollup" -> (q149LineageRollup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4672,5 +4695,33 @@ object SparkEntry {
         |JOIN sz sb ON sb.id = i.id_b
         |WHERE greatest(round(i.inter::DOUBLE / sa.sz, 6),
         |               round(i.inter::DOUBLE / sb.sz, 6)) >= 0.5""".stripMargin,
+    "q148_random_projection" -> {
+      // identical left-assoc add chain as the Spark expression: the ±1
+      // signs are the md5-derived hyperplane family, baked in as literals
+      val cols = (0 until 8).map { j =>
+        val terms = (0 until 64).map { i =>
+          val s = graft.operators.SimilaritySearch.planeComponent(j, i)
+          s"(ve[${i + 1}] * $s)"
+        }.mkString(" + ")
+        s"round($terms, 6) AS p$j"
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $cols
+         |FROM (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)""".stripMargin
+    },
+    "q149_lineage_rollup" ->
+      """WITH org AS (
+        |  SELECT range AS organism_id,
+        |    'virus.' ||
+        |    CASE WHEN range%3=0 THEN 'influenza'
+        |         WHEN range%3=1 THEN 'rsv' ELSE 'hcov' END ||
+        |    CASE WHEN range%2=0 THEN '.h'||(range%4) ELSE '' END AS lineage
+        |  FROM range(0, 60)),
+        |pf AS (SELECT unnest([array_to_string(l[1:i], '.')
+        |         for i in range(1, len(l)+1)]) AS prefix
+        |       FROM (SELECT string_split(lineage, '.') AS l FROM org))
+        |SELECT prefix, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(len(string_split(prefix, '.')) AS BIGINT) AS depth
+        |FROM pf GROUP BY prefix""".stripMargin,
   )
 }

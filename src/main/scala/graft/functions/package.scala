@@ -213,6 +213,23 @@ package object functions {
     concat(lit("."), lineage, lit(".")).rlike("^\\." + parts.mkString + "$")
   }
 
+  /** Every ancestor prefix of an ltree path, shortest first:
+    * `virus.influenza.h3` → [virus, virus.influenza, virus.influenza.h3]
+    * — the explode key for rollups "at every taxonomic level" (each row
+    * counts toward all its ancestors), the ltree analogue of a ROLLUP
+    * lattice. Null/empty paths yield an empty array. The split is pinned
+    * to a lambda variable (single evaluation per row — the projection
+    * -collapse HOF trap documented in the verify skill).
+    */
+  def ltreePrefixes(lineage: Column): Column =
+    when(lineage.isNull || length(lineage) === 0,
+        array().cast("array<string>"))
+      .otherwise(element_at(
+        transform(array(split(lineage, "\\.")), parts =>
+          transform(sequence(lit(1), size(parts)),
+            i => array_join(slice(parts, lit(1), i), "."))),
+        1))
+
   /** jsonb shallow (top-level, right-biased) merge `a || b` (reference
     * lib/id3c/db/__init__.py:229,305; etl/__init__.py:128,586-587).
     * Cold path (merge engine change detection) ⇒ a UDF is acceptable;

@@ -89,6 +89,36 @@ object Embeddings {
     assign
   }
 
+  /** Sparse random projection (Achlioptas 2003, JL-lemma database-
+    * friendly variant with dense ±1 signs): project a `dims`-wide
+    * embedding onto `k` deterministic ±1 hyperplanes — the cheap
+    * dimensionality reduction applied before clustering / ANN when the
+    * source embedding is wider than the index wants. The signs are the
+    * SAME md5-derived hyperplane family as
+    * [[SimilaritySearch.hyperplaneSignature]] (this is its un-quantized
+    * form), so projections are reproducible across engines and runs.
+    *
+    * The per-component sum is a left-fold chain of correctly-rounded
+    * IEEE adds in fixed dim order — written identically in the oracle
+    * SQL, so even the double outputs hash-match. Pure per-row codegen
+    * arithmetic (no HOF, no shuffle); the plan inherits the input
+    * partitioning untouched.
+    *
+    * Output: id + p0..p{k-1} projection columns (rounded to 6 dp).
+    */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Int = 64): DataFrame = {
+    require(k >= 1 && dims >= 1, s"k $k / dims $dims must be >= 1")
+    val outs = (0 until k).map { j =>
+      round((0 until dims).map { i =>
+        element_at(col(vecCol), i + 1).cast("double") *
+          lit(SimilaritySearch.planeComponent(j, i))
+      }.reduce(_ + _), 6).as(s"p$j")
+    }
+    df.select(col(idCol) +: outs: _*)
+  }
+
   /** Product-quantization code assignment — the PQ compression stored by
     * ANN indexes (IVF-PQ) at corpus scale: the vector splits into
     * contiguous `D / subDim` subspaces and each subvector is

@@ -38,7 +38,7 @@ object SimilaritySearch {
     * identical, so signatures are unchanged and remain reproducible
     * across engines.
     */
-  private def planeComponent(p: Int, i: Int): Double = {
+  private[graft] def planeComponent(p: Int, i: Int): Double = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane$p|$i".getBytes("UTF-8"))
     val hex15 = d.take(8).map(b => f"$b%02x").mkString.take(15)

@@ -1016,4 +1016,38 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.ngramJaccardPairs(df, "doc_id", "text",
       n = 3, threshold = 0.9).isEmpty)
   }
+
+  test("randomProject: deterministic, linear, norm-preserving on average") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(64)(0.0f)),
+      (3L, Array.tabulate(64)(i => if (i == 0) 2.0f else 0.0f)))
+      .toDF("id", "vec")
+    val got = Embeddings.randomProject(df, "id", "vec", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(r.getDouble).toSeq).toMap
+    // zero vector projects to zero
+    assert(got(2L) == Seq(0.0, 0.0, 0.0, 0.0))
+    // one-hot doubles the plane component: each |p_j| == 2
+    assert(got(3L).forall(v => math.abs(v) == 2.0))
+    // all-ones vector: each projection is the signed sum of 64 ±1s (even)
+    assert(got(1L).forall(v => v.abs <= 64 && v % 2 == 0))
+    // deterministic across partitionings
+    val again = Embeddings.randomProject(df.repartition(5), "id", "vec", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(r.getDouble).toSeq).toMap
+    assert(again == got)
+  }
+
+  test("ltreePrefixes emits every ancestor; rollup counts nest") {
+    import spark.implicits._
+    val got = Seq("virus.influenza.h3", "virus", "", null)
+      .toDF("lineage")
+      .select(graft.functions.ltreePrefixes(col("lineage")).as("p"))
+      .collect().map(r => Option(r.getSeq[String](0)).map(_.toSeq)).toSeq
+    assert(got(0).get == Seq("virus", "virus.influenza", "virus.influenza.h3"))
+    assert(got(1).get == Seq("virus"))
+    assert(got(2).get == Nil && got(3).get == Nil)
+  }
 }
