@@ -2361,6 +2361,39 @@ object SparkEntry {
       .groupBy("prefix").agg(count(lit(1)).as("n"))
       .withColumn("depth", size(split($("prefix"), "\\.")).cast("long"))
 
+  /** SymSpell edit-distance self-join (record linkage): customer names
+    * within Levenshtein 1, candidates from a deletion-variant equi-join
+    * (recall-complete, no all-pairs), exact verify on the sliver.
+    */
+  private def q150FuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.symspellJoin(
+      t(s, dir, "customer").filter($("c_nationkey") < 5)
+        .select($("c_custkey"), $("c_name")),
+      "c_custkey", "c_name", maxDist = 1)
+
+  /** Vocabulary-level fuzzy dedup: distinct part names with occurrence
+    * counts (the aggregation that collapses a repetitive corpus to its
+    * vocabulary), then SymSpell pairs within edit distance 2.
+    */
+  private def q151VocabFuzzy(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.vocabFuzzyPairs(t(s, dir, "part"), "p_name", maxDist = 2)
+
+  /** Canonical-URL dedup over synthesized crawl URLs: surface-form noise
+    * (scheme/host case, default port, trailing slash, utm params,
+    * param order, fragments) collapses to one canonical key; groups
+    * count raw rows + distinct surface forms.
+    */
+  private def q152UrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val u = t(s, dir, "orders").select(concat(
+      lit("HTTPS://WWW.Shop"), $("o_custkey") % 7,
+      lit(".Example.COM:443/Catalog/Item/"), $("o_orderkey") % 500,
+      when($("o_orderkey") % 3 === 0, "/").otherwise(""),
+      lit("?utm_source=feed"),
+      when($("o_orderkey") % 2 === 0, "&b=2&a=1").otherwise("&a=1&b=2"),
+      when($("o_orderkey") % 5 === 0, "#Sec2").otherwise("")).as("url"))
+    Web.canonicalDedup(u, "url")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2513,6 +2546,9 @@ object SparkEntry {
     "q147_containment" -> (q147Containment _),
     "q148_random_projection" -> (q148RandomProjection _),
     "q149_lineage_rollup" -> (q149LineageRollup _),
+    "q150_fuzzy_join" -> (q150FuzzyJoin _),
+    "q151_vocab_fuzzy" -> (q151VocabFuzzy _),
+    "q152_url_canonical" -> (q152UrlCanonical _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4723,5 +4759,57 @@ object SparkEntry {
         |SELECT prefix, CAST(count(*) AS BIGINT) AS n,
         |  CAST(len(string_split(prefix, '.')) AS BIGINT) AS depth
         |FROM pf GROUP BY prefix""".stripMargin,
+    "q150_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |           WHERE c_nationkey < 5)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "q151_vocab_fuzzy" ->
+      """WITH v AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows
+        |           FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  a.n_rows AS n_a, b.n_rows AS n_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+    "q152_url_canonical" ->
+      """WITH u AS (
+        |  SELECT 'HTTPS://WWW.Shop' || (o_custkey % 7) ||
+        |    '.Example.COM:443/Catalog/Item/' || (o_orderkey % 500) ||
+        |    (CASE WHEN o_orderkey % 3 = 0 THEN '/' ELSE '' END) ||
+        |    '?utm_source=feed' ||
+        |    (CASE WHEN o_orderkey % 2 = 0 THEN '&b=2&a=1'
+        |          ELSE '&a=1&b=2' END) ||
+        |    (CASE WHEN o_orderkey % 5 = 0 THEN '#Sec2' ELSE '' END) AS url
+        |  FROM orders),
+        |s1 AS (SELECT url, regexp_replace(url, '#.*$', '') AS nofrag
+        |       FROM u),
+        |s2 AS (SELECT url, split_part(nofrag, '?', 1) AS base,
+        |              split_part(nofrag, '?', 2) AS query FROM s1),
+        |s3 AS (SELECT url, query,
+        |  lower(split_part(base, '://', 1)) AS scheme,
+        |  lower(split_part(split_part(base, '://', 2), '/', 1)) AS host,
+        |  regexp_extract(base,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1) AS path
+        |  FROM s2),
+        |s4 AS (SELECT url, query, scheme,
+        |  CASE WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+        |       WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+        |       ELSE host END AS host,
+        |  CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+        |       ELSE regexp_replace(path, '/+$', '') END AS path
+        |  FROM s3),
+        |s5 AS (SELECT url, scheme, host, path,
+        |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
+        |  FROM s4)
+        |SELECT scheme || '://' || host || path ||
+        |  (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
+        |FROM s5 GROUP BY 1""".stripMargin,
   )
 }

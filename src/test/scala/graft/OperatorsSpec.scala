@@ -616,4 +616,61 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 10L, 30L, "A"), (1L, 30L, 40L, "B"), (1L, 40L, -1L, "A"),
       (2L, 5L, -1L, "X")))
   }
+
+  test("FuzzyJoin.symspellJoin == brute-force levenshtein, k=1 and k=2") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // short strings over a 3-letter alphabet so near-pairs are dense;
+    // includes empty and 1-char strings (deletion-variant edge cases)
+    val strs = ("" +: "a" +: (0 until 120).map(_ =>
+      (0 until 2 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString)).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = FuzzyJoin.symspellJoin(df, "id", "s", maxDist = k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+        .toSet
+      val brute = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        d = levDist(sa, sb) if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == brute, s"k=$k: ${got.diff(brute)} / ${brute.diff(got)}")
+    }
+  }
+
+  test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
+    import spark.implicits._
+    val cases = Seq(
+      // default port + host case + trailing slash + utm + fragment
+      "HTTPS://Example.COM:443/a/b/#x" -> "https://example.com/a/b",
+      "http://EX.com:80/" -> "http://ex.com/",
+      // non-default port is kept; https keeps :80 too
+      "http://ex.com:8080/p" -> "http://ex.com:8080/p",
+      "https://ex.com:80/p" -> "https://ex.com:80/p",
+      // empty path -> root; query params sorted, utm_* dropped
+      "https://ex.com" -> "https://ex.com/",
+      "https://ex.com/p?z=1&a=2&utm_campaign=c" -> "https://ex.com/p?a=2&z=1",
+      // utm-only query drops the '?' entirely; multiple trailing slashes
+      "https://ex.com/p///?utm_source=s" -> "https://ex.com/p",
+      "https://ex.com/p?b=2&a=1#frag" -> "https://ex.com/p?a=1&b=2")
+    val got = cases.map(_._1).toDF("url")
+      .select(Web.canonicalizeUrl($"url")).as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.zip(cases).mkString("\n"))
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
 }

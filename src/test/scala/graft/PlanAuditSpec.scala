@@ -426,4 +426,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val winLines = p.linesIterator.filter(_.contains("windowspecdefinition"))
     assert(winLines.forall(_.contains("qid")), p.take(3000))
   }
+
+  test("q150/q151 fuzzy joins: variant equi-join, never all-pairs") {
+    for (q <- Seq("q150_fuzzy_join", "q151_vocab_fuzzy")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: candidate generation must be the deletion-variant equi-join")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated")
+    }
+  }
 }
