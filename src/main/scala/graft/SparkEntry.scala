@@ -2394,6 +2394,45 @@ object SparkEntry {
     Web.canonicalDedup(u, "url")
   }
 
+  /** Largest-remainder token-budget allocation across document sources:
+    * quotas sum to exactly 1M and each is within 1 of the ideal share.
+    */
+  private def q153QuotaAllocation(s: SparkSession, dir: String): DataFrame =
+    Sampling.proportionalAllocation(docs(s, dir), "source", "n_chars",
+        total = 1000000L)
+      .select($("group").as("source"), $("w").as("w_chars"), $("quota"))
+
+  /** Entity resolution end-to-end: SymSpell fuzzy pairs over customer
+    * names → connected components → per-member canonical entity id (the
+    * min member key of the transitive near-duplicate closure).
+    */
+  private def q154EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter($("c_nationkey") < 5)
+      .select($("c_custkey"), $("c_name"))
+    val pairs = FuzzyJoin.symspellJoin(c, "c_custkey", "c_name", maxDist = 1)
+    Dedup.connectedComponents(pairs)
+      .join(c, col("id") === c("c_custkey"))
+      .select(col("id").as("c_custkey"), col("cluster_id").as("entity_id"),
+        col("c_name"))
+  }
+
+  /** Perceptual-hash (aHash) near-dup over "image" blobs: 32-bit
+    * average-hash from the resize-stub buckets, pigeonhole-banded
+    * hamming pairs at distance <= 7 (8 bands x 4 bits) — the image
+    * -dedup shape with the codec stubbed (TESTDATA has no real images;
+    * the hash/band/verify pipeline is the production form).
+    */
+  private def q155PhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Multimodal.attachBinary(
+      t(s, dir, "documents"), "doc_id", "text", "image/fake")
+      .select($("id"), $("content"), $("meta.mime").as("mime"))
+      .as[Multimodal.Blob]
+    val hashes = Multimodal.aHash(blobs, bits = 32).toDF()
+      .select($("id"), $("phash"))
+    Multimodal.phashPairs(hashes, bits = 32, maxDist = 7)
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2549,6 +2588,9 @@ object SparkEntry {
     "q150_fuzzy_join" -> (q150FuzzyJoin _),
     "q151_vocab_fuzzy" -> (q151VocabFuzzy _),
     "q152_url_canonical" -> (q152UrlCanonical _),
+    "q153_quota_allocation" -> (q153QuotaAllocation _),
+    "q154_entity_resolution" -> (q154EntityResolution _),
+    "q155_phash_dedup" -> (q155PhashDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4811,5 +4853,59 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
         |FROM s5 GROUP BY 1""".stripMargin,
+    "q153_quota_allocation" ->
+      """WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w_chars
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(w_chars) AS BIGINT) AS c FROM w),
+        |q AS (SELECT source, w_chars,
+        |        (1000000 * w_chars) // c AS fq,
+        |        (1000000 * w_chars) % c AS rem
+        |      FROM w, t),
+        |d AS (SELECT CAST(1000000 - sum(fq) AS BIGINT) AS deficit FROM q),
+        |r AS (SELECT source, w_chars, fq,
+        |        row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |      FROM q)
+        |SELECT source, w_chars,
+        |  CAST(fq + (CASE WHEN rk <= (SELECT deficit FROM d)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS quota
+        |FROM r""".stripMargin,
+    "q154_entity_resolution" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey, c_name FROM customer
+        |                     WHERE c_nationkey < 5),
+        |pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |cc AS (SELECT id, min(label) AS entity_id FROM reach GROUP BY id)
+        |SELECT cc.id AS c_custkey, cc.entity_id, c.c_name
+        |FROM cc JOIN c ON c.c_custkey = cc.id""".stripMargin,
+    "q155_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+        |b AS (SELECT doc_id, ((i-1) * 32) // L AS k,
+        |        ord(substr(text, CAST(i AS INT), 1)) AS v
+        |      FROM (SELECT doc_id, text, L, unnest(range(1, L+1)) AS i
+        |            FROM d WHERE L > 0)),
+        |m AS (SELECT doc_id, k, sum(v) // count(*) AS mk
+        |      FROM b GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(mk) AS sm FROM m GROUP BY 1),
+        |h0 AS (SELECT m.doc_id,
+        |        CAST(sum(CASE WHEN m.mk * 32 >= s.sm
+        |             THEN (1::BIGINT << CAST(m.k AS INT)) ELSE 0 END)
+        |          AS BIGINT) AS phash
+        |       FROM m JOIN s USING (doc_id) GROUP BY 1),
+        |h AS (SELECT doc_id, phash FROM h0
+        |      UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM d WHERE L = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.phash AS hash_a, b.phash AS hash_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin,
   )
 }

@@ -105,6 +105,73 @@ object Multimodal {
     }
   }
 
+  case class PHash(id: Long, byte_len: Long, phash: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint over the resize-stub
+    * buckets: bit k is set iff bucket mean m_k is >= the mean of all
+    * bucket means (integer-exact as `bits·m_k >= Σm`). The standard
+    * cheap image near-dup fingerprint — with a real resize kernel in
+    * [[resizeStub]]'s place this IS pHash-family image dedup; the
+    * hashing, banding and pair search below are the production shape.
+    * Empty blobs hash to 0 (documented convention, like [[resize]]).
+    * `bits` <= 32 so the hash stays in the positive long range.
+    */
+  def aHash(blobs: Dataset[Blob], bits: Int = 32): Dataset[PHash] = {
+    require(bits > 0 && bits <= 32, s"bits $bits must be in (0, 32]")
+    implicit val enc = Encoders.product[PHash]
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        if (b.content.isEmpty) PHash(b.id, 0L, 0L)
+        else {
+          val m = resizeStub(b.content, bits)
+          val s = m.map(_.toLong).sum
+          var h = 0L
+          var k = 0
+          while (k < bits) {
+            if (m(k).toLong * bits >= s) h |= (1L << k); k += 1
+          }
+          PHash(b.id, b.content.length.toLong, h)
+        }
+      }
+    }
+  }
+
+  /** Hamming-threshold pairs over perceptual hashes via pigeonhole
+    * banding: split the hash into `maxDist + 1` equal bit-bands — two
+    * hashes within `maxDist` must agree on at least one whole band — and
+    * equi-join on (band, band value), so candidate generation is a plain
+    * shuffle join (never all-pairs) and only candidates pay the exact
+    * `bit_count(xor)` verify. Same recall-complete construction as
+    * [[Dedup]]'s SimHash pigeonhole and [[Barcodes]]' slice prefilter.
+    *
+    * Output: id_a < id_b, hash_a, hash_b, hamming (<= maxDist).
+    */
+  def phashPairs(
+      hashes: DataFrame, bits: Int, maxDist: Int): DataFrame = {
+    val nBands = maxDist + 1
+    require(bits % nBands == 0,
+      s"bits $bits must divide into ${nBands} bands")
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
+    val bands = (0 until nBands).map(bn => struct(lit(bn).as("band"),
+      shiftrightunsigned(col("phash"), bn * bandBits)
+        .bitwiseAND(lit(mask)).as("bval")))
+    val posting = hashes
+      .select(col("id"), col("phash"), explode(array(bands: _*)).as("b"))
+      .select(col("id"), col("phash"), col("b.band"), col("b.bval"))
+    val a = posting.select(col("id").as("id_a"), col("phash").as("hash_a"),
+      col("band"), col("bval"))
+    val b = posting.select(col("id").as("id_b"), col("phash").as("hash_b"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hash_a", "hash_b")
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Deterministic frame sampling for "video" blobs: every `stride`-th
     * frame window of `frameBytes` bytes, as its own row (explode shape —
     * downstream per-frame models join on (id, frame_no)). One frame per

@@ -348,4 +348,61 @@ object Sampling {
     df.join(broadcast(thresholds), Seq(groupCol))
       .filter(col(scoreCol) >= col("threshold"))
   }
+
+  /** Largest-remainder (Hamilton) quota allocation — the data-mixing
+    * step that turns per-source corpus sizes into an EXACT integer token
+    * budget per source: quota_g = floor(total·w_g / W) plus one extra
+    * for the groups with the largest remainders, so quotas sum to
+    * `total` exactly and every quota is within 1 of the ideal real
+    * -valued share (no systematic rounding drift toward big or small
+    * sources, unlike floor- or round-based mixing).
+    *
+    * All arithmetic is decimal(38,0)-exact (total·w overflows a long
+    * once w is corpus-scale). The deficit ranking is distributed: the
+    * remainder's top byte (monotone double coarsening — rounding may
+    * collapse neighbors but never reorders) buckets groups 256 ways,
+    * ranks are local per bucket ordered by the EXACT (remainder desc,
+    * group) key, and only the 256 bucket counts ride the tiny cumsum —
+    * one row per group never funnels through a single-partition window
+    * even with millions of groups (domains, not sources).
+    *
+    * Output: group, w (summed weight), quota; sum(quota) == total.
+    */
+  def proportionalAllocation(
+      df: DataFrame, groupCol: String, weightCol: String,
+      total: Long): DataFrame = {
+    require(total >= 0, s"total $total must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(groupCol).as("group"))
+      .agg(sum(col(weightCol)).cast("decimal(38,0)").as("w"))
+    val tot = g.agg(sum(col("w")).as("_W"))
+    val q = g.crossJoin(broadcast(tot))
+      .withColumn("_tw", col("w") * lit(total))
+      .withColumn("_rem", col("_tw") % col("_W"))
+      .withColumn("_fq",
+        ((col("_tw") - col("_rem")) / col("_W")).cast("decimal(38,0)"))
+    val deficit = q.agg((lit(total) - sum(col("_fq")))
+      .cast("long").as("_D"))
+    val bucketed = q
+      .withColumn("_bucket", least(lit(255), greatest(lit(0),
+        floor(col("_rem").cast("double") * 256d /
+          col("_W").cast("double")).cast("int"))))
+      .withColumn("_local_rk", row_number().over(
+        Window.partitionBy("_bucket")
+          .orderBy(col("_rem").desc, col("group"))))
+    // constant-valued non-foldable key: one partition for the 256-row
+    // bucket-count cumsum, on purpose (see shardAssign)
+    val one = floor(col("_bucket") / lit(Int.MaxValue))
+    val offsets = bucketed.groupBy("_bucket").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(sum(col("_n")).over(
+        Window.partitionBy(one).orderBy(col("_bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_bucket", "_offset")
+    bucketed.join(broadcast(offsets), Seq("_bucket"))
+      .crossJoin(broadcast(deficit))
+      .withColumn("_rk", col("_offset") + col("_local_rk"))
+      .select(col("group"), col("w").cast("long").as("w"),
+        (col("_fq").cast("long") +
+          when(col("_rk") <= col("_D"), 1L).otherwise(0L)).as("quota"))
+  }
 }

@@ -409,6 +409,30 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("StreamingEtl.firstPerKey dedups across micro-batches, bounded state") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val events = mem.toDF().toDF("sec", "k", "payload")
+      .select(timestamp_seconds($"sec").as("ts"), $"k", $"payload")
+    val out = graft.streaming.StreamingEtl.firstPerKey(events, "ts", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("first_per_key")
+      .outputMode("append").start()
+    try {
+      // duplicates arrive only ACROSS batches so kept-row identity is
+      // deterministic: batch 2's "a" lands within the 2h watermark of
+      // batch 1's and must be dropped
+      mem.addData((1000L, "a", 1L), (1002L, "b", 3L))
+      q.processAllAvailable()
+      mem.addData((1100L, "a", 4L), (1200L, "c", 5L))
+      q.processAllAvailable()
+      val got = spark.sql("select k, payload from first_per_key")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq(("a", 1L), ("b", 3L), ("c", 5L)), got)
+    } finally q.stop()
+  }
+
   test("StreamingEtl.dedupAgainstIndex: streaming LSH gate == batch pairs") {
     import spark.implicits._
     import graft.operators.Dedup

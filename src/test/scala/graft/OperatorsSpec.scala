@@ -640,6 +640,89 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Sketches: shard-sketch union == one-pass global sketch, estimate sane") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // 5000 rows over ~1200 distinct values, skewed across 8 shards
+    val rows = (0 until 5000).map(i =>
+      (i % 8L, s"v${rnd.nextInt(1200)}"))
+    val df = rows.toDF("src", "v").repartition(8)
+    val exact = rows.map(_._2).distinct.size.toLong
+    val shards = Sketches.shardSketches(df, "src", "v")
+    assert(shards.count() == 8)
+    val merged = Sketches.mergedEstimate(shards).collect()(0)
+    // HLL union is register-lossless: merging shard sketches must give
+    // EXACTLY the estimate of a single sketch over the whole frame
+    val direct = df.agg(
+      hll_sketch_estimate(hll_sketch_agg($"v", lit(12)))).collect()(0)
+      .getLong(0)
+    assert(merged.getLong(0) == direct,
+      s"merged=${merged.getLong(0)} direct=$direct")
+    assert(merged.getLong(1) == 5000L)
+    // lgK=12 keeps the estimate within ~5% of exact at this cardinality
+    assert(math.abs(merged.getLong(0) - exact) <= exact / 20,
+      s"estimate ${merged.getLong(0)} vs exact $exact")
+    // per-shard estimates cover every shard and sum >= global distinct
+    val per = Sketches.shardEstimates(shards).collect()
+    assert(per.length == 8 && per.map(_.getLong(1)).sum >= exact)
+  }
+
+  test("Sampling.proportionalAllocation == largest-remainder reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // includes zero-weight groups and heavy skew
+    val weights = (0 until 400).map(i =>
+      (s"g$i", if (i % 37 == 0) 0L else rnd.nextInt(1 << 20).toLong))
+    val rows = weights.flatMap { case (g, w) => // split weights over rows
+      if (w == 0) Seq((g, 0L)) else Seq((g, w / 2), (g, w - w / 2)) }
+    for (total <- Seq(0L, 1L, 999983L)) {
+      val got = Sampling.proportionalAllocation(
+          rows.toDF("g", "w"), "g", "w", total)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      // driver-side reference: exact BigInt largest-remainder
+      val c = weights.map(_._2).map(BigInt(_)).sum
+      val fq = weights.map { case (g, w) =>
+        (g, (BigInt(total) * w / c, BigInt(total) * w % c)) }
+      val deficit = (BigInt(total) - fq.map(_._2._1).sum).toInt
+      val bump = fq.sortBy { case (g, (_, rem)) => (-rem, g) }
+        .take(deficit).map(_._1).toSet
+      val want = fq.map { case (g, (f, _)) =>
+        (g, (f + (if (bump(g)) 1 else 0)).toLong) }.toMap
+      assert(got == want, s"total=$total diff=${
+        got.collect { case (k, v) if want(k) != v => (k, v, want(k)) }.take(5)}")
+      assert(got.values.sum == total)
+    }
+  }
+
+  test("Multimodal.phashPairs == brute-force hamming; aHash conventions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // random 32-bit hashes plus planted near-dups at distances 0..8
+    val base = (0 until 150).map(i => (i.toLong, rnd.nextInt().toLong & 0xffffffffL))
+    val planted = (0 until 9).map { d =>
+      val (_, h) = base(d)
+      (500L + d, (0 until d).foldLeft(h)((x, b) => x ^ (1L << (b * 3))))
+    }
+    val all = base ++ planted
+    val df = all.toDF("id", "phash")
+    val got = Multimodal.phashPairs(df, bits = 32, maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute,
+      s"missing=${brute.diff(got).take(5)} extra=${got.diff(brute).take(5)}")
+    // aHash: empty blob -> 0; constant bytes -> all bits set
+    val blobs = Seq((1L, "", "t"), (2L, "aaaaaaaa", "t"))
+      .toDF("id", "content", "mime")
+      .select($"id", $"content".cast("binary").as("content"), $"mime")
+      .as[Multimodal.Blob]
+    val h = Multimodal.aHash(blobs, bits = 8).collect()
+      .map(p => (p.id, p.phash)).toMap
+    assert(h(1L) == 0L && h(2L) == 255L, h)
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(

@@ -435,4 +435,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated")
     }
   }
+
+  test("q155 phash pairs: banded equi-join, no all-pairs") {
+    val p = plan("q155_phash_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q153 quota allocation: windows only on bucket keys, never groups") {
+    val p = plan("q153_quota_allocation")
+    // the deficit rank must be the two-level bucketed form: local rank
+    // partitioned by _bucket, offsets cumsum over <=256 bucket-count rows
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p.take(2000))
+    assert(winLines.forall(_.contains("_bucket")), winLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
