@@ -2402,18 +2402,22 @@ object SparkEntry {
         total = 1000000L)
       .select($("group").as("source"), $("w").as("w_chars"), $("quota"))
 
-  /** Entity resolution end-to-end: SymSpell fuzzy pairs over customer
-    * names → connected components → per-member canonical entity id (the
-    * min member key of the transitive near-duplicate closure).
+  /** Entity resolution end-to-end over the part-name vocabulary: distinct
+    * names with corpus counts → SymSpell fuzzy pairs (lev <= 2) →
+    * connected components → canonical entity id (lexicographic min name
+    * of the transitive near-duplicate closure; singletons are their own
+    * entity). The corpus collapses to its vocabulary FIRST, so the
+    * quadratic-ish fuzzy stage runs on distinct values, not rows.
     */
   private def q154EntityResolution(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer").filter($("c_nationkey") < 5)
-      .select($("c_custkey"), $("c_name"))
-    val pairs = FuzzyJoin.symspellJoin(c, "c_custkey", "c_name", maxDist = 1)
-    Dedup.connectedComponents(pairs)
-      .join(c, col("id") === c("c_custkey"))
-      .select(col("id").as("c_custkey"), col("cluster_id").as("entity_id"),
-        col("c_name"))
+    val vocab = t(s, dir, "part").groupBy($("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val pairs = FuzzyJoin.symspellJoin(vocab, "name", "name", maxDist = 2)
+    val cc = Dedup.connectedComponents(pairs)
+      .select(col("id").as("name"), col("cluster_id"))
+    vocab.join(cc, Seq("name"), "left")
+      .select(col("name"), coalesce(col("cluster_id"), col("name"))
+        .as("entity_id"), col("n_rows"))
   }
 
   /** Perceptual-hash (aHash) near-dup over "image" blobs: 32-bit
@@ -4827,23 +4831,25 @@ object SparkEntry {
         |          ELSE '&a=1&b=2' END) ||
         |    (CASE WHEN o_orderkey % 5 = 0 THEN '#Sec2' ELSE '' END) AS url
         |  FROM orders),
-        |s1 AS (SELECT url, regexp_replace(url, '#.*$', '') AS nofrag
-        |       FROM u),
+        |s1 AS (SELECT url, split_part(url, '#', 1) AS nofrag FROM u),
         |s2 AS (SELECT url, split_part(nofrag, '?', 1) AS base,
         |              split_part(nofrag, '?', 2) AS query FROM s1),
         |s3 AS (SELECT url, query,
         |  lower(split_part(base, '://', 1)) AS scheme,
-        |  lower(split_part(split_part(base, '://', 2), '/', 1)) AS host,
-        |  regexp_extract(base,
-        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1) AS path
+        |  split_part(base, '://', 2) AS rest,
+        |  split_part(split_part(base, '://', 2), '/', 1) AS hostseg
         |  FROM s2),
-        |s4 AS (SELECT url, query, scheme,
-        |  CASE WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
-        |       WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
-        |       ELSE host END AS host,
-        |  CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
-        |       ELSE regexp_replace(path, '/+$', '') END AS path
+        |s3b AS (SELECT url, query, scheme, lower(hostseg) AS host,
+        |  rtrim(substr(rest, length(hostseg) + 1), '/') AS pathraw
         |  FROM s3),
+        |s4 AS (SELECT url, query, scheme,
+        |  CASE WHEN scheme = 'https' AND ends_with(host, ':443')
+        |         THEN substr(host, 1, length(host) - 4)
+        |       WHEN scheme = 'http' AND ends_with(host, ':80')
+        |         THEN substr(host, 1, length(host) - 3)
+        |       ELSE host END AS host,
+        |  CASE WHEN pathraw = '' THEN '/' ELSE pathraw END AS path
+        |  FROM s3b),
         |s5 AS (SELECT url, scheme, host, path,
         |  array_to_string(list_sort(list_filter(string_split(query, '&'),
         |    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
@@ -4870,12 +4876,13 @@ object SparkEntry {
         |                  THEN 1 ELSE 0 END) AS BIGINT) AS quota
         |FROM r""".stripMargin,
     "q154_entity_resolution" ->
-      """WITH RECURSIVE c AS (SELECT c_custkey, c_name FROM customer
-        |                     WHERE c_nationkey < 5),
+      """WITH RECURSIVE v AS (SELECT p_name AS name,
+        |                       CAST(count(*) AS BIGINT) AS n_rows
+        |                     FROM part GROUP BY 1),
         |pairs AS (
-        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-        |  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
-        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |  SELECT a.name AS id_a, b.name AS id_b
+        |  FROM v a JOIN v b ON a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 2),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs),
@@ -4884,8 +4891,9 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
         |cc AS (SELECT id, min(label) AS entity_id FROM reach GROUP BY id)
-        |SELECT cc.id AS c_custkey, cc.entity_id, c.c_name
-        |FROM cc JOIN c ON c.c_custkey = cc.id""".stripMargin,
+        |SELECT v.name, COALESCE(cc.entity_id, v.name) AS entity_id,
+        |  v.n_rows
+        |FROM v LEFT JOIN cc ON cc.id = v.name""".stripMargin,
     "q155_phash_dedup" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
         |b AS (SELECT doc_id, ((i-1) * 32) // L AS k,

@@ -21,26 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object Web {
 
-  /** Canonical form of a URL column. */
+  /** Canonical form of a URL column. Split/trim string ops only — no
+    * regex on the hot path (Java regex costs ~5x plain splits per row,
+    * measured on the q152 bench).
+    */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    val noFrag = split_part(url, lit("#"), lit(1))
     val base = split_part(noFrag, lit("?"), lit(1))
     val query = split_part(noFrag, lit("?"), lit(2))
     val scheme = lower(split_part(base, lit("://"), lit(1)))
-    val hostRaw = lower(split_part(split_part(base, lit("://"), lit(2)),
-      lit("/"), lit(1)))
-    val host = when(scheme === "https",
-        regexp_replace(hostRaw, ":443$", ""))
-      .when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
-      .otherwise(hostRaw)
-    val pathRaw = regexp_replace(
-      regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1),
-      "/+$", "")
+    val rest = split_part(base, lit("://"), lit(2))
+    val hostSeg = split_part(rest, lit("/"), lit(1))
+    val hostLower = lower(hostSeg)
+    val host = when(scheme === "https" && hostLower.endsWith(":443"),
+        hostLower.substr(lit(1), length(hostLower) - 4))
+      .when(scheme === "http" && hostLower.endsWith(":80"),
+        hostLower.substr(lit(1), length(hostLower) - 3))
+      .otherwise(hostLower)
+    val pathRaw = rtrim(rest.substr(length(hostSeg) + 1, length(rest)), "/")
     val path = when(pathRaw === "", lit("/")).otherwise(pathRaw)
-    val q = array_join(array_sort(filter(split(query, "&"),
-      p => p =!= "" && !p.startsWith("utm_"))), "&")
-    concat(scheme, lit("://"), host, path,
-      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+    // the query-param chain (split -> filter -> sort -> join) is a
+    // CodegenFallback subtree; referencing it twice (emptiness test +
+    // concat) would evaluate it twice per row — bind JUST the suffix
+    // (the q132/q139 lesson), keeping scheme/host/path in codegen: a
+    // wider bind that captured them ran 4x slower (whole chain
+    // interpreted inside the lambda)
+    val qSuffix = Dedup.bind(
+      array_join(array_sort(filter(split(query, "&", -1),
+        p => p =!= "" && !p.startsWith("utm_"))), "&"),
+      q => when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+    concat(scheme, lit("://"), host, path, qSuffix)
   }
 
   /** Group rows by canonical URL: canonical_url, n_rows (total raw
