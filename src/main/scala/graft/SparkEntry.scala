@@ -2437,6 +2437,38 @@ object SparkEntry {
     Multimodal.phashPairs(hashes, bits = 32, maxDist = 7)
   }
 
+  /** Per-column top-5 frequent values (categorical profile) over orders:
+    * low-cardinality statuses/priorities plus the 1500-value custkey
+    * column exercising the 256-sub-bucket bounded-rank path.
+    */
+  private def q156TopValues(s: SparkSession, dir: String): DataFrame =
+    Profile.topKValues(t(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey"), k = 5)
+
+  /** Unicode-confusable dedup: part names salted with Cyrillic
+    * homoglyphs and zero-width chars (deterministic synth) collapse back
+    * to their clean form under confusableNormalize; groups count raw
+    * rows and distinct evasion variants.
+    */
+  private def q157ConfusableDedup(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "part").select($("p_partkey"),
+      when($("p_partkey") % 3 === 0,
+        translate($("p_name"), "ae", "ае"))
+        .otherwise($("p_name")).as("_s"))
+    val noisy = n1.select(
+      when($("p_partkey") % 5 === 0,
+        concat($("_s").substr(lit(1), lit(1)), lit("\u200b"),
+          $("_s").substr(lit(2), length($("_s")))))
+        .otherwise($("_s")).as("noisy"))
+    noisy
+      .select($("noisy"),
+        graft.operators.TextAnalysis.confusableNormalize($("noisy"))
+          .as("name"))
+      .groupBy("name")
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct($("noisy")).as("n_forms"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2595,6 +2627,8 @@ object SparkEntry {
     "q153_quota_allocation" -> (q153QuotaAllocation _),
     "q154_entity_resolution" -> (q154EntityResolution _),
     "q155_phash_dedup" -> (q155PhashDedup _),
+    "q156_top_values" -> (q156TopValues _),
+    "q157_confusable_dedup" -> (q157ConfusableDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4915,5 +4949,37 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin,
+    "q156_top_values" ->
+      """WITH m AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |c AS (SELECT col_name, value, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM m GROUP BY 1, 2),
+        |r AS (SELECT col_name, value, cnt,
+        |        row_number() OVER (PARTITION BY col_name
+        |          ORDER BY cnt DESC, value) AS rank
+        |      FROM c)
+        |SELECT col_name, value, cnt, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "q157_confusable_dedup" ->
+      """WITH n1 AS (SELECT p_partkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN translate(p_name, 'ae', 'ае')
+        |       ELSE p_name END AS s FROM part),
+        |n2 AS (SELECT CASE WHEN p_partkey % 5 = 0
+        |  THEN substr(s, 1, 1) || chr(8203) || substr(s, 2)
+        |  ELSE s END AS noisy FROM n1),
+        |norm AS (SELECT noisy, translate(noisy,
+        |  'аеорсухАВЕКМНОРСТХ' || chr(8203) || chr(8204) ||
+        |    chr(8205) || chr(65279),
+        |  'aeopcyxABEKMHOPCTX') AS name FROM n2)
+        |SELECT name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT noisy) AS BIGINT) AS n_forms
+        |FROM norm GROUP BY 1""".stripMargin,
   )
 }

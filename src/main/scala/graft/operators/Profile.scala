@@ -39,4 +39,46 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_nonnull, n_nulls, n_distinct, min_s, max_s)")
   }
+
+  /** Per-column top-k most frequent values — the categorical half of a
+    * profile (what `summarize` can't show): melt the chosen columns to
+    * (col_name, value) in the scan projection, count by (column, value),
+    * and take the k heaviest per column.
+    *
+    * The final per-column rank is NOT a window over all of a column's
+    * distinct values (a high-cardinality column would funnel through
+    * one task): candidates are first cut to the top k within each of
+    * 256 hash sub-buckets — a (column, bucket)-keyed window whose
+    * partitions the count aggregation already bounded — so the
+    * per-column window ranks at most 256·k survivors, a constant,
+    * while containing the true top k by construction (a value's global
+    * rank is at least its sub-bucket rank). Nulls are skipped (they are
+    * `summarize`'s n_nulls, not a "value").
+    *
+    * Output: col_name, value (string-rendered), cnt, rank (1..k,
+    * ties broken by value ascending).
+    */
+  def topKValues(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty && k > 0, "need columns and k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val melted = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value")))
+        : _*)).as("kv"))
+      .select(col("kv.col_name"), col("kv.value"))
+      .filter(col("value").isNotNull)
+    val counts = melted.groupBy("col_name", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val sub = Window.partitionBy(col("col_name"),
+        pmod(xxhash64(col("value")), lit(256)))
+      .orderBy(col("cnt").desc, col("value"))
+    val fin = Window.partitionBy(col("col_name"))
+      .orderBy(col("cnt").desc, col("value"))
+    counts
+      .withColumn("_sub_rk", row_number().over(sub))
+      .filter(col("_sub_rk") <= k)
+      .withColumn("rank", row_number().over(fin))
+      .filter(col("rank") <= k)
+      .select(col("col_name"), col("value"), col("cnt"),
+        col("rank").cast("long").as("rank"))
+  }
 }

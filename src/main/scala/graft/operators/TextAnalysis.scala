@@ -641,4 +641,24 @@ object TextAnalysis {
       .select(col("qid").as("query_id"), col("id").as("doc_id"),
         col("n_terms"), col("score_q20"), col("rk").cast("long").as("rk"))
   }
+
+  /** Cyrillic homoglyphs that render identically to Latin letters, plus
+    * zero-width characters (deleted — `translate` drops `from` chars
+    * with no `to` counterpart). */
+  private val ConfusableFrom =
+    "аеорсух" + // Cyrillic lowercase lookalikes
+    "АВЕКМНОРСТХ" + // Cyrillic uppercase lookalikes
+    "\u200b\u200c\u200d\uFEFF" // zero-width space/joiners/BOM
+  private val ConfusableTo = "aeopcyx" + "ABEKMHOPCTX"
+
+  /** Unicode-confusable normalization — the adversarial-dedup pass a
+    * web corpus needs BEFORE exact/canonical dedup: spam and SEO farms
+    * evade duplicate detection by swapping Latin letters for identical
+    * -looking Cyrillic ones and salting zero-width characters, which
+    * defeats hash-based dedup while looking unchanged to a reader.
+    * One codegen `translate` per row (char-to-char map + zero-width
+    * deletion) — no regex, no UDF, no shuffle.
+    */
+  def confusableNormalize(c: Column): Column =
+    translate(c, ConfusableFrom, ConfusableTo)
 }

@@ -723,6 +723,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h(1L) == 0L && h(2L) == 255L, h)
   }
 
+  test("Profile.topKValues == brute-force per-column top-k; nulls skipped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // skewed low-cardinality column + high-cardinality column + nulls
+    val rows = (0 until 3000).map { i =>
+      (if (i % 11 == 0) null else s"s${rnd.nextInt(4)}",
+        s"v${rnd.nextInt(800)}")
+    }
+    val df = rows.toDF("a", "b")
+    val got = Profile.topKValues(df, Seq("a", "b"), k = 6)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    def brute(vs: Seq[String], name: String) =
+      vs.filter(_ != null).groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+        .toSeq.sortBy { case (v, c) => (-c, v) }.take(6).zipWithIndex
+        .map { case ((v, c), i) => (name, v, c, i + 1L) }
+    val want = (brute(rows.map(_._1), "a") ++ brute(rows.map(_._2), "b"))
+      .sorted
+    assert(got == want, s"got=${got.take(4)} want=${want.take(4)}")
+  }
+
+  test("TextAnalysis.confusableNormalize maps homoglyphs, drops zero-width") {
+    import spark.implicits._
+    val got = Seq("pаgе one", "clеаn",
+        "a\u200bb\u200cc\u200dd\uFEFFe", "САКЕ", "plain")
+      .toDF("s")
+      .select(TextAnalysis.confusableNormalize($"s")).as[String]
+      .collect().toSeq
+    assert(got == Seq("page one", "clean", "abcde", "CAKE", "plain"), got)
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(

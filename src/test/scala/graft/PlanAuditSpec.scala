@@ -442,6 +442,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q156 top-k values: final rank fed by sub-bucket cut, partial counts") {
+    val p = plan("q156_top_values")
+    assert(p.contains("partial_count"), "melt counts must combine map-side")
+    // both windows key on col_name; the first adds the 256-way sub-bucket
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("col_name")),
+      winLines.mkString("\n"))
+    // the sub-bucket window keys on (col_name, hash bucket) — 2 keys —
+    // and Spark's rank-limit pushdown (WindowGroupLimit, partial before
+    // the exchange) bounds both windows map-side
+    assert(winLines.exists(l => l.indexOf("_w0") > 0), winLines.mkString("\n"))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
   test("q153 quota allocation: windows only on bucket keys, never groups") {
     val p = plan("q153_quota_allocation")
     // the deficit rank must be the two-level bucketed form: local rank
