@@ -72,4 +72,32 @@ object Layout {
       .groupBy(input_file_name().as("file"))
       .agg(min(col(colName)).as("lo"), max(col(colName)).as("hi"),
         count(lit(1)).as("rows"))
+
+  /** Small-file compaction (the OPTIMIZE verb): rewrite a parquet
+    * directory into ceil(bytes / targetBytes) files. Incremental ingest
+    * (micro-batches, per-feed appends) strews thousands of KB-scale
+    * files; at 100 TB the resulting open/footer/seek overhead dominates
+    * scan time and throttles the driver's file listing. `coalesce` (not
+    * `repartition`) merges partitions WITHOUT a shuffle — compaction
+    * reads each row once and writes it once; clustering during
+    * compaction is [[writeZClustered]]'s job, not this one's.
+    *
+    * Returns (input file count, output file count, bytes).
+    */
+  def compactToTarget(
+      spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): (Int, Int, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new java.io.File(inDir)
+    val files = Option(fs.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val bytes = files.map(_.length()).sum
+    val n = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    spark.read.parquet(inDir).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val out = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    (files.length, out, bytes)
+  }
 }

@@ -69,4 +69,31 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("compactToTarget merges small files shuffle-free, content-equal") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_compact").toString
+    val inDir = s"$base/in"
+    val outDir = s"$base/out"
+    // 40 tiny files (one per partition)
+    (0L until 4000L).toDF("id").withColumn("v", col("id") * 3)
+      .repartition(40).write.parquet(inDir)
+    val (nin, nout, bytes) = Layout.compactToTarget(
+      spark, inDir, outDir, targetBytes = bytesOf(inDir) / 4)
+    assert(nin == 40 && bytes > 0)
+    assert(nout <= 8, s"expected <= 8 output files, got $nout")
+    // content identical
+    val a = spark.read.parquet(inDir)
+    val b = spark.read.parquet(outDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // coalesce, not repartition: the compaction plan must not shuffle
+    val plan = spark.read.parquet(inDir).coalesce(3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  private def bytesOf(dir: String): Long =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
 }
