@@ -2469,6 +2469,33 @@ object SparkEntry {
         count_distinct($("noisy")).as("n_forms"))
   }
 
+  /** PMI-ranked collocations over the corpus: top-50 adjacent word
+    * pairs by log-free rational PMI, min count 5.
+    */
+  private def q158PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.pmiCollocations(docs(s, dir), "text",
+      minCount = 5, k = 50)
+
+  /** Per-user least-squares value trend over event time — decimal-exact
+    * normal-equation sums, one IEEE divide, no window.
+    */
+  private def q159TrendSlopes(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.trendSlopes(
+      Tables.events(s, dir).select($("user_id"),
+        epochS($("ts")).as("sec"), $("value")),
+      "user_id", "sec", "value", epochOffset = 1700000000L)
+
+  /** k-anonymity / l-diversity audit over (nation, balance-bucket)
+    * quasi-identifiers with market segment as the sensitive attribute.
+    */
+  private def q160AnonymityAudit(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "customer").select($("c_nationkey"),
+      floor($("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+      $("c_mktsegment"))
+    Privacy.anonymityAudit(b, Seq("c_nationkey", "bal_bucket"),
+      "c_mktsegment", k = 5, l = 3)
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2629,6 +2656,9 @@ object SparkEntry {
     "q155_phash_dedup" -> (q155PhashDedup _),
     "q156_top_values" -> (q156TopValues _),
     "q157_confusable_dedup" -> (q157ConfusableDedup _),
+    "q158_pmi_collocations" -> (q158PmiCollocations _),
+    "q159_trend_slopes" -> (q159TrendSlopes _),
+    "q160_anonymity_audit" -> (q160AnonymityAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4981,5 +5011,47 @@ object SparkEntry {
         |SELECT name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT noisy) AS BIGINT) AS n_forms
         |FROM norm GROUP BY 1""".stripMargin,
+    "q158_pmi_collocations" ->
+      """WITH tk AS (SELECT string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (SELECT unnest(l) AS w FROM tk),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni
+        |       GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM uni),
+        |bi AS (SELECT l[i] AS w1, l[i+1] AS w2
+        |       FROM (SELECT l, unnest(range(1, len(l))) AS i FROM tk)),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM bi GROUP BY 1, 2),
+        |sc AS (SELECT w1, w2, c12, a.c AS c1, b.c AS c2,
+        |         CAST((1048576::HUGEINT * nn.n * c12) //
+        |              (a.c::HUGEINT * b.c) AS BIGINT) AS pmi_q20
+        |       FROM bc JOIN uc a ON a.w = w1 JOIN uc b ON b.w = w2, nn
+        |       WHERE c12 >= 5)
+        |SELECT * FROM sc ORDER BY pmi_q20 DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q159_trend_slopes" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1700000000
+        |         AS DECIMAL(18,0)) AS x,
+        |    CAST(value AS DECIMAL(18,6)) AS y FROM events),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |        sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  CASE WHEN n_events >= 2 AND (n_events * sxx - sx * sx) <> 0
+        |    THEN CAST(n_events * sxy - sx * sy AS DOUBLE) /
+        |         CAST(n_events * sxx - sx * sx AS DOUBLE)
+        |    ELSE NULL END AS slope
+        |FROM g""".stripMargin,
+    "q160_anonymity_audit" ->
+      """WITH b AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |    c_mktsegment FROM customer)
+        |SELECT c_nationkey, bal_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+        |  count(*) >= 5 AS k_ok,
+        |  count(DISTINCT c_mktsegment) >= 3 AS l_ok
+        |FROM b GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -82,4 +82,34 @@ object EventAnalytics {
       .select(col(keyCol), col(secCol).as("valid_from"), col("valid_to"),
         col(valueCol).as("state"))
   }
+
+  /** Per-key least-squares trend (drift detection over metric streams):
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) from ONE map-side
+    * -combining aggregation per key — no window, no sort, no second
+    * pass. All sums are decimal-exact (x as offset epoch seconds, y
+    * through decimal(18,6)), so the two operands of the final division
+    * are bit-identical in any engine and the single IEEE divide makes
+    * even the double slope hash-comparable. `epochOffset` recenters x
+    * (slope is translation-invariant) to keep x² sums far from the
+    * 38-digit decimal ceiling at corpus scale.
+    *
+    * Output: key, n_events, slope (null when n < 2 or x is constant).
+    */
+  def trendSlopes(
+      df: DataFrame, keyCol: String, secCol: String, valueCol: String,
+      epochOffset: Long): DataFrame = {
+    val x = (col(secCol) - epochOffset).cast("decimal(38,0)")
+    val y = col(valueCol).cast("decimal(18,6)")
+    val g = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"))
+    val n = col("n_events").cast("decimal(38,0)")
+    val num = n * col("_sxy") - col("_sx") * col("_sy")
+    val den = n * col("_sxx") - col("_sx") * col("_sx")
+    g.select(col(keyCol), col("n_events"),
+      when(col("n_events") >= 2 && den =!= 0,
+        num.cast("double") / den.cast("double"))
+        .otherwise(lit(null).cast("double")).as("slope"))
+  }
 }

@@ -642,6 +642,52 @@ object TextAnalysis {
         col("n_terms"), col("score_q20"), col("rk").cast("long").as("rk"))
   }
 
+  /** PMI-ranked collocations — the "New York" / "machine learning"
+    * detector used to build phrase vocabularies for tokenizers and
+    * retrieval. PMI = log(N·c12 / (c1·c2)) is monotone in its rational
+    * argument, so ranking needs no log at all: score_q20 =
+    * floor(2^20·N·c12 / (c1·c2)) is integer-exact (decimal(38,0) — the
+    * products overflow a long at corpus scale) and engine-portable,
+    * the same log-free trick as [[bm25TopK]]'s idf.
+    *
+    * Shape: bigrams explode per row (adjacent [[wordNgrams]], no
+    * positional self-join), unigram/bigram counts partial-aggregate
+    * map-side, two equi-joins attach c1/c2, and the global top-k is an
+    * orderBy+limit (TakeOrdered — per-partition heaps, never a global
+    * sort materialization). `minCount` cuts the hapax noise PMI is
+    * notorious for.
+    *
+    * Output: w1, w2, c12, c1, c2, pmi_q20 (top k by score, full
+    * deterministic tiebreak).
+    */
+  def pmiCollocations(
+      df: DataFrame, textCol: String,
+      minCount: Int, k: Int): DataFrame = {
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val uni = nonBlank
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).cast("decimal(38,0)").as("_N"))
+    val bi = nonBlank
+      .select(explode(wordNgrams(col(textCol), 2)).as("g"))
+      // tokens are whitespace-split, so the space join is reversible
+      .select(split_part(col("g"), lit(" "), lit(1)).as("w1"),
+        split_part(col("g"), lit(" "), lit(2)).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val num = lit(1048576).cast("decimal(38,0)") *
+      col("_N") * col("c12").cast("decimal(38,0)")
+    val den = (col("c1") * col("c2")).cast("decimal(38,0)")
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        ((num - num % den) / den).cast("long").as("pmi_q20"))
+      .orderBy(col("pmi_q20").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Cyrillic homoglyphs that render identically to Latin letters, plus
     * zero-width characters (deleted — `translate` drops `from` chars
     * with no `to` counterpart). */

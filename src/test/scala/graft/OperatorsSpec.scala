@@ -754,6 +754,74 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("page one", "clean", "abcde", "CAKE", "plain"), got)
   }
 
+  test("TextAnalysis.pmiCollocations ranks a fused pair over frequent fillers") {
+    import spark.implicits._
+    // "new york" always co-occurs; "the" pairs with everything
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"the city of new york has the tall tower $i"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.pmiCollocations(docs, "text", minCount = 5, k = 5)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(5)))
+    // top pair must be one of the deterministic always-fused bigrams and
+    // every returned score must be >= the last (descending)
+    assert(r.nonEmpty && r.map(_._3).toSeq == r.map(_._3).sortBy(-_).toSeq)
+    val top = r.head
+    assert(Set(("new", "york"), ("tall", "tower"), ("city", "of"))
+      .contains((top._1, top._2)), r.toSeq.toString)
+    // "the" appears 60 times; any pair with it must score below the top
+    assert(!Set(top._1, top._2).contains("the"))
+  }
+
+  test("EventAnalytics.trendSlopes == exact least squares; degenerate nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 400).map { i =>
+      val k = (i % 7).toLong
+      (k, 1700000000L + rnd.nextInt(100000).toLong,
+        math.round(rnd.nextDouble() * 1e6) / 1e6 * 100)
+    } ++ Seq((100L, 1700000050L, 5.0), // n = 1 -> null
+      (101L, 1700000100L, 1.0), (101L, 1700000100L, 9.0)) // const x -> null
+    val got = EventAnalytics.trendSlopes(
+        rows.toDF("k", "sec", "v"), "k", "sec", "v", 1700000000L)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null
+        else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    assert(got(100L) == null && got(101L) == null)
+    // BigDecimal reference, same rational then one double divide
+    for (k <- 0L until 7L) {
+      val pts = rows.filter(_._1 == k)
+      val n = BigDecimal(pts.size)
+      // mirror the engines' double -> decimal(18,6) cast (round half-up)
+      def d6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val sx = pts.map(p => BigDecimal(p._2 - 1700000000L)).sum
+      val sy = pts.map(p => d6(p._3)).sum
+      val sxy = pts.map(p =>
+        BigDecimal(p._2 - 1700000000L) * d6(p._3)).sum
+      val sxx = pts.map(p => BigDecimal(p._2 - 1700000000L).pow(2)).sum
+      val want = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(got(k) == want, s"k=$k ${got(k)} vs $want")
+    }
+  }
+
+  test("Privacy.anonymityAudit flags small and homogeneous groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, "X"), ("a", 1L, "Y"), ("a", 1L, "Z"), // k=3, l=3
+      ("b", 2L, "X"), ("b", 2L, "X"), ("b", 2L, "X"), // k=3, l=1
+      ("c", 3L, "X")) // k=1
+      .toDF("q1", "q2", "s")
+    val got = Privacy.anonymityAudit(df, Seq("q1", "q2"), "s", k = 2, l = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).sortBy(_._1).toSeq
+    assert(got == Seq(("a", 3L, 3L, true, true), ("b", 3L, 1L, true, false),
+      ("c", 1L, 1L, false, false)))
+    val viol = Privacy.kAnonymityViolations(df, Seq("q1", "q2"), k = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(viol == Seq("c"))
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(
