@@ -2496,6 +2496,21 @@ object SparkEntry {
       "c_mktsegment", k = 5, l = 3)
   }
 
+  /** Mutual-kNN cosine graph over the embeddings corpus (k = 10): the
+    * symmetric sparse similarity graph for graph-based semantic dedup.
+    */
+  private def q161MutualKnn(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.mutualKnnGraph(
+      t(s, dir, "embeddings").select($("vec_id").as("id"),
+        $("embedding").as("vec")), k = 10)
+
+  /** T5 span-corruption pairs over documents: spans of 3 tokens, every
+    * 7th span masked — deterministic denoising-objective training data.
+    */
+  private def q162SpanCorruption(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.spanCorruptionPairs(docs(s, dir),
+      "doc_id", "text", spanLen = 3, everyNth = 7)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2659,6 +2674,8 @@ object SparkEntry {
     "q158_pmi_collocations" -> (q158PmiCollocations _),
     "q159_trend_slopes" -> (q159TrendSlopes _),
     "q160_anonymity_audit" -> (q160AnonymityAudit _),
+    "q161_mutual_knn" -> (q161MutualKnn _),
+    "q162_span_corruption" -> (q162SpanCorruption _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5053,5 +5070,38 @@ object SparkEntry {
         |  count(*) >= 5 AS k_ok,
         |  count(DISTINCT c_mktsegment) >= 3 AS l_ok
         |FROM b GROUP BY 1, 2""".stripMargin,
+    "q161_mutual_knn" ->
+      """WITH t AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_cosine_similarity(c.embedding::DOUBLE[],
+        |      q.embedding::DOUBLE[]) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+        |        q.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id),
+        |tk AS (SELECT * FROM t WHERE rank <= 10)
+        |SELECT a.qid AS id_a, a.id AS id_b, round(a.cos, 6) AS cosine,
+        |  CAST(a.rank AS BIGINT) AS rank_ab, CAST(b.rank AS BIGINT) AS rank_ba
+        |FROM tk a JOIN tk b ON b.qid = a.id AND b.id = a.qid
+        |WHERE a.qid < a.id""".stripMargin,
+    "q162_span_corruption" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents),
+        |c AS (SELECT doc_id, l, len(l) AS n FROM tk)
+        |SELECT doc_id,
+        |  array_to_string(flatten([CASE
+        |      WHEN ((i // 3) % 7) <> 0 THEN [l[i+1]]
+        |      WHEN (i % 3) = 0
+        |        THEN ['<X_' || CAST((i // 3) // 7 AS VARCHAR) || '>']
+        |      ELSE []::VARCHAR[] END
+        |    for i in range(0, n)]), ' ') AS input,
+        |  array_to_string(flatten([
+        |      ['<X_' || CAST((i // 3) // 7 AS VARCHAR) || '>'] || l[i+1:i+3]
+        |    for i in range(0, n) if (i % 3) = 0 AND ((i // 3) % 7) = 0]),
+        |    ' ') AS target,
+        |  CAST(len([i for i in range(0, n)
+        |            if (i % 3) = 0 AND ((i // 3) % 7) = 0]) AS BIGINT)
+        |    AS n_masked_spans
+        |FROM c""".stripMargin,
   )
 }

@@ -40,6 +40,11 @@ package object functions {
   def int8Dot(a: Column, b: Column): Column =
     toCol(Int8Dot(toExpr(a), toExpr(b)))
 
+  /** Codegen'd double dot of float arrays — same left-to-right summation
+    * as the HOF fold, so doubles stay oracle-identical ([[FloatDot]]). */
+  def floatDot(a: Column, b: Column): Column =
+    toCol(FloatDot(toExpr(a), toExpr(b)))
+
   /** Unicode NFC canonical composition as a codegen'd native expression
     * (see [[NfcNormalize]]) — identity-fast on already-normalized text.
     */

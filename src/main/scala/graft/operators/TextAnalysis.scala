@@ -688,6 +688,50 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** T5-style span-corruption pairs — denoising-objective training data:
+    * every `everyNth`-th `spanLen`-token span is cut from the input and
+    * replaced by a numbered sentinel `<X_n>`; the target is the sentinel
+    * -prefixed masked spans in order. Deterministic positional masking
+    * (span s masked iff s % everyNth == 0) instead of random sampling,
+    * so pairs are reproducible across runs/engines and the masking RATE
+    * (spanLen / (spanLen·everyNth)) is exact by construction. Pure
+    * per-row array expressions — tokens bound once, no shuffle; output
+    * inherits the input partitioning.
+    *
+    * Output: idCol, input, target, n_masked_spans. A blank document is
+    * one empty token ([[tokens]] of "" is [""]), masked into span 0 —
+    * every row is represented, like [[chunkWithOverlap]].
+    */
+  def spanCorruptionPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3, everyNth: Int = 7): DataFrame = {
+    require(spanLen > 0 && everyNth > 1, "spanLen > 0, everyNth > 1")
+    def spanOf(i: Column): Column =
+      ((i - pmod(i, lit(spanLen))) / spanLen).cast("int")
+    def sentinel(i: Column): Column =
+      concat(lit("<X_"),
+        ((spanOf(i) - pmod(spanOf(i), lit(everyNth))) / everyNth).cast("int"),
+        lit(">"))
+    val empty = array().cast("array<string>")
+    df.select(col(idCol), Dedup.bind(tokens(col(textCol)), toks =>
+        Dedup.bind(sequence(lit(0), size(toks) - 1), idxs => struct(
+          array_join(flatten(transform(idxs, i =>
+            when(pmod(spanOf(i), lit(everyNth)) =!= 0,
+                array(element_at(toks, i + 1)))
+              .when(pmod(i, lit(spanLen)) === 0, array(sentinel(i)))
+              .otherwise(empty))), " ").as("input"),
+          array_join(flatten(transform(
+            filter(idxs, i => pmod(i, lit(spanLen)) === 0 &&
+              pmod(spanOf(i), lit(everyNth)) === 0),
+            i => concat(array(sentinel(i)), slice(toks, i + 1, lit(spanLen))))),
+            " ").as("target"),
+          size(filter(idxs, i => pmod(i, lit(spanLen)) === 0 &&
+            pmod(spanOf(i), lit(everyNth)) === 0)).cast("long")
+            .as("n_masked_spans")))).as("_p"))
+      .select(col(idCol), col("_p.input"), col("_p.target"),
+        col("_p.n_masked_spans"))
+  }
+
   /** Cyrillic homoglyphs that render identically to Latin letters, plus
     * zero-width characters (deleted — `translate` drops `from` chars
     * with no `to` counterpart). */

@@ -822,6 +822,47 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viol == Seq("c"))
   }
 
+  test("mutualKnnGraph keeps only symmetric edges; hubs pruned") {
+    import spark.implicits._
+    // a tight pair (1,2), a hub 9 that everyone points at but whose own
+    // top-1 is the pair — with k=1 only mutual edges survive
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.2f)),
+      (4L, Array(0.0f, 1.0f, 0.21f)),
+      (9L, Array(0.5f, 0.5f, 0.1f))) // hub-ish, similar to everything
+      .toDF("id", "vec")
+    val e1 = SimilaritySearch.mutualKnnGraph(vecs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e1 == Set((1L, 2L), (3L, 4L)), e1)
+    // k = corpus size - 1 degenerates to ALL pairs (everything mutual)
+    val eAll = SimilaritySearch.mutualKnnGraph(vecs, k = 4).count()
+    assert(eAll == 10L)
+  }
+
+  test("spanCorruptionPairs: exact masking layout, round-trip token count") {
+    import spark.implicits._
+    // 24 tokens = 8 spans; spans 0 and 7 masked (s % 7 == 0)
+    val text = (0 until 24).map(i => s"t$i").mkString(" ")
+    val r = TextAnalysis.spanCorruptionPairs(
+        Seq((1L, text), (2L, "")).toDF("doc_id", "text"),
+        "doc_id", "text", spanLen = 3, everyNth = 7)
+      .collect().map(x => (x.getLong(0),
+        (x.getString(1), x.getString(2), x.getLong(3)))).toMap
+    val (in1, tgt1, n1) = r(1L)
+    assert(n1 == 2L)
+    assert(in1 == "<X_0> " + (3 until 21).map(i => s"t$i").mkString(" ")
+      + " <X_1>")
+    assert(tgt1 == "<X_0> t0 t1 t2 <X_1> t21 t22 t23")
+    // input non-sentinel tokens + target span tokens == original tokens
+    assert(in1.split(" ").count(!_.startsWith("<X_")) +
+      tgt1.split(" ").count(!_.startsWith("<X_")) == 24)
+    // blank doc: single empty token, span 0 masked
+    val (in2, tgt2, n2) = r(2L)
+    assert(n2 == 1L && in2 == "<X_0>" && tgt2 == "<X_0> ")
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(
