@@ -160,7 +160,12 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_times.json")), "UTF-8")
-        """"(q[^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+        // only floors measured at THIS scale factor apply — a floor from
+        // another SF would flag every query suspect and waste 24 retries
+        val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else """"(q[^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val wt = warmTimes.toMap.map { case (name, w) =>
@@ -192,9 +197,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver captures only a bounded tail of stdout — r3 lost 18 of 83
-    // per-query timings to truncation. Persist the full artifact too.
-    val out = java.nio.file.Paths.get("bench_times.json")
-    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    // per-query timings to truncation. Persist the full artifact too —
+    // but NEVER from a SPARK_GRAFT_BENCH_ONLY subset run, which would
+    // clobber the full-suite baseline the retry floor reads back (that
+    // corruption shipped once; see the round-5 review).
+    if (only.isEmpty) {
+      val out = java.nio.file.Paths.get("bench_times.json")
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    }
     println(line)
     spark.stop()
   }

@@ -87,17 +87,60 @@ object Layout {
   def compactToTarget(
       spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): (Int, Int, Long) = {
-    require(targetBytes > 0, "targetBytes must be positive")
-    val fs = new java.io.File(inDir)
-    val files = Option(fs.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val bytes = files.map(_.length()).sum
-    val n = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
-    spark.read.parquet(inDir).coalesce(n)
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val (nIn, bytes, n) = compactionStats(inDir, targetBytes)
+    withMaxPartitionBytes(spark, targetBytes) {
+      spark.read.parquet(inDir).coalesce(n)
+        .write.mode(SaveMode.Overwrite).parquet(outDir)
+    }
     val out = Option(new java.io.File(outDir).listFiles())
       .getOrElse(Array.empty)
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    (files.length, out, bytes)
+    (nIn, out, bytes)
+  }
+
+  /** The shuffle-free compaction frame [[compactToTarget]] writes —
+    * split out so specs can assert the executed plan has no Exchange.
+    * Partitions are forced (`rdd.getNumPartitions`) while the packing
+    * conf is pinned, so the returned frame keeps them.
+    */
+  def compactionFrame(
+      spark: SparkSession, inDir: String,
+      targetBytes: Long): org.apache.spark.sql.DataFrame = {
+    val (_, _, n) = compactionStats(inDir, targetBytes)
+    withMaxPartitionBytes(spark, targetBytes) {
+      val df = spark.read.parquet(inDir).coalesce(n)
+      df.rdd.getNumPartitions // materialize scan partitions under the conf
+      df
+    }
+  }
+
+  /** (input parquet file count, input bytes, target output file count). */
+  private def compactionStats(
+      inDir: String, targetBytes: Long): (Int, Long, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val files = Option(new java.io.File(inDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val bytes = files.map(_.length()).sum
+    (files.length, bytes,
+      math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt))
+  }
+
+  /** Pin `spark.sql.files.maxPartitionBytes` to `targetBytes` for the
+    * duration of `body`: the scan's partition packing must not merge
+    * more than a target-file's worth into one read partition — `coalesce`
+    * only MERGES, so with the default 128 MB packing the requested file
+    * count would silently not be reached for small targets.
+    */
+  private def withMaxPartitionBytes[A](
+      spark: SparkSession, targetBytes: Long)(body: => A): A = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, targetBytes)
+    try body
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

@@ -366,7 +366,9 @@ object Sampling {
     * one row per group never funnels through a single-partition window
     * even with millions of groups (domains, not sources).
     *
-    * Output: group, w (summed weight), quota; sum(quota) == total.
+    * Output: group, w (summed weight), quota; sum(quota) == total —
+    * except when the total weight is zero (nothing to apportion), which
+    * degenerates to all-zero quotas.
     */
   def proportionalAllocation(
       df: DataFrame, groupCol: String, weightCol: String,
@@ -376,17 +378,29 @@ object Sampling {
     val g = df.groupBy(col(groupCol).as("group"))
       .agg(sum(col(weightCol)).cast("decimal(38,0)").as("w"))
     val tot = g.agg(sum(col("w")).as("_W"))
+    // W == 0 (all weights zero) has no proportional answer: every quota
+    // is 0 — documented degenerate case, the only one where sum(quota)
+    // != total. The guards keep the decimal division off that branch
+    // (ANSI mode would raise DIVIDE_BY_ZERO).
+    // a when() guard around the division is NOT enough: hash-aggregate
+    // codegen's subexpression elimination can hoist the guarded branch
+    // and evaluate it unconditionally (observed: DIVIDE_BY_ZERO raised
+    // from inside the deficit aggregate). A safe divisor sidesteps the
+    // branch entirely: W == 0 forces _tw == 0, so 0 % 1 and 0 / 1 give
+    // the right degenerate zeros with no zero-divide anywhere.
+    val wSafe = when(col("_W") === 0, lit(1).cast("decimal(38,0)"))
+      .otherwise(col("_W"))
     val q = g.crossJoin(broadcast(tot))
       .withColumn("_tw", col("w") * lit(total))
-      .withColumn("_rem", col("_tw") % col("_W"))
+      .withColumn("_rem", col("_tw") % wSafe)
       .withColumn("_fq",
-        ((col("_tw") - col("_rem")) / col("_W")).cast("decimal(38,0)"))
+        ((col("_tw") - col("_rem")) / wSafe).cast("decimal(38,0)"))
     val deficit = q.agg((lit(total) - sum(col("_fq")))
       .cast("long").as("_D"))
     val bucketed = q
       .withColumn("_bucket", least(lit(255), greatest(lit(0),
         floor(col("_rem").cast("double") * 256d /
-          col("_W").cast("double")).cast("int"))))
+          wSafe.cast("double")).cast("int"))))
       .withColumn("_local_rk", row_number().over(
         Window.partitionBy("_bucket")
           .orderBy(col("_rem").desc, col("group"))))
@@ -402,7 +416,8 @@ object Sampling {
       .crossJoin(broadcast(deficit))
       .withColumn("_rk", col("_offset") + col("_local_rk"))
       .select(col("group"), col("w").cast("long").as("w"),
-        (col("_fq").cast("long") +
-          when(col("_rk") <= col("_D"), 1L).otherwise(0L)).as("quota"))
+        when(col("_W") === 0, 0L)
+          .otherwise(col("_fq").cast("long") +
+            when(col("_rk") <= col("_D"), 1L).otherwise(0L)).as("quota"))
   }
 }

@@ -78,16 +78,20 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 40 tiny files (one per partition)
     (0L until 4000L).toDF("id").withColumn("v", col("id") * 3)
       .repartition(40).write.parquet(inDir)
+    val target = bytesOf(inDir) / 4
     val (nin, nout, bytes) = Layout.compactToTarget(
-      spark, inDir, outDir, targetBytes = bytesOf(inDir) / 4)
+      spark, inDir, outDir, targetBytes = target)
     assert(nin == 40 && bytes > 0)
-    assert(nout <= 8, s"expected <= 8 output files, got $nout")
+    // packing conf pinned to the target ⇒ the requested count is reached
+    // exactly (coalesce can only merge, so this fails if the scan packed
+    // more than a target's worth per partition)
+    assert(nout == 4, s"expected exactly 4 output files, got $nout")
     // content identical
     val a = spark.read.parquet(inDir)
     val b = spark.read.parquet(outDir)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
-    // coalesce, not repartition: the compaction plan must not shuffle
-    val plan = spark.read.parquet(inDir).coalesce(3)
+    // coalesce, not repartition: THE function's own frame must not shuffle
+    val plan = Layout.compactionFrame(spark, inDir, target)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
   }

@@ -692,6 +692,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         got.collect { case (k, v) if want(k) != v => (k, v, want(k)) }.take(5)}")
       assert(got.values.sum == total)
     }
+    // degenerate: all-zero weights -> all-zero quotas, no division error
+    val zeros = Sampling.proportionalAllocation(
+        Seq(("a", 0L), ("b", 0L)).toDF("g", "w"), "g", "w", 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(zeros == Map("a" -> 0L, "b" -> 0L))
   }
 
   test("Multimodal.phashPairs == brute-force hamming; aHash conventions") {
