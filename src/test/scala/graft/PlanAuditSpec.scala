@@ -457,6 +457,48 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("q152/q160/q162 per-row pipelines: no joins, partial aggregation") {
+    for (q <- Seq("q152_url_canonical", "q160_anonymity_audit")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be scan -> project -> agg")
+      assert(p.contains("partial_count"), s"$q must combine map-side")
+    }
+    // span corruption is pure projection — the operator itself adds no
+    // shuffle (the only Exchange is the docs() helper's explicit input
+    // repartition, tagged REPARTITION_BY_NUM, not a required one)
+    val p = plan("q162_span_corruption")
+    val requiredShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM"))
+    assert(requiredShuffles == 0, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q154/q158 composed pipelines: equi-joins only, no all-pairs") {
+    for (q <- Seq("q154_entity_resolution", "q158_pmi_collocations")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated")
+      // the only nested-loop join allowed is a broadcast 1-row stats
+      // frame (q158's N); anything joining two real relations that way
+      // is an all-pairs bug
+      val bnl = p.linesIterator
+        .count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnl <= 1, s"$q: $bnl nested-loop joins")
+    }
+  }
+
+  test("q161 mutual-kNN: rank per query id; payload arrays out of window") {
+    val p = plan("q161_mutual_knn")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("qid")),
+      winLines.mkString("\n"))
+    // the window sort input must be the (qid, id, cosine) triple, not
+    // rows still carrying the two 64-float vectors
+    val sortLines = p.linesIterator.filter(l =>
+      l.contains("Sort ") && l.contains("cosine")).toSeq
+    assert(sortLines.forall(l => !l.contains("vec")), sortLines.mkString("\n"))
+  }
+
   test("q153 quota allocation: windows only on bucket keys, never groups") {
     val p = plan("q153_quota_allocation")
     // the deficit rank must be the two-level bucketed form: local rank
