@@ -2511,6 +2511,24 @@ object SparkEntry {
     graft.operators.TextAnalysis.spanCorruptionPairs(docs(s, dir),
       "doc_id", "text", spanLen = 3, everyNth = 7)
 
+  /** Quota-capped corpus: largest-remainder DOC quotas per source
+    * (total 300, weight = doc count) ENFORCED by the variable-cap
+    * deterministic sampler — allocation and enforcement composed.
+    */
+  private def q163QuotaEnforce(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select($("doc_id"), $("source"))
+    val quotas = Sampling.proportionalAllocation(
+        d.withColumn("_one", lit(1L)), "source", "_one", total = 300L)
+      .select($("group").as("source"), $("quota").as("cap"))
+    Sampling.capPerGroupVar(d, "source", "doc_id", quotas)
+  }
+
+  /** Equi-width 20-bin histogram of order totals — the numeric
+    * -distribution profile, empty bins included.
+    */
+  private def q164Histogram(s: SparkSession, dir: String): DataFrame =
+    Profile.histogram(t(s, dir, "orders"), "o_totalprice", nBins = 20)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2676,6 +2694,8 @@ object SparkEntry {
     "q160_anonymity_audit" -> (q160AnonymityAudit _),
     "q161_mutual_knn" -> (q161MutualKnn _),
     "q162_span_corruption" -> (q162SpanCorruption _),
+    "q163_quota_enforce" -> (q163QuotaEnforce _),
+    "q164_histogram" -> (q164Histogram _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5103,5 +5123,41 @@ object SparkEntry {
         |            if (i % 3) = 0 AND ((i // 3) % 7) = 0]) AS BIGINT)
         |    AS n_masked_spans
         |FROM c""".stripMargin,
+    "q163_quota_enforce" ->
+      """WITH w AS (SELECT source, CAST(count(*) AS BIGINT) AS w
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS c FROM w),
+        |q AS (SELECT source, w, (300 * w) // c AS fq, (300 * w) % c AS rem
+        |      FROM w, t),
+        |d AS (SELECT CAST(300 - sum(fq) AS BIGINT) AS deficit FROM q),
+        |r AS (SELECT source, fq + (CASE WHEN
+        |        row_number() OVER (ORDER BY rem DESC, source) <=
+        |          (SELECT deficit FROM d) THEN 1 ELSE 0 END) AS quota
+        |      FROM q),
+        |rk AS (SELECT doc_id, source, row_number() OVER (
+        |         PARTITION BY source
+        |         ORDER BY ('0x'||substr(md5(doc_id||'|graft'),1,15))::BIGINT,
+        |                  doc_id) AS rk
+        |       FROM documents)
+        |SELECT rk.doc_id, rk.source
+        |FROM rk JOIN r USING (source) WHERE rk.rk <= r.quota""".stripMargin,
+    "q164_histogram" ->
+      """WITH s AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+        |                  CAST(max(o_totalprice) AS DOUBLE) AS hi
+        |           FROM orders),
+        |b AS (SELECT CASE WHEN (hi - lo) = 0 THEN 0
+        |        ELSE least(19, CAST(floor(
+        |          (CAST(o_totalprice AS DOUBLE) - lo) * 20 / (hi - lo))
+        |          AS BIGINT)) END AS bin
+        |      FROM orders, s WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM b
+        |      GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 20)) AS bin, lo, hi - lo AS w
+        |          FROM s)
+        |SELECT spine.bin,
+        |  round(lo + (spine.bin * w) / 20, 6) AS lo_edge,
+        |  round(lo + ((spine.bin + 1) * w) / 20, 6) AS hi_edge,
+        |  COALESCE(c.cnt, 0) AS cnt
+        |FROM spine LEFT JOIN c ON c.bin = spine.bin""".stripMargin,
   )
 }

@@ -40,6 +40,42 @@ object Profile {
         "(col_name, n_nonnull, n_nulls, n_distinct, min_s, max_s)")
   }
 
+  /** Global equi-width histogram of a numeric column — the distribution
+    * half of a profile: one tiny min/max aggregate (broadcast back as a
+    * 1-row frame), then one map-side-combining bucket count over the
+    * corpus; the bin spine explodes from the stats row so EMPTY bins
+    * appear with cnt 0. Bin arithmetic is a fixed 3-op IEEE chain
+    * ((v − lo)·n / width, floored, clamped), so bin ids are
+    * engine-exact; a degenerate column (min == max) lands entirely in
+    * bin 0.
+    *
+    * Output: bin (0..nBins-1), lo_edge, hi_edge (rounded 6), cnt.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val stats = df.agg(min(col(valueCol)).cast("double").as("_lo"),
+      max(col(valueCol)).cast("double").as("_hi"))
+    val width = col("_hi") - col("_lo")
+    val counts = df.select(col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(when(width === 0, 0L).otherwise(
+        least(lit(nBins - 1L),
+          floor((col("_v") - col("_lo")) * nBins / width))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    stats
+      .select(explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"),
+        col("_lo"), width.as("_w"))
+      .select(col("bin"),
+        round(col("_lo") + (col("bin") * col("_w")) / nBins, 6)
+          .as("lo_edge"),
+        round(col("_lo") + ((col("bin") + 1) * col("_w")) / nBins, 6)
+          .as("hi_edge"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("lo_edge"), col("hi_edge"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Per-column top-k most frequent values — the categorical half of a
     * profile (what `summarize` can't show): melt the chosen columns to
     * (col_name, value) in the scan projection, count by (column, value),

@@ -349,6 +349,34 @@ object Sampling {
       .filter(col(scoreCol) >= col("threshold"))
   }
 
+  /** Variable-cap version of [[capPerGroup]] — the ENFORCEMENT half of
+    * [[proportionalAllocation]]: each group g keeps at most caps(g) rows
+    * in deterministic hash order (same md5 order as capPerGroup, so the
+    * kept set is reproducible and repartition-stable). Groups absent
+    * from `caps` are dropped (quota 0). Same scale shape: under-cap
+    * groups pass through a broadcast semi-join with no window; only
+    * over-cap groups' rows are ranked. `caps` is dimension-sized
+    * ((group, cap) — one row per group) and is broadcast.
+    */
+  def capPerGroupVar(
+      df: DataFrame, groupCol: String, keyCol: String,
+      caps: DataFrame, salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_c"))
+      .join(caps.select(col(groupCol), col("cap")), Seq(groupCol))
+    val under = counts.filter(col("_c") <= col("cap")).select(groupCol)
+    val over = counts.filter(col("_c") > col("cap"))
+      .select(col(groupCol), col("cap"))
+    val pass = df.join(broadcast(under), Seq(groupCol), "left_semi")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(keyHash60(col(keyCol), salt), col(keyCol))
+    val ranked = df.join(broadcast(over), Seq(groupCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("cap"))
+    pass.unionByName(ranked.select(pass.columns.map(col): _*))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Largest-remainder (Hamilton) quota allocation — the data-mixing
     * step that turns per-source corpus sizes into an EXACT integer token
     * budget per source: quota_g = floor(total·w_g / W) plus one extra

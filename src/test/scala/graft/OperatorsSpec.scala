@@ -868,6 +868,47 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n2 == 1L && in2 == "<X_0>" && tgt2 == "<X_0> ")
   }
 
+  test("capPerGroupVar: variable caps enforced in hash order; no-cap drops") {
+    import spark.implicits._
+    val rows = (0 until 120).map(i => (s"g${i % 4}", i.toLong))
+      .toDF("g", "id")
+    // g0 capped under its 30 rows, g1 over, g2 zero, g3 absent from caps
+    val caps = Seq(("g0", 10L), ("g1", 99L), ("g2", 0L)).toDF("g", "cap")
+    val got = Sampling.capPerGroupVar(rows, "g", "id", caps)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.getOrElse("g2", Set()) == Set() && !got.contains("g3"))
+    assert(got("g1").size == 30) // cap above count keeps everything
+    // g0's kept 10 = the 10 smallest by the md5 hash order
+    def h(id: Long) = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$id|graft").take(15), 16)
+    val want = (0 until 120).filter(i => i % 4 == 0).map(_.toLong)
+      .sortBy(id => (h(id), id)).take(10).toSet
+    assert(got("g0") == want)
+  }
+
+  test("Profile.histogram == brute-force bins; empty bins, max clamp, const") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    // bimodal so middle bins are empty; max value must clamp to last bin
+    val vs = (0 until 500).map(_ => rnd.nextDouble() * 10) ++
+      (0 until 500).map(_ => 90 + rnd.nextDouble() * 10)
+    val got = Profile.histogram(vs.toDF("v"), "v", nBins = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val lo = vs.min; val hi = vs.max
+    val want = (0L until 8L).map(b => b -> vs.count(v =>
+      math.min(7L, math.floor((v - lo) * 8 / (hi - lo)).toLong) == b)
+      .toLong).toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(got.values.sum == 1000L && (2L to 5L).forall(got(_) == 0L))
+    // degenerate constant column: everything in bin 0
+    val const = Profile.histogram(
+        Seq(5.0, 5.0, 5.0).toDF("v"), "v", nBins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(const == Map(0L -> 3L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(
