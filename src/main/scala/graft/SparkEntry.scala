@@ -2529,6 +2529,27 @@ object SparkEntry {
   private def q164Histogram(s: SparkSession, dir: String): DataFrame =
     Profile.histogram(t(s, dir, "orders"), "o_totalprice", nBins = 20)
 
+  /** LSH self-audit: confusion counts of the banded-MinHash pair set vs
+    * exact 4-gram Jaccard >= 0.5 (same shingles both sides) — the
+    * recall/precision knob-tuning loop as one query.
+    */
+  private def q165LshRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallAudit(docs(s, dir), "doc_id", "text")
+
+  /** Week-over-week trend per event type: ISO-week counts with the
+    * previous week's count and delta (trending-topic detection shape).
+    */
+  private def q166WeeklyTrend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.events(s, dir)
+      .select(graft.functions.isoWeek(to_date($("ts"))).as("week"),
+        $("event_type"))
+      .groupBy("week", "event_type").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly.withColumn("prev_cnt", lag($("cnt"), 1).over(w))
+      .withColumn("delta", $("cnt") - $("prev_cnt"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2696,6 +2717,8 @@ object SparkEntry {
     "q162_span_corruption" -> (q162SpanCorruption _),
     "q163_quota_enforce" -> (q163QuotaEnforce _),
     "q164_histogram" -> (q164Histogram _),
+    "q165_lsh_recall" -> (q165LshRecall _),
+    "q166_weekly_trend" -> (q166WeeklyTrend _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5159,5 +5182,57 @@ object SparkEntry {
         |  round(lo + ((spine.bin + 1) * w) / 20, 6) AS hi_edge,
         |  COALESCE(c.cnt, 0) AS cnt
         |FROM spine LEFT JOIN c ON c.bin = spine.bin""".stripMargin,
+    "q165_lsh_recall" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents),
+        |g4 AS (SELECT doc_id,
+        |  list_distinct([array_to_string(l[i:i+3], ' ')
+        |                 for i in range(1, greatest(len(l)-3, 1)+1)]) AS gs
+        |  FROM tk),
+        |sh AS (SELECT doc_id, unnest(gs) AS g FROM g4),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |exact AS (SELECT id_a, id_b FROM inter
+        |          JOIN sz sa ON sa.doc_id = id_a
+        |          JOIN sz sb ON sb.doc_id = id_b
+        |          WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT for g in gs] AS bs
+        |  FROM g4),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs])
+        |   for c in cl] AS sg
+        |  FROM base, css),
+        |lsh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a, sig b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_filter(range(0, 4),
+        |          b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
+        |    AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8),
+        |u AS (SELECT (e.id_a IS NOT NULL) AS is_e, (l.id_a IS NOT NULL) AS is_l
+        |      FROM exact e FULL OUTER JOIN lsh l
+        |        ON e.id_a = l.id_a AND e.id_b = l.id_b)
+        |SELECT CAST(count(*) FILTER (is_e) AS BIGINT) AS n_exact,
+        |  CAST(count(*) FILTER (is_l) AS BIGINT) AS n_lsh,
+        |  CAST(count(*) FILTER (is_e AND is_l) AS BIGINT) AS n_both,
+        |  CAST(count(*) FILTER (is_e AND NOT is_l) AS BIGINT) AS n_exact_only,
+        |  CAST(count(*) FILTER (is_l AND NOT is_e) AS BIGINT) AS n_lsh_only,
+        |  round(count(*) FILTER (is_e AND is_l)::DOUBLE /
+        |        count(*) FILTER (is_e), 6) AS recall
+        |FROM u""".stripMargin,
+    "q166_weekly_trend" ->
+      """WITH w AS (SELECT concat(CAST(isoyear(ts) AS VARCHAR), '-W',
+        |    lpad(CAST(weekofyear(ts) AS VARCHAR), 2, '0')) AS week,
+        |    event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT week, event_type, cnt,
+        |  lag(cnt) OVER (PARTITION BY event_type ORDER BY week) AS prev_cnt,
+        |  cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY week)
+        |    AS delta
+        |FROM w""".stripMargin,
   )
 }

@@ -757,4 +757,38 @@ object Dedup {
               i => element_at(toks, i)),
             " "))).as("clean_text"))
   }
+
+  /** Self-audit of the approximate dedup path: confusion counts of the
+    * banded-LSH pair set against the exact n-gram Jaccard pair set at
+    * `threshold`, SAME shingles for both sides, so the gap measured is
+    * purely MinHash/banding error (recall = LSH's banding miss rate,
+    * precision loss = band collisions below the threshold). Run this on
+    * a sampled slice before trusting the approximate path on the full
+    * corpus — the knob-tuning loop (numHashes / bandSize / minAgree)
+    * every production LSH deployment needs, as a query instead of a
+    * notebook. One row out: n_exact, n_lsh, n_both, n_exact_only
+    * (missed dups), n_lsh_only (spurious candidates), recall (rounded).
+    */
+  def lshRecallAudit(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 4, threshold: Double = 0.5,
+      numHashes: Int = 16, bandSize: Int = 4,
+      minAgree: Int = 8): DataFrame = {
+    val exact = ngramJaccardPairs(df, idCol, textCol, shingleN, threshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("_e"))
+    val lsh = minhashLshPairs(df, idCol, textCol, shingleN, numHashes,
+        bandSize, minAgree)
+      .select(col("id_a"), col("id_b"), lit(1).as("_l"))
+    exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(when(col("_e").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("_l").isNotNull, 1L).otherwise(0L)).as("n_lsh"),
+        sum(when(col("_e").isNotNull && col("_l").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        (col("n_exact") - col("n_both")).as("n_exact_only"),
+        (col("n_lsh") - col("n_both")).as("n_lsh_only"),
+        round(col("n_both").cast("double") / col("n_exact"), 6)
+          .as("recall"))
+  }
 }

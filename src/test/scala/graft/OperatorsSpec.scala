@@ -909,6 +909,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(const == Map(0L -> 3L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("Dedup.lshRecallAudit: exact dup found by both paths, invariants hold") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, text), (2L, text), // exact dup: both paths must find it
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "completely different corpus text with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecallAudit(df, "doc_id", "text").collect()(0)
+    val (nE, nL, nB) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nE == 1 && nB >= 1 && r.getDouble(5) == 1.0, r)
+    assert(r.getLong(3) == nE - nB && r.getLong(4) == nL - nB)
+    assert(nB <= math.min(nE, nL))
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(
