@@ -5221,8 +5221,9 @@ object SparkEntry {
         |  CAST(count(*) FILTER (is_e AND is_l) AS BIGINT) AS n_both,
         |  CAST(count(*) FILTER (is_e AND NOT is_l) AS BIGINT) AS n_exact_only,
         |  CAST(count(*) FILTER (is_l AND NOT is_e) AS BIGINT) AS n_lsh_only,
-        |  round(count(*) FILTER (is_e AND is_l)::DOUBLE /
-        |        count(*) FILTER (is_e), 6) AS recall
+        |  CASE WHEN count(*) FILTER (is_e) = 0 THEN NULL
+        |       ELSE round(count(*) FILTER (is_e AND is_l)::DOUBLE /
+        |                  count(*) FILTER (is_e), 6) END AS recall
         |FROM u""".stripMargin,
     "q166_weekly_trend" ->
       """WITH w AS (SELECT concat(CAST(isoyear(ts) AS VARCHAR), '-W',

@@ -780,15 +780,21 @@ object Dedup {
         bandSize, minAgree)
       .select(col("id_a"), col("id_b"), lit(1).as("_l"))
     exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+      // count(col), not sum(when): a global aggregate over ZERO rows
+      // yields 0 for count but NULL for sum — an all-unique sample slice
+      // must report zeros, matching the oracle's count(*) FILTER
       .agg(
-        sum(when(col("_e").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("_l").isNotNull, 1L).otherwise(0L)).as("n_lsh"),
-        sum(when(col("_e").isNotNull && col("_l").isNotNull, 1L)
-          .otherwise(0L)).as("n_both"))
+        count(col("_e")).as("n_exact"),
+        count(col("_l")).as("n_lsh"),
+        count(when(col("_e").isNotNull && col("_l").isNotNull, 1))
+          .as("n_both"))
       .select(col("n_exact"), col("n_lsh"), col("n_both"),
         (col("n_exact") - col("n_both")).as("n_exact_only"),
         (col("n_lsh") - col("n_both")).as("n_lsh_only"),
-        round(col("n_both").cast("double") / col("n_exact"), 6)
+        // recall is undefined with no exact pairs: NULL by convention on
+        // both engines (unguarded, Spark gives NULL but DuckDB gives NaN)
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_exact"), 6))
           .as("recall"))
   }
 }

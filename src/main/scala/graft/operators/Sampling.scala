@@ -362,17 +362,23 @@ object Sampling {
       df: DataFrame, groupCol: String, keyCol: String,
       caps: DataFrame, salt: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_c"))
-      .join(caps.select(col(groupCol), col("cap")), Seq(groupCol))
-    val under = counts.filter(col("_c") <= col("cap")).select(groupCol)
-    val over = counts.filter(col("_c") > col("cap"))
-      .select(col(groupCol), col("cap"))
+    // helper columns carry collision-safe names: the inner join lands
+    // them ON df, so a caller's own "cap" column must not be shadowed
+    // (capPerGroup avoids this with semi/anti joins; the variable-cap
+    // form needs the cap value alongside the rows)
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_graft_c"))
+      .join(caps.select(col(groupCol), col("cap").as("_graft_cap")),
+        Seq(groupCol))
+    val under = counts.filter(col("_graft_c") <= col("_graft_cap"))
+      .select(groupCol)
+    val over = counts.filter(col("_graft_c") > col("_graft_cap"))
+      .select(col(groupCol), col("_graft_cap"))
     val pass = df.join(broadcast(under), Seq(groupCol), "left_semi")
     val w = Window.partitionBy(groupCol)
       .orderBy(keyHash60(col(keyCol), salt), col(keyCol))
     val ranked = df.join(broadcast(over), Seq(groupCol))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= col("cap"))
+      .withColumn("_graft_rk", row_number().over(w))
+      .filter(col("_graft_rk") <= col("_graft_cap"))
     pass.unionByName(ranked.select(pass.columns.map(col): _*))
       .select(df.columns.map(col): _*)
   }

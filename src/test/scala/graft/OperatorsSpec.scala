@@ -886,6 +886,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = (0 until 120).filter(i => i % 4 == 0).map(_.toLong)
       .sortBy(id => (h(id), id)).take(10).toSet
     assert(got("g0") == want)
+    // a caller's own "cap" column must not collide with the helper join
+    val withCap = rows.withColumn("cap", lit(999L))
+    val n = Sampling.capPerGroupVar(withCap, "g", "id", caps).count()
+    assert(n == got.values.map(_.size).sum)
   }
 
   test("Profile.histogram == brute-force bins; empty bins, max clamp, const") {
@@ -922,6 +926,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nE == 1 && nB >= 1 && r.getDouble(5) == 1.0, r)
     assert(r.getLong(3) == nE - nB && r.getLong(4) == nL - nB)
     assert(nB <= math.min(nE, nL))
+    // all-unique slice: zero counts (not nulls) and NULL recall
+    val z = Dedup.lshRecallAudit(
+        df.filter($"doc_id" >= 3L), "doc_id", "text").collect()(0)
+    assert((0 to 4).forall(i => z.getLong(i) == 0L) && z.isNullAt(5), z)
   }
 
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
