@@ -2550,6 +2550,27 @@ object SparkEntry {
       .withColumn("delta", $("cnt") - $("prev_cnt"))
   }
 
+  /** Incremental dedup-graph maintenance: standing corpus (6/7 of docs)
+    * keeps its CC labels; the new batch's cross + within pairs fold in
+    * via star-seeded propagation. The oracle is the FULL recompute over
+    * all pairs (q68's SQL) — incremental must equal it exactly.
+    */
+  private def q167IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val old = d.filter($("doc_id") % 7 =!= 0)
+    val fresh = d.filter($("doc_id") % 7 === 0)
+    val prior = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(old, "doc_id", "text", 4, 16, 4, 8)
+        .select($("id_a"), $("id_b")))
+    val cross = Dedup.minhashLshPairsAgainst(old, fresh,
+        "doc_id", "text", 4, 16, 4, 8)
+      .select($("corpus_id").as("id_a"), $("batch_id").as("id_b"))
+    val among = Dedup.minhashLshPairs(fresh, "doc_id", "text", 4, 16, 4, 8)
+      .select($("id_a"), $("id_b"))
+    Dedup.connectedComponentsIncremental(prior, cross.unionByName(among))
+      .select($("id").as("doc_id"), $("cluster_id"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2719,6 +2740,7 @@ object SparkEntry {
     "q164_histogram" -> (q164Histogram _),
     "q165_lsh_recall" -> (q165LshRecall _),
     "q166_weekly_trend" -> (q166WeeklyTrend _),
+    "q167_incremental_cc" -> (q167IncrementalCc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5235,5 +5257,33 @@ object SparkEntry {
         |  cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY week)
         |    AS delta
         |FROM w""".stripMargin,
+    "q167_incremental_cc" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |            for i in range(1, greatest(len(l)-3, 1)+1)])] AS bs
+        |  FROM tk),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl] AS sg
+        |  FROM base, css),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a, sig b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_filter(range(0, 4), b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
+        |    AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
   )
 }

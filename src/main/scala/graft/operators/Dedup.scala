@@ -758,6 +758,29 @@ object Dedup {
             " "))).as("clean_text"))
   }
 
+  /** Incremental connected-components maintenance: fold a NEW batch of
+    * near-dup edges into a standing labeling without recomputing the
+    * whole graph. Prior components collapse to depth-1 stars (member →
+    * label edges), so propagation over (stars ∪ new edges) converges in
+    * rounds proportional to the NEW edges' chain length — not the old
+    * graph's diameter — and the old graph's full edge set is never
+    * touched again. The result is IDENTICAL to a full recompute over
+    * (old ∪ new) edges (star edges preserve the equivalence classes);
+    * pair generation for the increment is [[minhashLshPairsAgainst]]
+    * (batch vs standing index) + a batch self-join, so the whole
+    * standing corpus pays neither a pair search nor a CC pass per
+    * increment.
+    */
+  def connectedComponentsIncremental(
+      prior: DataFrame, // (id, cluster_id) from a previous CC run
+      newPairs: DataFrame, // (id_a, id_b)
+      maxRounds: Int = 20): DataFrame =
+    connectedComponents(
+      prior.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+        .unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      maxRounds)
+
   /** Self-audit of the approximate dedup path: confusion counts of the
     * banded-LSH pair set against the exact n-gram Jaccard pair set at
     * `threshold`, SAME shingles for both sides, so the gap measured is

@@ -932,6 +932,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0 to 4).forall(i => z.getLong(i) == 0L) && z.isNullAt(5), z)
   }
 
+  test("connectedComponentsIncremental == full recompute on random splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // random sparse graph over 80 nodes, including edges that MERGE two
+    // previously separate old components via a new edge
+    val edges = (0 until 90).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    for (cut <- Seq(0.0, 0.5, 1.0)) {
+      val n = (edges.size * cut).toInt
+      val (oldE, newE) = edges.splitAt(n)
+      val full = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val prior =
+        if (oldE.isEmpty) Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+        else Dedup.connectedComponents(oldE.toDF("id_a", "id_b"))
+          .select($"id", $"cluster_id")
+      val inc = Dedup.connectedComponentsIncremental(prior,
+          if (newE.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+          else newE.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(inc == full, s"cut=$cut diff=${
+        inc.collect { case (k, v) if full.get(k) != Some(v) => (k, v) }.take(5)}")
+    }
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(
