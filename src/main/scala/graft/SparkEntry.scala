@@ -2571,6 +2571,14 @@ object SparkEntry {
       .select($("id").as("doc_id"), $("cluster_id"))
   }
 
+  /** Per-source quality-gate pass rate (n_chars >= 300) with Wilson 95%
+    * bounds — sampled-audit statistics, engine-exact IEEE chain.
+    */
+  private def q168ProportionCi(s: SparkSession, dir: String): DataFrame =
+    Profile.proportionCi(docs(s, dir), "source", $("n_chars") >= 300)
+      .select($("group").as("source"), $("n"), $("k"), $("rate"),
+        $("ci_lo"), $("ci_hi"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2741,6 +2749,7 @@ object SparkEntry {
     "q165_lsh_recall" -> (q165LshRecall _),
     "q166_weekly_trend" -> (q166WeeklyTrend _),
     "q167_incremental_cc" -> (q167IncrementalCc _),
+    "q168_proportion_ci" -> (q168ProportionCi _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5257,6 +5266,25 @@ object SparkEntry {
         |  cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY week)
         |    AS delta
         |FROM w""".stripMargin,
+    "q168_proportion_ci" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM documents GROUP BY 1),
+        |e AS (SELECT source, n, k,
+        |    k::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
+        |    1.96 * 1.96 AS z2 FROM g)
+        |SELECT source, n, k,
+        |  round(p, 6) AS rate,
+        |  round(((p + z2 / (2.0 * nd)) -
+        |    1.96 * sqrt((p * (1.0 - p)) / nd +
+        |                z2 / (4.0 * (nd * nd)))) /
+        |    (1.0 + z2 / nd), 6) AS ci_lo,
+        |  round(((p + z2 / (2.0 * nd)) +
+        |    1.96 * sqrt((p * (1.0 - p)) / nd +
+        |                z2 / (4.0 * (nd * nd)))) /
+        |    (1.0 + z2 / nd), 6) AS ci_hi
+        |FROM e""".stripMargin,
     "q167_incremental_cc" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),

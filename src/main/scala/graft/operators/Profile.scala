@@ -76,6 +76,36 @@ object Profile {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Per-group proportion with a Wilson score interval — the defensible
+    * form of "source X passes the quality gate 93% ± what?" for sampled
+    * audits (the normal approximation misbehaves exactly where corpus
+    * QA looks: rates near 0/1 and small strata; Wilson does not). One
+    * map-side-combining aggregation; the interval is a fixed chain of
+    * IEEE mul/div/add/sqrt on the (k, n) integers, written identically
+    * in the SQL oracle so even the bounds hash-match (the q146 z-score
+    * discipline). z defaults to 1.96 (95%).
+    *
+    * Output: group, n, k, rate, ci_lo, ci_hi (rounded 6).
+    */
+  def proportionCi(
+      df: DataFrame, groupCol: String, flag: Column,
+      z: Double = 1.96): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(flag, 1L).otherwise(0L)).as("k"))
+    val n = col("n").cast("double")
+    val p = col("k").cast("double") / n
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val rad = lit(z) * sqrt((p * (lit(1.0) - p)) / n +
+      z2 / (lit(4.0) * (n * n)))
+    g.select(col("group"), col("n"), col("k"),
+      round(p, 6).as("rate"),
+      round((center - rad) / denom, 6).as("ci_lo"),
+      round((center + rad) / denom, 6).as("ci_hi"))
+  }
+
   /** Per-column top-k most frequent values — the categorical half of a
     * profile (what `summarize` can't show): melt the chosen columns to
     * (col_name, value) in the scan projection, count by (column, value),

@@ -959,6 +959,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Profile.proportionCi == driver Wilson reference; bounds behave") {
+    import spark.implicits._
+    val rows = Seq.fill(80)(("a", true)) ++ Seq.fill(20)(("a", false)) ++
+      Seq.fill(8)(("b", true)) ++ Seq.fill(2)(("b", false)) ++
+      Seq.fill(5)(("c", true)) // rate 1.0 edge
+    val got = Profile.proportionCi(rows.toDF("g", "ok"), "g", $"ok")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    def wilson(k: Long, n: Long): (Double, Double) = {
+      val z = 1.96; val z2 = z * z; val nd = n.toDouble
+      val p = k.toDouble / nd
+      val denom = 1.0 + z2 / nd
+      val center = p + z2 / (2.0 * nd)
+      val rad = z * math.sqrt((p * (1.0 - p)) / nd + z2 / (4.0 * (nd * nd)))
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6((center - rad) / denom), r6((center + rad) / denom))
+    }
+    for ((g, (n, k, rate, lo, hi)) <- got) {
+      val (wl, wh) = wilson(k, n)
+      assert(lo == wl && hi == wh, s"$g: ($lo,$hi) vs ($wl,$wh)")
+      assert(lo <= rate && rate <= hi && lo >= 0.0 && hi <= 1.0)
+    }
+    // same rate, larger n -> tighter interval (a: 80/100 vs b: 8/10)
+    assert(got("a")._5 - got("a")._4 < got("b")._5 - got("b")._4)
+    // rate 1.0: upper bound 1.0 exactly, lower strictly below
+    assert(got("c")._5 == 1.0 && got("c")._4 < 1.0)
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(
