@@ -2579,6 +2579,18 @@ object SparkEntry {
       .select($("group").as("source"), $("n"), $("k"), $("rate"),
         $("ci_lo"), $("ci_hi"))
 
+  /** Decontamination enforcement: every trigram span matching the eval
+    * set (every 97th doc, q86's split) is cut from the training text —
+    * span-surgical, the text never shuffles.
+    */
+  private def q169DecontCut(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.decontaminationCut(
+      d.filter($("doc_id") % 97 =!= 0),
+      d.filter($("doc_id") % 97 === 0).select($("text")),
+      "doc_id", "text", n = 3)
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2750,6 +2762,7 @@ object SparkEntry {
     "q166_weekly_trend" -> (q166WeeklyTrend _),
     "q167_incremental_cc" -> (q167IncrementalCc _),
     "q168_proportion_ci" -> (q168ProportionCi _),
+    "q169_decont_cut" -> (q169DecontCut _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5285,6 +5298,37 @@ object SparkEntry {
         |                z2 / (4.0 * (nd * nd)))) /
         |    (1.0 + z2 / nd), 6) AS ci_hi
         |FROM e""".stripMargin,
+    "q169_decont_cut" ->
+      """WITH ev AS (SELECT DISTINCT unnest(
+        |    list_distinct([array_to_string(l[i:i+2], ' ')
+        |      for i in range(1, greatest(len(l)-2, 1)+1)])) AS g
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS l
+        |        FROM documents WHERE doc_id % 97 = 0)),
+        |c AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |pos AS (SELECT doc_id, n, i - 1 AS pos,
+        |    array_to_string(l[i:i+2], ' ') AS g
+        |  FROM (SELECT doc_id, n, l,
+        |          unnest(range(1, greatest(len(l)-2, 1)+1)) AS i
+        |        FROM c WHERE n > 0)),
+        |cov AS (SELECT doc_id,
+        |    unnest(range(pos + 1, least(pos + 3, n) + 1)) AS ti
+        |  FROM pos JOIN ev USING (g)),
+        |cut AS (SELECT doc_id, list_distinct(list(ti)) AS cut
+        |        FROM cov GROUP BY 1)
+        |SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(len(cut.cut), 0) AS BIGINT) AS cut_tokens,
+        |  -- COALESCE: a FULLY contaminated doc's comprehension is empty
+        |  -- and DuckDB's array_to_string yields NULL there; Spark's
+        |  -- array_join yields '' (caught at sf0.1 only — no fully
+        |  -- contaminated doc exists at sf0.01)
+        |  CASE WHEN c.n = 0 THEN '' ELSE COALESCE(array_to_string(
+        |    [c.l[i] for i in range(1, c.n + 1)
+        |     if cut.cut IS NULL OR NOT list_contains(cut.cut, i)], ' '), '')
+        |  END AS clean_text
+        |FROM c LEFT JOIN cut USING (doc_id)""".stripMargin,
     "q167_incremental_cc" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),

@@ -758,6 +758,51 @@ object Dedup {
             " "))).as("clean_text"))
   }
 
+  /** Decontamination ENFORCEMENT: cut every token span that matches an
+    * eval-set n-gram out of the training text ([[contaminationScores]]
+    * reports the leakage; this removes it — surgical span removal keeps
+    * the rest of a mostly-clean document instead of dropping it whole).
+    * Positional n-grams explode per row, equi-join the (distinct,
+    * typically broadcast-small) eval gram set, covered 1-based token
+    * indexes aggregate per doc, and the text is rebuilt inside the row
+    * — the corpus text itself never shuffles, same discipline as
+    * [[cutDuplicateWindows]]. Short-document clamping matches
+    * [[wordShingles]] (a doc shorter than n contributes its clamped
+    * prefix gram), and coverage is clipped to the real token count.
+    *
+    * Output: idCol, n_tokens, cut_tokens, clean_text.
+    */
+  def decontaminationCut(
+      corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(wordShingles(col(textCol), n)).as("g")).distinct()
+    val base = corpus.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val pos = corpus.select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).as("_n"),
+        posexplode(TextAnalysis.wordNgrams(col(textCol), n))
+          .as(Seq("pos", "g")))
+      .filter(col("_n") > 0)
+    val covered = pos.join(evalGrams, Seq("g"))
+      .select(col("id"), explode(sequence(col("pos") + 1,
+        least(col("pos") + n, col("_n")))).as("_ti"))
+      .groupBy("id").agg(collect_set(col("_ti")).as("_cut"))
+    base.join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(size(col("_cut")), lit(0)).cast("long").as("cut_tokens"),
+        when(col("n_tokens") === 0, lit(""))
+          .otherwise(bind(col("_toks"), toks => array_join(
+            transform(
+              filter(
+                sequence(lit(1), greatest(col("n_tokens").cast("int"),
+                  lit(1))),
+                i => coalesce(!array_contains(col("_cut"), i), lit(true))),
+              i => element_at(toks, i)),
+            " "))).as("clean_text"))
+  }
+
   /** Incremental connected-components maintenance: fold a NEW batch of
     * near-dup edges into a standing labeling without recomputing the
     * whole graph. Prior components collapse to depth-1 stars (member →

@@ -989,6 +989,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("c")._5 == 1.0 && got("c")._4 < 1.0)
   }
 
+  test("Dedup.decontaminationCut: surgical spans, full-contamination empty") {
+    import spark.implicits._
+    val evalSet = Seq("the secret answer is forty two").toDF("text")
+    val corpus = Seq(
+      (1L, "prefix words the secret answer is forty two suffix words"),
+      (2L, "the secret answer is forty two"), // fully contaminated
+      (3L, "totally unrelated clean document here"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Dedup.decontaminationCut(corpus, evalSet, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1: the 6 eval tokens (every trigram of the eval text matches)
+    // are cut, the prefix/suffix survive
+    assert(got(1L) == (10L, 6L, "prefix words suffix words"), got(1L))
+    assert(got(2L) == (6L, 6L, ""), got(2L)) // fully cut -> empty, not null
+    assert(got(3L) == (5L, 0L, "totally unrelated clean document here"))
+    assert(got(4L) == (0L, 0L, ""))
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(
