@@ -780,7 +780,15 @@ object Dedup {
     val base = corpus.select(col(idCol).as("id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       TextAnalysis.tokens(col(textCol)).as("_toks"))
-    val pos = corpus.select(col(idCol).as("id"),
+    // On a mostly-clean corpus (the production state) prepend a
+    // trigramSearch-style DISTINCT-gram semi-join so only contaminated
+    // docs pay this positional explode; measured on THIS testdata it
+    // LOSES (tiny synthetic vocabulary ⇒ 94% of docs share a trigram
+    // with the eval set, so the prefilter prunes nothing and adds a
+    // full gram pass) — single-stage here, the prefilter is a one-join
+    // prepend when the contamination rate warrants it.
+    val pos = corpus
+      .select(col(idCol).as("id"),
         TextAnalysis.tokenCount(col(textCol)).as("_n"),
         posexplode(TextAnalysis.wordNgrams(col(textCol), n))
           .as(Seq("pos", "g")))
