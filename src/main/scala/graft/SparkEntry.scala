@@ -2591,6 +2591,22 @@ object SparkEntry {
       "doc_id", "text", n = 3)
   }
 
+  /** Bloom-gated incremental content dedup: new-batch docs (every 7th)
+    * whose md5 fingerprint is unseen in the standing corpus — exact
+    * anti-join semantics, corpus touched only for the might-contain
+    * sliver.
+    */
+  private def q170BloomNewDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpusKeys = d.filter($("doc_id") % 7 =!= 0)
+      .select(md5($("text")).as("fp"))
+    val batch = d.filter($("doc_id") % 7 === 0)
+      .select(md5($("text")).as("fp"), $("doc_id"), $("source"))
+    Sketches.bloomPrunedNewKeys(corpusKeys, batch, "fp",
+        expectedItems = 10000L, numBits = 1L << 17)
+      .select($("doc_id"), $("source"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2763,6 +2779,7 @@ object SparkEntry {
     "q167_incremental_cc" -> (q167IncrementalCc _),
     "q168_proportion_ci" -> (q168ProportionCi _),
     "q169_decont_cut" -> (q169DecontCut _),
+    "q170_bloom_new_docs" -> (q170BloomNewDocs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5329,6 +5346,11 @@ object SparkEntry {
         |     if cut.cut IS NULL OR NOT list_contains(cut.cut, i)], ' '), '')
         |  END AS clean_text
         |FROM c LEFT JOIN cut USING (doc_id)""".stripMargin,
+    "q170_bloom_new_docs" ->
+      """SELECT b.doc_id, b.source FROM documents b
+        |WHERE b.doc_id % 7 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 7 <> 0 AND md5(c.text) = md5(b.text))""".stripMargin,
     "q167_incremental_cc" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),

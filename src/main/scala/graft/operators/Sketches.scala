@@ -45,4 +45,43 @@ object Sketches {
     shards.select(col("shard"),
       hll_sketch_estimate(col("sketch")).as("approx_distinct"),
       col("n_rows"))
+
+  /** Bloom-gated incremental dedup: the batch rows whose key is NOT in
+    * the standing corpus, computed EXACTLY but with the corpus touched
+    * only for the might-contain sliver. The corpus's keys fold into a
+    * KB-scale Bloom sketch (Spark's own `BloomFilterAggregate` — the
+    * expression behind AQE runtime join filters, surfaced here as an
+    * operator); rows the sketch rejects are DEFINITELY new and skip the
+    * join entirely (no false negatives), and only the might-contain
+    * rows — true dups plus the fpp sliver — pay the exact anti-join
+    * verify. At corpus scale that turns "anti-join every batch against
+    * 100 TB of keys" into "scan the batch against an in-plan literal +
+    * anti-join a few percent of it"; the sketch itself is built once
+    * per corpus version and is the same artifact a runtime filter
+    * would inject. Result is EXACTLY the plain anti-join (oracle form).
+    */
+  def bloomPrunedNewKeys(
+      corpusKeys: DataFrame, batch: DataFrame, keyCol: String,
+      expectedItems: Long, numBits: Long): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val agg = new BloomFilterAggregate(
+      toExpr(xxhash64(col(keyCol))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    // the sketch is a bounded KB-scale binary — collecting it is the
+    // same driver round-trip a scalar-subquery runtime filter performs
+    val bytes = corpusKeys.agg(toCol(agg).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (bytes == null) batch // empty corpus: everything is new
+    else {
+      val might = toCol(BloomFilterMightContain(
+        Literal(bytes, BinaryType), toExpr(xxhash64(col(keyCol)))))
+      val sureNew = batch.filter(!might)
+      val verified = batch.filter(might)
+        .join(corpusKeys.select(col(keyCol)), Seq(keyCol), "left_anti")
+      sureNew.unionByName(verified)
+    }
+  }
 }

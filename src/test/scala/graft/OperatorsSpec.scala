@@ -1009,6 +1009,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == (0L, 0L, ""))
   }
 
+  test("Sketches.bloomPrunedNewKeys == plain anti-join; empty corpus edge") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val corpusKeys = (0 until 600).map(_ => s"k${rnd.nextInt(500)}")
+      .distinct.toDF("fp")
+    val batch = (0 until 300).map(i => (s"k${rnd.nextInt(1000)}", i.toLong))
+      .toDF("fp", "row_id")
+    val got = Sketches.bloomPrunedNewKeys(corpusKeys, batch, "fp",
+        expectedItems = 1000L, numBits = 1L << 14)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    val want = batch.join(corpusKeys, Seq("fp"), "left_anti")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(got == want, s"got ${got.size} vs ${want.size}")
+    // empty corpus: the sketch aggregate yields null -> everything new
+    val empty = Seq.empty[String].toDF("fp")
+    assert(Sketches.bloomPrunedNewKeys(empty, batch, "fp", 10L, 1024L)
+      .count() == 300L)
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(
