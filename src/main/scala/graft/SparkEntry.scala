@@ -2607,6 +2607,13 @@ object SparkEntry {
       .select($("doc_id"), $("source"))
   }
 
+  /** Language-ID confidence: top language + runner-up marker hits and
+    * the margin (margin 0 = mixed / too short to call).
+    */
+  private def q171LangConfidence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.langConfidence(docs(s, dir), "doc_id",
+      "text")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2780,6 +2787,7 @@ object SparkEntry {
     "q168_proportion_ci" -> (q168ProportionCi _),
     "q169_decont_cut" -> (q169DecontCut _),
     "q170_bloom_new_docs" -> (q170BloomNewDocs _),
+    "q171_lang_confidence" -> (q171LangConfidence _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5351,6 +5359,33 @@ object SparkEntry {
         |WHERE b.doc_id % 7 = 0 AND NOT EXISTS (
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 7 <> 0 AND md5(c.text) = md5(b.text))""".stripMargin,
+    "q171_lang_confidence" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('el','la','de','que','y','los','una'))) AS es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('le','la','les','et','des','une','est'))) AS fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('的','是','了','在','我','有','和'))) AS zh
+        |  FROM documents),
+        |m AS (SELECT doc_id, unnest([
+        |    {'lang': 'de', 'hits': de}, {'lang': 'en', 'hits': en},
+        |    {'lang': 'es', 'hits': es}, {'lang': 'fr', 'hits': fr},
+        |    {'lang': 'zh', 'hits': zh}], recursive := true) FROM h),
+        |r AS (SELECT doc_id, lang, hits,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY hits DESC, lang) AS rk
+        |      FROM m)
+        |SELECT a.doc_id, a.lang, CAST(a.hits AS BIGINT) AS top_hits,
+        |  CAST(b.hits AS BIGINT) AS second_hits,
+        |  CAST(a.hits - b.hits AS BIGINT) AS margin
+        |FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.rk = 2
+        |WHERE a.rk = 1""".stripMargin,
     "q167_incremental_cc" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),

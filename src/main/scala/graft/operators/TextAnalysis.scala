@@ -46,6 +46,39 @@ object TextAnalysis {
           array_min(filter(scored, x => x.getField("hits") === mx))
             .getField("lang"))))
 
+  /** [[langId]] with CONFIDENCE: top language, its marker-hit count,
+    * the runner-up's count, and the margin between them — the signal
+    * that separates "confidently en" from "mixed / too short to call"
+    * (margin 0), which a corpus router needs before trusting the label.
+    * Relational form: the 5 per-language hit counts ride ONE tokenize
+    * (let-bound array of structs, as in [[langId]]), explode to (doc,
+    * lang, hits) rows, and a per-doc window over exactly 5 rows ranks
+    * them — integer-exact, deterministic ties (hits desc, lang asc).
+    *
+    * Output: idCol, lang, top_hits, second_hits, margin.
+    */
+  def langConfidence(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(idCol),
+        explode(Dedup.bind(tokens(lower(col(textCol))), toks =>
+          array(markerWords.map { case (lang, markers) =>
+            struct(lit(lang).as("lang"),
+              size(filter(toks, t => t.isin(markers.map(lit): _*)))
+                .cast("long").as("hits"))
+          }: _*))).as("s"))
+      .select(col(idCol), col("s.lang"), col("s.hits"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("hits").desc, col("lang"))
+    val ranked = scored.withColumn("_rk", row_number().over(w))
+    val top = ranked.filter(col("_rk") === 1)
+      .select(col(idCol), col("lang"), col("hits").as("top_hits"))
+    val second = ranked.filter(col("_rk") === 2)
+      .select(col(idCol), col("hits").as("second_hits"))
+    top.join(second, Seq(idCol))
+      .withColumn("margin", col("top_hits") - col("second_hits"))
+  }
+
   private val stopwords =
     Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "for")
 

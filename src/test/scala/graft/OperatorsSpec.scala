@@ -1028,6 +1028,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 300L)
   }
 
+  test("TextAnalysis.langConfidence agrees with langId; margin arithmetic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat of the house is in a box"), // clearly en
+      (2L, "la la la"), // es/fr tie on 'la' -> lexicographic es, margin 0
+      (3L, "xyzzy qwerty plugh")) // no markers anywhere: all zero, margin 0
+      .toDF("doc_id", "text")
+    val conf = TextAnalysis.langConfidence(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ids = df.select($"doc_id",
+        TextAnalysis.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((k, (lang, top, second, margin)) <- conf) {
+      assert(lang == ids(k), s"$k: $lang vs ${ids(k)}")
+      assert(margin == top - second && second <= top)
+    }
+    assert(conf(1L)._1 == "en" && conf(1L)._4 > 0)
+    assert(conf(2L)._1 == "es" && conf(2L)._4 == 0) // tie -> mixed signal
+    assert(conf(3L) == ("de", 0L, 0L, 0L)) // no evidence at all
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(
