@@ -2614,6 +2614,14 @@ object SparkEntry {
     graft.operators.TextAnalysis.langConfidence(docs(s, dir), "doc_id",
       "text")
 
+  /** Order-independent lineitem checksum over the integer/string key
+    * columns — the three-number table-equality certificate.
+    */
+  private def q172TableChecksum(s: SparkSession, dir: String): DataFrame =
+    Profile.tableChecksum(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2788,6 +2796,7 @@ object SparkEntry {
     "q169_decont_cut" -> (q169DecontCut _),
     "q170_bloom_new_docs" -> (q170BloomNewDocs _),
     "q171_lang_confidence" -> (q171LangConfidence _),
+    "q172_table_checksum" -> (q172TableChecksum _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5414,5 +5423,16 @@ object SparkEntry {
         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+    "q172_table_checksum" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(('0x'||substr(md5(concat_ws('|', '',
+        |    l_orderkey::VARCHAR, l_partkey::VARCHAR, l_suppkey::VARCHAR,
+        |    l_linenumber::VARCHAR, l_returnflag, l_linestatus)),
+        |    1, 15))::BIGINT) AS BIGINT) AS xor_digest,
+        |  CAST(bit_xor(('0x'||substr(md5(concat_ws('|', 's2',
+        |    l_orderkey::VARCHAR, l_partkey::VARCHAR, l_suppkey::VARCHAR,
+        |    l_linenumber::VARCHAR, l_returnflag, l_linestatus)),
+        |    1, 15))::BIGINT) AS BIGINT) AS xor_digest_salted
+        |FROM lineitem""".stripMargin,
   )
 }

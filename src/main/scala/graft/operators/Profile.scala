@@ -106,6 +106,33 @@ object Profile {
       round((center + rad) / denom, 6).as("ci_hi"))
   }
 
+  /** Order-independent table checksum — replication / backup / migration
+    * verification without sorting anything: each row folds to a 60-bit
+    * md5 digest of its canonicalized columns, and the table reduces to
+    * (row count, XOR of digests, XOR of salted digests) under one
+    * map-side-combining aggregate. XOR is commutative/associative, so
+    * the digest is identical for ANY partitioning or row order — two
+    * copies of a 100 TB table compare by exchanging three numbers. The
+    * second, salted XOR guards the one blind spot of a single XOR
+    * (a value swapped between two rows in the same column position can
+    * cancel); agreeing on both + count is overwhelming evidence of
+    * identical content. md5 (not xxhash64) so any engine can recompute
+    * the same digest — the oracle does, in plain SQL.
+    *
+    * Columns are canonicalized via string casts: use integer / string /
+    * date columns (float formatting differs across engines).
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum at least one column")
+    def digest(salt: String): Column =
+      conv(substring(md5(concat_ws("|",
+        (lit(salt) +: cols.map(c => col(c).cast("string"))): _*)),
+        1, 15), 16, 10).cast("long")
+    df.agg(count(lit(1)).as("n_rows"),
+      bit_xor(digest("")).as("xor_digest"),
+      bit_xor(digest("s2")).as("xor_digest_salted"))
+  }
+
   /** Per-column top-k most frequent values — the categorical half of a
     * profile (what `summarize` can't show): melt the chosen columns to
     * (col_name, value) in the scan projection, count by (column, value),

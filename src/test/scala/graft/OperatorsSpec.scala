@@ -1050,6 +1050,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(conf(3L) == ("de", 0L, 0L, 0L)) // no evidence at all
   }
 
+  test("Profile.tableChecksum: order/partition-invariant, mutation-sensitive") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"v$i")).toDF("k", "v")
+    def sum3(d: org.apache.spark.sql.DataFrame) =
+      Profile.tableChecksum(d, Seq("k", "v")).collect()(0)
+        .toSeq.asInstanceOf[Seq[Any]]
+    val base = sum3(df)
+    // any partitioning/order gives the identical certificate
+    assert(sum3(df.repartition(13)) == base)
+    assert(sum3(df.orderBy($"v".desc)) == base)
+    // one mutated cell changes both digests but not the count
+    val mutated = sum3(df.withColumn("v",
+      when($"k" === 250L, "vX").otherwise($"v")))
+    assert(mutated.head == base.head)
+    assert(mutated(1) != base(1) && mutated(2) != base(2))
+  }
+
   test("Web.canonicalizeUrl: ports, case, slashes, params, fragments") {
     import spark.implicits._
     val cases = Seq(
