@@ -2622,6 +2622,16 @@ object SparkEntry {
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_returnflag", "l_linestatus"))
 
+  /** Cross-split contamination audit: LSH near-dup pairs straddling the
+    * 80/10/10 split — splits recovered from the pair ids as pure hash
+    * expressions, no join back to the corpus.
+    */
+  private def q173SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitLeakage(docs(s, dir), "doc_id", "text",
+        Seq(("train", 8000), ("val", 1000), ("test", 1000)))
+      .select($("id_a"), $("id_b"), $("split_a"), $("split_b"),
+        $("agree").cast("long").as("agree"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2797,6 +2807,7 @@ object SparkEntry {
     "q170_bloom_new_docs" -> (q170BloomNewDocs _),
     "q171_lang_confidence" -> (q171LangConfidence _),
     "q172_table_checksum" -> (q172TableChecksum _),
+    "q173_split_leakage" -> (q173SplitLeakage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5434,5 +5445,33 @@ object SparkEntry {
         |    l_linenumber::VARCHAR, l_returnflag, l_linestatus)),
         |    1, 15))::BIGINT) AS BIGINT) AS xor_digest_salted
         |FROM lineitem""".stripMargin,
+    "q173_split_leakage" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |            for i in range(1, greatest(len(l)-3, 1)+1)])] AS bs
+        |  FROM tk),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl] AS sg
+        |  FROM base, css),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) AS BIGINT) AS agree
+        |FROM sig a, sig b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_filter(range(0, 4), b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
+        |  AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8),
+        |lab AS (SELECT id_a, id_b, agree,
+        |  CASE WHEN ('0x'||substr(md5(id_a::VARCHAR||'|'||'graft'),1,15))::BIGINT % 10000 < 8000 THEN 'train'
+        |       WHEN ('0x'||substr(md5(id_a::VARCHAR||'|'||'graft'),1,15))::BIGINT % 10000 < 9000 THEN 'val'
+        |       ELSE 'test' END AS split_a,
+        |  CASE WHEN ('0x'||substr(md5(id_b::VARCHAR||'|'||'graft'),1,15))::BIGINT % 10000 < 8000 THEN 'train'
+        |       WHEN ('0x'||substr(md5(id_b::VARCHAR||'|'||'graft'),1,15))::BIGINT % 10000 < 9000 THEN 'val'
+        |       ELSE 'test' END AS split_b
+        |  FROM pairs)
+        |SELECT id_a, id_b, split_a, split_b, agree
+        |FROM lab WHERE split_a <> split_b""".stripMargin,
   )
 }

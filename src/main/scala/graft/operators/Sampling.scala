@@ -265,18 +265,53 @@ object Sampling {
   def splitAssign(
       df: DataFrame, keyCol: String,
       splits: Seq[(String, Int)], // (label, basis points), sums to 10000
-      salt: String = "graft"): DataFrame = {
+      salt: String = "graft"): DataFrame =
+    df.withColumn("split", splitLabel(col(keyCol), splits, salt))
+
+  /** The split label as a pure column expression over any key column —
+    * the assignment IS a hash of the key, so consumers holding only an
+    * id (e.g. a pair list) can recover its split with no join back to
+    * the corpus.
+    */
+  def splitLabel(
+      key: Column,
+      splits: Seq[(String, Int)], // (label, basis points), sums to 10000
+      salt: String = "graft"): Column = {
     require(splits.nonEmpty && splits.map(_._2).forall(_ > 0)
       && splits.map(_._2).sum == 10000, "split basis points must sum to 10000")
-    val bucket = keyHash60(col(keyCol), salt) % 10000
+    val bucket = keyHash60(key, salt) % 10000
     val bounds = splits.scanLeft(0) { case (acc, (_, bp)) => acc + bp }
     // first band whose upper bound exceeds the bucket wins
-    val assigned = splits.zip(bounds.tail).reverse
+    splits.zip(bounds.tail).reverse
       .foldLeft[Column](lit(splits.last._1)) { case (acc, ((label, _), hi)) =>
         when(bucket < hi, label).otherwise(acc)
       }
-    df.withColumn("split", assigned)
   }
+
+  /** Cross-split contamination audit: near-duplicate pairs that straddle
+    * two different train/val/test splits — the QA step that catches eval
+    * leakage AFTER a split was drawn on raw doc ids (near-duplicates have
+    * different ids, so hash-band splitting alone cannot keep them
+    * together; this audit measures how much leaked). Pairs come from the
+    * banded MinHash-LSH join ([[graft.operators.Dedup.minhashLshPairs]],
+    * never all-pairs); each side's split is recovered from its id with
+    * [[splitLabel]] — a pure expression, so beyond the LSH bucket join
+    * this adds zero shuffles and zero joins at any corpus size.
+    *
+    * Output: (id_a, id_b, split_a, split_b, agree) for candidate pairs
+    * with `agree >= minAgree` and `split_a != split_b`.
+    */
+  def splitLeakage(
+      df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Int)], salt: String = "graft",
+      shingleN: Int = 4, numHashes: Int = 16, bandSize: Int = 4,
+      minAgree: Int = 8): DataFrame =
+    Dedup.minhashLshPairs(df, idCol, textCol,
+        shingleN, numHashes, bandSize, minAgree)
+      .withColumn("split_a", splitLabel(col("id_a"), splits, salt))
+      .withColumn("split_b", splitLabel(col("id_b"), splits, salt))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b", "agree")
 
   /** Contrastive negative sampling: `k` deterministic pseudo-random
     * negative partners per anchor row — the pair generator for
