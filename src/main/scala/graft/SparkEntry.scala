@@ -2632,6 +2632,17 @@ object SparkEntry {
       .select($("id_a"), $("id_b"), $("split_a"), $("split_b"),
         $("agree").cast("long").as("agree"))
 
+  /** Exact heavy-hitter tokens (count > n/100) via the two-pass
+    * Misra-Gries form — candidates per partition, one bounded exact
+    * verification pass, no full-vocabulary shuffle.
+    */
+  private def q174HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(split(trim($("text")), "\\s+")).as("token"))
+    Sketches.heavyHitters(toks, "token", 100)
+      .select($("token"), $("cnt").cast("long").as("cnt"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2808,6 +2819,7 @@ object SparkEntry {
     "q171_lang_confidence" -> (q171LangConfidence _),
     "q172_table_checksum" -> (q172TableChecksum _),
     "q173_split_leakage" -> (q173SplitLeakage _),
+    "q174_heavy_hitters" -> (q174HeavyHitters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5473,5 +5485,11 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT id_a, id_b, split_a, split_b, agree
         |FROM lab WHERE split_a <> split_b""".stripMargin,
+    "q174_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+        |SELECT token, cnt FROM c, t WHERE cnt * 100 > n""".stripMargin,
   )
 }

@@ -84,4 +84,57 @@ object Sketches {
       sureNew.unionByName(verified)
     }
   }
+
+  /** Two-pass EXACT heavy hitters (frequency strictly above n/k)
+    * without a full groupBy of the corpus: pass 1 runs a Misra-Gries
+    * summary with k-1 counters inside each partition (mapPartitions —
+    * genuinely imperative per-partition state, the documented last
+    * resort, used here because the summary is order-insensitive in its
+    * guarantee) and unions the surviving keys. MG guarantees any item
+    * with partition frequency > n_p/k survives its partition's summary,
+    * and Σ n_p = n, so by pigeonhole the union is a SUPERSET of every
+    * global heavy hitter — at most partitions·(k-1) keys, kilobytes,
+    * broadcastable. Pass 2 rescans the corpus once against the
+    * broadcast candidate set and counts ONLY candidate keys exactly;
+    * every non-candidate folds into a single null bucket map-side, so
+    * the exchange carries ≤ candidates+1 groups — at 100 TB that is the
+    * difference between a bounded shuffle and shuffling every distinct
+    * token. The candidate SET varies with partitioning, but the final
+    * exact filter (cnt · k > n, integer arithmetic) does not — the
+    * output is deterministic under any partitioning.
+    *
+    * Output: (keyCol string, cnt long) for keys with count > n/k.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string")).as[String]
+    val cands = keys.mapPartitions { it =>
+      val cap = k - 1
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { s =>
+        m.get(s) match {
+          case Some(v) => m.update(s, v + 1)
+          case None if m.size < cap => m.update(s, 1L)
+          case None => // decrement-all step; snapshot keys before mutating
+            m.keys.toArray.foreach { kk =>
+              val v = m(kk) - 1
+              if (v == 0) m.remove(kk) else m.update(kk, v)
+            }
+        }
+      }
+      m.keysIterator
+    }.toDF(keyCol).distinct()
+    val counted = df.select(col(keyCol).cast("string").as(keyCol))
+      .join(broadcast(cands.withColumn("_hh", lit(true))), Seq(keyCol), "left")
+      .groupBy(when(col("_hh"), col(keyCol)).as(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // tiny; two consumers (total + filter)
+    val total = counted.agg(sum(col("cnt")).as("_n"))
+    counted.filter(col(keyCol).isNotNull)
+      .crossJoin(broadcast(total)) // 1-row total
+      .filter(col("cnt") * lit(k.toLong) > col("_n"))
+      .select(col(keyCol), col("cnt"))
+  }
 }

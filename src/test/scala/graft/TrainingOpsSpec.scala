@@ -1040,6 +1040,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == got)
   }
 
+  test("heavyHitters equals the exact groupBy form under any partitioning") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // skewed stream: 'a' 40%, 'b' 15%, long tail of singletons
+    val vals = Seq.fill(400)("a") ++ Seq.fill(150)("b") ++
+      (1 to 450).map(i => s"t$i")
+    val exact = vals.groupBy(identity).collect {
+      case (w, xs) if xs.size.toLong * 10 > vals.size => w -> xs.size.toLong
+    }.toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val df = vals.toDF("w").repartition(parts)
+      val got = Sketches.heavyHitters(df, "w", 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"parts=$parts")
+    }
+    // k larger than distinct count: every key is a candidate, filter rules
+    val tiny = Seq("x", "x", "y").toDF("w")
+    val got = Sketches.heavyHitters(tiny, "w", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("x" -> 2L)) // 2*2 > 3; y: 1*2 < 3
+  }
+
   test("ltreePrefixes emits every ancestor; rollup counts nest") {
     import spark.implicits._
     val got = Seq("virus.influenza.h3", "virus", "", null)
