@@ -1062,6 +1062,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("x" -> 2L)) // 2*2 > 3; y: 1*2 < 3
   }
 
+  test("prefixFilterJaccardPairs equals the full inverted-index join") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docsDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (4L, "a completely different document about spark engines"),
+      (5L, "a completely different document about spark clusters"),
+      (6L, "one two three four five six seven eight nine ten"),
+      (7L, "short text"),
+      (8L, "short text")                                     // dup of 7
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val full = Dedup.ngramJaccardPairs(docsDf, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pf = Dedup.prefixFilterJaccardPairs(docsDf, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pf == full, s"t=$t")
+    }
+  }
+
   test("ltreePrefixes emits every ancestor; rollup counts nest") {
     import spark.implicits._
     val got = Seq("virus.influenza.h3", "virus", "", null)
