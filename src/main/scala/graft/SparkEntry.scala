@@ -2650,6 +2650,14 @@ object SparkEntry {
     Dedup.prefixFilterJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.7)
       .withColumn("jaccard", round($("jaccard"), 6))
 
+  /** C4-style blocklist filter — whole-word hits per doc via one
+    * codegen alternation regex; flag at >5% blocklisted tokens.
+    */
+  private def q176Blocklist(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.blocklistSignals(
+        t(s, dir, "documents"), "text", Seq("slow", "big", "stale"), 5)
+      .select($("doc_id"), $("hits"), $("n_tokens"), $("flagged"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2828,6 +2836,7 @@ object SparkEntry {
     "q173_split_leakage" -> (q173SplitLeakage _),
     "q174_heavy_hitters" -> (q174HeavyHitters _),
     "q175_prefix_filter_join" -> (q175PrefixFilterJoin _),
+    "q176_blocklist" -> (q176Blocklist _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5515,5 +5524,13 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = id_a
         |JOIN sz sb ON sb.doc_id = id_b
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.7""".stripMargin,
+    "q176_blocklist" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(slow|big|stale)\b')) AS BIGINT) AS hits,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, hits, n_tokens, hits * 100 > n_tokens * 5 AS flagged
+        |FROM b""".stripMargin,
   )
 }

@@ -106,6 +106,27 @@ object TextAnalysis {
           .otherwise((nChar - nTok + 1).cast("double") / nTok))
   }
 
+  /** Blocklist (badwords) filter, C4-style: whole-word hit count per
+    * document against a small static word list, plus the flag for docs
+    * whose blocklisted-token share exceeds `maxPct` percent. ONE
+    * compiled alternation regex per row — codegen'd, no token explode,
+    * no shuffle, the text never leaves its partition; at 100 TB this is
+    * a pure map stage fused into the scan. The \b alternation is kept
+    * to the Java/RE2-identical regex subset so the same pattern is the
+    * SQL oracle. Integer-exact flag: hits·100 > n_tokens·maxPct.
+    */
+  def blocklistSignals(
+      df: DataFrame, textCol: String, words: Seq[String],
+      maxPct: Int): DataFrame = {
+    require(words.nonEmpty && words.forall(_.matches("[A-Za-z0-9]+")),
+      "blocklist words must be plain alphanumerics (regex-safe)")
+    val pat = "\\b(" + words.mkString("|") + ")\\b"
+    df.withColumn("hits",
+        regexp_count(lower(col(textCol)), lit(pat)).cast("long"))
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("flagged", col("hits") * 100 > col("n_tokens") * maxPct)
+  }
+
   // PII patterns — kept to the regex subset that Java and RE2 treat
   // identically (character classes, bounded repetition, \b), so the same
   // pattern is reusable as a SQL oracle.
