@@ -2658,6 +2658,24 @@ object SparkEntry {
         t(s, dir, "documents"), "text", Seq("slow", "big", "stale"), 5)
       .select($("doc_id"), $("hits"), $("n_tokens"), $("flagged"))
 
+  /** Longest-prefix-match join — order paths routed against a 2-level
+    * rule table (region/nation), chain-of-broadcast-joins, no shuffle.
+    */
+  private def q177LpmJoin(s: SparkSession, dir: String): DataFrame = {
+    val keys = t(s, dir, "orders").select($("o_orderkey"),
+      concat(lit("/r"), $("o_custkey") % 5, lit("/n"), $("o_custkey") % 25,
+        lit("/p"), $("o_orderkey") % 100, lit("/")).as("path"))
+    val regions = s.range(5).select(
+      concat(lit("/r"), col("id"), lit("/")).as("prefix"),
+      lit("region").as("tier"))
+    val nations = s.range(25).filter(col("id") % 3 === 0).select(
+      concat(lit("/r"), col("id") % 5, lit("/n"), col("id"), lit("/"))
+        .as("prefix"),
+      lit("nation").as("tier"))
+    graft.operators.PrefixJoin.longestPrefixJoin(
+      keys, "path", regions.unionByName(nations), "prefix")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2837,6 +2855,7 @@ object SparkEntry {
     "q174_heavy_hitters" -> (q174HeavyHitters _),
     "q175_prefix_filter_join" -> (q175PrefixFilterJoin _),
     "q176_blocklist" -> (q176Blocklist _),
+    "q177_lpm_join" -> (q177LpmJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5532,5 +5551,20 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, hits, n_tokens, hits * 100 > n_tokens * 5 AS flagged
         |FROM b""".stripMargin,
+    "q177_lpm_join" ->
+      """WITH k AS (SELECT o_orderkey,
+        |  '/r'||(o_custkey%5)||'/n'||(o_custkey%25)||'/p'||(o_orderkey%100)||'/' AS path
+        |  FROM orders),
+        |r AS (
+        |  SELECT '/r'||i||'/' AS prefix, 'region' AS tier FROM range(5) t(i)
+        |  UNION ALL
+        |  SELECT '/r'||(j%5)||'/n'||j||'/' AS prefix, 'nation' AS tier
+        |  FROM range(25) t(j) WHERE j % 3 = 0),
+        |m AS (SELECT o_orderkey, path, prefix, tier,
+        |  row_number() OVER (PARTITION BY o_orderkey, path
+        |                     ORDER BY len(prefix) DESC) AS rk
+        |  FROM k LEFT JOIN r ON starts_with(k.path, r.prefix))
+        |SELECT o_orderkey, path, prefix AS match_prefix, tier
+        |FROM m WHERE rk = 1""".stripMargin,
   )
 }

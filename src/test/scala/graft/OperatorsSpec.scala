@@ -1087,6 +1087,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == cases.map(_._2), got.zip(cases).mkString("\n"))
   }
 
+  test("longestPrefixJoin: specificity wins, unmatched stay null") {
+    import spark.implicits._
+    import graft.operators.PrefixJoin
+    val keys = Seq("/a/b/c", "/a/x", "/z/1", "/a/bb/c").toDF("k")
+    val rules = Seq(
+      ("/a/", "broad", 1L),
+      ("/a/b/", "mid", 2L),
+      ("/a/b/c", "exact", 3L)).toDF("prefix", "tier", "rid")
+    val got = PrefixJoin.longestPrefixJoin(keys, "k", rules, "prefix")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got("/a/b/c") == (Some("/a/b/c"), Some("exact"), Some(3L)))
+    assert(got("/a/x") == (Some("/a/"), Some("broad"), Some(1L)))
+    // '/a/bb/c': '/a/b/' is NOT a prefix ('/a/bb' differs at the slash)
+    assert(got("/a/bb/c") == (Some("/a/"), Some("broad"), Some(1L)))
+    assert(got("/z/1") == (None, None, None))
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => i)
     for (j <- 1 to b.length) {
