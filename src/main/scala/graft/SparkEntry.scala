@@ -2676,6 +2676,19 @@ object SparkEntry {
       keys, "path", regions.unionByName(nations), "prefix")
   }
 
+  /** Embedding outliers — top-5 farthest rows from each label's exact
+    * mean centroid (integer-form distances, engine-bit-identical).
+    */
+  private def q178EmbedOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = Embeddings.outlierScores(
+      t(s, dir, "embeddings"), "vec_id", "label", "embedding")
+    scores.withColumn("_rk", row_number().over(
+        Window.partitionBy($("grp")).orderBy($("dist2").desc, $("id"))))
+      .filter($("_rk") <= 5)
+      .select($("grp").as("label"), $("id").as("vec_id"), $("dist2"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2856,6 +2869,7 @@ object SparkEntry {
     "q175_prefix_filter_join" -> (q175PrefixFilterJoin _),
     "q176_blocklist" -> (q176Blocklist _),
     "q177_lpm_join" -> (q177LpmJoin _),
+    "q178_embed_outliers" -> (q178EmbedOutliers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5566,5 +5580,24 @@ object SparkEntry {
         |  FROM k LEFT JOIN r ON starts_with(k.path, r.prefix))
         |SELECT o_orderkey, path, prefix AS match_prefix, tier
         |FROM m WHERE rk = 1""".stripMargin,
+    "q178_embed_outliers" ->
+      """WITH flat AS (
+        |  SELECT vec_id, label, unnest(range(0, len(embedding))) AS dim,
+        |    unnest([floor(x::DOUBLE * 1000000)::BIGINT for x in embedding]) AS q
+        |  FROM embeddings),
+        |cent AS (SELECT label, dim, sum(q) AS s, count(*) AS n
+        |  FROM flat GROUP BY label, dim),
+        |num AS (SELECT f.vec_id, f.label,
+        |    sum(((c.n*f.q - c.s)::HUGEINT) * ((c.n*f.q - c.s)::HUGEINT)) AS ss,
+        |    max(c.n) AS n
+        |  FROM flat f JOIN cent c ON f.label = c.label AND f.dim = c.dim
+        |  GROUP BY f.vec_id, f.label),
+        |sc AS (SELECT vec_id, label,
+        |    ss::DOUBLE / (((n*1000000)::DOUBLE) * ((n*1000000)::DOUBLE)) AS dist2
+        |  FROM num),
+        |rk AS (SELECT vec_id, label, dist2,
+        |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS r
+        |  FROM sc)
+        |SELECT label, vec_id, dist2 FROM rk WHERE r <= 5""".stripMargin,
   )
 }

@@ -201,4 +201,40 @@ object Embeddings {
             .cast("long")))
         .as("codes"))
   }
+
+  /** Embedding-space outlier scores: each row's squared Euclidean
+    * distance to its GROUP's mean-pooled centroid — the curation signal
+    * for mislabeled / off-distribution documents inside a source or
+    * cluster. Same exactness discipline as [[kmeansAssignQuantized]]:
+    * the centroid is kept as (integer sum s, count n) per dimension and
+    * the distance to s/n is the integer form Σ(n·q − s)² / (n·scale)²
+    * — the numerator accumulates in decimal(38,0) (exact; per-dim
+    * square ≤ (2·n·scale)², far past long at corpus counts) and the one
+    * double division is correctly rounded, so scores are bit-identical
+    * on any engine and partitioning. Plan: posexplode → (group, dim)
+    * partial agg → broadcast the (groups·dims)-row centroid table back
+    * onto the fact → one map-side-combining groupBy (id). Vectors never
+    * shuffle; the only corpus-sized exchange is the narrow (id, group)
+    * score aggregation.
+    *
+    * Output: (grp, id, dist2 double) — every row scored; compose with a
+    * per-group top-k for the review queue.
+    */
+  def outlierScores(
+      df: DataFrame, idCol: String, groupCol: String, vecCol: String,
+      scale: Int = 1000000): DataFrame = {
+    val fact = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      posexplode(quantize(col(vecCol), scale)).as(Seq("dim", "q")))
+    val cent = fact.groupBy("grp", "dim")
+      .agg(sum("q").as("_s"), count(lit(1)).as("_n"))
+    val diff = col("_n").cast("decimal(38,0)") * col("q") - col("_s")
+    fact.join(broadcast(cent), Seq("grp", "dim"))
+      .withColumn("_d2", (diff * diff).cast("decimal(38,0)"))
+      .groupBy("id", "grp")
+      .agg(sum(col("_d2")).as("_ss"), max(col("_n")).as("_n"))
+      .withColumn("_den",
+        (col("_n") * scale).cast("double") * (col("_n") * scale).cast("double"))
+      .select(col("grp"), col("id"),
+        (col("_ss").cast("double") / col("_den")).as("dist2"))
+  }
 }
