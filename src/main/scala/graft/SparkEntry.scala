@@ -2689,6 +2689,14 @@ object SparkEntry {
       .select($("grp").as("label"), $("id").as("vec_id"), $("dist2"))
   }
 
+  /** Vocab coverage curve — smallest frequency-ranked vocab prefix
+    * covering 90/95/99% of token occurrences; distributed ordered
+    * prefix sum, no global sort.
+    */
+  private def q179VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.vocabCoverageCurve(
+      docs(s, dir), "text", Seq(9000, 9500, 9900))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2870,6 +2878,7 @@ object SparkEntry {
     "q176_blocklist" -> (q176Blocklist _),
     "q177_lpm_join" -> (q177LpmJoin _),
     "q178_embed_outliers" -> (q178EmbedOutliers _),
+    "q179_vocab_coverage" -> (q179VocabCoverage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5599,5 +5608,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS r
         |  FROM sc)
         |SELECT label, vec_id, dist2 FROM rk WHERE r <= 5""".stripMargin,
+    "q179_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |r AS (SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |t AS (SELECT sum(cnt) AS tt FROM c),
+        |x AS (SELECT bp, rank, cum, tt
+        |  FROM r, t, (SELECT unnest([9000, 9500, 9900]) AS bp)
+        |  WHERE cum * 10000 >= tt * bp)
+        |SELECT bp, CAST(min(rank) AS BIGINT) AS vocab_size,
+        |  CAST(min_by(cum, rank) AS BIGINT) AS covered_tokens,
+        |  CAST(max(tt) AS BIGINT) AS total_tokens,
+        |  CAST(min_by(cum, rank) AS BIGINT)::DOUBLE / CAST(max(tt) AS BIGINT)
+        |    AS coverage
+        |FROM x GROUP BY bp""".stripMargin,
   )
 }

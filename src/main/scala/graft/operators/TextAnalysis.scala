@@ -240,6 +240,60 @@ object TextAnalysis {
           .as("chunk_last"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing question "how many
+    * vocabulary entries cover X% of all token occurrences?" answered for
+    * several X at once. The frequency-descending global rank is a
+    * DISTRIBUTED ordered prefix sum (same two-shuffle shape as
+    * [[packChunks]]): the coarse ordered bucket is the count's BIT
+    * LENGTH (every token in a higher bucket outranks every token in a
+    * lower one — integer-exact, no log2 float boundaries), each bucket
+    * ranks and cumsums locally in parallel under (cnt desc, tok), and
+    * only the ≤64 bucket totals pass through the tiny single-partition
+    * cumsum before broadcasting back. No vocabulary-sized global sort,
+    * no single-partition window over the vocab.
+    *
+    * Output per threshold (basis points): (bp, vocab_size = smallest
+    * prefix of the frequency-ranked vocab reaching the threshold,
+    * covered_tokens at that prefix, total_tokens, coverage double).
+    */
+  def vocabCoverageCurve(
+      df: DataFrame, textCol: String, thresholdsBp: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdsBp.nonEmpty &&
+      thresholdsBp.forall(b => b > 0 && b <= 10000),
+      "thresholds are basis points in (0, 10000]")
+    val counts = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val withB = counts.withColumn("_b", length(conv(col("cnt"), 10, 2)))
+    val wIn = Window.partitionBy("_b").orderBy(col("cnt").desc, col("tok"))
+    val local = withB
+      .withColumn("_r", row_number().over(wIn))
+      .withColumn("_c", sum(col("cnt")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // ≤64 bucket rows: constant-valued non-foldable partition key, same
+    // deliberate tiny-cumsum form as packChunks
+    val one = floor(col("_b").cast("long") / lit(Long.MaxValue))
+    val prev = Window.partitionBy(one).orderBy(col("_b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy("_b")
+      .agg(count(lit(1)).as("_nb"), sum(col("cnt")).as("_sb"))
+      .withColumn("_offR", coalesce(sum(col("_nb")).over(prev), lit(0L)))
+      .withColumn("_offC", coalesce(sum(col("_sb")).over(prev), lit(0L)))
+      .withColumn("_T", sum(col("_sb")).over(Window.partitionBy(one)))
+      .select("_b", "_offR", "_offC", "_T")
+    local.join(broadcast(offs), Seq("_b"))
+      .select((col("_offR") + col("_r")).as("rank"),
+        (col("_offC") + col("_c")).as("cum"), col("_T"))
+      .withColumn("bp", explode(array(thresholdsBp.map(b => lit(b)): _*)))
+      .filter(col("cum") * 10000 >= col("_T") * col("bp"))
+      .groupBy("bp")
+      .agg(min(col("rank")).as("vocab_size"),
+        min_by(col("cum"), col("rank")).as("covered_tokens"),
+        max(col("_T")).as("total_tokens"))
+      .withColumn("coverage",
+        col("covered_tokens").cast("double") / col("total_tokens"))
+  }
+
   /** Model-based quality scoring via a distributed bigram language model
     * (the public CCNet/KenLM-filtering recipe, reduced to the n = 2 case
     * so counts stay exact): "train" = bigram + unigram counts over a
