@@ -2697,6 +2697,19 @@ object SparkEntry {
     graft.operators.TextAnalysis.vocabCoverageCurve(
       docs(s, dir), "text", Seq(9000, 9500, 9900))
 
+  /** Pareto frontier of documents on (token count, distinct-token
+    * count) — skyline via bucketed running max, no dominance self-join.
+    */
+  private def q180Skyline(s: SparkSession, dir: String): DataFrame = {
+    val tks = graft.operators.TextAnalysis.tokens($("text"))
+    val base = docs(s, dir).select($("doc_id"),
+      graft.operators.TextAnalysis.tokenCount($("text")).cast("long")
+        .as("n_tokens"),
+      when(length(trim($("text"))) === 0, 0L)
+        .otherwise(size(array_distinct(tks)).cast("long")).as("n_distinct"))
+    graft.operators.Skyline.skyline2D(base, "n_tokens", "n_distinct")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2879,6 +2892,7 @@ object SparkEntry {
     "q177_lpm_join" -> (q177LpmJoin _),
     "q178_embed_outliers" -> (q178EmbedOutliers _),
     "q179_vocab_coverage" -> (q179VocabCoverage _),
+    "q180_skyline" -> (q180Skyline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5627,5 +5641,19 @@ object SparkEntry {
         |  CAST(min_by(cum, rank) AS BIGINT)::DOUBLE / CAST(max(tt) AS BIGINT)
         |    AS coverage
         |FROM x GROUP BY bp""".stripMargin,
+    "q180_skyline" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END
+        |    AS BIGINT) AS n_distinct
+        |  FROM documents)
+        |SELECT r.doc_id, r.n_tokens, r.n_distinct FROM b r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM b s
+        |  WHERE s.n_tokens >= r.n_tokens AND s.n_distinct >= r.n_distinct
+        |    AND (s.n_tokens > r.n_tokens OR s.n_distinct > r.n_distinct))""".stripMargin,
   )
 }

@@ -1106,6 +1106,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("/z/1") == (None, None, None))
   }
 
+  test("skyline2D equals the brute-force dominance definition") {
+    import spark.implicits._
+    import graft.operators.Skyline
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+      Seq((301L, 39L, 39L), (302L, 39L, 39L), // duplicate frontier point
+        (303L, 0L, 0L))
+    val df = pts.toDF("id", "x", "y").repartition(7)
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, sx, sy) =>
+        sx >= x && sy >= y && (sx > x || sy > y) }
+    }.toSet
+    val got = Skyline.skyline2D(df, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => i)
     for (j <- 1 to b.length) {
