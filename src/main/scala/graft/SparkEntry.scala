@@ -2710,6 +2710,15 @@ object SparkEntry {
     graft.operators.Skyline.skyline2D(base, "n_tokens", "n_distinct")
   }
 
+  /** Apriori frequent part-category pairs per order basket, with
+    * confidence and lift (integer-exact inputs, single divisions).
+    */
+  private def q181FrequentPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Itemsets.frequentPairs(
+      t(s, dir, "lineitem")
+        .select($("l_orderkey").as("basket"), ($("l_partkey") % 50).as("item")),
+      "basket", "item", minSupport = 80L)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2893,6 +2902,7 @@ object SparkEntry {
     "q178_embed_outliers" -> (q178EmbedOutliers _),
     "q179_vocab_coverage" -> (q179VocabCoverage _),
     "q180_skyline" -> (q180Skyline _),
+    "q181_frequent_pairs" -> (q181FrequentPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5655,5 +5665,20 @@ object SparkEntry {
         |  SELECT 1 FROM b s
         |  WHERE s.n_tokens >= r.n_tokens AND s.n_distinct >= r.n_distinct
         |    AND (s.n_tokens > r.n_tokens OR s.n_distinct > r.n_distinct))""".stripMargin,
+    "q181_frequent_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 50 AS i
+        |  FROM lineitem),
+        |s AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM it GROUP BY i),
+        |f AS (SELECT i, cnt FROM s WHERE cnt >= 80),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM it a JOIN it b ON a.bk = b.bk AND a.i < b.i
+        |  WHERE a.i IN (SELECT i FROM f) AND b.i IN (SELECT i FROM f)
+        |  GROUP BY 1, 2 HAVING count(*) >= 80),
+        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM it)
+        |SELECT item_a, item_b, pair_cnt, fa.cnt AS cnt_a, fb.cnt AS cnt_b,
+        |  pair_cnt::DOUBLE / fa.cnt AS conf_ab,
+        |  (pair_cnt * nb)::DOUBLE / (fa.cnt * fb.cnt) AS lift
+        |FROM p JOIN f fa ON fa.i = item_a JOIN f fb ON fb.i = item_b, n""".stripMargin,
   )
 }
