@@ -509,4 +509,57 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(winLines.forall(_.contains("_bucket")), winLines.mkString("\n"))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q174 heavy hitters: candidate set broadcast, partial agg on the " +
+      "guarded key") {
+    val p = plan("q174_heavy_hitters")
+    // the counted frame is localCheckpointed (two consumers), so the
+    // visible plan is the FINAL stage only: it must read the bounded
+    // materialized counts (candidates+1 rows), broadcast the 1-row
+    // total, and aggregate it with a map-side partial phase — if a
+    // corpus-sized scan or shuffle showed up here, the bound was lost
+    assert(p.contains("Scan ExistingRDD"), p.take(3000))
+    assert(p.contains("IdentityBroadcastMode"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(!p.contains("Scan parquet"), "final stage rescans the corpus")
+  }
+
+  test("q175 prefix-filter join: gram equi-joins only, never all-pairs") {
+    val p = plan("q175_prefix_filter_join")
+    assert(!p.contains("CartesianProduct"), "prefix join degenerated")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "prefix join degenerated")
+    // per-doc prefix ranking windows on id, never a single partition
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("id#")),
+      winLines.mkString("\n"))
+  }
+
+  test("q177 LPM join is a pure broadcast chain — zero shuffle exchanges") {
+    val p = plan("q177_lpm_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning")), p.take(4000))
+  }
+
+  test("q180 skyline: no dominance self-join, windows only on buckets") {
+    val p = plan("q180_skyline")
+    assert(!p.contains("CartesianProduct"), "skyline degenerated")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "skyline degenerated")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("_b#")),
+      winLines.mkString("\n"))
+  }
+
+  test("q181 frequent pairs: basket equi-join after the Apriori prune, " +
+      "1-row total is the only nested-loop side") {
+    val p = plan("q181_frequent_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert(p.contains("LeftSemi"), "Apriori prune lost") // singleton filter
+    assert(p.contains("partial_count"), p.take(3000))
+  }
 }
