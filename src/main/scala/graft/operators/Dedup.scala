@@ -146,22 +146,42 @@ object Dedup {
   def prefixFilterJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // grams ride as 60-bit hashes from here on: the verify arrays carry
+    // 8-byte longs instead of gram strings (4× less candidate-pair
+    // payload — measured dominant at dense-vocabulary corpora), same
+    // 2^-60 per-pair collision convention as the minhash family.
+    // One parse+digest pass, three consumers → lazy checkpoint.
     val sh = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), n)).as("gram"))
-    // full sorted gram set + size per doc (the verification side)
+        explode(wordShingles(col(textCol), n)).as("gram"))
+      .select(col("id"), hash60Base(col("gram")).as("g"))
+      .localCheckpoint(false)
+    // full sorted gram-hash set + size per doc (the verification side)
     val docSets = sh.groupBy("id").agg(
-      sort_array(collect_list("gram")).as("_grams"),
+      sort_array(collect_list("g")).as("_grams"),
       count(lit(1)).as("_sz"))
     // global rarity order: (document frequency asc, gram asc) is total
-    val dfreq = sh.groupBy("gram").agg(count(lit(1)).as("_df"))
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("_df"))
     val byId = Window.partitionBy("id")
-    val prefix = sh.join(dfreq, "gram")
-      .withColumn("_pos", row_number().over(byId.orderBy(col("_df"), col("gram"))))
+    val prefix = sh.join(dfreq, "g")
+      .withColumn("_pos", row_number().over(byId.orderBy(col("_df"), col("g"))))
       .withColumn("_n", count(lit(1)).over(byId))
       .filter(col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
-      .select("id", "gram")
+      .select("id", "g", "_pos", "_n")
+    // candidate join with the two other PPJoin prunes, both safe because
+    // a qualifying pair always joins on its MINIMUM common gram, where
+    // both bounds hold: (a) length filter — J >= t forces t·|A| <= |B|
+    // <= |A|/t; (b) positional filter — common grams all sit at-or-after
+    // the witness gram in both docs, so the reachable overlap
+    // min(|A|-posA, |B|-posB)+1 must cover the required
+    // ceil(t/(1+t)·(|A|+|B|))
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("a._n") + col("b._n")))
     val cand = prefix.as("a").hint("shuffle_hash").join(prefix.as("b"),
-        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          col("b._n") * threshold <= col("a._n") &&
+          col("a._n") * threshold <= col("b._n") &&
+          least(col("a._n") - col("a._pos"), col("b._n") - col("b._pos")) +
+            1 >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
