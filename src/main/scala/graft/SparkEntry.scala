@@ -2719,6 +2719,17 @@ object SparkEntry {
         .select($("l_orderkey").as("basket"), ($("l_partkey") % 50).as("item")),
       "basket", "item", minSupport = 80L)
 
+  /** Snapshot drift — per-language chi-square contribution table
+    * between the even- and odd-doc_id corpus halves.
+    */
+  private def q182DriftContrib(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Profile.driftContributions(
+        d.filter($("doc_id") % 2 === 0), d.filter($("doc_id") % 2 === 1),
+        "lang")
+      .withColumnRenamed("bucket", "lang")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2903,6 +2914,7 @@ object SparkEntry {
     "q179_vocab_coverage" -> (q179VocabCoverage _),
     "q180_skyline" -> (q180Skyline _),
     "q181_frequent_pairs" -> (q181FrequentPairs _),
+    "q182_drift_contrib" -> (q182DriftContrib _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5680,5 +5692,21 @@ object SparkEntry {
         |  pair_cnt::DOUBLE / fa.cnt AS conf_ab,
         |  (pair_cnt * nb)::DOUBLE / (fa.cnt * fb.cnt) AS lift
         |FROM p JOIN f fa ON fa.i = item_a JOIN f fb ON fb.i = item_b, n""".stripMargin,
+    "q182_drift_contrib" ->
+      """WITH o AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+        |nn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+        |j AS (SELECT coalesce(o.lang, nn.lang) AS lang,
+        |    coalesce(o.n, 0) AS old_n, coalesce(nn.n, 0) AS new_n
+        |  FROM o FULL JOIN nn ON o.lang = nn.lang),
+        |t AS (SELECT CAST(sum(old_n) AS BIGINT) AS B,
+        |    CAST(sum(new_n) AS BIGINT) AS N FROM j)
+        |SELECT lang, old_n, new_n,
+        |  CASE WHEN old_n > 0 THEN
+        |    ((new_n*B - N*old_n)::HUGEINT * (new_n*B - N*old_n)::HUGEINT)::DOUBLE
+        |      / ((B::HUGEINT * N * old_n))::DOUBLE
+        |  END AS contribution
+        |FROM j, t""".stripMargin,
   )
 }

@@ -174,4 +174,40 @@ object Profile {
       .select(col("col_name"), col("value"), col("cnt"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Distribution drift between two corpus snapshots: the chi-square
+    * contribution table per bucket — expected new-snapshot count from
+    * the old distribution vs observed, (o−e)²/e, emitted PER BUCKET
+    * (not summed: a float sum's order is partition-dependent, and the
+    * per-bucket table is what a drift triage actually reads). The
+    * division form is integer-exact first: contribution =
+    * (new·B − N·old)² / (B·N·old) with B,N the snapshot totals —
+    * decimal(38,0) numerator, one correctly-rounded double division, so
+    * values are engine-bit-identical. Buckets present only in the new
+    * snapshot get a null contribution (no expected value to compare;
+    * their new_n row is the signal). Two corpus aggregations + a
+    * bucket-sized full-outer join; totals are one broadcast row off the
+    * checkpointed bucket table, so each snapshot scans once.
+    */
+  def driftContributions(
+      oldDf: DataFrame, newDf: DataFrame, bucketCol: String): DataFrame = {
+    val o = oldDf.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("old_n"))
+    val n = newDf.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("new_n"))
+    val j = o.join(n, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+      .localCheckpoint(false) // bucket-sized; consumed by totals + result
+    val totals = j.agg(sum(col("old_n")).as("_B"), sum(col("new_n")).as("_N"))
+    val dec = "decimal(38,0)"
+    val diff = col("new_n").cast(dec) * col("_B") - col("_N") * col("old_n")
+    j.crossJoin(broadcast(totals)) // 1-row totals
+      .withColumn("contribution",
+        when(col("old_n") > 0,
+          (diff * diff).cast(dec).cast("double") /
+            (col("_B").cast(dec) * col("_N") * col("old_n")).cast("double")))
+      .select("bucket", "old_n", "new_n", "contribution")
+  }
 }

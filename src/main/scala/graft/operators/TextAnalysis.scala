@@ -423,6 +423,13 @@ object TextAnalysis {
     * suffix of its predecessor. Per-row sequence+explode — no shuffle at
     * all; the output inherits the input's partitioning.
     *
+    * Blank-document convention: a blank/empty text emits ONE chunk with
+    * empty text and n_tokens = 1 (splitting "" yields [""]), which
+    * deliberately differs from [[tokenCount]]'s 0-for-blank — chunking
+    * preserves "every document yields at least one chunk" so downstream
+    * per-chunk joins never drop a document; filter
+    * `length(trim(text)) > 0` upstream if blank docs should vanish.
+    *
     * Blank documents: a whitespace-only text still emits ONE chunk (empty
     * string, n_tokens = 1) because `split` of an empty string yields [""]
     * — every document is represented in the output, unlike [[tokenCount]]
