@@ -2730,6 +2730,18 @@ object SparkEntry {
       .withColumnRenamed("bucket", "lang")
   }
 
+  /** Equi-depth histogram of lineitem price cents — 8 quantile buckets
+    * via the distributed ordered prefix sum, boundaries integer-exact.
+    */
+  private def q183EquiDepth(s: SparkSession, dir: String): DataFrame =
+    Profile.equiDepthHistogram(
+      t(s, dir, "lineitem")
+        // explicit round: a bare long cast TRUNCATES in Spark but ROUNDS
+        // in DuckDB, splitting x.999... cents across engines
+        .select(round($("l_extendedprice") * 100, 0).cast("long")
+          .as("cents")),
+      "cents", 8)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2915,6 +2927,7 @@ object SparkEntry {
     "q180_skyline" -> (q180Skyline _),
     "q181_frequent_pairs" -> (q181FrequentPairs _),
     "q182_drift_contrib" -> (q182DriftContrib _),
+    "q183_equi_depth" -> (q183EquiDepth _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5708,5 +5721,18 @@ object SparkEntry {
         |      / ((B::HUGEINT * N * old_n))::DOUBLE
         |  END AS contribution
         |FROM j, t""".stripMargin,
+    "q183_equi_depth" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS val
+        |  FROM lineitem),
+        |c AS (SELECT val, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY val),
+        |r AS (SELECT val, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY val
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT (cb * 8) // tot AS bucket, min(val) AS lo, max(val) AS hi,
+        |  CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM r, t GROUP BY 1""".stripMargin,
   )
 }

@@ -76,6 +76,48 @@ object Profile {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Equi-DEPTH histogram over a non-negative integer column — quantile
+    * buckets of ~N/k rows each (the optimizer/profiler companion to the
+    * equi-width [[histogram]]): per bucket, the value range it spans and
+    * the exact row count. Values never split across buckets (a value
+    * belongs to the bucket its FIRST row-rank lands in — the no-split
+    * variant, so duplicate-heavy values make visible depth skew instead
+    * of silently splitting).
+    *
+    * Distributed shape: compact to (value, count) first, then the
+    * cumulative-rows-before-each-value is the engine's bucketed ordered
+    * prefix sum (coarse bucket = value bit length, local cumsums in
+    * parallel, ≤64 bucket totals through the tiny window). The bucket
+    * id is pure integer arithmetic — cumBefore·k div N — so boundaries
+    * are engine-exact; no sampled range partitioning, no global sort.
+    */
+  def equiDepthHistogram(
+      df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val c = df.select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull && col("_v") >= 0)
+      .groupBy("_v").agg(count(lit(1)).as("_n"))
+    val withB = c.withColumn("_b", length(conv(col("_v"), 10, 2)))
+    val inPrev = Window.partitionBy("_b").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withB.withColumn("_cin",
+      coalesce(sum(col("_n")).over(inPrev), lit(0L)))
+    val one = floor(col("_b").cast("long") / lit(Long.MaxValue))
+    val offPrev = Window.partitionBy(one).orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy("_b").agg(sum(col("_n")).as("_sb"))
+      .withColumn("_off", coalesce(sum(col("_sb")).over(offPrev), lit(0L)))
+      .withColumn("_T", sum(col("_sb")).over(Window.partitionBy(one)))
+      .select("_b", "_off", "_T")
+    local.join(broadcast(offs), Seq("_b"))
+      .select(col("_v"), col("_n"),
+        expr(s"(_cin + _off) * $k div _T").as("bucket"))
+      .groupBy("bucket")
+      .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+        sum(col("_n")).as("n_rows"))
+  }
+
   /** Per-group proportion with a Wilson score interval — the defensible
     * form of "source X passes the quality gate 93% ± what?" for sampled
     * audits (the normal approximation misbehaves exactly where corpus
