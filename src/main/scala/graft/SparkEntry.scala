@@ -2742,6 +2742,16 @@ object SparkEntry {
           .as("cents")),
       "cents", 8)
 
+  /** Benford first-digit audit over lineitem price cents — observed vs
+    * expected digit mass with chi-square contributions.
+    */
+  private def q184Benford(s: SparkSession, dir: String): DataFrame =
+    Profile.benfordAudit(
+      t(s, dir, "lineitem")
+        .select(round($("l_extendedprice") * 100, 0).cast("long")
+          .as("cents")),
+      "cents")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2928,6 +2938,7 @@ object SparkEntry {
     "q181_frequent_pairs" -> (q181FrequentPairs _),
     "q182_drift_contrib" -> (q182DriftContrib _),
     "q183_equi_depth" -> (q183EquiDepth _),
+    "q184_benford" -> (q184Benford _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5734,5 +5745,25 @@ object SparkEntry {
         |SELECT (cb * 8) // tot AS bucket, min(val) AS lo, max(val) AS hi,
         |  CAST(sum(n) AS BIGINT) AS n_rows
         |FROM r, t GROUP BY 1""".stripMargin,
+    "q184_benford" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |d AS (SELECT CAST(substr(cents::VARCHAR, 1, 1) AS INTEGER) AS digit
+        |  FROM v),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        |  WHERE digit >= 1 GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |p AS (SELECT * FROM (VALUES
+        |  (1, 0.3010299956639812::DOUBLE), (2, 0.17609125905568124::DOUBLE),
+        |  (3, 0.12493873660829992::DOUBLE), (4, 0.09691001300805642::DOUBLE),
+        |  (5, 0.07918124604762482::DOUBLE), (6, 0.06694678963061322::DOUBLE),
+        |  (7, 0.05799194697768673::DOUBLE), (8, 0.05115252244738129::DOUBLE),
+        |  (9, 0.04575749056067514::DOUBLE)) AS p(digit, p))
+        |SELECT p.digit, coalesce(c.n, 0) AS n,
+        |  t.tot::DOUBLE * p.p AS expected,
+        |  (coalesce(c.n, 0)::DOUBLE - t.tot::DOUBLE * p.p) *
+        |    (coalesce(c.n, 0)::DOUBLE - t.tot::DOUBLE * p.p) /
+        |    (t.tot::DOUBLE * p.p) AS contribution
+        |FROM p LEFT JOIN c ON c.digit = p.digit, t""".stripMargin,
   )
 }

@@ -118,6 +118,49 @@ object Profile {
         sum(col("_n")).as("n_rows"))
   }
 
+  /** Benford first-digit probabilities log10(1 + 1/d), written once as
+    * double literals (log is not in the engine's IEEE-exact op set, so
+    * the CONSTANTS are shared verbatim with any SQL oracle rather than
+    * computed).
+    */
+  val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** Benford's-law first-digit audit — the classic fabricated-numbers /
+    * broken-ETL screen: observed first-significant-digit counts of a
+    * positive numeric column vs the Benford expectation, with the
+    * per-digit chi-square contribution. All 9 digits always present
+    * (the literal digit spine left-joins the counts), so a digit with
+    * ZERO observations shows its full expected mass instead of
+    * vanishing. Float discipline: expected = N·p and contribution =
+    * (n − N·p)²/(N·p) are fixed chains of correctly-rounded IEEE ops on
+    * exact inputs — hash-identical across engines (the z-score
+    * precedent). One map-side digit count; everything after is 9 rows.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df
+      .select(substring(col(valueCol).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit") >= 1) // zero / negative values carry no digit
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // 9 rows; consumed by total + result
+    val total = counts.agg(sum(col("n")).as("_N"))
+    val spine = df.sparkSession.createDataFrame(BenfordP).toDF("digit", "p")
+    val expected = col("_N").cast("double") * col("p")
+    spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"), col("p"))
+      .crossJoin(broadcast(total)) // 1-row total
+      .withColumn("expected", expected)
+      .withColumn("contribution",
+        (col("n").cast("double") - expected) *
+          (col("n").cast("double") - expected) / expected)
+      .select("digit", "n", "expected", "contribution")
+  }
+
   /** Per-group proportion with a Wilson score interval — the defensible
     * form of "source X passes the quality gate 93% ± what?" for sampled
     * audits (the normal approximation misbehaves exactly where corpus
