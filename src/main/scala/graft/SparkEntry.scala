@@ -2752,6 +2752,12 @@ object SparkEntry {
           .as("cents")),
       "cents")
 
+  /** Robust per-language length stats — exact median + MAD of n_chars,
+    * integer-exact to the final power-of-two halvings.
+    */
+  private def q185RobustStats(s: SparkSession, dir: String): DataFrame =
+    Profile.groupMedianMad(t(s, dir, "documents"), "lang", "n_chars")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2939,6 +2945,7 @@ object SparkEntry {
     "q182_drift_contrib" -> (q182DriftContrib _),
     "q183_equi_depth" -> (q183EquiDepth _),
     "q184_benford" -> (q184Benford _),
+    "q185_robust_stats" -> (q185RobustStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5765,5 +5772,32 @@ object SparkEntry {
         |    (coalesce(c.n, 0)::DOUBLE - t.tot::DOUBLE * p.p) /
         |    (t.tot::DOUBLE * p.p) AS contribution
         |FROM p LEFT JOIN c ON c.digit = p.digit, t""".stripMargin,
+    "q185_robust_stats" ->
+      """WITH b AS (SELECT lang AS g, n_chars AS x FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |c1 AS (SELECT g, x, count(*) AS n FROM b GROUP BY g, x),
+        |w1 AS (SELECT g, x,
+        |    sum(n) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY g) AS tot FROM c1),
+        |m1 AS (SELECT g,
+        |    min(CASE WHEN cum*2 >= tot + tot%2 THEN x END) +
+        |    min(CASE WHEN cum*2 >= tot - tot%2 + 2 THEN x END) AS med2
+        |  FROM w1 GROUP BY g),
+        |d AS (SELECT b.g, abs(b.x*2 - m1.med2) AS x FROM b JOIN m1 USING (g)),
+        |c2 AS (SELECT g, x, count(*) AS n FROM d GROUP BY g, x),
+        |w2 AS (SELECT g, x,
+        |    sum(n) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY g) AS tot FROM c2),
+        |m2 AS (SELECT g,
+        |    min(CASE WHEN cum*2 >= tot + tot%2 THEN x END) +
+        |    min(CASE WHEN cum*2 >= tot - tot%2 + 2 THEN x END) AS mad4
+        |  FROM w2 GROUP BY g),
+        |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g)
+        |SELECT cnt.g AS lang, cnt.n AS n,
+        |  CAST(m1.med2 AS BIGINT)::DOUBLE / 2 AS median,
+        |  CAST(m2.mad4 AS BIGINT)::DOUBLE / 4 AS mad
+        |FROM cnt JOIN m1 USING (g) JOIN m2 USING (g)""".stripMargin,
   )
 }

@@ -118,6 +118,61 @@ object Profile {
         sum(col("_n")).as("n_rows"))
   }
 
+  /** Per-group 2×median of an integer column, computed EXACTLY from the
+    * compacted (group, value, count) form: cumulative counts locate the
+    * lower/upper middle values (1-based ranks ⌊(n+1)/2⌋ and ⌊n/2⌋+1) and
+    * their SUM is 2·median — kept doubled so the even-n interpolation
+    * (vlo+vhi)/2 stays an integer and never rounds. The per-group window
+    * runs over DISTINCT values, not rows (duplicate-heavy columns
+    * compact massively), partitioned by group — parallel across groups.
+    */
+  private def twoMedian(
+      d: DataFrame, groupCol: String, valueCol: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = d.groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = c.withColumn("_cum", sum(col("_n")).over(w))
+      .withColumn("_tot", sum(col("_n")).over(Window.partitionBy("_g")))
+    // 1-based middles: lo = ⌊(n+1)/2⌋ ⟺ 2cum ≥ n + n%2;
+    // hi = ⌊n/2⌋+1 ⟺ 2cum ≥ n − n%2 + 2 (odd n: both pick the middle)
+    val par = col("_tot") % 2
+    cum.groupBy(col("_g").as(groupCol))
+      .agg((min(when(col("_cum") * 2 >= col("_tot") + par, col("_v"))) +
+        min(when(col("_cum") * 2 >= col("_tot") - par + 2, col("_v"))))
+        .as(out))
+  }
+
+  /** Robust per-group location/scale — exact median and MAD (median
+    * absolute deviation) of an integer column, the outlier-resistant
+    * alternative to mean/stddev for corpus length/quality profiling.
+    * Everything stays in integers until the final exact halvings:
+    * medians ride as 2·median ([[twoMedian]]), deviations as
+    * |2x − 2med| (so half-integer medians never round), and the MAD
+    * median as 4·MAD — median = med2/2 and mad = mad4/4 are divisions
+    * by powers of two, exact in IEEE doubles, hence engine-bit-identical
+    * with no rounding discipline needed. Two medians = two compacted
+    * window passes; the deviations join is keyed on the group.
+    *
+    * Output: (groupCol, n, median double, mad double).
+    */
+  def groupMedianMad(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(valueCol).cast("long").as("_x"))
+      .filter(col("_x").isNotNull)
+    val med2 = twoMedian(base, groupCol, "_x", "_med2")
+    val dev = base.join(med2, Seq(groupCol))
+      .select(col(groupCol), abs(col("_x") * 2 - col("_med2")).as("_d2"))
+    val mad4 = twoMedian(dev, groupCol, "_d2", "_mad4")
+    val n = base.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    n.join(med2, Seq(groupCol)).join(mad4, Seq(groupCol))
+      .select(col(groupCol), col("n"),
+        (col("_med2").cast("double") / 2).as("median"),
+        (col("_mad4").cast("double") / 4).as("mad"))
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), written once as
     * double literals (log is not in the engine's IEEE-exact op set, so
     * the CONSTANTS are shared verbatim with any SQL oracle rather than

@@ -1084,6 +1084,31 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("groupMedianMad equals the reference median/MAD, odd and even n") {
+    import spark.implicits._
+    import graft.operators.Profile
+    def refMedian(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2).toDouble
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val rnd = new scala.util.Random(7)
+    val data = (for {
+      g <- Seq("a", "b", "c", "odd1", "dup")
+      i <- 1 to (if (g == "odd1") 7 else 10)
+    } yield (g, if (g == "dup") 5L else rnd.nextInt(1000).toLong)).toSeq
+    val got = Profile.groupMedianMad(data.toDF("g", "x").repartition(5),
+        "g", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    for ((g, xs) <- data.groupBy(_._1)) {
+      val vals = xs.map(_._2)
+      val med = refMedian(vals)
+      val mad = refMedian(vals.map(v => math.abs(2 * v - (2 * med).toLong)))
+      assert(got(g) == ((vals.size.toLong, med, mad / 2)), s"group $g")
+    }
+  }
+
   test("ltreePrefixes emits every ancestor; rollup counts nest") {
     import spark.implicits._
     val got = Seq("virus.influenza.h3", "virus", "", null)
