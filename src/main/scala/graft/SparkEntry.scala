@@ -2758,6 +2758,12 @@ object SparkEntry {
   private def q185RobustStats(s: SparkSession, dir: String): DataFrame =
     Profile.groupMedianMad(t(s, dir, "documents"), "lang", "n_chars")
 
+  /** Continuation pairs — 3-token seam match (tail of A == head of B),
+    * the split-page reassembly signal.
+    */
+  private def q186Continuation(s: SparkSession, dir: String): DataFrame =
+    Dedup.continuationPairs(docs(s, dir), "doc_id", "text", 3)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2946,6 +2952,7 @@ object SparkEntry {
     "q183_equi_depth" -> (q183EquiDepth _),
     "q184_benford" -> (q184Benford _),
     "q185_robust_stats" -> (q185RobustStats _),
+    "q186_continuation" -> (q186Continuation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5799,5 +5806,15 @@ object SparkEntry {
         |  CAST(m1.med2 AS BIGINT)::DOUBLE / 2 AS median,
         |  CAST(m2.mad4 AS BIGINT)::DOUBLE / 4 AS mad
         |FROM cnt JOIN m1 USING (g) JOIN m2 USING (g)""".stripMargin,
+    "q186_continuation" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |h AS (SELECT doc_id AS id_b, array_to_string(l[1:3], ' ') AS key
+        |  FROM tk WHERE len(l) >= 3),
+        |tl AS (SELECT doc_id AS id_a,
+        |    array_to_string(l[len(l)-2:len(l)], ' ') AS key
+        |  FROM tk WHERE len(l) >= 3)
+        |SELECT id_a, id_b FROM tl JOIN h USING (key)
+        |WHERE id_a <> id_b""".stripMargin,
   )
 }

@@ -196,6 +196,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Continuation pairs — doc A's LAST k tokens equal doc B's FIRST k
+    * tokens: the split-document / pagination signal (a crawler that cut
+    * one article into consecutive pages produces exactly this overlap,
+    * which Jaccard-style whole-doc similarity misses because the pieces
+    * share only a seam). Pure equi-join on the seam phrase: each doc
+    * contributes ONE head key and ONE tail key (not an n-gram explode),
+    * so the index is corpus-sized, the join key is a k-token phrase
+    * (self-selecting for rarity), and docs shorter than k never join.
+    *
+    * Output: (id_a, id_b) — read "a continues into b".
+    */
+  def continuationPairs(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val heads = df
+      .select(col(idCol).as("id_b"), toks.as("_t"))
+      .filter(size(col("_t")) >= k)
+      .select(col("id_b"), array_join(slice(col("_t"), 1, k), " ").as("_key"))
+    val tails = df
+      .select(col(idCol).as("id_a"), toks.as("_t"))
+      .filter(size(col("_t")) >= k)
+      .select(col("id_a"), array_join(slice(col("_t"), -k, k), " ").as("_key"))
+    tails.join(heads, Seq("_key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: containment(A→B) =
     * |A ∩ B| / |A| — the subset-duplication signal Jaccard misses (a
     * short document quoted whole inside a long one scores near 1.0 on
