@@ -2764,6 +2764,15 @@ object SparkEntry {
   private def q186Continuation(s: SparkSession, dir: String): DataFrame =
     Dedup.continuationPairs(docs(s, dir), "doc_id", "text", 3)
 
+  /** Compression-ratio quality signal — native deflate expression;
+    * rows-only gate (no zlib in SQL), spec-pinned semantics.
+    */
+  private def q187Compression(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.compressionSignals(
+        t(s, dir, "documents"), "text")
+      .select($("doc_id"), $("raw_len"), $("deflated_len"),
+        $("compression_ratio"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2953,6 +2962,7 @@ object SparkEntry {
     "q184_benford" -> (q184Benford _),
     "q185_robust_stats" -> (q185RobustStats _),
     "q186_continuation" -> (q186Continuation _),
+    "q187_compression" -> (q187Compression _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -33,6 +33,12 @@ package object functions {
   def hammingDistanceLte(a: Column, b: Column, k: Column): Column =
     toCol(HammingDistanceLte(toExpr(a), toExpr(b), toExpr(k)))
 
+  /** zlib-compressed byte length as a Column — the compression-ratio
+    * quality signal's kernel ([[DeflatedLength]]).
+    */
+  def deflatedLength(text: Column): Column =
+    toCol(DeflatedLength(toExpr(text)))
+
   /** Codegen'd integer dot product of two long arrays — the int8-code
     * scoring loop of quantized search (HOF zip_with/aggregate forms are
     * interpreted per element; this stays in whole-stage codegen).

@@ -127,6 +127,24 @@ object TextAnalysis {
       .withColumn("flagged", col("hits") * 100 > col("n_tokens") * maxPct)
   }
 
+  /** Compression-ratio quality signal (the Gopher/FineWeb heuristic):
+    * deflated byte length over raw byte length. Boilerplate and
+    * template spam deflate far below ~0.4; high-entropy noise (minified
+    * JS, base64 blobs) sits near 1.0; natural prose lands between. The
+    * kernel is the native [[graft.functions.DeflatedLength]] codegen
+    * expression — a pure per-row map fused into the scan, text never
+    * shuffles. No SQL oracle exists for zlib, so this signal is gated
+    * by its spec (monotonicity, determinism) and a rows-only check
+    * rather than a DuckDB hash compare.
+    */
+  def compressionSignals(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("raw_len", octet_length(col(textCol)).cast("long"))
+      .withColumn("deflated_len",
+        graft.functions.deflatedLength(col(textCol)).cast("long"))
+      .withColumn("compression_ratio",
+        when(col("raw_len") === 0, 1.0)
+          .otherwise(col("deflated_len").cast("double") / col("raw_len")))
+
   // PII patterns — kept to the regex subset that Java and RE2 treat
   // identically (character classes, bounded repetition, \b), so the same
   // pattern is reusable as a SQL oracle.

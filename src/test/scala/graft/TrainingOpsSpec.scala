@@ -1109,6 +1109,34 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compressionSignals: repetitive < prose < noise; deterministic") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(3)
+    val noise = (1 to 300).map(_ => rnd.nextPrintableChar()).mkString
+    val docs = Seq(
+      (1L, "spam " * 60),                       // repetitive boilerplate
+      (2L, ("the quick brown fox jumps over a lazy dog and keeps " +
+        "running through fields of green grass toward the river ") * 3),
+      (3L, noise),                              // high-entropy
+      (4L, ""))                                 // empty edge
+    val got = TextAnalysis.compressionSignals(docs.toDF("id", "text"), "text")
+      .select("id", "raw_len", "deflated_len", "compression_ratio")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1)._3 < got(2)._3 && got(2)._3 < got(3)._3, got.toString)
+    assert(got(1)._3 < 0.2, "boilerplate should deflate hard")
+    assert(got(3)._3 > 0.8, "noise should barely deflate")
+    assert(got(4) == ((0L, 8L, 1.0))) // zlib empty stream = 8 bytes; guard
+    // deterministic across partitionings
+    val again = TextAnalysis.compressionSignals(
+        docs.toDF("id", "text").repartition(3), "text")
+      .select("id", "raw_len", "deflated_len", "compression_ratio")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(again == got)
+  }
+
   test("ltreePrefixes emits every ancestor; rollup counts nest") {
     import spark.implicits._
     val got = Seq("virus.influenza.h3", "virus", "", null)
