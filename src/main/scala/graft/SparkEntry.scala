@@ -2773,6 +2773,28 @@ object SparkEntry {
       .select($("doc_id"), $("raw_len"), $("deflated_len"),
         $("compression_ratio"))
 
+  /** Merge overlapping supplier shipping windows into islands — the
+    * gaps-and-islands envelope per supplier.
+    */
+  private def q188IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val day0 = to_date(lit("1992-01-01"))
+    val sd = datediff($("l_shipdate"), day0).cast("long")
+    IntervalJoin.mergeIntervals(
+      t(s, dir, "lineitem")
+        .filter($("l_partkey") % 23 === 0)
+        .select($("l_suppkey").as("key"), sd.as("s"),
+          (sd + $("l_quantity").cast("long")).as("e")))
+  }
+
+  /** Language-ID scorecard — per-class confusion stats of langId
+    * against the dataset's lang labels.
+    */
+  private def q189LangConfusion(s: SparkSession, dir: String): DataFrame =
+    Profile.confusionStats(
+      docs(s, dir).select($("lang").as("label"),
+        TextAnalysis.langId($("text")).as("pred")),
+      "label", "pred")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2963,6 +2985,8 @@ object SparkEntry {
     "q185_robust_stats" -> (q185RobustStats _),
     "q186_continuation" -> (q186Continuation _),
     "q187_compression" -> (q187Compression _),
+    "q188_interval_merge" -> (q188IntervalMerge _),
+    "q189_lang_confusion" -> (q189LangConfusion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5826,5 +5850,59 @@ object SparkEntry {
         |  FROM tk WHERE len(l) >= 3)
         |SELECT id_a, id_b FROM tl JOIN h USING (key)
         |WHERE id_a <> id_b""".stripMargin,
+    "q188_interval_merge" ->
+      """WITH iv AS (SELECT l_suppkey AS key,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS s,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      + CAST(l_quantity AS BIGINT) AS BIGINT) AS e
+        |  FROM lineitem WHERE l_partkey % 23 = 0),
+        |f AS (SELECT * FROM iv WHERE s < e),
+        |m AS (SELECT key, s, e,
+        |    max(e) OVER (PARTITION BY key ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM f),
+        |isl AS (SELECT key, s, e,
+        |    CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY key ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS island
+        |  FROM m)
+        |SELECT key, min(s) AS s, max(e) AS e,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM isl GROUP BY key, island""".stripMargin,
+    "q189_lang_confusion" ->
+      """WITH h AS (
+        |  SELECT lang AS label,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('el','la','de','que','y','los','una'))) AS es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('le','la','les','et','des','une','est'))) AS fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('的','是','了','在','我','有','和'))) AS zh
+        |  FROM documents),
+        |pr AS (SELECT label, CASE
+        |  WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |  WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |  WHEN es >= fr AND es >= zh THEN 'es'
+        |  WHEN fr >= zh THEN 'fr'
+        |  ELSE 'zh' END AS pred FROM h),
+        |cm AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr GROUP BY 1, 2),
+        |l AS (SELECT label AS class,
+        |    CAST(sum(CASE WHEN label = pred THEN n ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN label <> pred THEN n ELSE 0 END) AS BIGINT) AS fn
+        |  FROM cm GROUP BY 1),
+        |f AS (SELECT pred AS class,
+        |    CAST(sum(CASE WHEN label <> pred THEN n ELSE 0 END) AS BIGINT) AS fp
+        |  FROM cm GROUP BY 1)
+        |SELECT l.class, tp, fn, coalesce(fp, 0) AS fp,
+        |  CASE WHEN tp + coalesce(fp, 0) > 0
+        |    THEN tp::DOUBLE / (tp + coalesce(fp, 0)) END AS prec,
+        |  CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS recall
+        |FROM l LEFT JOIN f USING (class)""".stripMargin,
   )
 }

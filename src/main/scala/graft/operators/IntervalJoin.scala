@@ -49,4 +49,32 @@ object IntervalJoin {
       .select(col("key"), col("id_a"), col("id_b"),
         col("s_a"), col("e_a"), col("s_b"), col("e_b"))
   }
+
+  /** Merge overlapping-or-touching intervals per key (the gaps-and-
+    * islands pattern): consecutive intervals whose start is <= the
+    * running max of previous ends belong to one island; islands collapse
+    * to their envelope [min s, max e] with the member count. One ordered
+    * window per KEY (parallel across keys — the partition key is the
+    * entity, never a single global partition), then one map-side-
+    * combining aggregation. Integer bounds in, integer bounds out —
+    * engine-exact. Inputs follow [[overlapJoin]]'s (key, s, e)
+    * convention with s < e; empty/backward intervals are dropped.
+    *
+    * Output: key, s, e, n_intervals.
+    */
+  def mergeIntervals(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy("s", "e")
+    val prevMax = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df.filter(col("s") < col("e"))
+      .withColumn("_new",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("key", "_island")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"),
+        count(lit(1)).as("n_intervals"))
+      .select("key", "s", "e", "n_intervals")
+  }
 }

@@ -173,6 +173,36 @@ object Profile {
         (col("_mad4").cast("double") / 4).as("mad"))
   }
 
+  /** Classifier evaluation against gold labels — per-class confusion
+    * stats (tp / fn / fp) with precision and recall, the scorecard for
+    * any rule-based pipeline stage (language-ID vs a labeled sample,
+    * quality-gate vs human audit). One corpus aggregation down to the
+    * classes²-sized confusion matrix; everything after is matrix-sized.
+    * Classes that are predicted but never appear as labels contribute
+    * fp to their own row only via the label spine — precision is null
+    * when the class is never predicted together with tp+fp = 0.
+    *
+    * Output: class, tp, fn, fp, prec, recall (single exact divisions).
+    */
+  def confusionStats(
+      df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cm = df.groupBy(col(labelCol).as("_l"), col(predCol).as("_p"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(false) // classes²-sized; consumed twice
+    val byLabel = cm.groupBy(col("_l").as("class"))
+      .agg(sum(when(col("_l") === col("_p"), col("_n")).otherwise(0L)).as("tp"),
+        sum(when(col("_l") =!= col("_p"), col("_n")).otherwise(0L)).as("fn"))
+    val byPred = cm.groupBy(col("_p").as("class"))
+      .agg(sum(when(col("_l") =!= col("_p"), col("_n")).otherwise(0L)).as("_fp"))
+    byLabel.join(byPred, Seq("class"), "left")
+      .select(col("class"), col("tp"), col("fn"),
+        coalesce(col("_fp"), lit(0L)).as("fp"))
+      .withColumn("prec", when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn"))))
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), written once as
     * double literals (log is not in the engine's IEEE-exact op set, so
     * the CONSTANTS are shared verbatim with any SQL oracle rather than
