@@ -2795,6 +2795,25 @@ object SparkEntry {
         TextAnalysis.langId($("text")).as("pred")),
       "label", "pred")
 
+  /** Leave-one-out outliers — top-3 |z| events per type against the
+    * other members' mean/stddev (self-masking removed).
+    */
+  private def q190LooOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Profile.looOutlierScores(
+      Tables.events(s, dir)
+        .select($("event_type"), $("event_id"),
+          round($("value") * 100, 0).cast("long").as("cents")),
+      "event_type", "cents")
+    scored.filter($("loo_score").isNotNull)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy($("event_type"))
+          .orderBy(abs($("loo_score")).desc, $("event_id"))))
+      .filter($("_rk") <= 3)
+      .select($("event_type"), $("event_id"), $("cents"),
+        $("loo_mean"), $("loo_score"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2987,6 +3006,7 @@ object SparkEntry {
     "q187_compression" -> (q187Compression _),
     "q188_interval_merge" -> (q188IntervalMerge _),
     "q189_lang_confusion" -> (q189LangConfusion _),
+    "q190_loo_outliers" -> (q190LooOutliers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5904,5 +5924,32 @@ object SparkEntry {
         |    THEN tp::DOUBLE / (tp + coalesce(fp, 0)) END AS prec,
         |  CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS recall
         |FROM l LEFT JOIN f USING (class)""".stripMargin,
+    "q190_loo_outliers" ->
+      """WITH b AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS S,
+        |    sum(cents::HUGEINT * cents::HUGEINT) AS S2
+        |  FROM b GROUP BY 1),
+        |sc AS (SELECT b.event_type, b.event_id, b.cents,
+        |    (S - cents)::DOUBLE / (n - 1)::DOUBLE AS mu,
+        |    ((S2 - cents::HUGEINT * cents::HUGEINT)::DOUBLE
+        |      - (S - cents)::DOUBLE *
+        |        ((S - cents)::DOUBLE / (n - 1)::DOUBLE)) / (n - 2)::DOUBLE
+        |      AS v,
+        |    n
+        |  FROM b JOIN st USING (event_type)),
+        |z AS (SELECT event_type, event_id, cents,
+        |    CASE WHEN n >= 2 THEN mu END AS loo_mean,
+        |    CASE WHEN n >= 3 AND v > 0
+        |      THEN (cents::DOUBLE - mu) / sqrt(v) END AS loo_score
+        |  FROM sc),
+        |rk AS (SELECT event_type, event_id, cents, loo_mean, loo_score,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(loo_score) DESC, event_id) AS r
+        |  FROM z WHERE loo_score IS NOT NULL)
+        |SELECT event_type, event_id, cents, loo_mean, loo_score
+        |FROM rk WHERE r <= 3""".stripMargin,
   )
 }

@@ -203,6 +203,42 @@ object Profile {
         col("tp").cast("double") / (col("tp") + col("fn"))))
   }
 
+  /** Leave-one-out outlier scores per group — each row's z-score against
+    * the OTHER members' mean/stddev (a gross outlier inflates the plain
+    * group stddev enough to mask itself; LOO removes that self-masking
+    * without a second pass). One map-side aggregation to (n, Σx, Σx²)
+    * per group — decimal(38,0)-exact — broadcast back onto the rows;
+    * the per-row score is then a FIXED chain of correctly-rounded IEEE
+    * ops (the z-score discipline), so doubles hash-match any engine
+    * running the same chain:
+    *   a = S−x;  mu = a/(n−1);  var = (S2−x² − a·mu)/(n−2);
+    *   score = (x − mu)/sqrt(var).
+    * Groups with n < 3 or zero variance yield null scores.
+    *
+    * Input col must already be an exact integer (scale upstream).
+    * Output: input columns + loo_mean, loo_score.
+    */
+  def looOutlierScores(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(valueCol).cast("long")
+    val stats = df
+      .select(col(groupCol), x.as("_x"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_S"),
+        sum((col("_x") * col("_x")).cast(dec)).as("_S2"))
+    val a = (col("_S") - x).cast("double")
+    val mu = a / (col("_n") - 1).cast("double")
+    val b = (col("_S2") - (x * x).cast(dec)).cast("double")
+    val varr = (b - a * mu) / (col("_n") - 2).cast("double")
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("loo_mean", when(col("_n") >= 2, mu))
+      .withColumn("loo_score",
+        when(col("_n") >= 3 && varr > 0,
+          (x.cast("double") - mu) / sqrt(varr)))
+      .drop("_n", "_S", "_S2")
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), written once as
     * double literals (log is not in the engine's IEEE-exact op set, so
     * the CONSTANTS are shared verbatim with any SQL oracle rather than
