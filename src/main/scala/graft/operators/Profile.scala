@@ -98,7 +98,15 @@ object Profile {
     val c = df.select(col(valueCol).cast("long").as("_v"))
       .filter(col("_v").isNotNull && col("_v") >= 0)
       .groupBy("_v").agg(count(lit(1)).as("_n"))
-    val withB = c.withColumn("_b", length(conv(col("_v"), 10, 2)))
+    // ordered coarse bucket = (bit length << 10) | top-10 bits: each
+    // octave splits ~1024 ways, so no single value-range octave funnels
+    // into one window task (plain bit-length buckets put ~half the
+    // domain in the top octave); still ≤ ~64k bucket ids, monotone in _v
+    val withB = c
+      .withColumn("_bits", length(conv(col("_v"), 10, 2)).cast("long"))
+      .withColumn("_b", expr(
+        "shiftleft(_bits, 10) + shiftright(_v, cast(greatest(_bits - 10, 0) as int))"))
+      .drop("_bits")
     val inPrev = Window.partitionBy("_b").orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = withB.withColumn("_cin",
