@@ -2814,6 +2814,23 @@ object SparkEntry {
         $("loo_mean"), $("loo_score"))
   }
 
+  /** Percentile normalization — each doc's exact length percentile
+    * within its language (cross-strata score calibration).
+    */
+  private def q191PercentileNorm(s: SparkSession, dir: String): DataFrame =
+    Sampling.percentileNormalize(
+      t(s, dir, "documents").select($("doc_id"), $("lang"), $("n_chars")),
+      "lang", "n_chars", "doc_id")
+
+  /** Golden-record survivorship — canonical attribute per entity bucket
+    * by deterministic mode (most frequent, ties smallest).
+    */
+  private def q192GoldenRecord(s: SparkSession, dir: String): DataFrame =
+    Merge.goldenRecord(
+      t(s, dir, "customer").select(($("c_custkey") % 300).as("entity"),
+        $("c_mktsegment"), $("c_nationkey")),
+      "entity", Seq("c_mktsegment", "c_nationkey"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3007,6 +3024,8 @@ object SparkEntry {
     "q188_interval_merge" -> (q188IntervalMerge _),
     "q189_lang_confusion" -> (q189LangConfusion _),
     "q190_loo_outliers" -> (q190LooOutliers _),
+    "q191_percentile_norm" -> (q191PercentileNorm _),
+    "q192_golden_record" -> (q192GoldenRecord _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5951,5 +5970,30 @@ object SparkEntry {
         |  FROM z WHERE loo_score IS NOT NULL)
         |SELECT event_type, event_id, cents, loo_mean, loo_score
         |FROM rk WHERE r <= 3""".stripMargin,
+    "q191_percentile_norm" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN n > 1 THEN (r - 1)::DOUBLE / (n - 1) ELSE 0.5 END AS pct
+        |FROM (SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      AS r,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)""".stripMargin,
+    "q192_golden_record" ->
+      """WITH m AS (
+        |  SELECT c_custkey % 300 AS e, 'c_mktsegment' AS a, c_mktsegment AS v
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey % 300, 'c_nationkey', c_nationkey::VARCHAR
+        |  FROM customer),
+        |c AS (SELECT e, a, v, count(*) AS n FROM m
+        |  WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+        |w AS (SELECT e, a, v FROM (
+        |  SELECT e, a, v,
+        |    row_number() OVER (PARTITION BY e, a ORDER BY n DESC, v) AS rk
+        |  FROM c) WHERE rk = 1)
+        |SELECT e AS entity,
+        |  max(CASE WHEN a = 'c_mktsegment' THEN v END) AS c_mktsegment,
+        |  max(CASE WHEN a = 'c_nationkey' THEN v END) AS c_nationkey
+        |FROM w GROUP BY e""".stripMargin,
   )
 }

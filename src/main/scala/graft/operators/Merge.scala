@@ -165,4 +165,36 @@ object Merge {
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col(partialCols.head)).as(partialCols.head),
         partialCols.tail.map(c => sum(col(c)).as(c)): _*)
+
+  /** Golden-record survivorship: one canonical row per entity, each
+    * attribute independently resolved to its MODE across the entity's
+    * duplicate records — most frequent non-null value, ties to the
+    * smallest (string order) so the survivor is deterministic on any
+    * engine and partitioning. The standard MDM merge step after entity
+    * resolution clusters duplicates. Plan: the attributes MELT to
+    * (entity, attr, value) rows, so one map-side-combining count + one
+    * per-(entity, attr) max_by pick resolve every attribute in a single
+    * pass — no per-attribute query, no window over whole entities; the
+    * pivot back is a tiny conditional aggregation per entity.
+    *
+    * Output: entityCol + one column per attr (null when an entity has
+    * only null values for it).
+    */
+  def goldenRecord(
+      df: DataFrame, entityCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty)
+    val melted = df.select(col(entityCol).as("_e"),
+      explode(map(attrCols.flatMap(a =>
+        Seq(lit(a), col(a).cast("string"))): _*)).as(Seq("_a", "_v")))
+    val counted = melted.filter(col("_v").isNotNull)
+      .groupBy("_e", "_a", "_v").agg(count(lit(1)).as("_n"))
+    // mode with deterministic ties: max on (count, reversed-order value)
+    // ... expressed as max_by over a struct ordered (count desc, value
+    // asc) via min_by on (negated count, value)
+    val winners = counted.groupBy("_e", "_a")
+      .agg(min_by(col("_v"), struct((-col("_n")).as("nc"), col("_v")))
+        .as("_win"))
+    val aggs = attrCols.map(a => max(when(col("_a") === a, col("_win"))).as(a))
+    winners.groupBy(col("_e").as(entityCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

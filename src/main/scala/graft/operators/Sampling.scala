@@ -313,6 +313,31 @@ object Sampling {
       .filter(col("split_a") =!= col("split_b"))
       .select("id_a", "id_b", "split_a", "split_b", "agree")
 
+  /** Percentile normalization within groups — each row's exact empirical
+    * percentile of `valueCol` among its group (rank−1)/(n−1) ∈ [0,1]:
+    * the calibration transform that makes quality scores comparable
+    * ACROSS strata (a "0.9 quality" in one language is not a "0.9" in
+    * another; percentiles are). Deterministic total order via
+    * (value, key) tie-break; single-member groups pin to 0.5. One
+    * window per group — parallel across groups; the division is one
+    * correctly-rounded IEEE op on exact integers, engine-bit-identical.
+    *
+    * Output: input columns + pct (double).
+    */
+  def percentileNormalize(
+      df: DataFrame, groupCol: String, valueCol: String,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(keyCol))
+    df.withColumn("_r", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .withColumn("pct",
+        when(col("_n") > 1,
+          (col("_r") - 1).cast("double") / (col("_n") - 1))
+          .otherwise(0.5))
+      .drop("_r", "_n")
+  }
+
   /** Contrastive negative sampling: `k` deterministic pseudo-random
     * negative partners per anchor row — the pair generator for
     * contrastive / triplet training data. Negative `j` of anchor `a` is
