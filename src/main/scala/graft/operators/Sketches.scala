@@ -85,6 +85,31 @@ object Sketches {
     }
   }
 
+  /** The Misra-Gries summary fold — ≤ `cap` counters; any item whose
+    * frequency in the folded stream exceeds (stream length)/(cap+1)
+    * is guaranteed to survive. Shared by the batch two-pass form
+    * ([[heavyHitters]]) and the streaming per-shard state
+    * ([[graft.streaming.StreamingEtl.streamingHeavyHitterCandidates]]).
+    * Mutates and returns `m` so streaming state folds incrementally.
+    */
+  private[graft] def mgFold(
+      it: Iterator[String], cap: Int,
+      m: scala.collection.mutable.HashMap[String, Long])
+      : scala.collection.mutable.HashMap[String, Long] = {
+    it.foreach { s =>
+      m.get(s) match {
+        case Some(v) => m.update(s, v + 1)
+        case None if m.size < cap => m.update(s, 1L)
+        case None => // decrement-all step; snapshot keys before mutating
+          m.keys.toArray.foreach { kk =>
+            val v = m(kk) - 1
+            if (v == 0) m.remove(kk) else m.update(kk, v)
+          }
+      }
+    }
+    m
+  }
+
   /** Two-pass EXACT heavy hitters (frequency strictly above n/k)
     * without a full groupBy of the corpus: pass 1 runs a Misra-Gries
     * summary with k-1 counters inside each partition (mapPartitions —
@@ -111,20 +136,8 @@ object Sketches {
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("string")).as[String]
     val cands = keys.mapPartitions { it =>
-      val cap = k - 1
-      val m = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { s =>
-        m.get(s) match {
-          case Some(v) => m.update(s, v + 1)
-          case None if m.size < cap => m.update(s, 1L)
-          case None => // decrement-all step; snapshot keys before mutating
-            m.keys.toArray.foreach { kk =>
-              val v = m(kk) - 1
-              if (v == 0) m.remove(kk) else m.update(kk, v)
-            }
-        }
-      }
-      m.keysIterator
+      mgFold(it, k - 1,
+        scala.collection.mutable.HashMap.empty[String, Long]).keysIterator
     }.toDF(keyCol).distinct()
     val counted = df.select(col(keyCol).cast("string").as(keyCol))
       .join(broadcast(cands.withColumn("_hh", lit(true))), Seq(keyCol), "left")

@@ -263,4 +263,50 @@ object StreamingEtl {
           out.result().iterator
       }
   }
+
+  /** Per-shard Misra-Gries state for [[streamingHeavyHitterCandidates]]. */
+  case class MgShardState(counters: Map[String, Long], n: Long)
+
+  /** Streaming heavy-hitter candidates — the Misra-Gries summary
+    * ([[graft.operators.Sketches.mgFold]], same kernel as the batch
+    * two-pass form) as flatMapGroupsWithState state, sharded by key
+    * hash so no single task owns the stream: each shard holds ≤ k−1
+    * counters FOREVER (bounded state, no watermark needed — the sketch,
+    * not the stream, is the state) and re-emits its current summary
+    * every micro-batch. Guarantee: a key with global frequency > n/k
+    * has shard frequency > n_shard/k (all its occurrences land in one
+    * shard and n_shard ≤ n), so the union of shard candidate sets is a
+    * SUPERSET of the true heavy hitters at every point in time; the
+    * exact counts come from the same bounded verification pass the
+    * batch form runs ([[graft.operators.Sketches.heavyHitters]] pass 2)
+    * against the accumulated corpus.
+    *
+    * Output stream (Update mode): (shard, candidates array, shard_n) —
+    * latest row per shard is its current summary.
+    */
+  def streamingHeavyHitterCandidates(
+      stream: DataFrame, keyCol: String, k: Int,
+      numShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 2 && numShards >= 1)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ds = stream.select(
+        pmod(hash(col(keyCol)), lit(numShards)).as("shard"),
+        col(keyCol).cast("string").as("key"))
+      .as[(Int, String)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, String)],
+            state: GroupState[MgShardState]) =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(s => m ++= s.counters)
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val batch = rows.map(_._2).toArray
+          n += batch.length
+          graft.operators.Sketches.mgFold(batch.iterator, k - 1, m)
+          state.update(MgShardState(m.toMap, n))
+          Iterator.single((shard, m.keys.toSeq.sorted, n))
+      }.toDF("shard", "candidates", "shard_n")
+  }
 }

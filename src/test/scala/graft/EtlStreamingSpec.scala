@@ -433,6 +433,37 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streamingHeavyHitterCandidates: superset of exact HH, bounded state") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val k = 10
+    val out = graft.streaming.StreamingEtl.streamingHeavyHitterCandidates(
+      mem.toDF().toDF("w"), "w", k, numShards = 4)
+    val q = out.writeStream.format("memory").queryName("shh")
+      .outputMode("update").start()
+    val b1 = Seq.fill(150)("hot") ++ Seq.fill(60)("warm") ++
+      (1 to 120).map(i => s"t$i")
+    val b2 = Seq.fill(200)("hot") ++ Seq.fill(90)("cool") ++
+      (121 to 260).map(i => s"t$i")
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.sql("select shard, candidates, shard_n from shh")
+        .collect()
+      // latest summary per shard = the row with that shard's max n
+      val latest = rows.groupBy(_.getInt(0)).map(_._2.maxBy(_.getLong(2)))
+      val cands = latest.flatMap(_.getSeq[String](1)).toSet
+      val all = b1 ++ b2
+      val exact = all.groupBy(identity)
+        .collect { case (w, xs) if xs.size.toLong * k > all.size => w }.toSet
+      assert(exact.nonEmpty && exact.subsetOf(cands), s"$exact vs $cands")
+      // bounded state: each shard's summary holds at most k-1 counters
+      assert(latest.forall(_.getSeq[String](1).size <= k - 1))
+    } finally q.stop()
+  }
+
   test("StreamingEtl.dedupAgainstIndex: streaming LSH gate == batch pairs") {
     import spark.implicits._
     import graft.operators.Dedup
