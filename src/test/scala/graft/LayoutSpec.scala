@@ -70,6 +70,48 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("partitioned fact + filtered dim join triggers dynamic partition " +
+      "pruning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dpp").toString + "/fact"
+    (0 until 2000).map(i => (i.toLong, i % 20, i * 3L))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP wants a SELECTIVE predicate that survives optimization on the
+    // dim side — a LocalRelation constant-folds its filter away, so the
+    // dim must be a file relation; and without table stats the fallback
+    // ratio decides, so pin useStats off
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "false")
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString + "/dim"
+    Seq((3, "keep"), (7, "keep"), (5, "drop"))
+      .toDF("day", "tag").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"tag" === "keep")
+    val joined = fact.join(dim, Seq("day")).agg(sum($"v"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // the fact scan's partition filter must be the runtime subquery fed
+    // by the dim — full-scan-then-join would read all 20 partitions
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+    val expected = (0 until 2000).filter(i => i % 20 == 3 || i % 20 == 7)
+      .map(_ * 3L).sum
+    assert(joined.collect().head.getLong(0) == expected)
+  }
+
+  test("ORC round-trips content-equal (portable column layout)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    val df = (1 to 500).map(i => (i.toLong, s"s$i", i / 7.0))
+      .toDF("id", "s", "x")
+    df.write.orc(dir)
+    val back = spark.read.orc(dir)
+    // compare names+types (ORC re-infers nullability on read)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
   test("compactToTarget merges small files shuffle-free, content-equal") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_compact").toString
