@@ -2831,6 +2831,25 @@ object SparkEntry {
         $("c_mktsegment"), $("c_nationkey")),
       "entity", Seq("c_mktsegment", "c_nationkey"))
 
+  /** Dedup-cluster purity audit — per near-dup cluster, size, majority
+    * source and purity: a pure cluster is one crawl artifact, a mixed
+    * one is cross-source contamination worth a look.
+    */
+  private def q193ClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val m = q68DedupClusters(s, dir)
+      .join(docs(s, dir).select($("doc_id"), $("source")), "doc_id")
+    val sizes = m.groupBy("cluster_id").agg(count(lit(1)).as("size"))
+    val top = m.groupBy("cluster_id", "source").agg(count(lit(1)).as("_n"))
+      .groupBy("cluster_id")
+      .agg(min_by($("source"), struct((-$("_n")).as("nc"), $("source")))
+        .as("majority_source"),
+        max($("_n")).as("majority_n"))
+    sizes.join(top, "cluster_id")
+      .select($("cluster_id"), $("size"), $("majority_source"),
+        $("majority_n"),
+        ($("majority_n").cast("double") / $("size")).as("purity"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3026,6 +3045,7 @@ object SparkEntry {
     "q190_loo_outliers" -> (q190LooOutliers _),
     "q191_percentile_norm" -> (q191PercentileNorm _),
     "q192_golden_record" -> (q192GoldenRecord _),
+    "q193_cluster_purity" -> (q193ClusterPurity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5995,5 +6015,47 @@ object SparkEntry {
         |  max(CASE WHEN a = 'c_mktsegment' THEN v END) AS c_mktsegment,
         |  max(CASE WHEN a = 'c_nationkey' THEN v END) AS c_nationkey
         |FROM w GROUP BY e""".stripMargin,
+    "q193_cluster_purity" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |            for i in range(1, greatest(len(l)-3, 1)+1)])] AS bs
+        |  FROM tk),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl] AS sg
+        |  FROM base, css),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a, sig b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_filter(range(0, 4), b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
+        |    AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |cc AS (SELECT id AS doc_id, min(label) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |m AS (SELECT cc.cluster_id, d.source
+        |  FROM cc JOIN documents d USING (doc_id)),
+        |c AS (SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM m GROUP BY 1, 2),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+        |  FROM m GROUP BY 1),
+        |t AS (SELECT cluster_id, source AS majority_source, n AS majority_n
+        |  FROM (SELECT cluster_id, source, n,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY n DESC, source) AS rk FROM c)
+        |  WHERE rk = 1)
+        |SELECT sz.cluster_id, size, majority_source, majority_n,
+        |  majority_n::DOUBLE / size AS purity
+        |FROM sz JOIN t USING (cluster_id)""".stripMargin,
   )
 }
