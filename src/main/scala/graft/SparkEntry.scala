@@ -2850,6 +2850,23 @@ object SparkEntry {
         ($("majority_n").cast("double") / $("size")).as("purity"))
   }
 
+  /** ANN evaluation — recall@5 of the IVF index against brute-force
+    * ground truth per query (integer hit counts, one exact division).
+    */
+  private def q194AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = q29EmbedTopK(s, dir)
+      .groupBy($("qid")).agg(collect_set($("id")).as("_truth"))
+    val approx = q67IvfTopK(s, dir)
+      .groupBy($("qid")).agg(collect_set($("id")).as("_got"))
+    exact.join(approx, Seq("qid"), "left")
+      .select($("qid"),
+        size(array_intersect($("_truth"),
+          coalesce($("_got"), array().cast("array<bigint>"))))
+          .cast("long").as("hits"),
+        size($("_truth")).cast("long").as("k"))
+      .withColumn("recall", $("hits").cast("double") / $("k"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3046,6 +3063,7 @@ object SparkEntry {
     "q191_percentile_norm" -> (q191PercentileNorm _),
     "q192_golden_record" -> (q192GoldenRecord _),
     "q193_cluster_purity" -> (q193ClusterPurity _),
+    "q194_ann_recall" -> (q194AnnRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6057,5 +6075,39 @@ object SparkEntry {
         |SELECT sz.cluster_id, size, majority_source, majority_n,
         |  majority_n::DOUBLE / size AS purity
         |FROM sz JOIN t USING (cluster_id)""".stripMargin,
+    "q194_ann_recall" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 8),
+        |exact AS (SELECT qid, id FROM (
+        |  SELECT q.qid, e.vec_id AS id,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id)
+        |      AS rank
+        |  FROM emb e CROSS JOIN q) WHERE rank <= 5),
+        |cent AS (SELECT vec_id AS cell_id, v AS cv FROM emb
+        |         ORDER BY vec_id LIMIT 32),
+        |assign AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT e.vec_id, e.v, c.cell_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell_id) AS rn
+        |    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, qv, cell_id FROM (
+        |    SELECT q.qid, q.qv, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell_id) AS rn
+        |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+        |ivf AS (SELECT qid, id FROM (
+        |  SELECT p.qid, a.vec_id AS id,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id)
+        |      AS rank
+        |  FROM assign a JOIN probes p USING (cell_id)) WHERE rank <= 5)
+        |SELECT e.qid, CAST(count(i.id) AS BIGINT) AS hits,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  count(i.id)::DOUBLE / count(*) AS recall
+        |FROM exact e LEFT JOIN ivf i ON i.qid = e.qid AND i.id = e.id
+        |GROUP BY e.qid""".stripMargin,
   )
 }
