@@ -553,6 +553,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       winLines.mkString("\n"))
   }
 
+  test("q183/q185 rank machinery: windows only on bucket/group keys, " +
+      "never a global partition") {
+    for (q <- Seq("q183_equi_depth", "q185_robust_stats")) {
+      val p = plan(q)
+      val winLines = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(winLines.nonEmpty, q + "\n" + p.take(2000))
+      // every window is partitioned by a bucket (_b) or group (_g/lang)
+      // key — the tiny offsets cumsum carries its constant FLOOR key
+      // _w0# is the projected constant FLOOR key of the tiny offsets
+      // cumsum (<= 64k rows by construction)
+      assert(winLines.forall(l => l.contains("_b#") || l.contains("_g#") ||
+        l.contains("lang#") || l.contains("_w0#")), winLines.mkString("\n"))
+    }
+  }
+
+  test("q192 golden record: one melt scan, map-side counts, no window") {
+    val p = plan("q192_golden_record")
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("windowspecdefinition"),
+      "mode pick should be min_by aggregation, not a rank window")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q181 frequent pairs: basket equi-join after the Apriori prune, " +
       "1-row total is the only nested-loop side") {
     val p = plan("q181_frequent_pairs")
