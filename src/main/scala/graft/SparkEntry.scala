@@ -2867,6 +2867,18 @@ object SparkEntry {
       .withColumn("recall", $("hits").cast("double") / $("k"))
   }
 
+  /** Planar radius join — customer points within distance 5 via the
+    * grid-cell equi-join (9-cell fan-out, exact squared-distance
+    * verify).
+    */
+  private def q195RadiusJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpatialJoin.radiusJoin(
+      t(s, dir, "customer").select($("c_custkey").as("id"),
+        $("c_acctbal").as("x"),
+        ($("c_custkey") % 1000).cast("double").as("y")),
+      "id", "x", "y", radius = 5.0)
+      .withColumn("dist2", round($("dist2"), 6))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3064,6 +3076,7 @@ object SparkEntry {
     "q192_golden_record" -> (q192GoldenRecord _),
     "q193_cluster_purity" -> (q193ClusterPurity _),
     "q194_ann_recall" -> (q194AnnRecall _),
+    "q195_radius_join" -> (q195RadiusJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6109,5 +6122,14 @@ object SparkEntry {
         |  count(i.id)::DOUBLE / count(*) AS recall
         |FROM exact e LEFT JOIN ivf i ON i.qid = e.qid AND i.id = e.id
         |GROUP BY e.qid""".stripMargin,
+    "q195_radius_join" ->
+      """WITH p AS (SELECT c_custkey AS id, c_acctbal AS x,
+        |    (c_custkey % 1000)::DOUBLE AS y FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 6)
+        |    AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= 25.0""".stripMargin,
   )
 }

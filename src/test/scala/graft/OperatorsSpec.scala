@@ -1124,6 +1124,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == brute)
   }
 
+  test("radiusJoin equals the brute-force pair set (boundary-inclusive)") {
+    import spark.implicits._
+    import graft.operators.SpatialJoin
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 200).map(i =>
+      (i.toLong, rnd.nextDouble() * 40 - 10, rnd.nextDouble() * 40)) ++
+      Seq((201L, 0.0, 0.0), (202L, 3.0, 4.0), // dist exactly 5.0 (25.0)
+        (203L, -4.999, 0.0))                  // cell -1 vs cell 0 neighbor
+    val df = pts.toDF("id", "x", "y").repartition(5)
+    val brute = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= 25.0
+    } yield (ia, ib)).toSet
+    val got = SpatialJoin.radiusJoin(df, "id", "x", "y", 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(brute.contains((201L, 202L))) // the exact-radius pair survives
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => i)
     for (j <- 1 to b.length) {
