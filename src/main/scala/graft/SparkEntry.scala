@@ -2879,6 +2879,18 @@ object SparkEntry {
       "id", "x", "y", radius = 5.0)
       .withColumn("dist2", round($("dist2"), 6))
 
+  /** CUSUM changepoint per event type over daily counts — integer-exact
+    * level-shift locator.
+    */
+  private def q196Cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy($("event_type"), to_date($("ts").cast("timestamp")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.TimeSeries.cusumChangepoint(
+        daily, "event_type", "day", "n")
+      .withColumn("step_value", date_format($("step_value"), "yyyy-MM-dd"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3077,6 +3089,7 @@ object SparkEntry {
     "q193_cluster_purity" -> (q193ClusterPurity _),
     "q194_ann_recall" -> (q194AnnRecall _),
     "q195_radius_join" -> (q195RadiusJoin _),
+    "q196_cusum" -> (q196Cusum _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6131,5 +6144,23 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.id < b.id
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
         |  <= 25.0""".stripMargin,
+    "q196_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    count(*) OVER (PARTITION BY event_type) AS nd,
+        |    sum(n) OVER (PARTITION BY event_type) AS tot FROM daily),
+        |sc AS (SELECT event_type, day, t,
+        |    abs(nd * cum - t * tot) AS s, nd FROM w),
+        |rk AS (SELECT event_type, day, t, s, nd,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY s DESC, t) AS r FROM sc)
+        |SELECT event_type, CAST(nd AS BIGINT) AS n_steps,
+        |  CAST(t AS BIGINT) AS t_star, strftime(day, '%Y-%m-%d') AS step_value,
+        |  CAST(s AS BIGINT) AS score
+        |FROM rk WHERE r = 1""".stripMargin,
   )
 }

@@ -11,6 +11,43 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** CUSUM changepoint detection per key, integer-exact: over a key's
+    * ordered series x_1..x_D with total T, the centered cumulative sum
+    * at step t is cum_t − t·T/D; scaling by D keeps it an integer,
+    * S_t = D·cum_t − t·T, and the changepoint estimate is the t
+    * maximizing |S_t| (the classic at-most-one-changepoint location
+    * statistic — a level shift makes |S| peak at the shift). Ties break
+    * to the earliest step, so output is deterministic on any engine —
+    * no floats anywhere. One small aggregation to (key, step, x), one
+    * per-key ordered window, one argmin pick.
+    *
+    * Output: key col, n_steps, t_star (1-based argmax step),
+    * step_value (the orderCol value at t_star), score = |S_t| long.
+    */
+  def cusumChangepoint(
+      df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val all = Window.partitionBy(keyCol)
+    val scored = df
+      .select(col(keyCol), col(orderCol), col(valueCol).cast("long").as("_x"))
+      .withColumn("_t", row_number().over(w))
+      .withColumn("_cum", sum(col("_x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_D", count(lit(1)).over(all))
+      .withColumn("_tot", sum(col("_x")).over(all))
+      .withColumn("_s",
+        abs(col("_D") * col("_cum") - col("_t") * col("_tot")))
+    scored.groupBy(keyCol)
+      .agg(max(col("_D")).as("n_steps"),
+        min_by(col("_t"), struct((-col("_s")).as("ns"), col("_t")))
+          .cast("long").as("t_star"),
+        min_by(col(orderCol), struct((-col("_s")).as("ns"), col("_t")))
+          .as("step_value"),
+        max(col("_s")).as("score"))
+  }
+
   /** Dense per-key spine + forward fill. Input is an already-aggregated
     * frame with one row per (key, bucket); output has one row per key
     * and EVERY bucket between that key's own min and max (observed-range
