@@ -2891,6 +2891,17 @@ object SparkEntry {
       .withColumn("step_value", date_format($("step_value"), "yyyy-MM-dd"))
   }
 
+  /** Per-source Spearman rank correlation (length vs vocabulary
+    * diversity) — doubled tie-averaged ranks, fixed IEEE chain.
+    */
+  private def q197Spearman(s: SparkSession, dir: String): DataFrame = {
+    val tks = graft.operators.TextAnalysis.tokens($("text"))
+    val base = docs(s, dir).select($("source"), $("n_chars"),
+      when(length(trim($("text"))) === 0, 0L)
+        .otherwise(size(array_distinct(tks)).cast("long")).as("n_distinct"))
+    Profile.spearmanCorr(base, "source", "n_chars", "n_distinct")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3090,6 +3101,7 @@ object SparkEntry {
     "q194_ann_recall" -> (q194AnnRecall _),
     "q195_radius_join" -> (q195RadiusJoin _),
     "q196_cusum" -> (q196Cusum _),
+    "q197_spearman" -> (q197Spearman _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6162,5 +6174,29 @@ object SparkEntry {
         |  CAST(t AS BIGINT) AS t_star, strftime(day, '%Y-%m-%d') AS step_value,
         |  CAST(s AS BIGINT) AS score
         |FROM rk WHERE r = 1""".stripMargin,
+    "q197_spearman" ->
+      """WITH b AS (SELECT source, n_chars,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+        |      END AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |r AS (SELECT source,
+        |    2 * rank() OVER (PARTITION BY source ORDER BY n_chars)
+        |      + count(*) OVER (PARTITION BY source, n_chars) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY source ORDER BY n_distinct)
+        |      + count(*) OVER (PARTITION BY source, n_distinct) - 1 AS ry
+        |  FROM b),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    sum(rx) AS sx, sum(ry) AS sy,
+        |    sum(rx::HUGEINT * ry) AS sxy,
+        |    sum(rx::HUGEINT * rx) AS sx2,
+        |    sum(ry::HUGEINT * ry) AS sy2
+        |  FROM r GROUP BY source)
+        |SELECT source, n,
+        |  CASE WHEN (n*sx2 - sx::HUGEINT*sx) > 0 AND (n*sy2 - sy::HUGEINT*sy) > 0
+        |    THEN (n*sxy - sx::HUGEINT*sy)::DOUBLE /
+        |      (sqrt((n*sx2 - sx::HUGEINT*sx)::DOUBLE) *
+        |       sqrt((n*sy2 - sy::HUGEINT*sy)::DOUBLE)) END AS rho
+        |FROM a""".stripMargin,
   )
 }

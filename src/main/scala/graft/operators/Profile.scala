@@ -247,6 +247,53 @@ object Profile {
       .drop("_n", "_S", "_S2")
   }
 
+  /** Per-group Spearman rank correlation between two integer metrics —
+    * the monotone-dependence profile (Pearson on RANKS, robust to
+    * nonlinearity and outliers; the profiling question is "does quality
+    * rise with length?", not "linearly?"). Tie handling is the exact
+    * fractional-average rank, kept integer by DOUBLING: with rank() =
+    * min rank of a tie run and c = run length, 2·avgrank = 2·rank+c−1.
+    * All sums over doubled ranks are integers (Σ products in
+    * decimal(38,0)), and ρ = (n·Sxy − Sx·Sy) / (√(n·Sx2−Sx²)·√(n·Sy2−Sy²))
+    * is a fixed chain of correctly-rounded IEEE ops — engine-identical
+    * (the doubling cancels between numerator and denominator). Two
+    * per-group rank windows over distinct-compacted runs, one map-side
+    * aggregation.
+    *
+    * Output: (groupCol, n, rho double; null when either metric is
+    * constant in the group).
+    */
+  def spearmanCorr(
+      df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def ranked2(c: String, out: String) = {
+      val w = Window.partitionBy(groupCol).orderBy(col(c))
+      val ties = Window.partitionBy(col(groupCol), col(c))
+      (rank().over(w) * 2 + count(lit(1)).over(ties) - 1)
+        .cast("long").as(out)
+    }
+    val r = df
+      .select(col(groupCol), col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"))
+      .select(col(groupCol), ranked2("_x", "_rx"), ranked2("_y", "_ry"))
+    val agg = r.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(col("_rx")).as("_sx"), sum(col("_ry")).as("_sy"),
+      sum((col("_rx") * col("_ry")).cast(dec)).as("_sxy"),
+      sum((col("_rx") * col("_rx")).cast(dec)).as("_sx2"),
+      sum((col("_ry") * col("_ry")).cast(dec)).as("_sy2"))
+    val num = (col("n") * col("_sxy") - (col("_sx").cast(dec) * col("_sy")))
+      .cast(dec).cast("double")
+    val dx = (col("n") * col("_sx2") - (col("_sx").cast(dec) * col("_sx")))
+      .cast(dec).cast("double")
+    val dy = (col("n") * col("_sy2") - (col("_sy").cast(dec) * col("_sy")))
+      .cast(dec).cast("double")
+    agg.select(col(groupCol), col("n"),
+      when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))).as("rho"))
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), written once as
     * double literals (log is not in the engine's IEEE-exact op set, so
     * the CONSTANTS are shared verbatim with any SQL oracle rather than
