@@ -2902,6 +2902,17 @@ object SparkEntry {
     Profile.spearmanCorr(base, "source", "n_chars", "n_distinct")
   }
 
+  /** Ranking AUC per user cohort — does event value rank 'error' events
+    * above the rest? Mann-Whitney with exact tie handling.
+    */
+  private def q198RankingAuc(s: SparkSession, dir: String): DataFrame =
+    Profile.rankingAuc(
+      Tables.events(s, dir).select(
+        ($("user_id") % 10).as("cohort"),
+        round($("value") * 100, 0).cast("long").as("cents"),
+        ($("event_type") === "error").as("is_error")),
+      "cohort", "cents", "is_error")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3102,6 +3113,7 @@ object SparkEntry {
     "q195_radius_join" -> (q195RadiusJoin _),
     "q196_cusum" -> (q196Cusum _),
     "q197_spearman" -> (q197Spearman _),
+    "q198_ranking_auc" -> (q198RankingAuc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6197,6 +6209,25 @@ object SparkEntry {
         |    THEN (n*sxy - sx::HUGEINT*sy)::DOUBLE /
         |      (sqrt((n*sx2 - sx::HUGEINT*sx)::DOUBLE) *
         |       sqrt((n*sy2 - sy::HUGEINT*sy)::DOUBLE)) END AS rho
+        |FROM a""".stripMargin,
+    "q198_ranking_auc" ->
+      """WITH b AS (SELECT user_id % 10 AS cohort,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    event_type = 'error' AS is_error
+        |  FROM events),
+        |r AS (SELECT cohort, is_error,
+        |    2 * rank() OVER (PARTITION BY cohort ORDER BY cents)
+        |      + count(*) OVER (PARTITION BY cohort, cents) - 1 AS r2
+        |  FROM b),
+        |a AS (SELECT cohort,
+        |    CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN NOT is_error THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    CAST(sum(CASE WHEN is_error THEN r2 ELSE 0 END) AS BIGINT) AS s2
+        |  FROM r GROUP BY cohort)
+        |SELECT cohort, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN (s2 - n_pos * (n_pos + 1))::DOUBLE / (n_pos * n_neg * 2)
+        |  END AS auc
         |FROM a""".stripMargin,
   )
 }

@@ -294,6 +294,43 @@ object Profile {
       when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))).as("rho"))
   }
 
+  /** Group-wise ranking AUC of an integer score against a binary label —
+    * the Mann-Whitney form: AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻),
+    * with tie-averaged ranks. Doubling the ranks (2·rank+c−1, the
+    * Spearman trick) keeps everything integer until ONE division:
+    * AUC = (Σ 2rank⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) — numerator and
+    * denominator exact longs, the quotient a single correctly-rounded
+    * IEEE op, engine-bit-identical. This is the threshold-free "does
+    * this quality score actually rank good above bad?" check every
+    * filter pipeline needs before it picks a cutoff. One rank window
+    * per group over the score, one aggregation.
+    *
+    * Output: (groupCol, n_pos, n_neg, auc double; null if a group has
+    * no positives or no negatives).
+    */
+  def rankingAuc(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol))
+    val ties = Window.partitionBy(col(groupCol), col(scoreCol))
+    val r2 = (rank().over(w) * 2 + count(lit(1)).over(ties) - 1)
+      .cast("long")
+    val agg = df
+      .select(col(groupCol), col(scoreCol).cast("long").as(scoreCol),
+        col(labelCol).cast("boolean").as("_pos"))
+      .withColumn("_r2", r2)
+      .groupBy(groupCol)
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("_pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("_pos"), col("_r2")).otherwise(0L)).as("_s2"))
+    agg.select(col(groupCol), col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        (col("_s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (col("n_pos") * col("n_neg") * 2))
+        .as("auc"))
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), written once as
     * double literals (log is not in the engine's IEEE-exact op set, so
     * the CONSTANTS are shared verbatim with any SQL oracle rather than
