@@ -2913,6 +2913,16 @@ object SparkEntry {
         ($("event_type") === "error").as("is_error")),
       "cohort", "cents", "is_error")
 
+  /** Calibration table — event value deciles vs observed error rate
+    * (reliability diagram as a query).
+    */
+  private def q199Calibration(s: SparkSession, dir: String): DataFrame =
+    Profile.calibrationTable(
+      Tables.events(s, dir).select(
+        round($("value") * 100, 0).cast("long").as("cents"),
+        ($("event_type") === "error").as("is_error")),
+      "cents", "is_error", k = 10)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3114,6 +3124,7 @@ object SparkEntry {
     "q196_cusum" -> (q196Cusum _),
     "q197_spearman" -> (q197Spearman _),
     "q198_ranking_auc" -> (q198RankingAuc _),
+    "q199_calibration" -> (q199Calibration _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6229,5 +6240,23 @@ object SparkEntry {
         |    THEN (s2 - n_pos * (n_pos + 1))::DOUBLE / (n_pos * n_neg * 2)
         |  END AS auc
         |FROM a""".stripMargin,
+    "q199_calibration" ->
+      """WITH b AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    event_type = 'error' AS pos FROM events),
+        |c AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM b WHERE v >= 0 GROUP BY v),
+        |r AS (SELECT v, n, p,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT (cb * 10) // tot AS bucket, min(v) AS lo, max(v) AS hi,
+        |  CAST(sum(n) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(p) AS BIGINT)::DOUBLE / CAST(sum(n) AS BIGINT) AS pos_rate,
+        |  CAST(sum(v::HUGEINT * n) AS HUGEINT)::DOUBLE
+        |    / CAST(sum(n) AS BIGINT) AS mean_score
+        |FROM r, t GROUP BY 1""".stripMargin,
   )
 }

@@ -93,15 +93,25 @@ object Profile {
     */
   def equiDepthHistogram(
       df: DataFrame, valueCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be positive")
     val c = df.select(col(valueCol).cast("long").as("_v"))
       .filter(col("_v").isNotNull && col("_v") >= 0)
       .groupBy("_v").agg(count(lit(1)).as("_n"))
-    // ordered coarse bucket = (bit length << 10) | top-10 bits: each
-    // octave splits ~1024 ways, so no single value-range octave funnels
-    // into one window task (plain bit-length buckets put ~half the
-    // domain in the top octave); still ≤ ~64k bucket ids, monotone in _v
+    bucketByRank(c, k)
+      .groupBy("bucket")
+      .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+        sum(col("_n")).as("n_rows"))
+  }
+
+  /** Shared distributed-rank core: given a compacted (_v, _n [, extra
+    * columns]) frame of non-negative values, attach the equi-depth
+    * `bucket` id (cumBefore·k div total) of each value. Ordered coarse
+    * bucket = (bit length << 10) | top-10 bits — each octave splits
+    * ~1024 ways, so no single value-range octave funnels into one
+    * window task; still ≤ ~64k bucket ids, monotone in _v.
+    */
+  private def bucketByRank(c: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val withB = c
       .withColumn("_bits", length(conv(col("_v"), 10, 2)).cast("long"))
       .withColumn("_b", expr(
@@ -119,11 +129,39 @@ object Profile {
       .withColumn("_T", sum(col("_sb")).over(Window.partitionBy(one)))
       .select("_b", "_off", "_T")
     local.join(broadcast(offs), Seq("_b"))
-      .select(col("_v"), col("_n"),
-        expr(s"(_cin + _off) * $k div _T").as("bucket"))
+      .withColumn("bucket", expr(s"(_cin + _off) * $k div _T"))
+      .drop("_b", "_cin", "_off", "_T")
+  }
+
+  /** Calibration / reliability table for an integer score against a
+    * binary label: equi-depth score deciles (the [[bucketByRank]] core —
+    * values never split across buckets), and per bucket the observed
+    * positive rate next to the mean score — the "is a higher quality
+    * score actually more likely to be good?" diagnostic read alongside
+    * [[rankingAuc]]. Integer-exact inputs, two single correctly-rounded
+    * divisions per bucket row.
+    *
+    * Output: bucket, lo, hi, n, n_pos, pos_rate, mean_score.
+    */
+  def calibrationTable(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dec = "decimal(38,0)"
+    val c = df
+      .select(col(scoreCol).cast("long").as("_v"),
+        col(labelCol).cast("boolean").as("_pos"))
+      .filter(col("_v").isNotNull && col("_v") >= 0)
+      .groupBy("_v").agg(count(lit(1)).as("_n"),
+        sum(when(col("_pos"), 1L).otherwise(0L)).as("_p"))
+    bucketByRank(c, k)
       .groupBy("bucket")
       .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
-        sum(col("_n")).as("n_rows"))
+        sum(col("_n")).as("n"), sum(col("_p")).as("n_pos"),
+        sum((col("_v") * col("_n")).cast(dec)).as("_sv"))
+      .select(col("bucket"), col("lo"), col("hi"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"),
+        (col("_sv").cast("double") / col("n")).as("mean_score"))
   }
 
   /** Per-group 2×median of an integer column, computed EXACTLY from the
