@@ -2923,6 +2923,30 @@ object SparkEntry {
         ($("event_type") === "error").as("is_error")),
       "cents", "is_error", k = 10)
 
+  /** q200 — the curation pipeline end-to-end with this round's
+    * operators: blocklist gate → per-language length-percentile band →
+    * exact dedup (first doc per fingerprint) → hash-band split → per
+    * (split, lang) doc and token totals.
+    */
+  private def q200Curation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = graft.operators.TextAnalysis.blocklistSignals(
+        t(s, dir, "documents"), "text", Seq("slow", "big", "stale"), 5)
+      .filter(!$("flagged"))
+    val banded = Sampling.percentileNormalize(
+        clean, "lang", "n_chars", "doc_id")
+      .filter($("pct") >= 0.05 && $("pct") <= 0.95)
+    val deduped = banded
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(md5($("text"))).orderBy($("doc_id"))))
+      .filter($("_rk") === 1)
+    deduped
+      .withColumn("split", Sampling.splitLabel($("doc_id"),
+        Seq(("train", 8000), ("val", 1000), ("test", 1000))))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum($("n_tokens")).as("n_tokens"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3125,6 +3149,7 @@ object SparkEntry {
     "q197_spearman" -> (q197Spearman _),
     "q198_ranking_auc" -> (q198RankingAuc _),
     "q199_calibration" -> (q199Calibration _),
+    "q200_curation" -> (q200Curation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6258,5 +6283,28 @@ object SparkEntry {
         |  CAST(sum(v::HUGEINT * n) AS HUGEINT)::DOUBLE
         |    / CAST(sum(n) AS BIGINT) AS mean_score
         |FROM r, t GROUP BY 1""".stripMargin,
+    "q200_curation" ->
+      """WITH sig AS (SELECT doc_id, lang, n_chars, text,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(slow|big|stale)\b')) AS BIGINT) AS hits,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |clean AS (SELECT * FROM sig WHERE NOT (hits * 100 > n_tokens * 5)),
+        |pct AS (SELECT *, CASE WHEN n > 1 THEN (r - 1)::DOUBLE / (n - 1)
+        |    ELSE 0.5 END AS pct FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM clean)),
+        |banded AS (SELECT * FROM pct WHERE pct >= 0.05 AND pct <= 0.95),
+        |dd AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM banded)
+        |  WHERE rk = 1),
+        |sp AS (SELECT *, CASE
+        |  WHEN ('0x'||substr(md5(doc_id::VARCHAR||'|'||'graft'),1,15))::BIGINT % 10000 < 8000 THEN 'train'
+        |  WHEN ('0x'||substr(md5(doc_id::VARCHAR||'|'||'graft'),1,15))::BIGINT % 10000 < 9000 THEN 'val'
+        |  ELSE 'test' END AS split FROM dd)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY split, lang""".stripMargin,
   )
 }
