@@ -2947,6 +2947,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum($("n_tokens")).as("n_tokens"))
   }
 
+  /** Concentration metrics — Gini + HHI of document char mass per
+    * language (corpus balance diagnostics, integer-exact).
+    */
+  private def q201Concentration(s: SparkSession, dir: String): DataFrame =
+    Profile.concentrationMetrics(
+      t(s, dir, "documents").select($("lang"), $("n_chars")),
+      "lang", "n_chars")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3150,6 +3158,7 @@ object SparkEntry {
     "q198_ranking_auc" -> (q198RankingAuc _),
     "q199_calibration" -> (q199Calibration _),
     "q200_curation" -> (q200Curation _),
+    "q201_concentration" -> (q201Concentration _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6306,5 +6315,21 @@ object SparkEntry {
         |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM sp GROUP BY split, lang""".stripMargin,
+    "q201_concentration" ->
+      """WITH b AS (SELECT lang, n_chars AS x,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS i,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        |a AS (SELECT lang, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS total,
+        |    sum((i * 2 - n - 1)::HUGEINT * x) AS g,
+        |    sum(x::HUGEINT * x) AS x2
+        |  FROM b GROUP BY lang)
+        |SELECT lang, n, total,
+        |  CASE WHEN total > 0 THEN
+        |    g::DOUBLE / ((n::HUGEINT * total))::DOUBLE END AS gini,
+        |  CASE WHEN total > 0 THEN
+        |    x2::DOUBLE / ((total::HUGEINT * total))::DOUBLE END AS hhi
+        |FROM a""".stripMargin,
   )
 }

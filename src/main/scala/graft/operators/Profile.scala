@@ -369,6 +369,46 @@ object Profile {
         .as("auc"))
   }
 
+  /** Concentration metrics per group — Gini coefficient and Herfindahl
+    * index of a non-negative integer weight (doc lengths, per-source
+    * token masses): the corpus-balance diagnostics behind "is this
+    * language's data dominated by a few giant documents?". Both stay
+    * integer to one final division: Gini = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx)
+    * over ascending-sorted weights (the rank-weight sum is invariant to
+    * tie order — equal x contribute x·Σ(2i−n−1) over a fixed position
+    * set — so row_number's tie arbitrariness never reaches the output),
+    * HHI = Σx² / (Σx)². One rank window per group + one aggregation.
+    *
+    * Output: (groupCol, n, total, gini, hhi) — null metrics when the
+    * group's total weight is zero.
+    */
+  def concentrationMetrics(
+      df: DataFrame, groupCol: String, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(groupCol).orderBy(col("_x"))
+    val base = df
+      .select(col(groupCol), col(weightCol).cast("long").as("_x"))
+      .filter(col("_x").isNotNull && col("_x") >= 0)
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val gterm = ((col("_i") * 2 - col("_n") - 1).cast(dec) * col("_x"))
+      .cast(dec)
+    val agg = base.groupBy(groupCol).agg(
+      max(col("_n")).as("n"), sum(col("_x")).as("total"),
+      sum(gterm).as("_g"),
+      sum((col("_x") * col("_x")).cast(dec)).as("_x2"))
+    agg.select(col(groupCol), col("n"), col("total"),
+      when(col("total") > 0,
+        col("_g").cast("double") /
+          (col("n").cast(dec) * col("total")).cast(dec).cast("double"))
+        .as("gini"),
+      when(col("total") > 0,
+        col("_x2").cast("double") /
+          (col("total").cast(dec) * col("total")).cast(dec).cast("double"))
+        .as("hhi"))
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), written once as
     * double literals (log is not in the engine's IEEE-exact op set, so
     * the CONSTANTS are shared verbatim with any SQL oracle rather than
