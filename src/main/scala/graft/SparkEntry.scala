@@ -2955,6 +2955,16 @@ object SparkEntry {
       t(s, dir, "documents").select($("lang"), $("n_chars")),
       "lang", "n_chars")
 
+  /** KS two-sample drift per event type — value distribution of the
+    * first vs second half of the month, integer-exact statistic.
+    */
+  private def q202KsDrift(s: SparkSession, dir: String): DataFrame =
+    Profile.ksStatistic(
+      Tables.events(s, dir).select($("event_type"),
+        round($("value") * 100, 0).cast("long").as("cents"),
+        (dayofmonth($("ts").cast("timestamp")) <= 15).as("first_half")),
+      "event_type", "cents", "first_half")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3159,6 +3169,7 @@ object SparkEntry {
     "q199_calibration" -> (q199Calibration _),
     "q200_curation" -> (q200Curation _),
     "q201_concentration" -> (q201Concentration _),
+    "q202_ks_drift" -> (q202KsDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6331,5 +6342,29 @@ object SparkEntry {
         |  CASE WHEN total > 0 THEN
         |    x2::DOUBLE / ((total::HUGEINT * total))::DOUBLE END AS hhi
         |FROM a""".stripMargin,
+    "q202_ks_drift" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    datepart('day', ts) <= 15 AS s1
+        |  FROM events),
+        |c AS (SELECT event_type, v,
+        |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |    sum(c1) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |    sum(c1) OVER (PARTITION BY event_type) AS n1,
+        |    sum(c2) OVER (PARTITION BY event_type) AS n2
+        |  FROM c)
+        |SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
+        |  CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+        |  CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+        |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT)::DOUBLE
+        |      / CAST(max(n1) * max(n2) AS BIGINT) END AS ks
+        |FROM w GROUP BY event_type""".stripMargin,
   )
 }

@@ -409,6 +409,49 @@ object Profile {
         .as("hhi"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic per group — the
+    * distribution-shift test for CONTINUOUS-ish values (the chi-square
+    * drift table needs buckets; KS compares whole empirical CDFs). Kept
+    * integer to the end: at every observed value v,
+    * |F₁(v) − F₂(v)| = |cum₁·n₂ − cum₂·n₁| / (n₁·n₂), so the max of the
+    * integer numerator IS the decision statistic and the one division
+    * happens after the max — deterministic on any engine. One compacted
+    * (group, value, side-counts) aggregation + one ordered window per
+    * group over distinct values.
+    *
+    * `sideCol`: boolean — true rows form sample 1, false sample 2.
+    * Output: (groupCol, n1, n2, ks_num long, ks double; null if either
+    * sample is empty).
+    */
+  def ksStatistic(
+      df: DataFrame, groupCol: String, valueCol: String,
+      sideCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df
+      .select(col(groupCol), col(valueCol).cast("long").as("_v"),
+        col(sideCol).cast("boolean").as("_s"))
+      .filter(col("_v").isNotNull)
+      .groupBy(groupCol, "_v")
+      .agg(sum(when(col("_s"), 1L).otherwise(0L)).as("_c1"),
+        sum(when(!col("_s"), 1L).otherwise(0L)).as("_c2"))
+    val w = Window.partitionBy(groupCol).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(groupCol)
+    val scored = c
+      .withColumn("_cum1", sum(col("_c1")).over(w))
+      .withColumn("_cum2", sum(col("_c2")).over(w))
+      .withColumn("_n1", sum(col("_c1")).over(all))
+      .withColumn("_n2", sum(col("_c2")).over(all))
+      .withColumn("_d",
+        abs(col("_cum1") * col("_n2") - col("_cum2") * col("_n1")))
+    scored.groupBy(groupCol)
+      .agg(max(col("_n1")).as("n1"), max(col("_n2")).as("n2"),
+        max(col("_d")).as("ks_num"))
+      .withColumn("ks",
+        when(col("n1") > 0 && col("n2") > 0,
+          col("ks_num").cast("double") / (col("n1") * col("n2"))))
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), written once as
     * double literals (log is not in the engine's IEEE-exact op set, so
     * the CONSTANTS are shared verbatim with any SQL oracle rather than
