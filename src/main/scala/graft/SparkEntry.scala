@@ -2965,6 +2965,32 @@ object SparkEntry {
         (dayofmonth($("ts").cast("timestamp")) <= 15).as("first_half")),
       "event_type", "cents", "first_half")
 
+  /** Cohen's kappa of langId vs the lang labels — chance-corrected
+    * agreement as ONE integer-exact division:
+    * κ = (N·Σtp − Σrᵢcᵢ) / (N² − Σrᵢcᵢ).
+    */
+  private def q203Kappa(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cm = docs(s, dir)
+      .select($("lang").as("label"),
+        TextAnalysis.langId($("text")).as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // classes²-sized; four consumers
+    val rows = cm.groupBy($("label").as("cls")).agg(sum($("n")).as("r"))
+    val cols = cm.groupBy($("pred").as("cls")).agg(sum($("n")).as("c"))
+    val rc = rows.join(cols, Seq("cls"), "full_outer")
+      .select((coalesce($("r"), lit(0L)).cast(dec) *
+        coalesce($("c"), lit(0L))).cast(dec).as("_rc"))
+      .agg(sum($("_rc")).as("rc"))
+    val tots = cm.agg(sum($("n")).as("N"),
+      sum(when($("label") === $("pred"), $("n")).otherwise(0L)).as("agree"))
+    tots.crossJoin(broadcast(rc)) // 1-row each
+      .select($("N").as("n"), $("agree"),
+        (($("N").cast(dec) * $("agree") - $("rc")).cast(dec).cast("double") /
+          (($("N").cast(dec) * $("N") - $("rc")).cast(dec).cast("double")))
+          .as("kappa"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3170,6 +3196,7 @@ object SparkEntry {
     "q200_curation" -> (q200Curation _),
     "q201_concentration" -> (q201Concentration _),
     "q202_ks_drift" -> (q202KsDrift _),
+    "q203_kappa" -> (q203Kappa _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6366,5 +6393,42 @@ object SparkEntry {
         |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT)::DOUBLE
         |      / CAST(max(n1) * max(n2) AS BIGINT) END AS ks
         |FROM w GROUP BY event_type""".stripMargin,
+    "q203_kappa" ->
+      """WITH h AS (
+        |  SELECT lang AS label,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('el','la','de','que','y','los','una'))) AS es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('le','la','les','et','des','une','est'))) AS fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('的','是','了','在','我','有','和'))) AS zh
+        |  FROM documents),
+        |pr AS (SELECT label, CASE
+        |  WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |  WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |  WHEN es >= fr AND es >= zh THEN 'es'
+        |  WHEN fr >= zh THEN 'fr'
+        |  ELSE 'zh' END AS pred FROM h),
+        |cm AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr GROUP BY 1, 2),
+        |r AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS r FROM cm
+        |  GROUP BY 1),
+        |c AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS c FROM cm
+        |  GROUP BY 1),
+        |rc AS (SELECT sum(coalesce(r.r, 0)::HUGEINT * coalesce(c.c, 0))
+        |    AS rc
+        |  FROM r FULL JOIN c USING (cls)),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS N,
+        |    CAST(sum(CASE WHEN label = pred THEN n ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM cm)
+        |SELECT N AS n, agree,
+        |  (N::HUGEINT * agree - rc)::DOUBLE /
+        |    (N::HUGEINT * N - rc)::DOUBLE AS kappa
+        |FROM t, rc""".stripMargin,
   )
 }
