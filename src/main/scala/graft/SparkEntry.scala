@@ -2991,6 +2991,27 @@ object SparkEntry {
           .as("kappa"))
   }
 
+  /** Metric correlation matrix — Spearman rho for every pair of doc
+    * metrics (chars, tokens, distinct tokens), melted in ONE scan and
+    * pushed through the shared rank-correlation core.
+    */
+  private def q204MetricCorr(s: SparkSession, dir: String): DataFrame = {
+    val tks = TextAnalysis.tokens($("text"))
+    val base = docs(s, dir).select(
+      $("n_chars").cast("long").as("m_chars"),
+      TextAnalysis.tokenCount($("text")).cast("long").as("m_tokens"),
+      when(length(trim($("text"))) === 0, 0L)
+        .otherwise(size(array_distinct(tks)).cast("long")).as("m_distinct"))
+    val pairs = Seq(("chars", "tokens"), ("chars", "distinct"),
+      ("tokens", "distinct"))
+    val melted = base.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(s"${a}_$b").as("pair"),
+          col(s"m_$a").as("x"), col(s"m_$b").as("y"))
+      }: _*)).as("p"))
+      .select($("p.pair").as("pair"), $("p.x").as("x"), $("p.y").as("y"))
+    Profile.spearmanCorr(melted, "pair", "x", "y")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3197,6 +3218,7 @@ object SparkEntry {
     "q201_concentration" -> (q201Concentration _),
     "q202_ks_drift" -> (q202KsDrift _),
     "q203_kappa" -> (q203Kappa _),
+    "q204_metric_corr" -> (q204MetricCorr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6430,5 +6452,38 @@ object SparkEntry {
         |  (N::HUGEINT * agree - rc)::DOUBLE /
         |    (N::HUGEINT * N - rc)::DOUBLE AS kappa
         |FROM t, rc""".stripMargin,
+    "q204_metric_corr" ->
+      """WITH m AS (SELECT CAST(n_chars AS BIGINT) AS mc,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |      AS mt,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+        |      END AS BIGINT) AS md
+        |  FROM documents),
+        |mel AS (
+        |  SELECT 'chars_tokens' AS pair, mc AS x, mt AS y FROM m
+        |  UNION ALL
+        |  SELECT 'chars_distinct', mc, md FROM m
+        |  UNION ALL
+        |  SELECT 'tokens_distinct', mt, md FROM m),
+        |r AS (SELECT pair,
+        |    2 * rank() OVER (PARTITION BY pair ORDER BY x)
+        |      + count(*) OVER (PARTITION BY pair, x) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY pair ORDER BY y)
+        |      + count(*) OVER (PARTITION BY pair, y) - 1 AS ry
+        |  FROM mel),
+        |a AS (SELECT pair, CAST(count(*) AS BIGINT) AS n,
+        |    sum(rx) AS sx, sum(ry) AS sy,
+        |    sum(rx::HUGEINT * ry) AS sxy,
+        |    sum(rx::HUGEINT * rx) AS sx2,
+        |    sum(ry::HUGEINT * ry) AS sy2
+        |  FROM r GROUP BY pair)
+        |SELECT pair, n,
+        |  CASE WHEN (n*sx2 - sx::HUGEINT*sx) > 0 AND (n*sy2 - sy::HUGEINT*sy) > 0
+        |    THEN (n*sxy - sx::HUGEINT*sy)::DOUBLE /
+        |      (sqrt((n*sx2 - sx::HUGEINT*sx)::DOUBLE) *
+        |       sqrt((n*sy2 - sy::HUGEINT*sy)::DOUBLE)) END AS rho
+        |FROM a""".stripMargin,
   )
 }
