@@ -3012,6 +3012,29 @@ object SparkEntry {
     Profile.spearmanCorr(melted, "pair", "x", "y")
   }
 
+  /** One-vs-rest KS drift per source — each source's length
+    * distribution against the rest of the corpus, melted through the
+    * shared KS core.
+    */
+  private def q205SourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val srcs = (0 until 20).map(i => s"src$i")
+    val melted = t(s, dir, "documents")
+      .select($("source"), $("n_chars"))
+      .select(explode(array(srcs.map(sc =>
+        struct(lit(sc).as("tested"), $("n_chars").as("v"),
+          ($("source") === sc).as("inside"))): _*)).as("p"))
+      .select($("p.tested").as("tested"), $("p.v").as("v"),
+        $("p.inside").as("inside"))
+    Profile.ksStatistic(melted, "tested", "v", "inside")
+  }
+
+  /** Exact 10% trimmed mean of lineitem price cents per return flag. */
+  private def q206TrimmedMean(s: SparkSession, dir: String): DataFrame =
+    Profile.trimmedMean(
+      t(s, dir, "lineitem").select($("l_returnflag"),
+        round($("l_extendedprice") * 100, 0).cast("long").as("cents")),
+      "l_returnflag", "cents", trimBp = 1000)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3219,6 +3242,8 @@ object SparkEntry {
     "q202_ks_drift" -> (q202KsDrift _),
     "q203_kappa" -> (q203Kappa _),
     "q204_metric_corr" -> (q204MetricCorr _),
+    "q205_source_drift" -> (q205SourceDrift _),
+    "q206_trimmed_mean" -> (q206TrimmedMean _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6485,5 +6510,46 @@ object SparkEntry {
         |      (sqrt((n*sx2 - sx::HUGEINT*sx)::DOUBLE) *
         |       sqrt((n*sy2 - sy::HUGEINT*sy)::DOUBLE)) END AS rho
         |FROM a""".stripMargin,
+    "q205_source_drift" ->
+      """WITH mel AS (
+        |  SELECT 'src' || i AS tested, n_chars AS v,
+        |    source = 'src' || i AS inside
+        |  FROM documents, range(20) t(i)),
+        |c AS (SELECT tested, v,
+        |    CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN NOT inside THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM mel WHERE v IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT tested,
+        |    sum(c1) OVER (PARTITION BY tested ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (PARTITION BY tested ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |    sum(c1) OVER (PARTITION BY tested) AS n1,
+        |    sum(c2) OVER (PARTITION BY tested) AS n2
+        |  FROM c)
+        |SELECT tested, CAST(max(n1) AS BIGINT) AS n1,
+        |  CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+        |  CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+        |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT)::DOUBLE
+        |      / CAST(max(n1) * max(n2) AS BIGINT) END AS ks
+        |FROM w GROUP BY tested""".stripMargin,
+    "q206_trimmed_mean" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+        |  FROM lineitem),
+        |r AS (SELECT g, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x) AS r,
+        |    count(*) OVER (PARTITION BY g) AS n FROM b),
+        |k AS (SELECT g, n, x,
+        |    r * 10000 > n * 1000 AND r * 10000 <= n * 9000 AS kept
+        |  FROM r)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) > 0 THEN
+        |    sum(CASE WHEN kept THEN x ELSE 0 END)::DOUBLE
+        |      / CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) END
+        |    AS trimmed_mean
+        |FROM k GROUP BY g""".stripMargin,
   )
 }

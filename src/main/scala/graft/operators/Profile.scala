@@ -452,6 +452,42 @@ object Profile {
           col("ks_num").cast("double") / (col("n1") * col("n2"))))
   }
 
+  /** Exact trimmed mean per group — the mean of the middle
+    * (1 − 2·trimBp/10000) mass, ranks decided exactly (1-based rank r
+    * kept when trim·n < 10000·r ≤ (10000−trim)·n, integer arithmetic on
+    * both bounds so no float threshold can disagree across engines).
+    * The robust location estimate that, unlike the median, still uses
+    * most of the data. Rank window per group, one aggregation, one
+    * exact division.
+    *
+    * Output: (groupCol, n, n_kept, trimmed_mean double).
+    */
+  def trimmedMean(
+      df: DataFrame, groupCol: String, valueCol: String,
+      trimBp: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimBp >= 0 && trimBp * 2 < 10000, "trim must leave mass")
+    val dec = "decimal(38,0)"
+    // tie order among equal values is arbitrary — every aggregate below
+    // is invariant to it (tied rows carry the same _x), so the output
+    // is deterministic even though row_number's tie choice is not
+    val w = Window.partitionBy(groupCol).orderBy(col("_x"))
+    val base = df
+      .select(col(groupCol), col(valueCol).cast("long").as("_x"))
+      .filter(col("_x").isNotNull)
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val kept = col("_r") * 10000 > col("_n") * trimBp &&
+      col("_r") * 10000 <= col("_n") * (10000 - trimBp)
+    base.groupBy(groupCol).agg(
+      max(col("_n")).as("n"),
+      sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(kept, col("_x")).otherwise(0L).cast(dec)).as("_s"))
+      .select(col(groupCol), col("n"), col("n_kept"),
+        when(col("n_kept") > 0,
+          col("_s").cast("double") / col("n_kept")).as("trimmed_mean"))
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), written once as
     * double literals (log is not in the engine's IEEE-exact op set, so
     * the CONSTANTS are shared verbatim with any SQL oracle rather than
