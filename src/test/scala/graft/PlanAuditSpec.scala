@@ -577,6 +577,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q195 radius join: grid-cell equi-join, never a cross product") {
+    val p = plan("q195_radius_join")
+    assert(!p.contains("CartesianProduct"), "grid join degenerated")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "grid join degenerated")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q197/q202 rank statistics: windows keyed by group, partial aggs") {
+    for (q <- Seq("q197_spearman", "q202_ks_drift")) {
+      val p = plan(q)
+      val winLines = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(winLines.nonEmpty, q)
+      assert(winLines.forall(l =>
+        l.contains("source#") || l.contains("pair#") ||
+          l.contains("event_type#")), q + "\n" + winLines.mkString("\n"))
+      assert(p.contains("partial_"), q)
+    }
+  }
+
   test("q181 frequent pairs: basket equi-join after the Apriori prune, " +
       "1-row total is the only nested-loop side") {
     val p = plan("q181_frequent_pairs")
