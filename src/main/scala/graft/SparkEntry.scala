@@ -3035,6 +3035,24 @@ object SparkEntry {
         round($("l_extendedprice") * 100, 0).cast("long").as("cents")),
       "l_returnflag", "cents", trimBp = 1000)
 
+  /** 2×2 association per source — odds/risk ratio of blocklist hits
+    * given English (the reference's target-by-site epi table shape).
+    */
+  private def q207OddsRatio(s: SparkSession, dir: String): DataFrame =
+    Profile.twoByTwo(
+      t(s, dir, "documents").select($("source"),
+        ($("lang") === "en").as("is_en"),
+        (regexp_count(lower($("text")),
+          lit("\\b(slow|big|stale)\\b")) > 0).as("has_block")),
+      "source", "is_en", "has_block")
+
+  /** KWIC concordance — every 'spark' occurrence with ±3 context
+    * tokens, pure per-row extraction.
+    */
+  private def q208Kwic(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.kwic(docs(s, dir), "text", "spark", 3)
+      .select($("doc_id"), $("pos").cast("long").as("pos"), $("context"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3244,6 +3262,8 @@ object SparkEntry {
     "q204_metric_corr" -> (q204MetricCorr _),
     "q205_source_drift" -> (q205SourceDrift _),
     "q206_trimmed_mean" -> (q206TrimmedMean _),
+    "q207_odds_ratio" -> (q207OddsRatio _),
+    "q208_kwic" -> (q208Kwic _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6551,5 +6571,33 @@ object SparkEntry {
         |      / CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) END
         |    AS trimmed_mean
         |FROM k GROUP BY g""".stripMargin,
+    "q207_odds_ratio" ->
+      """WITH b AS (SELECT source, lang = 'en' AS e,
+        |    len(regexp_extract_all(lower(text), '\b(slow|big|stale)\b')) > 0
+        |      AS o
+        |  FROM documents),
+        |t AS (SELECT source,
+        |    CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM b GROUP BY source)
+        |SELECT source, a, b, c, d,
+        |  CASE WHEN b > 0 AND c > 0
+        |    THEN (a * d)::DOUBLE / (b * c) END AS odds_ratio,
+        |  CASE WHEN c > 0 AND a + b > 0
+        |    THEN (a * (c + d))::DOUBLE / (c * (a + b)) END AS risk_ratio
+        |FROM t""".stripMargin,
+    "q208_kwic" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |p AS (SELECT doc_id, l,
+        |    unnest([i for i in range(1, greatest(len(l), 1) + 1)
+        |            if l[i] = 'spark']) AS pos
+        |  FROM tk)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  array_to_string(l[greatest(pos - 3, 1):least(pos + 3, len(l))], ' ')
+        |    AS context
+        |FROM p""".stripMargin,
   )
 }

@@ -488,6 +488,37 @@ object Profile {
           col("_s").cast("double") / col("n_kept")).as("trimmed_mean"))
   }
 
+  /** Per-group 2×2 association table with odds ratio and risk ratio —
+    * the epidemiological exposure/outcome summary (the reference domain
+    * reads this as target-positivity by site; corpus QA reads it as
+    * flagged-rate by language). One map-side aggregation to the four
+    * cells; OR = a·d/(b·c) and RR = a·(c+d)/(c·(a+b)) are single
+    * correctly-rounded divisions of exact integer products — null when
+    * a zero cell makes them undefined (no continuity fudge; the cells
+    * are right there for the reader to judge).
+    *
+    * Output: group, a (exp∧out), b (exp∧¬out), c (¬exp∧out),
+    * d (¬exp∧¬out), odds_ratio, risk_ratio.
+    */
+  def twoByTwo(
+      df: DataFrame, groupCol: String, exposureCol: String,
+      outcomeCol: String): DataFrame = {
+    val e = col(exposureCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    df.groupBy(groupCol).agg(
+        sum(when(e && o, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+      .withColumn("odds_ratio",
+        when(col("b") > 0 && col("c") > 0,
+          (col("a") * col("d")).cast("double") / (col("b") * col("c"))))
+      .withColumn("risk_ratio",
+        when(col("c") > 0 && col("a") + col("b") > 0,
+          (col("a") * (col("c") + col("d"))).cast("double") /
+            (col("c") * (col("a") + col("b")))))
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), written once as
     * double literals (log is not in the engine's IEEE-exact op set, so
     * the CONSTANTS are shared verbatim with any SQL oracle rather than

@@ -145,6 +145,29 @@ object TextAnalysis {
         when(col("raw_len") === 0, 1.0)
           .otherwise(col("deflated_len").cast("double") / col("raw_len")))
 
+  /** KWIC (keyword-in-context) concordance: every occurrence of `term`
+    * (exact whitespace-token match) with ±`window` surrounding tokens —
+    * the search/debugging view behind "show me how this term is used".
+    * Pure per-row position filter + slice + explode; no shuffle, no
+    * index — compose with [[graft.operators.Search]]'s inverted indexes
+    * to prune the corpus first at scale.
+    *
+    * Output: input columns + pos (1-based token position) + context.
+    */
+  def kwic(
+      df: DataFrame, textCol: String, term: String,
+      window: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("pos", explode(filter(
+        sequence(lit(1), greatest(size(toks), lit(1))),
+        i => element_at(toks, i) === term)))
+      .withColumn("context", array_join(
+        slice(toks, greatest(col("pos") - window, lit(1)),
+          least(col("pos") + window,
+            size(tokens(col(textCol)))) -
+            greatest(col("pos") - window, lit(1)) + 1), " "))
+  }
+
   // PII patterns — kept to the regex subset that Java and RE2 treat
   // identically (character classes, bounded repetition, \b), so the same
   // pattern is reusable as a SQL oracle.
