@@ -3053,6 +3053,65 @@ object SparkEntry {
     graft.operators.TextAnalysis.kwic(docs(s, dir), "text", "spark", 3)
       .select($("doc_id"), $("pos").cast("long").as("pos"), $("context"))
 
+  /** Language-switch count per doc — adjacent marker-token language
+    * changes (the code-switching / mixed-language signal langId's
+    * whole-doc vote can't see). Explode to (doc, pos, marker-lang),
+    * drop non-markers, count lag transitions per doc.
+    */
+  private def q209LangSwitches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val markers = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+      "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+      "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+      "fr" -> Seq("le", "la", "les", "et", "des", "une", "est"),
+      "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+    // NOTE 'la'/'de'/'est' are ambiguous across es/fr/de — first match
+    // in fixed lang order wins, identically in the SQL oracle
+    val tok = docs(s, dir).select($("doc_id"),
+        posexplode(TextAnalysis.tokens(lower($("text"))))
+          .as(Seq("pos", "w")))
+    val lang = markers.foldRight(lit(null).cast("string")) {
+      case ((l, ws), acc) => when($("w").isin(ws.map(lit): _*), l)
+        .otherwise(acc)
+    }
+    // foldRight gives priority to the FIRST language in the list
+    val marked = tok.withColumn("ml", lang).filter($("ml").isNotNull)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("_prev", lag($("ml"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_markers"),
+        sum(when($("_prev").isNotNull && $("_prev") =!= $("ml"), 1L)
+          .otherwise(0L)).as("n_switches"))
+  }
+
+  /** Near-dup transitivity audit — closure rate of the q22 pair graph:
+    * wedges (a~b, b~c) that are themselves pairs; low closure means the
+    * LSH threshold sits mid-cluster.
+    */
+  private def q210WedgeClosure(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 4, numHashes = 16, bandSize = 4, minAgree = 8)
+      .select($("id_a"), $("id_b")).localCheckpoint(false)
+    val edges = pairs.unionByName(
+      pairs.select($("id_b").as("id_a"), $("id_a").as("id_b")))
+    // wedges centered at id_a: neighbors u < v
+    val wedges = edges.as("x").join(edges.as("y"),
+        col("x.id_a") === col("y.id_a") && col("x.id_b") < col("y.id_b"))
+      .select(col("x.id_b").as("u"), col("y.id_b").as("v"))
+      .localCheckpoint(false)
+    val closed = wedges.join(pairs,
+      wedges("u") === pairs("id_a") && wedges("v") === pairs("id_b"),
+      "left_semi")
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_closed"))))
+      .withColumn("closure_rate",
+        when($("n_wedges") > 0,
+          $("n_closed").cast("double") / $("n_wedges")))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3264,6 +3323,8 @@ object SparkEntry {
     "q206_trimmed_mean" -> (q206TrimmedMean _),
     "q207_odds_ratio" -> (q207OddsRatio _),
     "q208_kwic" -> (q208Kwic _),
+    "q209_lang_switches" -> (q209LangSwitches _),
+    "q210_wedge_closure" -> (q210WedgeClosure _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6599,5 +6660,57 @@ object SparkEntry {
         |  array_to_string(l[greatest(pos - 3, 1):least(pos + 3, len(l))], ' ')
         |    AS context
         |FROM p""".stripMargin,
+    "q209_lang_switches" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, l[i] AS w
+        |  FROM tk, unnest(range(1, len(l) + 1)) AS t(i)),
+        |m AS (SELECT doc_id, pos, CASE
+        |    WHEN w IN ('der','die','das','und','ist','nicht','ein') THEN 'de'
+        |    WHEN w IN ('the','a','of','and','to','is','in') THEN 'en'
+        |    WHEN w IN ('el','la','de','que','y','los','una') THEN 'es'
+        |    WHEN w IN ('le','la','les','et','des','une','est') THEN 'fr'
+        |    WHEN w IN ('的','是','了','在','我','有','和') THEN 'zh' END AS ml
+        |  FROM tok),
+        |f AS (SELECT doc_id, ml,
+        |    lag(ml) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM m WHERE ml IS NOT NULL)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_markers,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> ml
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+        |FROM f GROUP BY doc_id""".stripMargin,
+    "q210_wedge_closure" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |            for i in range(1, greatest(len(l)-3, 1)+1)])] AS bs
+        |  FROM tk),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl] AS sg
+        |  FROM base, css),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a, sig b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_filter(range(0, 4), b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
+        |    AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8),
+        |edges AS (SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |wedges AS (SELECT x.id_b AS u, y.id_b AS v
+        |  FROM edges x JOIN edges y
+        |  ON x.id_a = y.id_a AND x.id_b < y.id_b),
+        |closed AS (SELECT * FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM pairs p
+        |    WHERE p.id_a = w.u AND p.id_b = w.v))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_closed,
+        |  CASE WHEN (SELECT count(*) FROM wedges) > 0 THEN
+        |    (SELECT count(*) FROM closed)::DOUBLE
+        |      / (SELECT count(*) FROM wedges) END AS closure_rate""".stripMargin,
   )
 }
