@@ -3112,6 +3112,50 @@ object SparkEntry {
           $("n_closed").cast("double") / $("n_wedges")))
   }
 
+  /** Per-language corpus summary — docs, bytes, tokens, fertility
+    * (tokens per 100 bytes) and mean doc length in one aggregation.
+    */
+  private def q211LangSummary(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select($("lang"), octet_length($("text")).cast("long").as("_b"),
+        TextAnalysis.tokenCount($("text")).cast("long").as("_t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum($("_b")).as("total_bytes"),
+        sum($("_t")).as("total_tokens"))
+      .withColumn("tokens_per_100b",
+        when($("total_bytes") > 0,
+          ($("total_tokens") * 100).cast("double") / $("total_bytes")))
+      .withColumn("mean_doc_tokens",
+        $("total_tokens").cast("double") / $("n_docs"))
+
+  /** Inter-event gap robust stats — median + MAD of per-user
+    * consecutive-event gaps (seconds), per event type.
+    */
+  private def q212GapStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($("user_id")).orderBy($("_ts"), $("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select($("event_type"), $("user_id"), $("event_id"),
+        epochS($("ts")).as("_ts"))
+      .withColumn("_gap", $("_ts") - lag($("_ts"), 1).over(w))
+      .filter($("_gap").isNotNull)
+    Profile.groupMedianMad(gaps, "event_type", "_gap")
+  }
+
+  /** Hapax rate per source — share of vocabulary seen exactly once,
+    * the vocabulary-richness / boilerplate-contamination signal.
+    */
+  private def q213Hapax(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select($("source"),
+        explode(TextAnalysis.tokens($("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("_n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when($("_n") === 1, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("hapax_rate",
+        $("hapax").cast("double") / $("vocab"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3325,6 +3369,9 @@ object SparkEntry {
     "q208_kwic" -> (q208Kwic _),
     "q209_lang_switches" -> (q209LangSwitches _),
     "q210_wedge_closure" -> (q210WedgeClosure _),
+    "q211_lang_summary" -> (q211LangSummary _),
+    "q212_gap_stats" -> (q212GapStats _),
+    "q213_hapax" -> (q213Hapax _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6712,5 +6759,62 @@ object SparkEntry {
         |  CASE WHEN (SELECT count(*) FROM wedges) > 0 THEN
         |    (SELECT count(*) FROM closed)::DOUBLE
         |      / (SELECT count(*) FROM wedges) END AS closure_rate""".stripMargin,
+    "q211_lang_summary" ->
+      """WITH b AS (SELECT lang,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS b,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |      AS t
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(b) AS BIGINT) AS total_bytes,
+        |  CAST(sum(t) AS BIGINT) AS total_tokens,
+        |  CASE WHEN sum(b) > 0 THEN
+        |    (CAST(sum(t) AS BIGINT) * 100)::DOUBLE / CAST(sum(b) AS BIGINT)
+        |  END AS tokens_per_100b,
+        |  CAST(sum(t) AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)
+        |    AS mean_doc_tokens
+        |FROM b GROUP BY lang""".stripMargin,
+    "q212_gap_stats" ->
+      """WITH e AS (SELECT event_type, user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+        |gp AS (SELECT event_type,
+        |    s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS x
+        |  FROM e),
+        |b AS (SELECT event_type AS g, x FROM gp WHERE x IS NOT NULL),
+        |c1 AS (SELECT g, x, count(*) AS n FROM b GROUP BY g, x),
+        |w1 AS (SELECT g, x,
+        |    sum(n) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY g) AS tot FROM c1),
+        |m1 AS (SELECT g,
+        |    min(CASE WHEN cum*2 >= tot + tot%2 THEN x END) +
+        |    min(CASE WHEN cum*2 >= tot - tot%2 + 2 THEN x END) AS med2
+        |  FROM w1 GROUP BY g),
+        |d AS (SELECT b.g, abs(b.x*2 - m1.med2) AS x FROM b JOIN m1 USING (g)),
+        |c2 AS (SELECT g, x, count(*) AS n FROM d GROUP BY g, x),
+        |w2 AS (SELECT g, x,
+        |    sum(n) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY g) AS tot FROM c2),
+        |m2 AS (SELECT g,
+        |    min(CASE WHEN cum*2 >= tot + tot%2 THEN x END) +
+        |    min(CASE WHEN cum*2 >= tot - tot%2 + 2 THEN x END) AS mad4
+        |  FROM w2 GROUP BY g),
+        |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g)
+        |SELECT cnt.g AS event_type, cnt.n AS n,
+        |  CAST(m1.med2 AS BIGINT)::DOUBLE / 2 AS median,
+        |  CAST(m2.mad4 AS BIGINT)::DOUBLE / 4 AS mad
+        |FROM cnt JOIN m1 USING (g) JOIN m2 USING (g)""".stripMargin,
+    "q213_hapax" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+        |    / CAST(count(*) AS BIGINT) AS hapax_rate
+        |FROM c GROUP BY source""".stripMargin,
   )
 }
