@@ -3156,6 +3156,51 @@ object SparkEntry {
       .withColumn("hapax_rate",
         $("hapax").cast("double") / $("vocab"))
 
+  /** Item-item CF — cosine similarity over basket co-occurrence, top-3
+    * neighbors per part category (builds on the Apriori pair counts).
+    */
+  private def q214ItemCf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.operators.Itemsets.frequentPairs(
+      t(s, dir, "lineitem")
+        .select($("l_orderkey").as("basket"), ($("l_partkey") % 50).as("item")),
+      "basket", "item", minSupport = 1L)
+    val sym = pairs.select($("item_a").as("i"), $("item_b").as("j"),
+        $("pair_cnt"), $("cnt_a").as("ci"), $("cnt_b").as("cj"))
+      .unionByName(pairs.select($("item_b").as("i"), $("item_a").as("j"),
+        $("pair_cnt"), $("cnt_b").as("ci"), $("cnt_a").as("cj")))
+      .withColumn("cosine", $("pair_cnt").cast("double") /
+        (sqrt($("ci").cast("double")) * sqrt($("cj").cast("double"))))
+    sym.withColumn("_rk", row_number().over(
+        Window.partitionBy($("i")).orderBy($("cosine").desc, $("j"))))
+      .filter($("_rk") <= 3)
+      .select($("i").as("item"), $("j").as("neighbor"), $("cosine"),
+        $("_rk").cast("long").as("rank"))
+  }
+
+  /** Half-life-decayed engagement per user cohort — freshness weighting
+    * with EXACT arithmetic: weeks-old k decays by 2^-k, summed as
+    * cents·2^(maxK−k) integers and divided once by 2^maxK.
+    */
+  private def q215DecayedScores(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val maxDay = to_date(lit("2024-01-31"))
+    val ev = Tables.events(s, dir).select(
+      ($("user_id") % 10).as("cohort"),
+      round($("value") * 100, 0).cast("long").as("cents"),
+      (datediff(maxDay, to_date($("ts").cast("timestamp"))) / 7)
+        .cast("long").as("_k"))
+    val maxK = 4 // 31 days / 7
+    ev.withColumn("_w",
+        ($("cents").cast(dec) *
+          expr(s"shiftleft(1L, cast($maxK - _k as int))")).cast(dec))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum($("_w")).as("_s"))
+      .withColumn("decayed_cents",
+        $("_s").cast("double") / (1L << maxK))
+      .select($("cohort"), $("n"), $("decayed_cents"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3372,6 +3417,8 @@ object SparkEntry {
     "q211_lang_summary" -> (q211LangSummary _),
     "q212_gap_stats" -> (q212GapStats _),
     "q213_hapax" -> (q213Hapax _),
+    "q214_item_cf" -> (q214ItemCf _),
+    "q215_decayed_scores" -> (q215DecayedScores _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6816,5 +6863,38 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
         |    / CAST(count(*) AS BIGINT) AS hapax_rate
         |FROM c GROUP BY source""".stripMargin,
+    "q214_item_cf" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 50 AS i
+        |  FROM lineitem),
+        |s AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM it GROUP BY i),
+        |f AS (SELECT i, cnt FROM s WHERE cnt >= 1),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS pc
+        |  FROM it a JOIN it b ON a.bk = b.bk AND a.i < b.i
+        |  WHERE a.i IN (SELECT i FROM f) AND b.i IN (SELECT i FROM f)
+        |  GROUP BY 1, 2 HAVING count(*) >= 1),
+        |sym AS (
+        |  SELECT item_a AS i, item_b AS j, pc, fa.cnt AS ci, fb.cnt AS cj
+        |  FROM p JOIN f fa ON fa.i = item_a JOIN f fb ON fb.i = item_b
+        |  UNION ALL
+        |  SELECT item_b, item_a, pc, fb.cnt, fa.cnt
+        |  FROM p JOIN f fa ON fa.i = item_a JOIN f fb ON fb.i = item_b),
+        |c AS (SELECT i, j,
+        |    pc::DOUBLE / (sqrt(ci::DOUBLE) * sqrt(cj::DOUBLE)) AS cosine
+        |  FROM sym),
+        |r AS (SELECT i, j, cosine,
+        |    row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rk
+        |  FROM c)
+        |SELECT i AS item, j AS neighbor, cosine, CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 3""".stripMargin,
+    "q215_decayed_scores" ->
+      """WITH e AS (SELECT user_id % 10 AS cohort,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    datediff('day', CAST(ts AS DATE), DATE '2024-01-31') // 7 AS k
+        |  FROM events)
+        |SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+        |  sum(cents::HUGEINT * (1::BIGINT << (4 - k)::INTEGER))::DOUBLE / 16
+        |    AS decayed_cents
+        |FROM e GROUP BY cohort""".stripMargin,
   )
 }
