@@ -3201,6 +3201,39 @@ object SparkEntry {
       .select($("cohort"), $("n"), $("decayed_cents"))
   }
 
+  /** Trending tokens — week-over-week risers over the event-props
+    * keyspace (counts per ISO week per key, lag comparison keyed by
+    * token — vocabulary-keyed windows, never a global sort).
+    */
+  private def q216TrendingTokens(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = weekofyear(to_date($("ts").cast("timestamp")))
+    val counts = Tables.events(s, dir)
+      .select(concat(lit("k"), get_json_object($("props"), "$.k"))
+        .as("token"), wk.as("week"))
+      .groupBy("token", "week").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("token").orderBy("week")
+    counts.withColumn("prev", lag($("cnt"), 1).over(w))
+      .filter($("prev").isNotNull && $("cnt") >= 20 && $("cnt") > $("prev"))
+      .select($("token"), $("week").cast("long").as("week"),
+        $("prev"), $("cnt"))
+  }
+
+  /** Cross-source duplicate matrix — shared 5-token OPENING
+    * fingerprints per source pair (boilerplate/teaser reuse across
+    * crawls; the exact-prefix companion to the n-gram overlap matrix).
+    */
+  private def q217DupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.TextAnalysis.tokens($("text"))
+    val fps = t(s, dir, "documents")
+      .select($("source"),
+        md5(array_join(slice(toks, 1, 5), " ")).as("fp")).distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3419,6 +3452,8 @@ object SparkEntry {
     "q213_hapax" -> (q213Hapax _),
     "q214_item_cf" -> (q214ItemCf _),
     "q215_decayed_scores" -> (q215DecayedScores _),
+    "q216_trending_tokens" -> (q216TrendingTokens _),
+    "q217_dup_matrix" -> (q217DupMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6896,5 +6931,24 @@ object SparkEntry {
         |  sum(cents::HUGEINT * (1::BIGINT << (4 - k)::INTEGER))::DOUBLE / 16
         |    AS decayed_cents
         |FROM e GROUP BY cohort""".stripMargin,
+    "q216_trending_tokens" ->
+      """WITH c AS (SELECT 'k' || json_extract_string(props, '$.k') AS token,
+        |    CAST(weekofyear(ts) AS BIGINT) AS week,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT token, week, cnt,
+        |    lag(cnt) OVER (PARTITION BY token ORDER BY week) AS prev
+        |  FROM c)
+        |SELECT token, week, prev, cnt FROM l
+        |WHERE prev IS NOT NULL AND cnt >= 20 AND cnt > prev""".stripMargin,
+    "q217_dup_matrix" ->
+      """WITH fp AS (SELECT DISTINCT source,
+        |    md5(array_to_string(string_split_regex(trim(text), '\s+')[1:5], ' '))
+        |      AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
   )
 }
