@@ -112,6 +112,24 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.orderBy("id").collect().toSeq)
   }
 
+  test("schema evolution: mergeSchema unions old and new columns, " +
+      "old rows null-fill") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evo").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(dir)
+    Seq((3L, "c", 30L)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("extra", "id", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("extra"))) // old row
+    assert(rows(2).getLong(rows(2).fieldIndex("extra")) == 30L)
+    // without mergeSchema the footer-sampled schema may miss the new
+    // column — the reason incremental feeds read with it ON
+  }
+
   test("compactToTarget merges small files shuffle-free, content-equal") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_compact").toString
