@@ -3234,6 +3234,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Eval contamination report card — the REVERSE view of q86: per
+    * EVAL doc, what share of its grams the training corpus already
+    * contains (which benchmark items are compromised, not which
+    * training docs to cut).
+    */
+  private def q218EvalContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.contaminationScores(
+      d.filter($("doc_id") % 97 === 0).select($("doc_id").as("id"), $("text")),
+      d.filter($("doc_id") % 97 =!= 0).select($("text")),
+      "id", "text", n = 3, threshold = 0.5)
+  }
+
+  /** Length-decile mix per source — who contributes the corpus's long
+    * tail (global equi-depth deciles × source counts).
+    */
+  private def q219DecileMix(s: SparkSession, dir: String): DataFrame =
+    Profile.rankBucketMix(
+      t(s, dir, "documents").select($("source"), $("n_chars")),
+      "source", "n_chars", k = 10)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3454,6 +3475,8 @@ object SparkEntry {
     "q215_decayed_scores" -> (q215DecayedScores _),
     "q216_trending_tokens" -> (q216TrendingTokens _),
     "q217_dup_matrix" -> (q217DupMatrix _),
+    "q218_eval_contamination" -> (q218EvalContamination _),
+    "q219_decile_mix" -> (q219DecileMix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6949,6 +6972,39 @@ object SparkEntry {
         |SELECT a.source AS src_a, b.source AS src_b,
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    "q218_eval_contamination" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |            FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ')
+        |                         for i in range(1, greatest(len(l)-2, 1)+1)]) AS g
+        |  FROM tk)),
+        |corpus AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 <> 0),
+        |ev AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM ev GROUP BY doc_id),
+        |ov AS (SELECT e.doc_id, count(*) AS overlap
+        |       FROM ev e JOIN corpus c ON e.g = c.g GROUP BY e.doc_id)
+        |SELECT s.doc_id,
+        |  CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap,
+        |  CAST(s.sz AS BIGINT) AS sz,
+        |  round(coalesce(o.overlap, 0)::DOUBLE / s.sz, 6) AS ratio,
+        |  coalesce(o.overlap, 0)::DOUBLE / s.sz >= 0.5 AS contaminated
+        |FROM sz s LEFT JOIN ov o ON s.doc_id = o.doc_id""".stripMargin,
+    "q219_decile_mix" ->
+      """WITH c AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+        |  GROUP BY 1),
+        |r AS (SELECT v, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |vb AS (SELECT v, (cb * 10) // tot AS bucket FROM r, t)
+        |SELECT d.source, vb.bucket, CAST(count(*) AS BIGINT) AS n
+        |FROM documents d JOIN vb ON d.n_chars = vb.v
+        |WHERE d.n_chars IS NOT NULL AND d.n_chars >= 0
         |GROUP BY 1, 2""".stripMargin,
   )
 }

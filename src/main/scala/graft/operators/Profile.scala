@@ -133,6 +133,29 @@ object Profile {
       .drop("_b", "_cin", "_off", "_T")
   }
 
+  /** Rank-bucket mix — CORPUS-WIDE equi-depth buckets of a value,
+    * crossed with a grouping column: "which sources contribute the long
+    * tail" read directly (each bucket holds ~1/k of all rows, so a
+    * group's share per bucket is comparable across buckets without
+    * normalization). Buckets come from the [[bucketByRank]] distributed
+    * rank over distinct values; rows re-attach by a value-keyed join.
+    *
+    * Output: (groupCol, bucket, n).
+    */
+  def rankBucketMix(
+      df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val c = df.select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull && col("_v") >= 0)
+      .groupBy("_v").agg(count(lit(1)).as("_n"))
+    val vb = bucketByRank(c, k).select("_v", "bucket")
+    df.select(col(groupCol), col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull && col("_v") >= 0)
+      .join(vb, Seq("_v"))
+      .groupBy(groupCol, "bucket").agg(count(lit(1)).as("n"))
+  }
+
   /** Calibration / reliability table for an integer score against a
     * binary label: equi-depth score deciles (the [[bucketByRank]] core —
     * values never split across buckets), and per bucket the observed
