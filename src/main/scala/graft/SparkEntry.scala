@@ -3255,6 +3255,45 @@ object SparkEntry {
       t(s, dir, "documents").select($("source"), $("n_chars")),
       "source", "n_chars", k = 10)
 
+  /** Funnel timing — median + MAD seconds from first 'view' to first
+    * subsequent 'purchase' per user cohort (composes the funnel with
+    * the exact robust stats).
+    */
+  private def q220FunnelTiming(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select($("user_id"), $("event_type"), epochS($("ts")).as("sec"))
+    val v = ev.filter($("event_type") === "view")
+      .groupBy("user_id").agg(min($("sec")).as("v_sec"))
+    val p = ev.filter($("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter($("sec") > $("v_sec"))
+      .groupBy("user_id").agg(min($("sec")).as("p_sec"))
+    val deltas = v.join(p, "user_id")
+      .select(($("user_id") % 10).as("cohort"),
+        ($("p_sec") - $("v_sec")).as("delta"))
+    Profile.groupMedianMad(deltas, "cohort", "delta")
+  }
+
+  /** PII incidence per source — email/IP/phone hits per 1000 docs, the
+    * compliance dashboard for redaction triage.
+    */
+  private def q221PiiRates(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+    t(s, dir, "documents")
+      .select($("source"),
+        regexp_count($("text"), lit(EmailRe)).cast("long").as("_e"),
+        regexp_count($("text"), lit(Ipv4Re)).cast("long").as("_i"),
+        regexp_count($("text"), lit(PhoneRe)).cast("long").as("_p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($("_e")).as("emails"), sum($("_i")).as("ips"),
+        sum($("_p")).as("phones"),
+        sum(when($("_e") + $("_i") + $("_p") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"))
+      .withColumn("pii_per_1000",
+        ($("docs_with_pii") * 1000).cast("double") / $("n_docs"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3477,6 +3516,8 @@ object SparkEntry {
     "q217_dup_matrix" -> (q217DupMatrix _),
     "q218_eval_contamination" -> (q218EvalContamination _),
     "q219_decile_mix" -> (q219DecileMix _),
+    "q220_funnel_timing" -> (q220FunnelTiming _),
+    "q221_pii_rates" -> (q221PiiRates _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7006,5 +7047,57 @@ object SparkEntry {
         |FROM documents d JOIN vb ON d.n_chars = vb.v
         |WHERE d.n_chars IS NOT NULL AND d.n_chars >= 0
         |GROUP BY 1, 2""".stripMargin,
+    "q220_funnel_timing" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |v AS (SELECT user_id, min(sec) AS v_sec FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.sec) AS p_sec
+        |  FROM ev e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.sec > v.v_sec GROUP BY 1),
+        |b AS (SELECT v.user_id % 10 AS g, p.p_sec - v.v_sec AS x
+        |  FROM v JOIN p USING (user_id)),
+        |c1 AS (SELECT g, x, count(*) AS n FROM b GROUP BY g, x),
+        |w1 AS (SELECT g, x,
+        |    sum(n) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY g) AS tot FROM c1),
+        |m1 AS (SELECT g,
+        |    min(CASE WHEN cum*2 >= tot + tot%2 THEN x END) +
+        |    min(CASE WHEN cum*2 >= tot - tot%2 + 2 THEN x END) AS med2
+        |  FROM w1 GROUP BY g),
+        |d AS (SELECT b.g, abs(b.x*2 - m1.med2) AS x FROM b JOIN m1 USING (g)),
+        |c2 AS (SELECT g, x, count(*) AS n FROM d GROUP BY g, x),
+        |w2 AS (SELECT g, x,
+        |    sum(n) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY g) AS tot FROM c2),
+        |m2 AS (SELECT g,
+        |    min(CASE WHEN cum*2 >= tot + tot%2 THEN x END) +
+        |    min(CASE WHEN cum*2 >= tot - tot%2 + 2 THEN x END) AS mad4
+        |  FROM w2 GROUP BY g),
+        |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g)
+        |SELECT cnt.g AS cohort, cnt.n AS n,
+        |  CAST(m1.med2 AS BIGINT)::DOUBLE / 2 AS median,
+        |  CAST(m2.mad4 AS BIGINT)::DOUBLE / 4 AS mad
+        |FROM cnt JOIN m1 USING (g) JOIN m2 USING (g)""".stripMargin,
+    "q221_pii_rates" ->
+      """WITH b AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS e,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS i,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS p
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(e) AS BIGINT) AS emails, CAST(sum(i) AS BIGINT) AS ips,
+        |  CAST(sum(p) AS BIGINT) AS phones,
+        |  CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_pii,
+        |  (CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000)::DOUBLE / CAST(count(*) AS BIGINT) AS pii_per_1000
+        |FROM b GROUP BY source""".stripMargin,
   )
 }
