@@ -3294,6 +3294,34 @@ object SparkEntry {
         ($("docs_with_pii") * 1000).cast("double") / $("n_docs"))
   }
 
+  /** Non-ASCII character share per language — the mojibake/emoji/CJK
+    * profile (zh should stand out; an en source drifting up is a
+    * decoding bug).
+    */
+  private def q222NonAscii(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select($("lang"), length($("text")).cast("long").as("_c"),
+        (length($("text")) -
+          length(regexp_replace($("text"), "[^\\x00-\\x7F]", "")))
+          .cast("long").as("_na"))
+      .groupBy("lang")
+      .agg(sum($("_c")).as("chars"), sum($("_na")).as("non_ascii"))
+      .withColumn("non_ascii_share",
+        when($("chars") > 0, $("non_ascii").cast("double") / $("chars")))
+
+  /** Per-user activity bitmap — January days-active packed into a long
+    * via bit_or, active-day count via bit_count; the retention-tooling
+    * aggregation shape (bitmaps union across shards for free).
+    */
+  private def q223ActivityBitmap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select($("user_id"),
+        expr("shiftleft(1L, cast(dayofmonth(cast(ts as timestamp)) - 1 as int))")
+          .as("_bit"))
+      .groupBy("user_id")
+      .agg(bit_or($("_bit")).as("bitmap"))
+      .withColumn("days_active", bit_count($("bitmap")).cast("long"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3518,6 +3546,8 @@ object SparkEntry {
     "q219_decile_mix" -> (q219DecileMix _),
     "q220_funnel_timing" -> (q220FunnelTiming _),
     "q221_pii_rates" -> (q221PiiRates _),
+    "q222_non_ascii" -> (q222NonAscii _),
+    "q223_activity_bitmap" -> (q223ActivityBitmap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7099,5 +7129,23 @@ object SparkEntry {
         |  (CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000)::DOUBLE / CAST(count(*) AS BIGINT) AS pii_per_1000
         |FROM b GROUP BY source""".stripMargin,
+    "q222_non_ascii" ->
+      """WITH b AS (SELECT lang, CAST(len(text) AS BIGINT) AS c,
+        |    CAST(len(text) - len(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+        |      AS BIGINT) AS na
+        |  FROM documents)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS chars,
+        |  CAST(sum(na) AS BIGINT) AS non_ascii,
+        |  CASE WHEN sum(c) > 0 THEN
+        |    CAST(sum(na) AS BIGINT)::DOUBLE / CAST(sum(c) AS BIGINT) END
+        |    AS non_ascii_share
+        |FROM b GROUP BY lang""".stripMargin,
+    "q223_activity_bitmap" ->
+      """SELECT user_id,
+        |  CAST(bit_or(1::BIGINT << (datepart('day', ts) - 1)) AS BIGINT)
+        |    AS bitmap,
+        |  CAST(bit_count(bit_or(1::BIGINT << (datepart('day', ts) - 1)))
+        |    AS BIGINT) AS days_active
+        |FROM events GROUP BY user_id""".stripMargin,
   )
 }
