@@ -3322,6 +3322,38 @@ object SparkEntry {
       .agg(bit_or($("_bit")).as("bitmap"))
       .withColumn("days_active", bit_count($("bitmap")).cast("long"))
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * day − row_number island key (constant within a run), one window
+    * per user over distinct days.
+    */
+  private def q224LongestStreak(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, dir)
+      .select($("user_id"),
+        dayofmonth($("ts").cast("timestamp")).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days.withColumn("_isl", $("day") - row_number().over(w))
+      .groupBy("user_id", "_isl").agg(count(lit(1)).as("_len"))
+      .groupBy("user_id")
+      .agg(max($("_len")).as("longest_streak"),
+        sum($("_len")).as("days_active"))
+  }
+
+  /** Order-to-ship latency robust stats per priority — exact median +
+    * MAD of datediff days (the TPC-H ops question with outlier-proof
+    * statistics).
+    */
+  private def q225LatencyStats(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        $("l_orderkey") === $("o_orderkey"))
+      .select($("o_orderpriority"),
+        datediff($("l_shipdate"), $("o_orderdate")).cast("long")
+          .as("lat_days"))
+    Profile.groupMedianMad(j, "o_orderpriority", "lat_days")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3548,6 +3580,8 @@ object SparkEntry {
     "q221_pii_rates" -> (q221PiiRates _),
     "q222_non_ascii" -> (q222NonAscii _),
     "q223_activity_bitmap" -> (q223ActivityBitmap _),
+    "q224_longest_streak" -> (q224LongestStreak _),
+    "q225_latency_stats" -> (q225LatencyStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7147,5 +7181,45 @@ object SparkEntry {
         |  CAST(bit_count(bit_or(1::BIGINT << (datepart('day', ts) - 1)))
         |    AS BIGINT) AS days_active
         |FROM events GROUP BY user_id""".stripMargin,
+    "q224_longest_streak" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(datepart('day', ts) AS BIGINT) AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS isl
+        |  FROM d),
+        |runs AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS days_active
+        |FROM runs GROUP BY user_id""".stripMargin,
+    "q225_latency_stats" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+        |    CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS x
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |c1 AS (SELECT g, x, count(*) AS n FROM b GROUP BY g, x),
+        |w1 AS (SELECT g, x,
+        |    sum(n) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY g) AS tot FROM c1),
+        |m1 AS (SELECT g,
+        |    min(CASE WHEN cum*2 >= tot + tot%2 THEN x END) +
+        |    min(CASE WHEN cum*2 >= tot - tot%2 + 2 THEN x END) AS med2
+        |  FROM w1 GROUP BY g),
+        |d AS (SELECT b.g, abs(b.x*2 - m1.med2) AS x FROM b JOIN m1 USING (g)),
+        |c2 AS (SELECT g, x, count(*) AS n FROM d GROUP BY g, x),
+        |w2 AS (SELECT g, x,
+        |    sum(n) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY g) AS tot FROM c2),
+        |m2 AS (SELECT g,
+        |    min(CASE WHEN cum*2 >= tot + tot%2 THEN x END) +
+        |    min(CASE WHEN cum*2 >= tot - tot%2 + 2 THEN x END) AS mad4
+        |  FROM w2 GROUP BY g),
+        |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g)
+        |SELECT cnt.g AS o_orderpriority, cnt.n AS n,
+        |  CAST(m1.med2 AS BIGINT)::DOUBLE / 2 AS median,
+        |  CAST(m2.mad4 AS BIGINT)::DOUBLE / 4 AS mad
+        |FROM cnt JOIN m1 USING (g) JOIN m2 USING (g)""".stripMargin,
   )
 }
