@@ -3354,6 +3354,62 @@ object SparkEntry {
     Profile.groupMedianMad(j, "o_orderpriority", "lat_days")
   }
 
+  /** Referential-integrity dashboard — orphan counts across the star
+    * schema's FK edges in one union (anti-join counts per relation).
+    */
+  private def q226RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame = {
+      val orphans = fact.join(dim.select(col(pk)),
+        fact(fk) === col(pk), "left_anti")
+      fact.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+        .select(lit(name).as("relation"), $("n_rows"), $("n_orphans"))
+    }
+    check("lineitem.l_orderkey->orders",
+        t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey")
+      .unionByName(check("orders.o_custkey->customer",
+        t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey"))
+      .unionByName(check("customer.c_nationkey->nation",
+        t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+  }
+
+  /** Primary-key uniqueness audit across the star schema. */
+  private def q227PkAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, df: DataFrame, pk: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(pk)).as("n_distinct"))
+        .select(lit(name).as("table_pk"), $("n_rows"), $("n_distinct"),
+          ($("n_rows") - $("n_distinct")).as("dup_rows"))
+    audit("orders.o_orderkey", t(s, dir, "orders"), "o_orderkey")
+      .unionByName(audit("customer.c_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .unionByName(audit("part.p_partkey", t(s, dir, "part"), "p_partkey"))
+      .unionByName(audit("supplier.s_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"))
+  }
+
+  /** Value reconciliation — o_totalprice vs the cents-exact sum of its
+    * lineitems' extendedprice·(1−disc)·(1+tax); mismatches beyond one
+    * cent counted, worst diff surfaced.
+    */
+  private def q228ValueRecon(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lineCents = round($("l_extendedprice") * (lit(1.0) - $("l_discount"))
+      * (lit(1.0) + $("l_tax")) * 100, 0).cast("long")
+    val sums = t(s, dir, "lineitem")
+      .select($("l_orderkey").as("ok"), lineCents.as("_c"))
+      .groupBy("ok").agg(sum(col("_c").cast(dec)).as("_sum"))
+    val diffs = t(s, dir, "orders")
+      .select($("o_orderkey"),
+        round($("o_totalprice") * 100, 0).cast("long").as("_tot"))
+      .join(sums, $("o_orderkey") === $("ok"))
+      .select(abs($("_tot").cast(dec) - $("_sum")).cast("long").as("_d"))
+    diffs.agg(count(lit(1)).as("n_orders"),
+      sum(when($("_d") > 1, 1L).otherwise(0L)).as("n_mismatch"),
+      max($("_d")).as("max_diff_cents"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3582,6 +3638,9 @@ object SparkEntry {
     "q223_activity_bitmap" -> (q223ActivityBitmap _),
     "q224_longest_streak" -> (q224LongestStreak _),
     "q225_latency_stats" -> (q225LatencyStats _),
+    "q226_ref_integrity" -> (q226RefIntegrity _),
+    "q227_pk_audit" -> (q227PkAudit _),
+    "q228_value_recon" -> (q228ValueRecon _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7221,5 +7280,53 @@ object SparkEntry {
         |  CAST(m1.med2 AS BIGINT)::DOUBLE / 2 AS median,
         |  CAST(m2.mad4 AS BIGINT)::DOUBLE / 4 AS mad
         |FROM cnt JOIN m1 USING (g) JOIN m2 USING (g)""".stripMargin,
+    "q226_ref_integrity" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    AS n_orphans
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))""".stripMargin,
+    "q227_pk_audit" ->
+      """SELECT 'orders.o_orderkey' AS table_pk,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_rows
+        |FROM orders
+        |UNION ALL
+        |SELECT 'customer.c_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'part.p_partkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT p_partkey) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT) FROM part
+        |UNION ALL
+        |SELECT 'supplier.s_suppkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT s_suppkey) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT s_suppkey) AS BIGINT) FROM supplier""".stripMargin,
+    "q228_value_recon" ->
+      """WITH lc AS (SELECT l_orderkey AS ok,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * (1.0 + l_tax) * 100, 0) AS BIGINT) AS c
+        |  FROM lineitem),
+        |s AS (SELECT ok, sum(c) AS sm FROM lc GROUP BY ok),
+        |d AS (SELECT abs(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      - CAST(sm AS BIGINT)) AS dd
+        |  FROM orders JOIN s ON o_orderkey = ok)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mismatch,
+        |  CAST(max(dd) AS BIGINT) AS max_diff_cents
+        |FROM d""".stripMargin,
   )
 }
