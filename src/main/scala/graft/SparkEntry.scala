@@ -3410,6 +3410,48 @@ object SparkEntry {
       max($("_d")).as("max_diff_cents"))
   }
 
+  /** Token branching factor — distinct successor count per token for
+    * the 20 most frequent tokens (lexical diversity: low branching =
+    * templated text).
+    */
+  private def q229Branching(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.operators.TextAnalysis.tokens($("text"))
+    val bi = docs(s, dir).select(
+        posexplode(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+          .as(Seq("_i", "w1")),
+        toks.as("_t"))
+      .select($("w1"), element_at($("_t"), $("_i") + 2).as("w2"))
+    val stats = bi.groupBy("w1")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct($("w2")).as("distinct_next"))
+    stats.withColumn("_rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy($("occurrences").desc, $("w1"))))
+      .filter($("_rk") <= 20)
+      .select($("w1").as("token"), $("occurrences"), $("distinct_next"),
+        ($("distinct_next").cast("double") / $("occurrences"))
+          .as("branching_ratio"))
+  }
+
+  /** Shuffle-partition skew report — per candidate join key, the load
+    * of the hottest of 32 md5-derived partitions vs the mean (the
+    * salting-decision diagnostic, engine-portable hash).
+    */
+  private def q230PartitionSkew(s: SparkSession, dir: String): DataFrame = {
+    def skew(name: String, df: DataFrame, keyCol: String): DataFrame =
+      df.select((Sampling.keyHash60(col(keyCol), "graft") % 32).as("_p"))
+        .groupBy("_p").agg(count(lit(1)).as("_n"))
+        .agg(sum($("_n")).as("n_rows"), max($("_n")).as("max_load"))
+        .select(lit(name).as("key"), $("n_rows"), $("max_load"),
+          (($("max_load") * 32).cast("double") / $("n_rows"))
+            .as("skew_ratio"))
+    skew("lineitem.l_orderkey", t(s, dir, "lineitem"), "l_orderkey")
+      .unionByName(skew("lineitem.l_partkey",
+        t(s, dir, "lineitem"), "l_partkey"))
+      .unionByName(skew("lineitem.l_suppkey",
+        t(s, dir, "lineitem"), "l_suppkey"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3641,6 +3683,8 @@ object SparkEntry {
     "q226_ref_integrity" -> (q226RefIntegrity _),
     "q227_pk_audit" -> (q227PkAudit _),
     "q228_value_recon" -> (q228ValueRecon _),
+    "q229_branching" -> (q229Branching _),
+    "q230_partition_skew" -> (q230PartitionSkew _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7328,5 +7372,45 @@ object SparkEntry {
         |    AS n_mismatch,
         |  CAST(max(dd) AS BIGINT) AS max_diff_cents
         |FROM d""".stripMargin,
+    "q229_branching" ->
+      """WITH tk AS (SELECT string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |bi AS (SELECT l[i] AS w1, l[i+1] AS w2
+        |  FROM tk, unnest(range(1, greatest(len(l) - 1, 0) + 1)) AS t(i)),
+        |st AS (SELECT w1, CAST(count(*) AS BIGINT) AS occurrences,
+        |    CAST(count(DISTINCT w2) AS BIGINT) AS distinct_next
+        |  FROM bi GROUP BY w1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY occurrences DESC, w1)
+        |    AS rk FROM st)
+        |SELECT w1 AS token, occurrences, distinct_next,
+        |  distinct_next::DOUBLE / occurrences AS branching_ratio
+        |FROM r WHERE rk <= 20""".stripMargin,
+    "q230_partition_skew" ->
+      """WITH p1 AS (SELECT ('0x'||substr(md5(l_orderkey::VARCHAR||'|'||'graft'),1,15))::BIGINT % 32 AS p
+        |  FROM lineitem),
+        |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p1 GROUP BY p),
+        |p2 AS (SELECT ('0x'||substr(md5(l_partkey::VARCHAR||'|'||'graft'),1,15))::BIGINT % 32 AS p
+        |  FROM lineitem),
+        |a2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p2 GROUP BY p),
+        |p3 AS (SELECT ('0x'||substr(md5(l_suppkey::VARCHAR||'|'||'graft'),1,15))::BIGINT % 32 AS p
+        |  FROM lineitem),
+        |a3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p3 GROUP BY p)
+        |SELECT 'lineitem.l_orderkey' AS key,
+        |  (SELECT CAST(sum(n) AS BIGINT) FROM a1) AS n_rows,
+        |  (SELECT CAST(max(n) AS BIGINT) FROM a1) AS max_load,
+        |  ((SELECT CAST(max(n) AS BIGINT) FROM a1) * 32)::DOUBLE
+        |    / (SELECT CAST(sum(n) AS BIGINT) FROM a1) AS skew_ratio
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey',
+        |  (SELECT CAST(sum(n) AS BIGINT) FROM a2),
+        |  (SELECT CAST(max(n) AS BIGINT) FROM a2),
+        |  ((SELECT CAST(max(n) AS BIGINT) FROM a2) * 32)::DOUBLE
+        |    / (SELECT CAST(sum(n) AS BIGINT) FROM a2)
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey',
+        |  (SELECT CAST(sum(n) AS BIGINT) FROM a3),
+        |  (SELECT CAST(max(n) AS BIGINT) FROM a3),
+        |  ((SELECT CAST(max(n) AS BIGINT) FROM a3) * 32)::DOUBLE
+        |    / (SELECT CAST(sum(n) AS BIGINT) FROM a3)""".stripMargin,
   )
 }
