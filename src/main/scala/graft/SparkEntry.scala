@@ -3452,6 +3452,42 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_suppkey"))
   }
 
+  /** Independence test table — line-status × return-flag chi-square
+    * contributions from the margins, (o·N − r·c)²/(N·r·c) integer-exact.
+    */
+  private def q231Independence(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = t(s, dir, "lineitem")
+      .groupBy($("l_linestatus").as("a"), $("l_returnflag").as("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false) // cells²-sized; four consumers
+    val ra = cells.groupBy("a").agg(sum($("o")).as("ra"))
+    val cb = cells.groupBy("b").agg(sum($("o")).as("cb"))
+    val n = cells.agg(sum($("o")).as("N"))
+    val num = ($("o").cast(dec) * $("N") - $("ra").cast(dec) * $("cb"))
+    cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(n))
+      .select($("a").as("linestatus"), $("b").as("returnflag"), $("o"),
+        ((num * num).cast(dec).cast("double") /
+          ($("N").cast(dec) * $("ra") * $("cb")).cast(dec).cast("double"))
+          .as("contribution"))
+  }
+
+  /** Day-of-week seasonality index per event type — observed share vs
+    * uniform, integer-exact ratio ·7.
+    */
+  private def q232DowSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy($("event_type"),
+        dayofweek($("ts").cast("timestamp")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // type×7-sized; two consumers
+    val tot = counts.groupBy("event_type").agg(sum($("n")).as("_t"))
+    counts.join(broadcast(tot), "event_type")
+      .select($("event_type"), $("dow"), $("n"),
+        (($("n") * 7).cast("double") / $("_t")).as("seasonality_index"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3685,6 +3721,8 @@ object SparkEntry {
     "q228_value_recon" -> (q228ValueRecon _),
     "q229_branching" -> (q229Branching _),
     "q230_partition_skew" -> (q230PartitionSkew _),
+    "q231_independence" -> (q231Independence _),
+    "q232_dow_seasonality" -> (q232DowSeasonality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7412,5 +7450,26 @@ object SparkEntry {
         |  (SELECT CAST(max(n) AS BIGINT) FROM a3),
         |  ((SELECT CAST(max(n) AS BIGINT) FROM a3) * 32)::DOUBLE
         |    / (SELECT CAST(sum(n) AS BIGINT) FROM a3)""".stripMargin,
+    "q231_independence" ->
+      """WITH c AS (SELECT l_linestatus AS a, l_returnflag AS b,
+        |    CAST(count(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2),
+        |rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS rr FROM c GROUP BY a),
+        |cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS cc FROM c GROUP BY b),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS N FROM c)
+        |SELECT c.a AS linestatus, c.b AS returnflag, o,
+        |  ((o::HUGEINT * N - rr::HUGEINT * cc)
+        |    * (o::HUGEINT * N - rr::HUGEINT * cc))::DOUBLE
+        |    / ((N::HUGEINT * rr * cc))::DOUBLE AS contribution
+        |FROM c JOIN rm USING (a) JOIN cm USING (b), t""".stripMargin,
+    "q232_dow_seasonality" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(datepart('dow', ts) + 1 AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt FROM c
+        |  GROUP BY 1)
+        |SELECT c.event_type, dow, n,
+        |  (n * 7)::DOUBLE / tt AS seasonality_index
+        |FROM c JOIN t USING (event_type)""".stripMargin,
   )
 }
