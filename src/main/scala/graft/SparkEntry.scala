@@ -3488,6 +3488,28 @@ object SparkEntry {
         (($("n") * 7).cast("double") / $("_t")).as("seasonality_index"))
   }
 
+  /** RFM segmentation — customers scored into 5 equi-depth buckets per
+    * recency/frequency/monetary, segment sizes reported (bucket 0 =
+    * lowest value: most-recent R, least-frequent F, lowest-spend M).
+    */
+  private def q233Rfm(s: SparkSession, dir: String): DataFrame = {
+    val anchor = to_date(lit("2001-08-02"))
+    val cust = t(s, dir, "orders")
+      .groupBy($("o_custkey"))
+      .agg(datediff(anchor, max($("o_orderdate"))).cast("long").as("rec"),
+        count(lit(1)).as("freq"),
+        sum(round($("o_totalprice") * 100, 0).cast("long")).as("mon"))
+    def tag(metric: String, out: String) =
+      Profile.valueRankBuckets(cust, metric, 5)
+        .withColumnRenamed("_v", metric).withColumnRenamed("bucket", out)
+    cust
+      .join(tag("rec", "r"), Seq("rec"))
+      .join(tag("freq", "f"), Seq("freq"))
+      .join(tag("mon", "m"), Seq("mon"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3723,6 +3745,7 @@ object SparkEntry {
     "q230_partition_skew" -> (q230PartitionSkew _),
     "q231_independence" -> (q231Independence _),
     "q232_dow_seasonality" -> (q232DowSeasonality _),
+    "q233_rfm" -> (q233Rfm _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7471,5 +7494,34 @@ object SparkEntry {
         |SELECT c.event_type, dow, n,
         |  (n * 7)::DOUBLE / tt AS seasonality_index
         |FROM c JOIN t USING (event_type)""".stripMargin,
+    "q233_rfm" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    CAST(datediff('day', max(o_orderdate), DATE '2001-08-02')
+        |      AS BIGINT) AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |cr AS (SELECT rec AS v, count(*) AS n FROM cust GROUP BY 1),
+        |rr AS (SELECT v, CAST(coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cb, (SELECT CAST(sum(n) AS BIGINT) FROM cr) AS tot FROM cr),
+        |br AS (SELECT v, (cb * 5) // tot AS r FROM rr),
+        |cf AS (SELECT freq AS v, count(*) AS n FROM cust GROUP BY 1),
+        |rf AS (SELECT v, CAST(coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cb, (SELECT CAST(sum(n) AS BIGINT) FROM cf) AS tot FROM cf),
+        |bf AS (SELECT v, (cb * 5) // tot AS f FROM rf),
+        |cm AS (SELECT mon AS v, count(*) AS n FROM cust GROUP BY 1),
+        |rm AS (SELECT v, CAST(coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cb, (SELECT CAST(sum(n) AS BIGINT) FROM cm) AS tot FROM cm),
+        |bm AS (SELECT v, (cb * 5) // tot AS m FROM rm)
+        |SELECT br.r, bf.f, bm.m, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM cust
+        |JOIN br ON cust.rec = br.v
+        |JOIN bf ON cust.freq = bf.v
+        |JOIN bm ON cust.mon = bm.v
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 }

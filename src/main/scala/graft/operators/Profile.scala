@@ -133,6 +133,18 @@ object Profile {
       .drop("_b", "_cin", "_off", "_T")
   }
 
+  /** The (value → equi-depth bucket) mapping itself — join it back to
+    * rows when a per-row bucket is needed (RFM scoring, decile tags).
+    */
+  def valueRankBuckets(
+      df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val c = df.select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull && col("_v") >= 0)
+      .groupBy("_v").agg(count(lit(1)).as("_n"))
+    bucketByRank(c, k).select(col("_v"), col("bucket"))
+  }
+
   /** Rank-bucket mix — CORPUS-WIDE equi-depth buckets of a value,
     * crossed with a grouping column: "which sources contribute the long
     * tail" read directly (each bucket holds ~1/k of all rows, so a
