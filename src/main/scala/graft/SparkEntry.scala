@@ -3510,6 +3510,35 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_customers"))
   }
 
+  /** Sequential purchase rules — category A's first order strictly
+    * before category B's first order per customer; support counted per
+    * ordered pair (bounded per-customer fan-out, never all-orders).
+    */
+  private def q234SequenceRules(s: SparkSession, dir: String): DataFrame = {
+    val firsts = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $("l_orderkey") === $("o_orderkey"))
+      .groupBy($("o_custkey").as("cust"), ($("l_partkey") % 10).as("cat"))
+      .agg(min($("o_orderdate")).as("first_dt"))
+    firsts.as("a").join(firsts.as("b"),
+        col("a.cust") === col("b.cust") &&
+          (col("a.first_dt") < col("b.first_dt")))
+      .groupBy(col("a.cat").as("cat_first"), col("b.cat").as("cat_then"))
+      .agg(count(lit(1)).as("support"))
+      .filter($("support") >= 50)
+  }
+
+  /** SLA breach rate per ISO week — share of lineitems shipping > 60
+    * days after order, with Wilson bounds (proportionCi composed).
+    */
+  private def q235SlaBreach(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $("l_orderkey") === $("o_orderkey"))
+      .select(graft.functions.isoWeek($("o_orderdate")).as("week"),
+        (datediff($("l_shipdate"), $("o_orderdate")) > 60).as("breach"))
+    Profile.proportionCi(j, "week", $("breach"))
+      .withColumnRenamed("group", "week")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3746,6 +3775,8 @@ object SparkEntry {
     "q231_independence" -> (q231Independence _),
     "q232_dow_seasonality" -> (q232DowSeasonality _),
     "q233_rfm" -> (q233Rfm _),
+    "q234_sequence_rules" -> (q234SequenceRules _),
+    "q235_sla_breach" -> (q235SlaBreach _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7523,5 +7554,38 @@ object SparkEntry {
         |JOIN bf ON cust.freq = bf.v
         |JOIN bm ON cust.mon = bm.v
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q234_sequence_rules" ->
+      """WITH f AS (SELECT o_custkey AS cust, l_partkey % 10 AS cat,
+        |    min(o_orderdate) AS first_dt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT a.cat AS cat_first, b.cat AS cat_then,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM f a JOIN f b ON a.cust = b.cust AND a.first_dt < b.first_dt
+        |GROUP BY 1, 2 HAVING count(*) >= 50""".stripMargin,
+    "q235_sla_breach" ->
+      """WITH b AS (SELECT
+        |    concat(CAST(isoyear(o_orderdate) AS VARCHAR), '-W',
+        |      lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0'))
+        |      AS week,
+        |    datediff('day', o_orderdate, l_shipdate) > 60 AS breach
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (SELECT week, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN breach THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM b GROUP BY 1),
+        |e AS (SELECT week, n, k,
+        |    k::DOUBLE / n::DOUBLE AS p, n::DOUBLE AS nd,
+        |    1.96 * 1.96 AS z2 FROM g)
+        |SELECT week, n, k,
+        |  round(p, 6) AS rate,
+        |  round(((p + z2 / (2.0 * nd)) -
+        |    1.96 * sqrt((p * (1.0 - p)) / nd +
+        |                z2 / (4.0 * (nd * nd)))) /
+        |    (1.0 + z2 / nd), 6) AS ci_lo,
+        |  round(((p + z2 / (2.0 * nd)) +
+        |    1.96 * sqrt((p * (1.0 - p)) / nd +
+        |                z2 / (4.0 * (nd * nd)))) /
+        |    (1.0 + z2 / nd), 6) AS ci_hi
+        |FROM e""".stripMargin,
   )
 }
