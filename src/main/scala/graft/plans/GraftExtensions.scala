@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GreaterThan, LessThanOrEqual, Literal, RLike, RegExpCount, RegExpExtractAll, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hammingDistanceDesc)
     ext.injectFunction(GraftExtensions.hammingDistanceLteDesc)
     ext.injectOptimizerRule(_ => HammingThresholdRewrite)
+    ext.injectOptimizerRule(_ => RegexpCountExistenceRewrite)
   }
 }
 
@@ -57,5 +58,29 @@ object HammingThresholdRewrite extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case LessThanOrEqual(HammingDistance(a, b), k @ Literal(_, _)) =>
         HammingDistanceLte(a, b, k)
+    }
+}
+
+/** `regexp_count(x, pat) > 0` (pat literal) → `x RLIKE pat`.
+  *
+  * regexp_count scans the WHOLE string counting every match; the
+  * existence question only needs the first one, and RLIKE stops there.
+  * On blocklist-style gates over long documents almost every flagged
+  * doc matches early, so the rewrite skips most of the text. Semantics
+  * are identical for any pattern (count > 0 ⟺ at least one match), and
+  * restricting to literal patterns keeps the rewrite trivially safe.
+  */
+object RegexpCountExistenceRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // regexp_count is runtime-replaceable: by optimization time it has
+      // already lowered to size(regexp_extract_all(x, pat, 0)) — match
+      // both that form and the raw expression
+      case GreaterThan(
+          Size(RegExpExtractAll(x, pat @ Literal(_, _), Literal(0, _)), _),
+          Literal(0, _)) =>
+        RLike(x, pat)
+      case GreaterThan(RegExpCount(x, pat @ Literal(_, _)), Literal(0, _)) =>
+        RLike(x, pat)
     }
 }

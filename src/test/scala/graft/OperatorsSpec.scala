@@ -1145,6 +1145,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute.contains((201L, 202L))) // the exact-radius pair survives
   }
 
+  test("optimizer rewrites: hamming<=k → lte, regexp_count>0 → RLIKE") {
+    import spark.implicits._
+    import graft.plans.{HammingThresholdRewrite, RegexpCountExistenceRewrite}
+    spark.experimental.extraOptimizations =
+      Seq(HammingThresholdRewrite, RegexpCountExistenceRewrite)
+    try {
+      // spark.range (not a LocalRelation) so ConvertToLocalRelation
+      // cannot fold the filters away before the rewrite is visible
+      val df = spark.range(2).select(
+        lit("abcd").as("a"),
+        when($"id" === 0, "abcf").otherwise("axyf").as("b"),
+        when($"id" === 0, "x slow y").otherwise("clean").as("t"))
+      val q1 = df.filter(
+        graft.functions.hammingDistance($"a", $"b") <= 1)
+      assert(q1.queryExecution.optimizedPlan.toString
+        .contains("hammingdistancelte"), "threshold rewrite lost")
+      assert(q1.count() == 1)
+      val q2 = df.filter(regexp_count($"t", lit("\\bslow\\b")) > 0)
+      val p2 = q2.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(p2.contains("rlike"), p2)
+      assert(!p2.contains("regexp_count"), p2)
+      assert(q2.count() == 1)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => i)
     for (j <- 1 to b.length) {
