@@ -598,6 +598,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q210/q214/q233/q234 compositions: equi-joins only, no cartesian " +
+      "or non-broadcast nested loop") {
+    for (q <- Seq("q210_wedge_closure", "q214_item_cf", "q233_rfm",
+        "q234_sequence_rules")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q + " degenerated")
+      // BNLJ is acceptable only for the broadcast 1-row totals
+      val bnlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.forall(_.contains("BuildRight")), q + "\n" + bnlj.mkString)
+      assert(p.contains("partial_count") || p.contains("partial_min") ||
+        p.contains("partial_sum"), q)
+    }
+  }
+
   test("q181 frequent pairs: basket equi-join after the Apriori prune, " +
       "1-row total is the only nested-loop side") {
     val p = plan("q181_frequent_pairs")
