@@ -3539,6 +3539,31 @@ object SparkEntry {
       .withColumnRenamed("group", "week")
   }
 
+  /** Split-parity check — KS of length distributions between the train
+    * and test splits (splits recovered join-free from doc ids). A big
+    * KS here means the hash split is biased w.r.t. length — the QA
+    * gate on q103's assignment.
+    */
+  private def q236SplitParity(s: SparkSession, dir: String): DataFrame = {
+    val lbl = Sampling.splitLabel($("doc_id"),
+      Seq(("train", 8000), ("val", 1000), ("test", 1000)))
+    val d = t(s, dir, "documents")
+      .select(lit("all").as("g"), $("n_chars"), lbl.as("_sp"))
+      .filter($("_sp") =!= "val")
+      .withColumn("in_train", $("_sp") === "train")
+    Profile.ksStatistic(d, "g", "n_chars", "in_train")
+      .withColumnRenamed("g", "scope")
+  }
+
+  /** Near-dup cluster size histogram — how big do LSH clusters get
+    * (the chain-collapse risk profile of the dedup threshold).
+    */
+  private def q237ClusterSizes(s: SparkSession, dir: String): DataFrame =
+    q68DedupClusters(s, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("_sz"))
+      .groupBy($("_sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3777,6 +3802,8 @@ object SparkEntry {
     "q233_rfm" -> (q233Rfm _),
     "q234_sequence_rules" -> (q234SequenceRules _),
     "q235_sla_breach" -> (q235SlaBreach _),
+    "q236_split_parity" -> (q236SplitParity _),
+    "q237_cluster_sizes" -> (q237ClusterSizes _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7587,5 +7614,62 @@ object SparkEntry {
         |                z2 / (4.0 * (nd * nd)))) /
         |    (1.0 + z2 / nd), 6) AS ci_hi
         |FROM e""".stripMargin,
+    "q236_split_parity" ->
+      """WITH sp AS (SELECT n_chars, CASE
+        |  WHEN ('0x'||substr(md5(doc_id::VARCHAR||'|'||'graft'),1,15))::BIGINT % 10000 < 8000 THEN 'train'
+        |  WHEN ('0x'||substr(md5(doc_id::VARCHAR||'|'||'graft'),1,15))::BIGINT % 10000 < 9000 THEN 'val'
+        |  ELSE 'test' END AS s FROM documents),
+        |b AS (SELECT 'all' AS g, n_chars AS v, s = 'train' AS s1
+        |  FROM sp WHERE s <> 'val'),
+        |c AS (SELECT g, v,
+        |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM b WHERE v IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT g,
+        |    sum(c1) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |    sum(c1) OVER (PARTITION BY g) AS n1,
+        |    sum(c2) OVER (PARTITION BY g) AS n2
+        |  FROM c)
+        |SELECT g AS scope, CAST(max(n1) AS BIGINT) AS n1,
+        |  CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+        |  CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+        |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT)::DOUBLE
+        |      / CAST(max(n1) * max(n2) AS BIGINT) END AS ks
+        |FROM w GROUP BY g""".stripMargin,
+    "q237_cluster_sizes" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |            for i in range(1, greatest(len(l)-3, 1)+1)])] AS bs
+        |  FROM tk),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl] AS sg
+        |  FROM base, css),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a, sig b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_filter(range(0, 4), b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0
+        |    AND len(list_filter(range(1, 17), i -> a.sg[i] = b.sg[i])) >= 8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cs
+        |  FROM cc GROUP BY 1)
+        |SELECT cs AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM sz GROUP BY cs""".stripMargin,
   )
 }
