@@ -130,6 +130,51 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // column — the reason incremental feeds read with it ON
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_skew").toString
+    // one giant key (0) + uniform tail, written to parquet so sizes are
+    // real; thresholds lowered so the test data qualifies as skewed
+    (1 to 200000).map(i => (if (i % 2 == 0) 0L else i.toLong, s"p$i"))
+      .toDF("k", "pay").write.parquet(s"$dir/left")
+    (0L to 500L).map(k => (k, s"d$k")).toDF("k", "tag")
+      .write.parquet(s"$dir/right")
+    val old = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // hot partition is ~3x the median here; the default factor-5 gate
+      // is tuned for production-size shuffles
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      val j = spark.read.parquet(s"$dir/left")
+        .join(spark.read.parquet(s"$dir/right"), "k")
+        // keep the payload flowing so column pruning can't shrink the
+        // hot partition below the skew threshold
+        .agg(count(lit(1)), sum(length($"pay")))
+      val n = j.collect().head.getLong(0)
+      assert(n == 100250L) // 100k on the hot key + 250 odd keys <= 500
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(300))
+      assert(p.contains("skew=true"),
+        "AQE did not split the skewed partition\n" + p.take(4000))
+    } finally {
+      old.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+    }
+  }
+
   test("compactToTarget merges small files shuffle-free, content-equal") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_compact").toString
