@@ -3564,6 +3564,33 @@ object SparkEntry {
       .groupBy($("_sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** ANN recall curve — mean recall@5 of the IVF index at nprobe ∈
+    * {1, 2, 4} against brute-force truth: the tuning table that picks
+    * the probe budget (integer hit sums, one division per row).
+    */
+  private def q238RecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings")
+      .select($("vec_id").as("id"), $("embedding").as("vec"))
+    val queries = t(s, dir, "embeddings").filter($("vec_id") < 8)
+      .select($("vec_id").as("qid"), $("embedding").as("qvec"))
+    val exact = SimilaritySearch.bruteForceTopK(corpus, queries, 5)
+      .groupBy($("qid")).agg(collect_set($("id")).as("_truth"))
+      .localCheckpoint(false) // reused by all three probe settings
+    def recallAt(nprobe: Int): DataFrame = {
+      val approx = SimilaritySearch
+        .ivfTopK(corpus, queries, k = 5, numCells = 32, nprobe = nprobe)
+        .groupBy($("qid")).agg(collect_set($("id")).as("_got"))
+      exact.join(approx, Seq("qid"), "left")
+        .select(size(array_intersect($("_truth"),
+          coalesce($("_got"), array().cast("array<bigint>"))))
+          .cast("long").as("_h"), size($("_truth")).cast("long").as("_k"))
+        .agg(sum($("_h")).as("hits"), sum($("_k")).as("k_total"))
+        .select(lit(nprobe.toLong).as("nprobe"), $("hits"), $("k_total"),
+          ($("hits").cast("double") / $("k_total")).as("mean_recall"))
+    }
+    recallAt(1).unionByName(recallAt(2)).unionByName(recallAt(4))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3804,6 +3831,7 @@ object SparkEntry {
     "q235_sla_breach" -> (q235SlaBreach _),
     "q236_split_parity" -> (q236SplitParity _),
     "q237_cluster_sizes" -> (q237ClusterSizes _),
+    "q238_recall_curve" -> (q238RecallCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7671,5 +7699,43 @@ object SparkEntry {
         |  FROM cc GROUP BY 1)
         |SELECT cs AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
         |FROM sz GROUP BY cs""".stripMargin,
+    "q238_recall_curve" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 8),
+        |exact AS (SELECT qid, id FROM (
+        |  SELECT q.qid, e.vec_id AS id,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id)
+        |      AS rank
+        |  FROM emb e CROSS JOIN q) WHERE rank <= 5),
+        |cent AS (SELECT vec_id AS cell_id, v AS cv FROM emb
+        |         ORDER BY vec_id LIMIT 32),
+        |assign AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT e.vec_id, e.v, c.cell_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell_id) AS rn
+        |    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |pr AS (
+        |  SELECT qid, qv, cell_id, rn FROM (
+        |    SELECT q.qid, q.qv, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell_id) AS rn
+        |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+        |curve AS (SELECT np FROM (SELECT unnest([1, 2, 4]) AS np)),
+        |ivf AS (SELECT np, qid, id FROM (
+        |  SELECT curve.np, p.qid, a.vec_id AS id,
+        |    row_number() OVER (PARTITION BY curve.np, p.qid
+        |      ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id)
+        |      AS rank
+        |  FROM curve JOIN pr p ON p.rn <= curve.np
+        |  JOIN assign a USING (cell_id)) WHERE rank <= 5)
+        |SELECT CAST(c.np AS BIGINT) AS nprobe,
+        |  CAST(count(i.id) AS BIGINT) AS hits,
+        |  CAST(count(*) AS BIGINT) AS k_total,
+        |  count(i.id)::DOUBLE / count(*) AS mean_recall
+        |FROM curve c CROSS JOIN exact e
+        |LEFT JOIN ivf i ON i.np = c.np AND i.qid = e.qid AND i.id = e.id
+        |GROUP BY c.np""".stripMargin,
   )
 }
