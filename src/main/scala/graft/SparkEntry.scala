@@ -3591,6 +3591,38 @@ object SparkEntry {
     recallAt(1).unionByName(recallAt(2)).unionByName(recallAt(4))
   }
 
+  /** Dedup savings estimate — bytes held by non-first exact-duplicate
+    * copies per source: the storage-planning number behind "is exact
+    * dedup worth running here".
+    */
+  private def q239DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+      .select($("source"), $("doc_id"),
+        octet_length($("text")).cast("long").as("_b"), md5($("text")).as("_fp"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy($("_fp")).orderBy($("doc_id"))))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum($("_b")).as("total_bytes"),
+        sum(when($("_rk") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when($("_rk") > 1, $("_b")).otherwise(0L)).as("dup_bytes"))
+      .withColumn("savings_share",
+        when($("total_bytes") > 0,
+          $("dup_bytes").cast("double") / $("total_bytes")))
+  }
+
+  /** Vocabulary growth — new props keys first seen per ISO week (the
+    * saturation curve of the event keyspace).
+    */
+  private def q240VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object($("props"), "$.k").as("key"),
+        weekofyear(to_date($("ts").cast("timestamp"))).cast("long")
+          .as("week"))
+      .groupBy("key").agg(min($("week")).as("first_week"))
+      .groupBy($("first_week").as("week"))
+      .agg(count(lit(1)).as("n_new_keys"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3832,6 +3864,8 @@ object SparkEntry {
     "q236_split_parity" -> (q236SplitParity _),
     "q237_cluster_sizes" -> (q237ClusterSizes _),
     "q238_recall_curve" -> (q238RecallCurve _),
+    "q239_dedup_savings" -> (q239DedupSavings _),
+    "q240_vocab_growth" -> (q240VocabGrowth _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7737,5 +7771,28 @@ object SparkEntry {
         |FROM curve c CROSS JOIN exact e
         |LEFT JOIN ivf i ON i.np = c.np AND i.qid = e.qid AND i.id = e.id
         |GROUP BY c.np""".stripMargin,
+    "q239_dedup_savings" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS b,
+        |    md5(text) AS fp FROM documents),
+        |r AS (SELECT source, b,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(b) AS BIGINT) AS total_bytes,
+        |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_docs,
+        |  CAST(sum(CASE WHEN rk > 1 THEN b ELSE 0 END) AS BIGINT)
+        |    AS dup_bytes,
+        |  CASE WHEN sum(b) > 0 THEN
+        |    CAST(sum(CASE WHEN rk > 1 THEN b ELSE 0 END) AS BIGINT)::DOUBLE
+        |      / CAST(sum(b) AS BIGINT) END AS savings_share
+        |FROM r GROUP BY source""".stripMargin,
+    "q240_vocab_growth" ->
+      """WITH f AS (SELECT json_extract_string(props, '$.k') AS key,
+        |    CAST(min(weekofyear(ts)) AS BIGINT) AS first_week
+        |  FROM events GROUP BY 1)
+        |SELECT first_week AS week, CAST(count(*) AS BIGINT) AS n_new_keys
+        |FROM f GROUP BY 1""".stripMargin,
   )
 }
