@@ -3623,6 +3623,64 @@ object SparkEntry {
       .groupBy($("first_week").as("week"))
       .agg(count(lit(1)).as("n_new_keys"))
 
+  /** Rolling 7-day EXACT median of daily counts per event type — the
+    * small-frame collect+sort form (frame ≤ 7 values, so the in-row
+    * sort is constant work; doubled-median keeps even frames exact).
+    */
+  private def q241RollingMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy($("event_type"),
+        date_format(to_date($("ts").cast("timestamp")), "yyyy-MM-dd")
+          .as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    daily.withColumn("_arr", sort_array(collect_list($("n")).over(w)))
+      .withColumn("_k", size($("_arr")))
+      .withColumn("rolling_median",
+        (element_at($("_arr"), (($("_k") + 1) / 2).cast("int")) +
+          element_at($("_arr"), ($("_k") / 2 + 1).cast("int")))
+          .cast("double") / 2)
+      .select($("event_type"), $("day"), $("n"),
+        $("_k").cast("long").as("n_days_in_window"), $("rolling_median"))
+  }
+
+  /** Top-2 language accuracy per class — does the true label sit in the
+    * classifier's top two marker votes (the triage view when top-1
+    * misses are mostly photo-finish seconds).
+    */
+  private def q242Top2Accuracy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val markers = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+      "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+      "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+      "fr" -> Seq("le", "la", "les", "et", "des", "une", "est"),
+      "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+    val scored = docs(s, dir).select($("doc_id"), $("lang").as("label"),
+        explode(Dedup.bind(TextAnalysis.tokens(lower($("text"))), toks =>
+          array(markers.map { case (l, ws) =>
+            struct(lit(l).as("pl"),
+              size(filter(toks, t => t.isin(ws.map(lit): _*)))
+                .cast("long").as("hits"))
+          }: _*))).as("s"))
+      .select($("doc_id"), $("label"), $("s.pl").as("pl"), $("s.hits").as("hits"))
+    val w = Window.partitionBy("doc_id").orderBy($("hits").desc, $("pl"))
+    val perDoc = scored.withColumn("_rk", row_number().over(w))
+      .filter($("_rk") <= 2)
+      .groupBy("doc_id", "label")
+      .agg(max(when($("_rk") === 1, $("pl"))).as("_p1"),
+        max(when($("_rk") === 2, $("pl"))).as("_p2"))
+    perDoc.groupBy($("label").as("class"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($("label") === $("_p1"), 1L).otherwise(0L)).as("top1_hits"),
+        sum(when($("label") === $("_p1") || $("label") === $("_p2"), 1L)
+          .otherwise(0L)).as("top2_hits"))
+      .withColumn("top1_acc", $("top1_hits").cast("double") / $("n"))
+      .withColumn("top2_acc", $("top2_hits").cast("double") / $("n"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3866,6 +3924,8 @@ object SparkEntry {
     "q238_recall_curve" -> (q238RecallCurve _),
     "q239_dedup_savings" -> (q239DedupSavings _),
     "q240_vocab_growth" -> (q240VocabGrowth _),
+    "q241_rolling_median" -> (q241RollingMedian _),
+    "q242_top2_accuracy" -> (q242Top2Accuracy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7794,5 +7854,54 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT first_week AS week, CAST(count(*) AS BIGINT) AS n_new_keys
         |FROM f GROUP BY 1""".stripMargin,
+    "q241_rolling_median" ->
+      """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |wnd AS (SELECT event_type, day, n,
+        |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM daily)
+        |SELECT event_type, day, n,
+        |  CAST(len(arr) AS BIGINT) AS n_days_in_window,
+        |  (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1])::DOUBLE / 2
+        |    AS rolling_median
+        |FROM wnd""".stripMargin,
+    "q242_top2_accuracy" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang AS label,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('el','la','de','que','y','los','una'))) AS es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('le','la','les','et','des','une','est'))) AS fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x IN ('的','是','了','在','我','有','和'))) AS zh
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, label, 'de' AS pl, de AS hits FROM h
+        |  UNION ALL SELECT doc_id, label, 'en', en FROM h
+        |  UNION ALL SELECT doc_id, label, 'es', es FROM h
+        |  UNION ALL SELECT doc_id, label, 'fr', fr FROM h
+        |  UNION ALL SELECT doc_id, label, 'zh', zh FROM h),
+        |r AS (SELECT doc_id, label, pl,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hits DESC, pl) AS rk FROM u),
+        |pd AS (SELECT doc_id, label,
+        |    max(CASE WHEN rk = 1 THEN pl END) AS p1,
+        |    max(CASE WHEN rk = 2 THEN pl END) AS p2
+        |  FROM r WHERE rk <= 2 GROUP BY 1, 2)
+        |SELECT label AS class, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN label = p1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS top1_hits,
+        |  CAST(sum(CASE WHEN label = p1 OR label = p2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS top2_hits,
+        |  CAST(sum(CASE WHEN label = p1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+        |    / CAST(count(*) AS BIGINT) AS top1_acc,
+        |  CAST(sum(CASE WHEN label = p1 OR label = p2 THEN 1 ELSE 0 END)
+        |    AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT) AS top2_acc
+        |FROM pd GROUP BY label""".stripMargin,
   )
 }
