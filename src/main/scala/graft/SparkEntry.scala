@@ -3681,6 +3681,23 @@ object SparkEntry {
       .withColumn("top2_acc", $("top2_hits").cast("double") / $("n"))
   }
 
+  /** Decile-boundary drift — equi-depth decile edges of event values in
+    * the first vs second half of the month, with the per-decile shift:
+    * drift read in boundary space (where monitoring thresholds live),
+    * complementing the KS/chi-square mass views.
+    */
+  private def q243BoundaryDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      round($("value") * 100, 0).cast("long").as("cents"),
+      (dayofmonth($("ts").cast("timestamp")) <= 15).as("h1"))
+    def edges(flag: Boolean, out: String) =
+      Profile.equiDepthHistogram(
+          ev.filter($("h1") === flag).select($("cents")), "cents", 10)
+        .select($("bucket"), $("lo").as(out))
+    edges(true, "lo_first").join(edges(false, "lo_second"), Seq("bucket"))
+      .withColumn("shift_cents", $("lo_second") - $("lo_first"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3926,6 +3943,7 @@ object SparkEntry {
     "q240_vocab_growth" -> (q240VocabGrowth _),
     "q241_rolling_median" -> (q241RollingMedian _),
     "q242_top2_accuracy" -> (q242Top2Accuracy _),
+    "q243_boundary_drift" -> (q243BoundaryDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7903,5 +7921,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN label = p1 OR label = p2 THEN 1 ELSE 0 END)
         |    AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT) AS top2_acc
         |FROM pd GROUP BY label""".stripMargin,
+    "q243_boundary_drift" ->
+      """WITH ev AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    datepart('day', ts) <= 15 AS h1 FROM events),
+        |c1 AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM ev
+        |  WHERE h1 AND v >= 0 GROUP BY v),
+        |r1 AS (SELECT v, n, CAST(coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cb FROM c1),
+        |t1 AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c1),
+        |e1 AS (SELECT (cb * 10) // tot AS bucket, min(v) AS lo_first
+        |  FROM r1, t1 GROUP BY 1),
+        |c2 AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM ev
+        |  WHERE NOT h1 AND v >= 0 GROUP BY v),
+        |r2 AS (SELECT v, n, CAST(coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cb FROM c2),
+        |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c2),
+        |e2 AS (SELECT (cb * 10) // tot AS bucket, min(v) AS lo_second
+        |  FROM r2, t2 GROUP BY 1)
+        |SELECT e1.bucket, lo_first, lo_second,
+        |  lo_second - lo_first AS shift_cents
+        |FROM e1 JOIN e2 USING (bucket)""".stripMargin,
   )
 }
