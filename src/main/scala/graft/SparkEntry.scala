@@ -3698,6 +3698,39 @@ object SparkEntry {
       .withColumn("shift_cents", $("lo_second") - $("lo_first"))
   }
 
+  /** Crawl-order novelty — share of each doc's distinct 3-grams whose
+    * FIRST owner (by doc_id) is this doc: late docs full of old grams
+    * are recrawls; the gram→first-owner index is one aggregation.
+    */
+  private def q244NoveltyProfile(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir).select($("doc_id"),
+      explode(Dedup.wordShingles(trim($("text")), 3)).as("g"))
+    val firstOwner = grams.groupBy("g").agg(min($("doc_id")).as("_first"))
+    grams.join(firstOwner, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($("_first") === $("doc_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .withColumn("novelty",
+        $("novel_grams").cast("double") / $("n_grams"))
+  }
+
+  /** Per-user behavioral diversity — distinct event types and the top
+    * type's share (1.0 = single-track bot-like usage).
+    */
+  private def q245UserDiversity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .groupBy($("user_id"), $("event_type")).agg(count(lit(1)).as("_n"))
+    c.groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"), sum($("_n")).as("n_events"),
+        max($("_n")).as("_top"),
+        min_by($("event_type"), struct((-$("_n")).as("nc"), $("event_type")))
+          .as("top_type"))
+      .withColumn("top_share", $("_top").cast("double") / $("n_events"))
+      .select($("user_id"), $("n_types"), $("n_events"), $("top_type"),
+        $("top_share"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3944,6 +3977,8 @@ object SparkEntry {
     "q241_rolling_median" -> (q241RollingMedian _),
     "q242_top2_accuracy" -> (q242Top2Accuracy _),
     "q243_boundary_drift" -> (q243BoundaryDrift _),
+    "q244_novelty_profile" -> (q244NoveltyProfile _),
+    "q245_user_diversity" -> (q245UserDiversity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7943,5 +7978,33 @@ object SparkEntry {
         |SELECT e1.bucket, lo_first, lo_second,
         |  lo_second - lo_first AS shift_cents
         |FROM e1 JOIN e2 USING (bucket)""".stripMargin,
+    "q244_novelty_profile" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gg FROM (
+        |  SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ')
+        |                         for i in range(1, greatest(len(l)-2, 1)+1)]) AS gg
+        |  FROM tk)),
+        |fo AS (SELECT gg, min(doc_id) AS first FROM g GROUP BY gg)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN fo.first = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS novel_grams,
+        |  CAST(sum(CASE WHEN fo.first = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT) AS novelty
+        |FROM g JOIN fo USING (gg) GROUP BY g.doc_id""".stripMargin,
+    "q245_user_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type) AS rk FROM c)
+        |SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c.n) AS BIGINT) AS n_events,
+        |  max(CASE WHEN t.rk = 1 THEN t.event_type END) AS top_type,
+        |  CAST(max(c.n) AS BIGINT)::DOUBLE / CAST(sum(c.n) AS BIGINT)
+        |    AS top_share
+        |FROM c JOIN t ON c.user_id = t.user_id
+        |  AND c.event_type = t.event_type
+        |GROUP BY c.user_id""".stripMargin,
   )
 }
