@@ -3731,6 +3731,34 @@ object SparkEntry {
         $("top_share"))
   }
 
+  /** Composite quality score — percentile-normalized length, diversity
+    * and blocklist-cleanliness blended 0.5/0.3/0.2, top-20 docs (the
+    * final scoring step of a curation pipeline; each pct is an exact
+    * rational, the blend a fixed IEEE chain).
+    */
+  private def q246CompositeScore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tks = graft.operators.TextAnalysis.tokens($("text"))
+    val base = t(s, dir, "documents").select($("doc_id"),
+      lit("all").as("_g"), $("n_chars"),
+      when(length(trim($("text"))) === 0, 0L)
+        .otherwise(size(array_distinct(tks)).cast("long")).as("n_distinct"),
+      (lit(1000000L) - regexp_count(lower($("text")),
+        lit("\\b(slow|big|stale)\\b")).cast("long")).as("cleanliness"))
+    def pct(c: String, out: String)(df: DataFrame) =
+      Sampling.percentileNormalize(df, "_g", c, "doc_id")
+        .withColumnRenamed("pct", out)
+    val scored = pct("cleanliness", "p_clean")(
+      pct("n_distinct", "p_div")(pct("n_chars", "p_len")(base)))
+      .withColumn("score",
+        $("p_len") * 0.5 + $("p_div") * 0.3 + $("p_clean") * 0.2)
+    scored.withColumn("_rk", row_number().over(
+        Window.partitionBy($("_g")).orderBy($("score").desc, $("doc_id"))))
+      .filter($("_rk") <= 20)
+      .select($("doc_id"), round($("score"), 6).as("score"),
+        $("_rk").cast("long").as("rank"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3979,6 +4007,7 @@ object SparkEntry {
     "q243_boundary_drift" -> (q243BoundaryDrift _),
     "q244_novelty_profile" -> (q244NoveltyProfile _),
     "q245_user_diversity" -> (q245UserDiversity _),
+    "q246_composite_score" -> (q246CompositeScore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8006,5 +8035,30 @@ object SparkEntry {
         |FROM c JOIN t ON c.user_id = t.user_id
         |  AND c.event_type = t.event_type
         |GROUP BY c.user_id""".stripMargin,
+    "q246_composite_score" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+        |      END AS BIGINT) AS n_distinct,
+        |    1000000 - CAST(len(regexp_extract_all(lower(text),
+        |      '\b(slow|big|stale)\b')) AS BIGINT) AS cleanliness
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    CASE WHEN count(*) OVER () > 1 THEN
+        |      (row_number() OVER (ORDER BY n_chars, doc_id) - 1)::DOUBLE
+        |        / (count(*) OVER () - 1) ELSE 0.5 END AS p_len,
+        |    CASE WHEN count(*) OVER () > 1 THEN
+        |      (row_number() OVER (ORDER BY n_distinct, doc_id) - 1)::DOUBLE
+        |        / (count(*) OVER () - 1) ELSE 0.5 END AS p_div,
+        |    CASE WHEN count(*) OVER () > 1 THEN
+        |      (row_number() OVER (ORDER BY cleanliness, doc_id) - 1)::DOUBLE
+        |        / (count(*) OVER () - 1) ELSE 0.5 END AS p_clean
+        |  FROM b),
+        |sc AS (SELECT doc_id,
+        |    p_len * 0.5 + p_div * 0.3 + p_clean * 0.2 AS score FROM p),
+        |r AS (SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc)
+        |SELECT doc_id, round(score, 6) AS score, CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 20""".stripMargin,
   )
 }
