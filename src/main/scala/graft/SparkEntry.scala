@@ -3412,7 +3412,10 @@ object SparkEntry {
 
   /** Token branching factor — distinct successor count per token for
     * the 20 most frequent tokens (lexical diversity: low branching =
-    * templated text).
+    * templated text). The top-20 cut is a constant-key rank window over
+    * the VOCABULARY-sized stats frame (WindowGroupLimit caps it at 20
+    * rows per partition before the final exchange); a corpus-sized
+    * input would route through the bucketed rank core instead.
     */
   private def q229Branching(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3734,7 +3737,11 @@ object SparkEntry {
   /** Composite quality score — percentile-normalized length, diversity
     * and blocklist-cleanliness blended 0.5/0.3/0.2, top-20 docs (the
     * final scoring step of a curation pipeline; each pct is an exact
-    * rational, the blend a fixed IEEE chain).
+    * rational, the blend a fixed IEEE chain). The single "all" group
+    * makes percentileNormalize's per-group window a global sort — the
+    * deliberate exactness choice at report size; at corpus scale the
+    * same percentiles come from Profile.valueRankBuckets (k=10000
+    * basis-point buckets) with no global window.
     */
   private def q246CompositeScore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
