@@ -3766,6 +3766,24 @@ object SparkEntry {
         $("_rk").cast("long").as("rank"))
   }
 
+  /** Conversion-lag deciles — first-view→first-purchase deltas through
+    * the equi-depth histogram (the latency-profile companion to q220's
+    * robust stats).
+    */
+  private def q247LagDeciles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select($("user_id"), $("event_type"), epochS($("ts")).as("sec"))
+    val v = ev.filter($("event_type") === "view")
+      .groupBy("user_id").agg(min($("sec")).as("v_sec"))
+    val p = ev.filter($("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter($("sec") > $("v_sec"))
+      .groupBy("user_id").agg(min($("sec")).as("p_sec"))
+    Profile.equiDepthHistogram(
+      v.join(p, "user_id").select(($("p_sec") - $("v_sec")).as("delta")),
+      "delta", 10)
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4015,6 +4033,7 @@ object SparkEntry {
     "q244_novelty_profile" -> (q244NoveltyProfile _),
     "q245_user_diversity" -> (q245UserDiversity _),
     "q246_composite_score" -> (q246CompositeScore _),
+    "q247_lag_deciles" -> (q247LagDeciles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8067,5 +8086,25 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc)
         |SELECT doc_id, round(score, 6) AS score, CAST(rk AS BIGINT) AS rank
         |FROM r WHERE rk <= 20""".stripMargin,
+    "q247_lag_deciles" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |v AS (SELECT user_id, min(sec) AS v_sec FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.sec) AS p_sec
+        |  FROM ev e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.sec > v.v_sec GROUP BY 1),
+        |d AS (SELECT p.p_sec - v.v_sec AS val FROM v JOIN p USING (user_id)),
+        |c AS (SELECT val, CAST(count(*) AS BIGINT) AS n FROM d
+        |  WHERE val >= 0 GROUP BY val),
+        |r AS (SELECT val, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY val
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT (cb * 10) // tot AS bucket, min(val) AS lo, max(val) AS hi,
+        |  CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM r, t GROUP BY 1""".stripMargin,
   )
 }
