@@ -2498,6 +2498,10 @@ object SparkEntry {
 
   /** Mutual-kNN cosine graph over the embeddings corpus (k = 10): the
     * symmetric sparse similarity graph for graph-based semantic dedup.
+    * IVF-probed candidates (32 cells, 4 probes — the scale default:
+    * cell equi-join, no corpus broadcast, no N² pairs); the exact
+    * quadratic form stays available as `exact = true` and is
+    * recall-pinned against this default in OperatorsSpec.
     */
   private def q161MutualKnn(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.mutualKnnGraph(
@@ -3412,13 +3416,12 @@ object SparkEntry {
 
   /** Token branching factor — distinct successor count per token for
     * the 20 most frequent tokens (lexical diversity: low branching =
-    * templated text). The top-20 cut is a constant-key rank window over
-    * the VOCABULARY-sized stats frame (WindowGroupLimit caps it at 20
-    * rows per partition before the final exchange); a corpus-sized
-    * input would route through the bucketed rank core instead.
+    * templated text). The top-20 cut is a sort-limit (TakeOrdered:
+    * per-partition top-20, then a 20·P-row driver merge — q92's pinned
+    * shape), NOT a rank window: a constant-key window would funnel the
+    * whole vocabulary-sized stats frame through one partition.
     */
   private def q229Branching(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = graft.operators.TextAnalysis.tokens($("text"))
     val bi = docs(s, dir).select(
         posexplode(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
@@ -3428,9 +3431,8 @@ object SparkEntry {
     val stats = bi.groupBy("w1")
       .agg(count(lit(1)).as("occurrences"),
         countDistinct($("w2")).as("distinct_next"))
-    stats.withColumn("_rk", row_number().over(
-        Window.partitionBy(lit(1)).orderBy($("occurrences").desc, $("w1"))))
-      .filter($("_rk") <= 20)
+    stats.orderBy($("occurrences").desc, $("w1"))
+      .limit(20)
       .select($("w1").as("token"), $("occurrences"), $("distinct_next"),
         ($("distinct_next").cast("double") / $("occurrences"))
           .as("branching_ratio"))
@@ -3734,34 +3736,39 @@ object SparkEntry {
         $("top_share"))
   }
 
-  /** Composite quality score — percentile-normalized length, diversity
+  /** Composite quality score — basis-point-percentile length, diversity
     * and blocklist-cleanliness blended 0.5/0.3/0.2, top-20 docs (the
-    * final scoring step of a curation pipeline; each pct is an exact
-    * rational, the blend a fixed IEEE chain). The single "all" group
-    * makes percentileNormalize's per-group window a global sort — the
-    * deliberate exactness choice at report size; at corpus scale the
-    * same percentiles come from Profile.valueRankBuckets (k=10000
-    * basis-point buckets) with no global window.
+    * final scoring step of a curation pipeline). Each percentile is a
+    * k=10000 equi-depth bucket from Profile.valueRankBuckets — the
+    * bucketed distributed rank (coarse-bucket prefix sums, broadcast
+    * offsets), so NO global-sort window touches the corpus; the three
+    * value→bucket maps are value-cardinality-sized and broadcast back.
+    * The top-20 cut is a sort-limit (TakeOrdered), and the rank column
+    * is a window over the already-limited 20-row frame.
     */
   private def q246CompositeScore(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tks = graft.operators.TextAnalysis.tokens($("text"))
-    val base = t(s, dir, "documents").select($("doc_id"),
-      lit("all").as("_g"), $("n_chars"),
+    val base = t(s, dir, "documents").select($("doc_id"), $("n_chars"),
       when(length(trim($("text"))) === 0, 0L)
         .otherwise(size(array_distinct(tks)).cast("long")).as("n_distinct"),
       (lit(1000000L) - regexp_count(lower($("text")),
         lit("\\b(slow|big|stale)\\b")).cast("long")).as("cleanliness"))
-    def pct(c: String, out: String)(df: DataFrame) =
-      Sampling.percentileNormalize(df, "_g", c, "doc_id")
-        .withColumnRenamed("pct", out)
+      .localCheckpoint(false) // three bucket maps + the join read it
+    val k = 10000
+    def pct(c: String, out: String)(df: DataFrame) = {
+      val m = Profile.valueRankBuckets(base, c, k)
+        .select(col("_v").as(s"_v_$out"),
+          (col("bucket").cast("double") / (k - 1)).as(out))
+      df.join(broadcast(m), df(c) === col(s"_v_$out")).drop(s"_v_$out")
+    }
     val scored = pct("cleanliness", "p_clean")(
       pct("n_distinct", "p_div")(pct("n_chars", "p_len")(base)))
       .withColumn("score",
         $("p_len") * 0.5 + $("p_div") * 0.3 + $("p_clean") * 0.2)
-    scored.withColumn("_rk", row_number().over(
-        Window.partitionBy($("_g")).orderBy($("score").desc, $("doc_id"))))
-      .filter($("_rk") <= 20)
+    scored.orderBy($("score").desc, $("doc_id")).limit(20)
+      .withColumn("_rk",
+        row_number().over(Window.orderBy($("score").desc, $("doc_id"))))
       .select($("doc_id"), round($("score"), 6).as("score"),
         $("_rk").cast("long").as("rank"))
   }
@@ -6429,15 +6436,28 @@ object SparkEntry {
         |  count(DISTINCT c_mktsegment) >= 3 AS l_ok
         |FROM b GROUP BY 1, 2""".stripMargin,
     "q161_mutual_knn" ->
-      """WITH t AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS id,
-        |    list_cosine_similarity(c.embedding::DOUBLE[],
-        |      q.embedding::DOUBLE[]) AS cos,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
-        |        q.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
-        |  FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id),
-        |tk AS (SELECT * FROM t WHERE rank <= 10)
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell_id, v AS cv FROM emb
+        |         ORDER BY vec_id LIMIT 32),
+        |assign AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT e.vec_id, e.v, c.cell_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell_id) AS rn
+        |    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, qv, cell_id FROM (
+        |    SELECT q.vec_id AS qid, q.v AS qv, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cell_id) AS rn
+        |    FROM emb q CROSS JOIN cent c) WHERE rn <= 4),
+        |tk AS (SELECT qid, id, cos, rank FROM (
+        |  SELECT p.qid, a.vec_id AS id,
+        |    list_cosine_similarity(a.v, p.qv) AS cos,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id) AS rank
+        |  FROM assign a JOIN probes p USING (cell_id)
+        |  WHERE a.vec_id <> p.qid) WHERE rank <= 10)
         |SELECT a.qid AS id_a, a.id AS id_b, round(a.cos, 6) AS cosine,
         |  CAST(a.rank AS BIGINT) AS rank_ab, CAST(b.rank AS BIGINT) AS rank_ba
         |FROM tk a JOIN tk b ON b.qid = a.id AND b.id = a.qid
@@ -6897,6 +6917,21 @@ object SparkEntry {
         |  FROM tk WHERE len(l) >= 3)
         |SELECT id_a, id_b FROM tl JOIN h USING (key)
         |WHERE id_a <> id_b""".stripMargin,
+    // zlib has no DuckDB SQL form; expected deflate lengths are
+    // precomputed (independently, via CPython zlib at the same level 6 —
+    // byte-identical to JDK Deflater, both are zlib) for every distinct
+    // document text across the sf dirs, keyed by md5(text) so the same
+    // fixture serves any SF. fixtures/README.md documents regeneration.
+    "q187_compression" ->
+      """SELECT d.doc_id,
+        |  CAST(octet_length(encode(d.text)) AS BIGINT) AS raw_len,
+        |  f.deflated_len,
+        |  CASE WHEN octet_length(encode(d.text)) = 0 THEN 1.0
+        |    ELSE f.deflated_len::DOUBLE / octet_length(encode(d.text))
+        |  END AS compression_ratio
+        |FROM documents d
+        |JOIN read_parquet('/root/repo/fixtures/deflate_by_md5.parquet') f
+        |  ON f.text_md5 = md5(d.text)""".stripMargin,
     "q188_interval_merge" ->
       """WITH iv AS (SELECT l_suppkey AS key,
         |    CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS s,
@@ -6946,15 +6981,19 @@ object SparkEntry {
         |f AS (SELECT pred AS class,
         |    CAST(sum(CASE WHEN label <> pred THEN n ELSE 0 END) AS BIGINT) AS fp
         |  FROM cm GROUP BY 1)
-        |SELECT l.class, tp, fn, coalesce(fp, 0) AS fp,
-        |  CASE WHEN tp + coalesce(fp, 0) > 0
-        |    THEN tp::DOUBLE / (tp + coalesce(fp, 0)) END AS prec,
-        |  CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS recall
-        |FROM l LEFT JOIN f USING (class)""".stripMargin,
+        |SELECT class, coalesce(tp, 0) AS tp, coalesce(fn, 0) AS fn,
+        |  coalesce(fp, 0) AS fp,
+        |  CASE WHEN coalesce(tp, 0) + coalesce(fp, 0) > 0
+        |    THEN coalesce(tp, 0)::DOUBLE
+        |      / (coalesce(tp, 0) + coalesce(fp, 0)) END AS prec,
+        |  CASE WHEN coalesce(tp, 0) + coalesce(fn, 0) > 0
+        |    THEN coalesce(tp, 0)::DOUBLE
+        |      / (coalesce(tp, 0) + coalesce(fn, 0)) END AS recall
+        |FROM l FULL JOIN f USING (class)""".stripMargin,
     "q190_loo_outliers" ->
       """WITH b AS (SELECT event_type, event_id,
         |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(cents) AS BIGINT) AS S,
         |    sum(cents::HUGEINT * cents::HUGEINT) AS S2
@@ -7210,7 +7249,7 @@ object SparkEntry {
       """WITH b AS (SELECT event_type,
         |    CAST(round(value * 100, 0) AS BIGINT) AS v,
         |    datepart('day', ts) <= 15 AS s1
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |c AS (SELECT event_type, v,
         |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
         |    CAST(sum(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
@@ -8069,19 +8108,27 @@ object SparkEntry {
         |    1000000 - CAST(len(regexp_extract_all(lower(text),
         |      '\b(slow|big|stale)\b')) AS BIGINT) AS cleanliness
         |  FROM documents),
-        |p AS (SELECT doc_id,
-        |    CASE WHEN count(*) OVER () > 1 THEN
-        |      (row_number() OVER (ORDER BY n_chars, doc_id) - 1)::DOUBLE
-        |        / (count(*) OVER () - 1) ELSE 0.5 END AS p_len,
-        |    CASE WHEN count(*) OVER () > 1 THEN
-        |      (row_number() OVER (ORDER BY n_distinct, doc_id) - 1)::DOUBLE
-        |        / (count(*) OVER () - 1) ELSE 0.5 END AS p_div,
-        |    CASE WHEN count(*) OVER () > 1 THEN
-        |      (row_number() OVER (ORDER BY cleanliness, doc_id) - 1)::DOUBLE
-        |        / (count(*) OVER () - 1) ELSE 0.5 END AS p_clean
-        |  FROM b),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |c1 AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1),
+        |m1 AS (SELECT v, (coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    * 10000 // (SELECT n FROM tot))::DOUBLE / 9999 AS p FROM c1),
+        |c2 AS (SELECT n_distinct AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1),
+        |m2 AS (SELECT v, (coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    * 10000 // (SELECT n FROM tot))::DOUBLE / 9999 AS p FROM c2),
+        |c3 AS (SELECT cleanliness AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1),
+        |m3 AS (SELECT v, (coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    * 10000 // (SELECT n FROM tot))::DOUBLE / 9999 AS p FROM c3),
         |sc AS (SELECT doc_id,
-        |    p_len * 0.5 + p_div * 0.3 + p_clean * 0.2 AS score FROM p),
+        |    m1.p * 0.5 + m2.p * 0.3 + m3.p * 0.2 AS score
+        |  FROM b JOIN m1 ON b.n_chars = m1.v
+        |    JOIN m2 ON b.n_distinct = m2.v
+        |    JOIN m3 ON b.cleanliness = m3.v),
         |r AS (SELECT doc_id, score,
         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc)
         |SELECT doc_id, round(score, 6) AS score, CAST(rk AS BIGINT) AS rank

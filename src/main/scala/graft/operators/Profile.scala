@@ -259,9 +259,10 @@ object Profile {
     * any rule-based pipeline stage (language-ID vs a labeled sample,
     * quality-gate vs human audit). One corpus aggregation down to the
     * classes²-sized confusion matrix; everything after is matrix-sized.
-    * Classes that are predicted but never appear as labels contribute
-    * fp to their own row only via the label spine — precision is null
-    * when the class is never predicted together with tp+fp = 0.
+    * Classes that are predicted but never appear as a true label still
+    * get a row (tp = fn = 0, their fp count) via the full-outer spine —
+    * dropping them would hide a classifier that invents labels.
+    * Precision is null when the class is never predicted (tp+fp = 0).
     *
     * Output: class, tp, fn, fp, prec, recall (single exact divisions).
     */
@@ -275,8 +276,9 @@ object Profile {
         sum(when(col("_l") =!= col("_p"), col("_n")).otherwise(0L)).as("fn"))
     val byPred = cm.groupBy(col("_p").as("class"))
       .agg(sum(when(col("_l") =!= col("_p"), col("_n")).otherwise(0L)).as("_fp"))
-    byLabel.join(byPred, Seq("class"), "left")
-      .select(col("class"), col("tp"), col("fn"),
+    byLabel.join(byPred, Seq("class"), "full_outer")
+      .select(col("class"), coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fn"), lit(0L)).as("fn"),
         coalesce(col("_fp"), lit(0L)).as("fp"))
       .withColumn("prec", when(col("tp") + col("fp") > 0,
         col("tp").cast("double") / (col("tp") + col("fp"))))
@@ -294,7 +296,9 @@ object Profile {
     * running the same chain:
     *   a = S−x;  mu = a/(n−1);  var = (S2−x² − a·mu)/(n−2);
     *   score = (x − mu)/sqrt(var).
-    * Groups with n < 3 or zero variance yield null scores.
+    * Groups with n < 3 or zero variance yield null scores. Null values
+    * are excluded from n as well as the sums (a null row must not
+    * deflate its group's LOO mean), mirroring groupMedianMad.
     *
     * Input col must already be an exact integer (scale upstream).
     * Output: input columns + loo_mean, loo_score.
@@ -305,6 +309,7 @@ object Profile {
     val x = col(valueCol).cast("long")
     val stats = df
       .select(col(groupCol), x.as("_x"))
+      .filter(col("_x").isNotNull)
       .groupBy(groupCol)
       .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_S"),
         sum((col("_x") * col("_x")).cast(dec)).as("_S2"))
@@ -312,7 +317,9 @@ object Profile {
     val mu = a / (col("_n") - 1).cast("double")
     val b = (col("_S2") - (x * x).cast(dec)).cast("double")
     val varr = (b - a * mu) / (col("_n") - 2).cast("double")
-    df.join(broadcast(stats), Seq(groupCol))
+    // left join: a group whose values are all null has no stats row but
+    // must keep its rows (with null scores), not vanish
+    df.join(broadcast(stats), Seq(groupCol), "left")
       .withColumn("loo_mean", when(col("_n") >= 2, mu))
       .withColumn("loo_score",
         when(col("_n") >= 3 && varr > 0,

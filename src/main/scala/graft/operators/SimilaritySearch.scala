@@ -269,45 +269,95 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
-  /** Mutual-kNN graph over the corpus: an edge (a, b) exists iff b is in
-    * a's top-k cosine neighbors AND a is in b's — the symmetric sparse
-    * similarity graph semantic-dedup clusterers and graph-based
-    * label-propagation pipelines build first (one-directional kNN keeps
-    * hub nodes that attract thousands of asymmetric edges; the mutual
-    * filter removes them). Neighbor search here is the broadcast exact
-    * form (the corpus is never shuffled; only (id, id, score) triples
-    * reach the window); at corpus scale swap the scoring stage for
-    * [[lshTopK]] / [[ivfTopK]] candidates — the mutual join underneath
-    * is unchanged, a self-equi-join on the directed edge key.
+  /** Symmetrize a directed top-k frame (qid, id, cosine, rank) into the
+    * mutual edge list: keep (a, b) iff both directions are present. A
+    * self-equi-join on the directed edge key — the same plan whatever
+    * candidate generator produced `top`.
     *
     * Output: id_a < id_b, cosine (rounded 6), rank_ab, rank_ba.
     */
-  def mutualKnnGraph(corpus: DataFrame, k: Int): DataFrame = {
-    // norms once per row OUTSIDE the pair loop; the pair-loop dot is the
-    // codegen FloatDot expression — the interpreted HOF fold here ran
-    // the 4M-pair sf0.1 scoring in 76s, this form in ~2s, with
-    // bit-identical doubles (same left-to-right summation)
-    val withNorm = corpus.withColumn("_n",
-      sqrt(graft.functions.floatDot(col("vec"), col("vec"))))
-    val q = withNorm.select(col("id").as("qid"), col("vec").as("qvec"),
-      col("_n").as("_qn"))
-    val scored = withNorm.crossJoin(broadcast(q))
-      .filter(col("id") =!= col("qid"))
-      .withColumn("cosine",
-        graft.functions.floatDot(col("vec"), col("qvec")) /
-          (col("_n") * col("_qn")))
-      // only (qid, id, cosine) reaches the rank — the 2x64-float
-      // payload arrays stay out of the window exchange
-      .select(col("qid"), col("id"), col("cosine"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    val top = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+  def mutualize(top: DataFrame): DataFrame = {
     val fwd = top.select(col("qid").as("id_a"), col("id").as("id_b"),
       round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank_ab"))
     val rev = top.select(col("id").as("id_a"), col("qid").as("id_b"),
       col("rank").cast("long").as("rank_ba"))
     fwd.join(rev, Seq("id_a", "id_b"))
       .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Mutual-kNN graph over the corpus: an edge (a, b) exists iff b is in
+    * a's top-k cosine neighbors AND a is in b's — the symmetric sparse
+    * similarity graph semantic-dedup clusterers and graph-based
+    * label-propagation pipelines build first (one-directional kNN keeps
+    * hub nodes that attract thousands of asymmetric edges; the mutual
+    * filter removes them).
+    *
+    * The DEFAULT neighbor search is IVF-probed (nearest-centroid cells,
+    * each vector queries its `nprobe` closest cells): candidate pairs
+    * are generated by a plain equi-join on `cell_id` — deliberately NOT
+    * a broadcast, since for the self-join case both sides are
+    * corpus-sized — so the pair count is N·nprobe·(N/numCells) instead
+    * of N², and nothing is ever broadcast except the tiny centroid
+    * table. With numCells ≈ √N this is the shape that survives a
+    * corpus-scale self-join. `exact = true` opts into the quadratic
+    * broadcast form (bounded inputs / recall ground truth only).
+    *
+    * Output: id_a < id_b, cosine (rounded 6), rank_ab, rank_ba.
+    */
+  def mutualKnnGraph(corpus: DataFrame, k: Int, exact: Boolean = false,
+      numCells: Int = 32, nprobe: Int = 4): DataFrame = {
+    // norms once per row OUTSIDE the pair loop; the pair-loop dot is the
+    // codegen FloatDot expression — the interpreted HOF fold here ran
+    // the 4M-pair sf0.1 scoring in 76s, this form in ~2s, with
+    // bit-identical doubles (same left-to-right summation)
+    val withNorm = corpus.select(col("id"), col("vec"),
+      sqrt(graft.functions.floatDot(col("vec"), col("vec"))).as("_n"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    val scored =
+      if (exact) {
+        val q = withNorm.select(col("id").as("qid"), col("vec").as("qvec"),
+          col("_n").as("_qn"))
+        withNorm.crossJoin(broadcast(q))
+          .filter(col("id") =!= col("qid"))
+          .withColumn("cosine",
+            graft.functions.floatDot(col("vec"), col("qvec")) /
+              (col("_n") * col("_qn")))
+          // only (qid, id, cosine) reaches the rank — the 2x64-float
+          // payload arrays stay out of the window exchange
+          .select(col("qid"), col("id"), col("cosine"))
+      } else {
+        val cents = corpus.orderBy("id").limit(numCells)
+          .select(col("id").as("cell_id"), col("vec").as("cvec"),
+            sqrt(graft.functions.floatDot(col("vec"), col("vec"))).as("cnorm"))
+        def cellCos(v: Column, n: Column) =
+          graft.functions.floatDot(v, col("cvec")) / (n * col("cnorm"))
+        // nearest centroid per vector: map-side-complete argmax over the
+        // broadcast centroid rows (same shape as ivfTopK's assignment)
+        val assigned = withNorm.crossJoin(broadcast(cents))
+          .withColumn("_cos", cellCos(col("vec"), col("_n")))
+          .groupBy("id")
+          .agg(first("vec").as("vec"), first("_n").as("_n"),
+            max_by(col("cell_id"), struct(col("_cos"), -col("cell_id")))
+              .as("cell_id"))
+        val probes = withNorm
+          .select(col("id").as("qid"), col("vec").as("qvec"),
+            col("_n").as("_qn"))
+          .crossJoin(broadcast(cents))
+          .withColumn("_cos", cellCos(col("qvec"), col("_qn")))
+          .withColumn("_pr", row_number().over(
+            Window.partitionBy("qid").orderBy(col("_cos").desc, col("cell_id"))))
+          .filter(col("_pr") <= nprobe)
+          .select(col("qid"), col("qvec"), col("_qn"), col("cell_id"))
+        assigned.join(probes, Seq("cell_id")) // shuffle equi-join, no broadcast
+          .filter(col("id") =!= col("qid"))
+          .withColumn("cosine",
+            graft.functions.floatDot(col("vec"), col("qvec")) /
+              (col("_n") * col("_qn")))
+          .select(col("qid"), col("id"), col("cosine"))
+      }
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+    mutualize(top)
   }
 }

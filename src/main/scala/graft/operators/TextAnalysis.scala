@@ -120,7 +120,9 @@ object TextAnalysis {
       maxPct: Int): DataFrame = {
     require(words.nonEmpty && words.forall(_.matches("[A-Za-z0-9]+")),
       "blocklist words must be plain alphanumerics (regex-safe)")
-    val pat = "\\b(" + words.mkString("|") + ")\\b"
+    // the pattern runs against lower(text), so fold the words too —
+    // an uppercase entry would otherwise pass the require yet never hit
+    val pat = "\\b(" + words.map(_.toLowerCase).mkString("|") + ")\\b"
     df.withColumn("hits",
         regexp_count(lower(col(textCol)), lit(pat)).cast("long"))
       .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))

@@ -69,6 +69,10 @@ object HammingThresholdRewrite extends Rule[LogicalPlan] {
   * doc matches early, so the rewrite skips most of the text. Semantics
   * are identical for any pattern (count > 0 ⟺ at least one match), and
   * restricting to literal patterns keeps the rewrite trivially safe.
+  * The lowered Size form is only rewritten when legacySizeOfNull is
+  * off: under the legacy flag size(null) is -1, so the original yields
+  * FALSE for null input where RLIKE would yield null — a visible
+  * difference in projection (non-filter) contexts.
   */
 object RegexpCountExistenceRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -77,8 +81,9 @@ object RegexpCountExistenceRewrite extends Rule[LogicalPlan] {
       // already lowered to size(regexp_extract_all(x, pat, 0)) — match
       // both that form and the raw expression
       case GreaterThan(
-          Size(RegExpExtractAll(x, pat @ Literal(_, _), Literal(0, _)), _),
-          Literal(0, _)) =>
+          Size(RegExpExtractAll(x, pat @ Literal(_, _), Literal(0, _)),
+            legacySizeOfNull),
+          Literal(0, _)) if !legacySizeOfNull =>
         RLike(x, pat)
       case GreaterThan(RegExpCount(x, pat @ Literal(_, _)), Literal(0, _)) =>
         RLike(x, pat)

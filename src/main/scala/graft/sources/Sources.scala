@@ -70,9 +70,27 @@ object Sources {
     val digest = workbookDigest(path, etag)
     val dest = new java.io.File(
       cacheDir, digest + sheet.map("_" + _).getOrElse(""))
-    if (!new java.io.File(dest, "_SUCCESS").exists())
-      Xlsx.read(spark, path, sheet).write.mode("overwrite").parquet(dest.getPath)
+    if (!new java.io.File(dest, "_SUCCESS").exists()) {
+      val wb = if (path.toLowerCase.endsWith(".xls")) Xls.read(spark, path, sheet)
+        else Xlsx.read(spark, path, sheet)
+      wb.write.mode("overwrite").parquet(dest.getPath)
+    }
     (spark.read.parquet(dest.getPath), digest)
+  }
+
+  /** Extension-dispatched all-strings loader (reference
+    * lib/id3c/cli/io/pandas.py:48-75 `load_file_as_dataframe`):
+    * csv / tsv / xls / xlsx; anything else raises, matching
+    * `UnsupportedFileExtensionError`.
+    */
+  def loadFileAsDataFrame(spark: SparkSession, path: String): DataFrame = {
+    val p = path.toLowerCase
+    if (p.endsWith(".csv")) readCsvAllStrings(spark, path)
+    else if (p.endsWith(".tsv")) readCsvAllStrings(spark, path, sep = "\t")
+    else if (p.endsWith(".xls")) Xls.read(spark, path)
+    else if (p.endsWith(".xlsx")) Xlsx.read(spark, path)
+    else throw new IllegalArgumentException(
+      s"Unsupported file extension for «$path»; choose csv/tsv/xls/xlsx")
   }
 
   /** S5 — GeoJSON FeatureCollection reader (reference fiona-based location

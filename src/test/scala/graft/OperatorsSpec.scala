@@ -838,12 +838,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, Array(0.0f, 1.0f, 0.21f)),
       (9L, Array(0.5f, 0.5f, 0.1f))) // hub-ish, similar to everything
       .toDF("id", "vec")
-    val e1 = SimilaritySearch.mutualKnnGraph(vecs, k = 1)
+    val e1 = SimilaritySearch.mutualKnnGraph(vecs, k = 1, exact = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(e1 == Set((1L, 2L), (3L, 4L)), e1)
     // k = corpus size - 1 degenerates to ALL pairs (everything mutual)
-    val eAll = SimilaritySearch.mutualKnnGraph(vecs, k = 4).count()
+    val eAll = SimilaritySearch.mutualKnnGraph(vecs, k = 4, exact = true)
+      .count()
     assert(eAll == 10L)
+  }
+
+  test("mutualKnnGraph IVF default: high recall vs exact ground truth") {
+    import spark.implicits._
+    // 60 deterministic pseudo-random vectors in 8 dims (md5-derived, no
+    // RNG state) — enough that the 32-cell / 4-probe index is a real
+    // subset of the corpus rather than a degenerate all-probe
+    def comp(i: Long, d: Int): Float = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v$i|$d".getBytes("UTF-8"))
+      ((dig(0) & 0xff) - 127.5f) / 127.5f
+    }
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => comp(i, d)))).toDF("id", "vec")
+    val exact = SimilaritySearch.mutualKnnGraph(vecs, k = 5, exact = true)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.mutualKnnGraph(vecs, k = 5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // IVF prunes candidates; recall vs the exact ground truth stays
+    // high on this pinned deterministic corpus (pruning can also shift
+    // ranks, so approx is compared by recall, not subset)
+    assert(exact.nonEmpty && approx.nonEmpty)
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall, exact=${exact.size} approx=${approx.size}")
   }
 
   test("spanCorruptionPairs: exact masking layout, round-trip token count") {

@@ -622,4 +622,80 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftSemi"), "Apriori prune lost") // singleton filter
     assert(p.contains("partial_count"), p.take(3000))
   }
+
+  test("q229 top-20 is a TakeOrdered sort-limit, never a rank window") {
+    val p = plan("q229_branching")
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(3000))
+    assert(!p.contains("windowspecdefinition"),
+      "vocabulary-sized rank window crept back in")
+  }
+
+  test("q246 percentiles come from bucketed ranks; the only unkeyed window " +
+      "sits above the 20-row limit") {
+    val p = plan("q246_composite_score")
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(3000))
+    // corpus-sized windows (the bucketByRank prefix sums) must all be
+    // partitioned by the coarse bucket keys, never by the value order
+    val sumWins = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("sum("))
+      .toSeq
+    assert(sumWins.nonEmpty &&
+      sumWins.forall(l => l.contains("_b#") || l.contains("_w0#")),
+      sumWins.mkString("\n"))
+    // exactly one unkeyed window — the rank over the already-limited rows
+    val rankWins = p.linesIterator
+      .filter(l => l.contains("row_number() windowspecdefinition")).toSeq
+    assert(rankWins.size == 1, rankWins.mkString("\n"))
+  }
+
+  test("q161 IVF candidates join by cell — equi-join, no corpus broadcast, " +
+      "nested loop only against the 32-row centroid table") {
+    val p = plan("q161_mutual_knn")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the candidate join must be a shuffle equi-join on cell_id
+    val cellJoin = p.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("cell_id")).toSeq
+    assert(cellJoin.nonEmpty, p.take(4000))
+    // every nested-loop side is the TakeOrdered(limit=32) centroid table
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    val cents = p.linesIterator.count(_.contains(
+      "TakeOrderedAndProject(limit=32"))
+    assert(bnl == cents && bnl > 0, s"bnl=$bnl cents=$cents")
+    // rank windows stay capped (WindowGroupLimit) and keyed by qid
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("gate source sweep: no constant-key windows; SparkEntry crossJoins " +
+      "are all broadcast scalar frames") {
+    import scala.jdk.CollectionConverters._
+    val roots = Seq(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala"),
+      java.nio.file.Paths.get("src/main/scala/graft/operators"),
+      java.nio.file.Paths.get("src/main/scala/graft/shipping"),
+      java.nio.file.Paths.get("src/main/scala/graft/etl"))
+    val files = roots.flatMap { r =>
+      if (java.nio.file.Files.isDirectory(r))
+        java.nio.file.Files.list(r).iterator.asScala.toSeq
+          .filter(_.toString.endsWith(".scala"))
+      else Seq(r)
+    }
+    val offenders = files.flatMap { f =>
+      val lines = java.nio.file.Files.readAllLines(f).asScala
+      lines.zipWithIndex.collect {
+        case (l, i) if l.contains("partitionBy(lit(") => s"$f:${i + 1}: $l"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    // every crossJoin in the gate surface broadcasts its (scalar or
+    // bounded-table) side explicitly — an unhinted crossJoin is how a
+    // quadratic plan sneaks back in
+    val entry = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")).asScala
+    val badCross = entry.zipWithIndex.collect {
+      case (l, i) if l.contains("crossJoin") && !l.contains("broadcast(") =>
+        s"SparkEntry.scala:${i + 1}: $l"
+    }
+    assert(badCross.isEmpty, badCross.mkString("\n"))
+  }
 }
