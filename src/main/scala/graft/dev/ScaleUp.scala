@@ -1,0 +1,89 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev main: synthesize a larger scale factor from the driver's sf0.1
+  * testdata by unioning `factor` key-shifted replicas of each table —
+  * the scale-regression harness the round-5 verdict asked for ("run the
+  * full gate once at sf1: the one test that exposes any remaining
+  * quadratic or single-task plan that sf0.1 hides").
+  *
+  * Replica i shifts every key column by i × (max(key)+1) so FK
+  * relationships stay intact WITHIN a replica and cardinality ratios
+  * are preserved. Two columns get tiny deterministic perturbations so
+  * the blow-up does not manufacture pathological duplicate clusters the
+  * real distribution doesn't have:
+  *   - documents.text gains a per-replica suffix token (n_chars updated
+  *     to keep the n_chars == len(text) invariant) — otherwise every
+  *     doc would have 9 exact clones and the dedup/LSH pair counts
+  *     would grow quadratically instead of linearly;
+  *   - embeddings.embedding[0] += i/1000 — otherwise ANN/kNN queries
+  *     would see 10-way cosine ties.
+  *
+  * Usage: runMain graft.dev.ScaleUp <srcDir> <dstDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorS) = args
+    val factor = factorS.toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.Scratchspace.sparkLocalDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1
+
+    /** Union `factor` replicas, shifting each key column by its stride. */
+    def replicate(df: DataFrame, keys: Seq[String],
+        tweak: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+      val strides = keys.map(k => k -> stride(df, k)).toMap
+      (0 until factor).map { i =>
+        val shifted = keys.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(i * strides(k))))
+        tweak(shifted, i)
+      }.reduce(_ unionByName _)
+    }
+
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$dst/$name.parquet")
+
+    // dimension tables pass through unchanged — their cardinality is
+    // fixed by the schema (5 regions, 25 nations), not the scale factor
+    write(t("region"), "region", 1)
+    write(t("nation"), "nation", 1)
+
+    write(replicate(t("customer"), Seq("c_custkey")), "customer", 4)
+    write(replicate(t("supplier"), Seq("s_suppkey")), "supplier", 2)
+    write(replicate(t("part"), Seq("p_partkey")), "part", 4)
+    write(replicate(t("orders"), Seq("o_orderkey", "o_custkey")), "orders", 8)
+    write(replicate(t("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", 32)
+    write(replicate(t("events"), Seq("event_id", "user_id")), "events", 8)
+    write(replicate(t("documents"), Seq("doc_id"),
+      tweak = (d, i) =>
+        if (i == 0) d
+        else d.withColumn("text", concat(col("text"), lit(s" qq${i}zz")))
+          .withColumn("n_chars", length(col("text")).cast("long"))),
+      "documents", 8)
+    write(replicate(t("embeddings"), Seq("vec_id"),
+      tweak = (d, i) =>
+        if (i == 0) d
+        else d.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            when(j === 0, x + lit(i / 1000.0f)).otherwise(x)))),
+      "embeddings", 4)
+
+    println(s"[scaleup] wrote $dst at ${factor}x of $src")
+    spark.stop()
+  }
+}

@@ -137,4 +137,50 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("b2")) // b1 unchanged despite different provenance
   }
+
+  test("Users: create / grant / reset-password / ls, wired into sample RLS") {
+    import graft.etl.Users
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("password_hash", StringType)))
+    val empty = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](), schema)
+    import spark.implicits._
+    val noGrants = Seq.empty[(String, String)].toDF("name", "role")
+
+    var users = Users.createUser(empty, "alice", Some("epi analyst"))
+    users = Users.createUser(users, "bob")
+    intercept[IllegalArgumentException] { Users.createUser(users, "alice") }
+
+    var grants = Users.grantRoles(noGrants, "alice",
+      Seq("reporter", "hcov19-visibility"))
+    grants = Users.grantRoles(grants, "alice", Seq("reporter")) // no-op re-grant
+    grants = Users.grantRoles(grants, "bob", Seq("reporter"))
+    assert(grants.count() == 3)
+
+    users = Users.resetPassword(users, "alice", "s3cret")
+    val hash = users.filter(col("name") === "alice")
+      .select("password_hash").head.getString(0)
+    assert(hash != null && hash.length == 64 && hash != "s3cret")
+    intercept[IllegalArgumentException] {
+      Users.resetPassword(users, "mallory", "x")
+    }
+
+    val ls = Users.listUsers(users, grants).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[String](2)))
+    assert(ls.toSeq == Seq(
+      ("alice", "epi analyst", Seq("hcov19-visibility", "reporter")),
+      ("bob", null, Seq("reporter"))), ls.toSeq)
+
+    // RLS integration: alice (has hcov19-visibility) sees the restricted
+    // sample; bob does not; access_role-null rows are visible to both
+    val samples = Seq(("s1", null: String), ("s2", "hcov19-visibility"))
+      .toDF("sample", "access_role")
+    def visible(u: String) = graft.shipping.Views
+      .sampleVisibleTo(samples, Users.rolesOf(grants, u))
+      .select("sample").collect().map(_.getString(0)).toSet
+    assert(visible("alice") == Set("s1", "s2"))
+    assert(visible("bob") == Set("s1"))
+  }
 }
