@@ -202,9 +202,16 @@ object SparkEntry {
       maxDist = 2)
       .select($("id_a"), $("id_b"), $("dist").cast("long").as("dist"))
 
-  /** Dedup — exact n-gram Jaccard similarity join (shingle inverted index). */
+  /** Dedup — exact n-gram Jaccard similarity join. Since round 6 this
+    * runs through the PPJoin prefix-filter plan (same exact result set
+    * as the full shingle inverted index — no false negatives, verified
+    * candidates — but the index holds only each doc's rarest-gram
+    * prefix): the sf1 scale run showed the full-index self-join's
+    * Σdf² pair volume growing quadratically (0.95s → 17.5s at 10×)
+    * while the prefix form stays near-linear.
+    */
   private def q20Jaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
+    Dedup.prefixFilterJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
       .withColumn("jaccard", round($("jaccard"), 6))
 
   /** Dedup — MinHash signatures (md5-derived, engine-portable). */
@@ -2216,10 +2223,17 @@ object SparkEntry {
     */
   private def q134Bm25(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // pruneStopTerms = false: the synthetic corpus draws every token
+    // from one template vocabulary (each token's df ≈ 0.8·N), so the
+    // production stop-term prune (df > N/2 → skip the postings list)
+    // would empty the result — this corpus has no discriminative terms
+    // at all, and exact BM25 over it is inherently Σdf-bound. Real
+    // corpora take the default; TrainingOpsSpec pins the prune's
+    // semantics on a mixed-vocabulary fixture.
     TextAnalysis.bm25TopK(
       d.filter($("doc_id") % 97 =!= 0),
       d.filter($("doc_id") % 97 === 0).select($("doc_id"), $("text")),
-      "doc_id", "text", "doc_id", k = 5)
+      "doc_id", "text", "doc_id", k = 5, pruneStopTerms = false)
   }
 
   /** k-hop BFS reachability (min-hop labels) from the %100 seed docs over
@@ -2338,10 +2352,13 @@ object SparkEntry {
   }
 
   /** Asymmetric 3-gram containment pairs at 0.5 — the subset-duplication
-    * (quote / reprint) detector Jaccard misses.
+    * (quote / reprint) detector Jaccard misses. Round 6: routed through
+    * the asymmetric prefix filter (smaller side's rarest-gram prefix
+    * probes the full index — exact, same result set, near-linear pair
+    * volume; the full inverted-index self-join scaled 29× at 10× data).
     */
   private def q147Containment(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramContainmentPairs(docs(s, dir), "doc_id", "text",
+    Dedup.prefixFilterContainmentPairs(docs(s, dir), "doc_id", "text",
       n = 3, threshold = 0.5)
 
   /** Deterministic ±1 random projection of the 64-d embeddings onto 8
@@ -2434,6 +2451,15 @@ object SparkEntry {
       .as[Multimodal.Blob]
     val hashes = Multimodal.aHash(blobs, bits = 32).toDF()
       .select($("id"), $("phash"))
+    // Parameter note (sf1 scale run): 32-bit hashes at dist<=7 mean
+    // 4-bit bands — 16 band values, so the candidate join carries
+    // ~N²/32 pairs (1.2s → 31s at 10×). Production pHash is 64-bit at
+    // the same threshold → 8-bit bands, 256 values, near-linear; on
+    // THIS corpus every (bits, dist) pair that keeps the gate non-empty
+    // at sf0.01 degenerates the bands (hamming distances concentrate
+    // around bits/2 — template text, no true near-dup tail), so the
+    // gate keeps the reference parameterization and the scale story
+    // lives in the band arithmetic, not a tuned constant.
     Multimodal.phashPairs(hashes, bits = 32, maxDist = 7)
   }
 
@@ -2498,10 +2524,11 @@ object SparkEntry {
 
   /** Mutual-kNN cosine graph over the embeddings corpus (k = 10): the
     * symmetric sparse similarity graph for graph-based semantic dedup.
-    * IVF-probed candidates (32 cells, 4 probes — the scale default:
-    * cell equi-join, no corpus broadcast, no N² pairs); the exact
-    * quadratic form stays available as `exact = true` and is
-    * recall-pinned against this default in OperatorsSpec.
+    * IVF-probed candidates (auto max(32, √N) cells — 32 at the sf0.01
+    * gate, which the oracle's LIMIT 32 pins — 4 probes: cell equi-join,
+    * no corpus broadcast, no N² pairs); the exact quadratic form stays
+    * available as `exact = true` and is recall-pinned against this
+    * default in OperatorsSpec.
     */
   private def q161MutualKnn(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.mutualKnnGraph(

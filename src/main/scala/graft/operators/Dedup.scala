@@ -244,6 +244,70 @@ object Dedup {
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
       .select("id_a", "id_b", "c_ab", "c_ba")
 
+  /** EXACT containment pairs via an asymmetric prefix filter — the same
+    * result set as [[ngramContainmentPairs]] (no false negatives,
+    * candidates verified on full gram sets) without the full
+    * inverted-index self-join whose Σdf² pair volume grows quadratically
+    * (the sf1 scale run measured 1.2s → 34.7s at 10× corpus).
+    *
+    * Why the prefix suffices here: max(c_ab, c_ba) >= t means
+    * inter >= t·min(|A|,|B|). Let S be the smaller doc. If none of S's
+    * (|S| - ceil(t·|S|) + 1) globally-RAREST grams occurred in the
+    * partner, the whole overlap would sit in S's last ceil(t·|S|) - 1
+    * grams — fewer than t·|S| <= inter, a contradiction. So probing
+    * every doc's rarity-ordered prefix against the FULL index (not
+    * prefix-vs-prefix: unlike Jaccard, the larger side's witness can
+    * live anywhere in it, and no length filter applies — containment
+    * pairs any sizes) finds every qualifying pair when its smaller side
+    * probes. Prefix grams are by construction the rarest ones, so the
+    * probe volume Σ df_prefix(g)·df(g) stays far below Σ df(g)².
+    */
+  def prefixFilterContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), n)).as("gram"))
+      .select(col("id"), hash60Base(col("gram")).as("g"))
+      .localCheckpoint(false)
+    val docSets = sh.groupBy("id").agg(
+      sort_array(collect_list("g")).as("_grams"),
+      count(lit(1)).as("_sz"))
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("_df"))
+    val byId = Window.partitionBy("id")
+    val ranked = sh.join(dfreq, "g")
+      .withColumn("_pos", row_number().over(byId.orderBy(col("_df"), col("g"))))
+      .withColumn("_n", count(lit(1)).over(byId))
+    val prefix = ranked
+      .filter(col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      .select(col("id"), col("g"), col("_pos"), col("_n"))
+    // smaller side probes its prefix against the larger side's full set;
+    // size ties probe both ways, the unordered-pair distinct dedups.
+    // Positional prune (safe): every common gram sits at-or-after the
+    // MINIMUM common gram in the one global rarity order, so at the
+    // witness row the reachable overlap min(remaining_a, remaining_b)+1
+    // must cover the required ceil(t·|S|) — rows that fail it are
+    // never a pair's only witness.
+    val cand = prefix.as("a").hint("shuffle_hash").join(
+        ranked.select(col("id"), col("g"), col("_pos"), col("_n")).as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id") &&
+          col("a._n") <= col("b._n") &&
+          least(col("a._n") - col("a._pos"), col("b._n") - col("b._pos")) +
+            1 >= ceil(lit(threshold) * col("a._n")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    cand
+      .join(docSets.select(col("id").as("id_a"),
+        col("_grams").as("_ga"), col("_sz").as("_sa")), "id_a")
+      .join(docSets.select(col("id").as("id_b"),
+        col("_grams").as("_gb"), col("_sz").as("_sb")), "id_b")
+      .withColumn("_i", size(array_intersect(col("_ga"), col("_gb"))).cast("long"))
+      .withColumn("c_ab", round(col("_i").cast("double") / col("_sa"), 6))
+      .withColumn("c_ba", round(col("_i").cast("double") / col("_sb"), 6))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("id_a", "id_b", "c_ab", "c_ba")
+  }
+
   /** Benchmark decontamination: per-corpus-document n-gram overlap with a
     * benchmark/eval shingle set — the standard guard against test-set
     * leakage into a training corpus (flag or drop documents whose shingle
@@ -722,6 +786,8 @@ object Dedup {
     * (SemDeDup's own regime: 50k clusters over 5 B embeddings). No
     * global pairwise stage exists anywhere. Output columns carry no
     * floats, so results hash-compare bit-exactly across engines.
+    * `vecCol` must be `array<float>` (the embedding-column convention —
+    * the codegen FloatDot kernel reads float slots).
     *
     * Output: (idCol, cell) — the surviving rows.
     */
@@ -730,16 +796,19 @@ object Dedup {
       clusters: DataFrame, threshold: Double): DataFrame = {
     // per-row norm computed ONCE here: the pair filter below then divides
     // the pair dot by nrm_a * nrm_b — arithmetically identical to
-    // cosine(a, b) (same ops, same order) but the O(pairs) stage does one
-    // dot instead of a dot plus two norms, a 3× cut of the interpreted
-    // HOF work that dominates this operator
+    // cosine(a, b) (same ops, same order). The O(pairs) dot is the
+    // codegen FloatDot expression, NOT the interpreted aggregate/zip_with
+    // HOF: at 10× corpus (sf1 scale run, round 6) the HOF form spent 27s
+    // walking interpreted expression trees inside the within-cell pair
+    // loop; FloatDot is the same strict left-to-right double summation
+    // (bit-identical results) inside whole-stage codegen.
     val withC = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         SimilaritySearch.norm(col(vecCol)).as("nrm"))
       .join(clusters, Seq("id"))
       .localCheckpoint(false) // consumed by both pair sides + the anti-join
     val drops = withC.as("a").hint("shuffle_hash").join(withC.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .filter(SimilaritySearch.dot(col("a.v"), col("b.v")) /
+      .filter(graft.functions.floatDot(col("a.v"), col("b.v")) /
         (col("a.nrm") * col("b.nrm")) >= threshold)
       .select(col("b.id").as("id")).distinct()
     withC.join(drops, Seq("id"), "left_anti")

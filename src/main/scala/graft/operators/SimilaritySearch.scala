@@ -298,14 +298,17 @@ object SimilaritySearch {
     * a broadcast, since for the self-join case both sides are
     * corpus-sized — so the pair count is N·nprobe·(N/numCells) instead
     * of N², and nothing is ever broadcast except the tiny centroid
-    * table. With numCells ≈ √N this is the shape that survives a
-    * corpus-scale self-join. `exact = true` opts into the quadratic
-    * broadcast form (bounded inputs / recall ground truth only).
+    * table. `numCells = 0` (the default) sizes the index as
+    * max(32, √N) — the IVF convention — so the within-cell quadratic
+    * term stays ~constant as the corpus grows (one count() job to learn
+    * N; at ingest time a real deployment knows it already). `exact =
+    * true` opts into the quadratic broadcast form (bounded inputs /
+    * recall ground truth only).
     *
     * Output: id_a < id_b, cosine (rounded 6), rank_ab, rank_ba.
     */
   def mutualKnnGraph(corpus: DataFrame, k: Int, exact: Boolean = false,
-      numCells: Int = 32, nprobe: Int = 4): DataFrame = {
+      numCells: Int = 0, nprobe: Int = 4): DataFrame = {
     // norms once per row OUTSIDE the pair loop; the pair-loop dot is the
     // codegen FloatDot expression — the interpreted HOF fold here ran
     // the 4M-pair sf0.1 scoring in 76s, this form in ~2s, with
@@ -326,7 +329,10 @@ object SimilaritySearch {
           // payload arrays stay out of the window exchange
           .select(col("qid"), col("id"), col("cosine"))
       } else {
-        val cents = corpus.orderBy("id").limit(numCells)
+        val cells =
+          if (numCells > 0) numCells
+          else math.max(32, math.sqrt(corpus.count().toDouble).toInt)
+        val cents = corpus.orderBy("id").limit(cells)
           .select(col("id").as("cell_id"), col("vec").as("cvec"),
             sqrt(graft.functions.floatDot(col("vec"), col("vec"))).as("cnorm"))
         def cellCos(v: Column, n: Column) =

@@ -757,12 +757,26 @@ object TextAnalysis {
     * prunes the rest). The final top-k window partitions by query over
     * candidate sets already shrunk to matching docs.
     *
-    * Output: query_id, doc_id, n_terms (matched query terms), score_q20,
-    * rk (1-based, score desc / doc_id asc).
+    * STOP-TERM PRUNING (`pruneStopTerms`, default on): a term with
+    * df > N/2 has rational idf < 1 (Robertson log-idf < 0 — Lucene
+    * clamps it to 0, WAND skips the list), yet its postings list is by
+    * definition most of the corpus. The round-6 sf1 scale run measured
+    * the stop lists at 99.5% of the join volume (462M of 464M rows) for
+    * ~zero rank signal; pruning them before the postings join is what
+    * every production BM25 engine effectively does, and it is where the
+    * 100 TB plan lives or dies. Docs matching a query ONLY on stop
+    * terms drop out. Opt out only for degenerate corpora whose entire
+    * vocabulary is stop terms (the synthetic gate corpus: every token
+    * sits in ~80% of documents, so pruning would empty the result —
+    * and full BM25 there is inherently Σdf-bound).
+    *
+    * Output: query_id, doc_id, n_terms (matched query terms),
+    * score_q20, rk (1-based, score desc / doc_id asc).
     */
   def bm25TopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, textCol: String, qidCol: String, k: Int): DataFrame = {
+      idCol: String, textCol: String, qidCol: String, k: Int,
+      pruneStopTerms: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = corpus
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
@@ -782,11 +796,17 @@ object TextAnalysis {
         (lit(0.25) + lit(0.75) *
           (col("dl").cast("double") /
             (col("tot").cast("double") / col("n").cast("double")))))
-    val terms = qterms
+    // the prune happens on the vocabulary-sized frame, BEFORE the join
+    // fans out to postings
+    val liveTerms = {
+      val withDf = qterms.join(dfreq, Seq("token"))
+        .crossJoin(broadcast(stats))
+      if (pruneStopTerms) withDf.filter(col("df") * 2 <= col("n"))
+      else withDf
+    }
+    val terms = liveTerms
       .join(tf, Seq("token"))
-      .join(dfreq, Seq("token"))
       .join(dl, Seq("id"))
-      .crossJoin(broadcast(stats))
       .select(col("qid"), col("id"),
         floor((lit(1048576.0) * idf) * tfn).cast("long").as("tq"))
     val scored = terms.groupBy("qid", "id")

@@ -649,7 +649,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text")
     val queries = Seq((10L, "apple banana")).toDF("doc_id", "text")
     val got = TextAnalysis.bm25TopK(corpus, queries,
-        "doc_id", "text", "doc_id", k = 5)
+        "doc_id", "text", "doc_id", k = 5, pruneStopTerms = false)
       .orderBy("rk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
       .toSeq
@@ -657,14 +657,33 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // banana only; doc 3 matches nothing and must be absent
     assert(got == Seq((10L, 1L, 2L, 1L), (10L, 2L, 1L, 2L)))
     val scores = TextAnalysis.bm25TopK(corpus, queries,
-        "doc_id", "text", "doc_id", k = 5)
+        "doc_id", "text", "doc_id", k = 5, pruneStopTerms = false)
       .orderBy("rk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
     val again = TextAnalysis.bm25TopK(corpus.repartition(7), queries,
-        "doc_id", "text", "doc_id", k = 5)
+        "doc_id", "text", "doc_id", k = 5, pruneStopTerms = false)
       .orderBy("rk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
     assert(again == scores) // quantized scores identical across partitionings
+  }
+
+  test("bm25TopK default prunes stop terms (df > N/2) before the postings join") {
+    import spark.implicits._
+    // "common" sits in all 6 docs (df = 6 > 3 = N/2); "rare" in two
+    val corpus = (1L to 6L)
+      .map(i => (i, if (i <= 2) "common rare word" + i else "common word" + i))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "common rare")).toDF("doc_id", "text")
+    val pruned = TextAnalysis.bm25TopK(corpus, queries,
+        "doc_id", "text", "doc_id", k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // only the rare postings list survives: docs 1,2 via one term each
+    assert(pruned == Map(1L -> 1L, 2L -> 1L), pruned)
+    val full = TextAnalysis.bm25TopK(corpus, queries,
+        "doc_id", "text", "doc_id", k = 10, pruneStopTerms = false)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // opt-out matches every doc through the stop list too
+    assert(full.keySet == (1L to 6L).toSet && full(1L) == 2L, full)
   }
 
   test("kHopReachability: min-hop labels, frontier stops at k, undirected") {
@@ -829,7 +848,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           .toDF("doc_id", "text"),
         queries.toSeq.map { case (i, t) => (i, t.mkString(" ")) }
           .toDF("doc_id", "text"),
-        "doc_id", "text", "doc_id", k = 1000)
+        "doc_id", "text", "doc_id", k = 1000, pruneStopTerms = false)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
     // brute force with the library's exact op order
     val tf = corpus.map { case (i, t) =>
@@ -1081,6 +1100,38 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val pf = Dedup.prefixFilterJaccardPairs(docsDf, "doc_id", "text", 3, t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(pf == full, s"t=$t")
+    }
+  }
+
+  test("prefixFilterContainmentPairs equals the full inverted-index join " +
+      "(random corpora, several thresholds)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(83)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    // mixed sizes, including short docs quoted inside long ones — the
+    // asymmetric case the containment signal exists for
+    val base = (1L to 24L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val quoted = base.take(4).map { case (i, t) =>
+      (100L + i, t + " " + Seq.fill(12)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val docsDf = (base ++ quoted).toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.5, 0.7)) {
+      val full = Dedup.ngramContainmentPairs(docsDf, "doc_id", "text", 3, t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+      val pf = Dedup.prefixFilterContainmentPairs(docsDf, "doc_id", "text", 3, t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+      assert(pf == full, s"t=$t missing=${(full -- pf).take(3)} " +
+        s"extra=${(pf -- full).take(3)}")
     }
   }
 
