@@ -154,7 +154,8 @@ object Xls {
       val sb = new java.lang.StringBuilder(cch)
       var read = 0
       while (read < cch) {
-        if (segRemaining == 0 && hasMore) () // ensure() advances below
+        // crossing into a CONTINUE segment mid-characters: a fresh
+        // compression flag precedes the remaining chars (BIFF8 rule)
         if ({ ensure(); off == 0 && si > 0 && read > 0 }) grbit = byte()
         val wide = (grbit & 0x01) != 0
         val avail = segRemaining / (if (wide) 2 else 1)
