@@ -89,8 +89,25 @@ class XlsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rec(o, 0x0205, bytes { b => // C3 BOOLERR true
         cell(b, 2, 2); b.write(1); b.write(0)
       })
-      // row 4 (A4 only; B4/C4 stay null)
+      // row 4: A4 label, B4 FORMULA cached-numeric, C4 FORMULA
+      // cached-string + following STRING record
       rec(o, 0x00FD, bytes { b => cell(b, 3, 0); w32(b, 1) })
+      rec(o, 0x0006, bytes { b => // B4 = 99.25 (cached result)
+        cell(b, 3, 1)
+        val bits = java.lang.Double.doubleToLongBits(99.25)
+        w32(b, bits & 0xFFFFFFFFL); w32(b, (bits >>> 32) & 0xFFFFFFFFL)
+        w16(b, 0); w32(b, 0) // grbit, chn
+      })
+      rec(o, 0x0006, bytes { b => // C4: cached string marker (FF FF)
+        cell(b, 3, 2)
+        b.write(0); (0 until 5).foreach(_ => b.write(0)); w16(b, 0xFFFF)
+        w16(b, 0); w32(b, 0) // grbit, chn
+      })
+      rec(o, 0x0207, bytes { b => // STRING "calc"
+        w16(b, 4); b.write(0); b.write("calc".getBytes("ISO-8859-1"))
+      })
+      // row 5 (A5 only; B5/C5 stay null)
+      rec(o, 0x00FD, bytes { b => cell(b, 4, 0); w32(b, 1) })
       rec(o, 0x000A, Array.emptyByteArray)
     }
     // globals with the real sheet offset patched in
@@ -210,6 +227,7 @@ class XlsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq(
       Seq("barcode", "12.5", "42"),
       Seq("7", "12.34", "True"),
+      Seq("collection", "99.25", "calc"),
       Seq("collection", null, null)), rows)
     assert(Xls.read(spark, path).columns.head == "barcode")
   }
