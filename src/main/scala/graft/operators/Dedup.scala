@@ -555,11 +555,18 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // norms once per row; the per-candidate cosine is the codegen
+    // FloatDot (bit-identical to the HOF fold — same strict summation)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(graft.functions.floatDot(col(vecCol), col(vecCol))).as("_n"))
     cands
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cosine", SimilaritySearch.cosine(col("v_a"), col("v_b")))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("_n").as("_na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("_n").as("_nb")), "id_b")
+      .withColumn("cosine",
+        graft.functions.floatDot(col("v_a"), col("v_b")) /
+          (col("_na") * col("_nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -71,8 +71,17 @@ object SimilaritySearch {
       corpus: DataFrame, // id, vec
       queries: DataFrame, // qid, qvec
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+    // norms once per ROW; the |corpus|×|queries| pair loop runs only the
+    // codegen FloatDot — the interpreted aggregate/zip_with fold here is
+    // the classic hot-loop trap (same strict summation, bit-identical)
+    val c = corpus.select(col("id"), col("vec"),
+      sqrt(graft.functions.floatDot(col("vec"), col("vec"))).as("_n"))
+    val q = queries.select(col("qid"), col("qvec"),
+      sqrt(graft.functions.floatDot(col("qvec"), col("qvec"))).as("_qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        graft.functions.floatDot(col("vec"), col("qvec")) /
+          (col("_n") * col("_qn")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -183,21 +192,25 @@ object SimilaritySearch {
       corpus: DataFrame, queries: DataFrame, k: Int,
       numBands: Int = 2, bandBits: Int = 8): DataFrame = {
     val planes = numBands * bandBits
-    def banded(df: DataFrame, idc: String, vc: String) =
-      // signature materialized in its own project so the interpreted HOF
-      // arithmetic runs once per row, not once per band (CollapseProject
-      // keeps multi-use non-cheap aliases in place)
+    def banded(df: DataFrame, idc: String, vc: String, nc: String) =
+      // signature + norm materialized in their own project so the
+      // interpreted HOF arithmetic runs once per row, not once per band
+      // (CollapseProject keeps multi-use non-cheap aliases in place);
+      // the per-CANDIDATE cosine below is then pure codegen FloatDot
       df.select(col(idc), col(vc),
+          sqrt(graft.functions.floatDot(col(vc), col(vc))).as(nc),
           hyperplaneSignature(col(vc), planes).as("_sig"))
-        .select(col(idc), col(vc),
+        .select(col(idc), col(vc), col(nc),
           posexplode(array((0 until numBands).map { b =>
             shiftright(col("_sig"), b * bandBits)
               .bitwiseAND(lit((1L << bandBits) - 1))
           }: _*)).as(Seq("band", "bucket")))
-    val scored = banded(corpus, "id", "vec")
-      .join(banded(queries, "qid", "qvec"), Seq("band", "bucket"))
+    val scored = banded(corpus, "id", "vec", "_n")
+      .join(banded(queries, "qid", "qvec", "_qn"), Seq("band", "bucket"))
       .dropDuplicates("qid", "id") // a pair can agree in several bands
-      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+      .withColumn("cosine",
+        graft.functions.floatDot(col("vec"), col("qvec")) /
+          (col("_n") * col("_qn")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -234,8 +247,14 @@ object SimilaritySearch {
       .filter(col("_cr") <= coarseK)
       .select("qid", "id")
     val w2 = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    cands.join(corpus, Seq("id")).join(broadcast(queries), Seq("qid"))
-      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+    val cn = corpus.select(col("id"), col("vec"),
+      sqrt(graft.functions.floatDot(col("vec"), col("vec"))).as("_n"))
+    val qn = queries.select(col("qid"), col("qvec"),
+      sqrt(graft.functions.floatDot(col("qvec"), col("qvec"))).as("_qn"))
+    cands.join(cn, Seq("id")).join(broadcast(qn), Seq("qid"))
+      .withColumn("cosine",
+        graft.functions.floatDot(col("vec"), col("qvec")) /
+          (col("_n") * col("_qn")))
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select("qid", "id", "cosine", "rank")
