@@ -123,30 +123,34 @@ object SimilaritySearch {
       corpus: DataFrame, // id, vec
       queries: DataFrame, // qid, qvec
       k: Int, numCells: Int = 32, nprobe: Int = 4): DataFrame = {
+    // all vectors here are corpus float embeddings, so every dot in the
+    // N×cells assignment and the candidate stage runs as the codegen
+    // FloatDot kernel (identical strict summation as the HOF fold)
+    val fdot = (a: Column, b: Column) => graft.functions.floatDot(a, b)
     val cents = corpus.orderBy("id").limit(numCells)
       .select(col("id").as("cell_id"), col("vec").as("cvec"),
-        norm(col("vec")).as("cnorm"))
+        sqrt(fdot(col("vec"), col("vec"))).as("cnorm"))
     // nearest centroid per corpus vector: map-side-complete argmax (the
     // broadcast cross join keeps corpus partitioning, so each id's
     // candidate rows are local) — no window, no extra shuffle
     val assigned = corpus
-      .select(col("id"), col("vec"), norm(col("vec")).as("vnorm"))
+      .select(col("id"), col("vec"), sqrt(fdot(col("vec"), col("vec"))).as("vnorm"))
       .crossJoin(broadcast(cents))
-      .withColumn("_cos", dot(col("vec"), col("cvec")) / (col("vnorm") * col("cnorm")))
+      .withColumn("_cos", fdot(col("vec"), col("cvec")) / (col("vnorm") * col("cnorm")))
       .groupBy("id")
       .agg(first("vec").as("vec"), first("vnorm").as("vnorm"),
         max_by(col("cell_id"), struct(col("_cos"), -col("cell_id"))).as("cell_id"))
     val probes = queries
-      .select(col("qid"), col("qvec"), norm(col("qvec")).as("qnorm"))
+      .select(col("qid"), col("qvec"), sqrt(fdot(col("qvec"), col("qvec"))).as("qnorm"))
       .crossJoin(broadcast(cents))
-      .withColumn("_cos", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("_cos", fdot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .withColumn("_pr", row_number().over(
         Window.partitionBy("qid").orderBy(col("_cos").desc, col("cell_id"))))
       .filter(col("_pr") <= nprobe)
       .select(col("qid"), col("qvec"), col("qnorm"), col("cell_id"))
     val scored = assigned.join(broadcast(probes), Seq("cell_id"))
       .withColumn("cosine",
-        dot(col("vec"), col("qvec")) / (col("vnorm") * col("qnorm")))
+        fdot(col("vec"), col("qvec")) / (col("vnorm") * col("qnorm")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -167,10 +171,14 @@ object SimilaritySearch {
       cents: DataFrame, // cell_id, cvec
       queries: DataFrame, // qid, qvec
       k: Int, nprobe: Int = 4): DataFrame = {
+    // trained centroids may be double arrays (mean vectors), so the
+    // |queries|×cells probe dots stay on the generic HOF fold; the
+    // candidate-stage dot is float-vs-float and runs as codegen FloatDot
     val c = cents.select(col("cell_id"), col("cvec"),
       norm(col("cvec")).as("cnorm"))
     val probes = queries
-      .select(col("qid"), col("qvec"), norm(col("qvec")).as("qnorm"))
+      .select(col("qid"), col("qvec"),
+        sqrt(graft.functions.floatDot(col("qvec"), col("qvec"))).as("qnorm"))
       .crossJoin(broadcast(c))
       .withColumn("_cos", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .withColumn("_pr", row_number().over(
@@ -178,10 +186,13 @@ object SimilaritySearch {
       .filter(col("_pr") <= nprobe)
       .select(col("qid"), col("qvec"), col("qnorm"), col("cell_id"))
     val scored = assigned
-      .select(col("id"), col("vec"), norm(col("vec")).as("vnorm"), col("cell_id"))
+      .select(col("id"), col("vec"),
+        sqrt(graft.functions.floatDot(col("vec"), col("vec"))).as("vnorm"),
+        col("cell_id"))
       .join(broadcast(probes), Seq("cell_id"))
       .withColumn("cosine",
-        dot(col("vec"), col("qvec")) / (col("vnorm") * col("qnorm")))
+        graft.functions.floatDot(col("vec"), col("qvec")) /
+          (col("vnorm") * col("qnorm")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
