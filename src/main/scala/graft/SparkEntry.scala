@@ -3818,6 +3818,68 @@ object SparkEntry {
       "delta", 10)
   }
 
+  /** Per-document top-3 keywords by rational tf·idf (log-free q20 score,
+    * keyed rank — the keyword-extraction pass of index building).
+    */
+  private def q248TfidfTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+
+  /** CCNet-style surprise filtering: mean unigram surprisal under the
+    * %7-slice reference model (add-one smoothing, rational fixed-point),
+    * equi-depth head/middle/tail thirds via the distributed rank
+    * buckets.
+    */
+  private def q249SurpriseFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.surpriseScores(
+      d, d.filter($("doc_id") % 7 === 0), "doc_id", "text")
+  }
+
+  /** k-center greedy coreset (k = 8) over the int8-quantized embeddings
+    * — integer-exact max-min diversity selection; the argmax rounds are
+    * TakeOrdered scalar collects, vectors never leave the executors.
+    */
+  private def q250KcenterCoreset(s: SparkSession, dir: String): DataFrame =
+    Embeddings.kcenterCoreset(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 8)
+
+  /** Shot-boundary detection over "video" blobs: per-frame aHash (q83's
+    * frames, q155's hash construction), consecutive-frame hamming in a
+    * per-video keyed window, cut where dist > 4 of 16 bits.
+    */
+  private def q251SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    val ascii = docs(s, dir)
+      .filter(octet_length($("text")) === length($("text")))
+    Multimodal.sceneCuts(
+      Multimodal.attachBinary(ascii, "doc_id", "text", "video/fake"),
+      frameBytes = 64, stride = 4, bits = 16, cutDist = 4)
+      .select($("id").as("doc_id"), $("frame_no"), $("phash"), $("dist"),
+        $("is_cut"))
+  }
+
+  /** Per-column Gini-impurity dispersion profile over orders — which
+    * columns can stratify/partition (log-free fixed-point, one melt
+    * scan).
+    */
+  private def q252GiniProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.giniDispersion(t(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey"))
+
+  /** Dataset card: the per-source summary table a corpus release ships —
+    * doc/char/token counts, language breadth, exact-duplicate mass
+    * (docs beyond the first per distinct text), mean length. Exact
+    * integers; two exact distinct aggregates share one scan.
+    */
+  private def q253DatasetCard(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy($("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($("n_chars")).as("n_chars"),
+        sum(TextAnalysis.tokenCount($("text")).cast("long")).as("n_tokens"),
+        countDistinct($("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(md5($("text")))).as("dup_docs"))
+      .withColumn("mean_chars", expr("n_chars div n_docs"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4068,6 +4130,12 @@ object SparkEntry {
     "q245_user_diversity" -> (q245UserDiversity _),
     "q246_composite_score" -> (q246CompositeScore _),
     "q247_lag_deciles" -> (q247LagDeciles _),
+    "q248_tfidf_terms" -> (q248TfidfTerms _),
+    "q249_surprise_filter" -> (q249SurpriseFilter _),
+    "q250_kcenter_coreset" -> (q250KcenterCoreset _),
+    "q251_scene_cuts" -> (q251SceneCuts _),
+    "q252_gini_profile" -> (q252GiniProfile _),
+    "q253_dataset_card" -> (q253DatasetCard _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8180,5 +8248,204 @@ object SparkEntry {
         |SELECT (cb * 10) // tot AS bucket, min(val) AS lo, max(val) AS hi,
         |  CAST(sum(n) AS BIGINT) AS n_rows
         |FROM r, t GROUP BY 1""".stripMargin,
+    "q248_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tc GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+        |sc AS (SELECT doc_id, tc.term, tf, df,
+        |         CAST((1048576::HUGEINT * tf * nn.n) // df AS BIGINT)
+        |           AS score_q20
+        |       FROM tc JOIN dfq ON tc.term = dfq.term, nn),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_q20 DESC, term) AS rk FROM sc)
+        |SELECT doc_id, term, tf, df, score_q20, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+    "q249_surprise_filter" ->
+      """WITH ref AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |  WHERE doc_id % 7 = 0 AND length(trim(text)) > 0),
+        |m AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+        |      FROM ref GROUP BY 1),
+        |tv AS (SELECT CAST(sum(c) + count(*) AS HUGEINT) AS tv FROM m),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |st AS (SELECT doc_id,
+        |         CAST((1048576::HUGEINT * tv.tv) //
+        |              (COALESCE(m.c, 0) + 1) AS BIGINT) AS s
+        |       FROM tok LEFT JOIN m ON tok.term = m.term, tv),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         sum(s) AS ss FROM st GROUP BY 1),
+        |scd AS (SELECT doc_id, n_tokens,
+        |          CAST(ss // n_tokens AS BIGINT) AS surprise_q20 FROM sc),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM scd),
+        |cb AS (SELECT surprise_q20 AS v, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM scd GROUP BY 1),
+        |vb AS (SELECT v,
+        |         (COALESCE(sum(cnt) OVER (ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          * 3) // (SELECT t FROM tot) AS bucket
+        |       FROM cb)
+        |SELECT doc_id, n_tokens, surprise_q20,
+        |  CAST(vb.bucket AS BIGINT) AS bucket
+        |FROM scd JOIN vb ON scd.surprise_q20 = vb.v""".stripMargin,
+    "q250_kcenter_coreset" ->
+      """WITH cs AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+        |      AS scale
+        |  FROM embeddings),
+        |cq AS (SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN CAST([] AS BIGINT[])
+        |    ELSE list_transform(v,
+        |      x -> CAST(floor(x * 127 / scale + 0.5) AS BIGINT)) END
+        |      AS codes
+        |  FROM cs),
+        |sq AS (SELECT vec_id, codes,
+        |    COALESCE(list_sum([codes[i+1] * codes[i+1]
+        |      for i in range(0, len(codes))]), 0) AS self2
+        |  FROM cq),
+        |c1 AS (SELECT vec_id, codes, self2 FROM sq
+        |       ORDER BY vec_id LIMIT 1),
+        |e1 AS (SELECT s.vec_id, s.codes, s.self2,
+        |    s.self2 + c.self2 - 2 * COALESCE(list_sum(
+        |      [s.codes[i+1] * c.codes[i+1]
+        |       for i in range(0, least(len(s.codes), len(c.codes)))]), 0)
+        |      AS md
+        |  FROM sq s, c1 c WHERE s.vec_id <> c.vec_id),
+        |c2 AS (SELECT vec_id, codes, self2, md FROM e1
+        |       ORDER BY md DESC, vec_id LIMIT 1),
+        |e2 AS (SELECT s.vec_id, s.codes, s.self2,
+        |    least(s.md, s.self2 + c.self2 - 2 * COALESCE(list_sum(
+        |      [s.codes[i+1] * c.codes[i+1]
+        |       for i in range(0, least(len(s.codes), len(c.codes)))]), 0))
+        |      AS md
+        |  FROM e1 s, c2 c WHERE s.vec_id <> c.vec_id),
+        |c3 AS (SELECT vec_id, codes, self2, md FROM e2
+        |       ORDER BY md DESC, vec_id LIMIT 1),
+        |e3 AS (SELECT s.vec_id, s.codes, s.self2,
+        |    least(s.md, s.self2 + c.self2 - 2 * COALESCE(list_sum(
+        |      [s.codes[i+1] * c.codes[i+1]
+        |       for i in range(0, least(len(s.codes), len(c.codes)))]), 0))
+        |      AS md
+        |  FROM e2 s, c3 c WHERE s.vec_id <> c.vec_id),
+        |c4 AS (SELECT vec_id, codes, self2, md FROM e3
+        |       ORDER BY md DESC, vec_id LIMIT 1),
+        |e4 AS (SELECT s.vec_id, s.codes, s.self2,
+        |    least(s.md, s.self2 + c.self2 - 2 * COALESCE(list_sum(
+        |      [s.codes[i+1] * c.codes[i+1]
+        |       for i in range(0, least(len(s.codes), len(c.codes)))]), 0))
+        |      AS md
+        |  FROM e3 s, c4 c WHERE s.vec_id <> c.vec_id),
+        |c5 AS (SELECT vec_id, codes, self2, md FROM e4
+        |       ORDER BY md DESC, vec_id LIMIT 1),
+        |e5 AS (SELECT s.vec_id, s.codes, s.self2,
+        |    least(s.md, s.self2 + c.self2 - 2 * COALESCE(list_sum(
+        |      [s.codes[i+1] * c.codes[i+1]
+        |       for i in range(0, least(len(s.codes), len(c.codes)))]), 0))
+        |      AS md
+        |  FROM e4 s, c5 c WHERE s.vec_id <> c.vec_id),
+        |c6 AS (SELECT vec_id, codes, self2, md FROM e5
+        |       ORDER BY md DESC, vec_id LIMIT 1),
+        |e6 AS (SELECT s.vec_id, s.codes, s.self2,
+        |    least(s.md, s.self2 + c.self2 - 2 * COALESCE(list_sum(
+        |      [s.codes[i+1] * c.codes[i+1]
+        |       for i in range(0, least(len(s.codes), len(c.codes)))]), 0))
+        |      AS md
+        |  FROM e5 s, c6 c WHERE s.vec_id <> c.vec_id),
+        |c7 AS (SELECT vec_id, codes, self2, md FROM e6
+        |       ORDER BY md DESC, vec_id LIMIT 1),
+        |e7 AS (SELECT s.vec_id, s.codes, s.self2,
+        |    least(s.md, s.self2 + c.self2 - 2 * COALESCE(list_sum(
+        |      [s.codes[i+1] * c.codes[i+1]
+        |       for i in range(0, least(len(s.codes), len(c.codes)))]), 0))
+        |      AS md
+        |  FROM e6 s, c7 c WHERE s.vec_id <> c.vec_id),
+        |c8 AS (SELECT vec_id, codes, self2, md FROM e7
+        |       ORDER BY md DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS sel_order, vec_id,
+        |  CAST(NULL AS BIGINT) AS d2 FROM c1
+        |UNION ALL SELECT 2, vec_id, CAST(md AS BIGINT) FROM c2
+        |UNION ALL SELECT 3, vec_id, CAST(md AS BIGINT) FROM c3
+        |UNION ALL SELECT 4, vec_id, CAST(md AS BIGINT) FROM c4
+        |UNION ALL SELECT 5, vec_id, CAST(md AS BIGINT) FROM c5
+        |UNION ALL SELECT 6, vec_id, CAST(md AS BIGINT) FROM c6
+        |UNION ALL SELECT 7, vec_id, CAST(md AS BIGINT) FROM c7
+        |UNION ALL SELECT 8, vec_id, CAST(md AS BIGINT) FROM c8""".stripMargin,
+    "q251_scene_cuts" ->
+      """WITH a AS (SELECT doc_id, text FROM documents
+        |           WHERE strlen(text) = length(text)),
+        |f AS (SELECT doc_id, text,
+        |        unnest(range(0, greatest(length(text) // 256, 1)))
+        |          AS fno
+        |      FROM a),
+        |ft AS (SELECT doc_id, fno,
+        |         substring(text, (fno * 256 + 1)::BIGINT, 64) AS ftext
+        |       FROM f),
+        |b AS (SELECT doc_id, fno, ((i - 1) * 16) // L AS k,
+        |        ord(substr(ftext, CAST(i AS INT), 1)) AS v
+        |      FROM (SELECT doc_id, fno, ftext, length(ftext) AS L,
+        |              unnest(range(1, length(ftext) + 1)) AS i
+        |            FROM ft WHERE length(ftext) > 0)),
+        |m AS (SELECT doc_id, fno, k, sum(v) // count(*) AS mk
+        |      FROM b GROUP BY 1, 2, 3),
+        |s AS (SELECT doc_id, fno, sum(mk) AS sm FROM m GROUP BY 1, 2),
+        |h0 AS (SELECT m.doc_id, m.fno,
+        |        CAST(sum(CASE WHEN m.mk * 16 >= s.sm
+        |             THEN (1::BIGINT << CAST(m.k AS INT)) ELSE 0 END)
+        |          AS BIGINT) AS phash
+        |       FROM m JOIN s USING (doc_id, fno) GROUP BY 1, 2),
+        |h AS (SELECT doc_id, fno, phash FROM h0
+        |      UNION ALL SELECT doc_id, fno, CAST(0 AS BIGINT)
+        |      FROM ft WHERE length(ftext) = 0),
+        |w AS (SELECT doc_id, fno, phash,
+        |        CAST(bit_count(xor(phash, lag(phash) OVER
+        |          (PARTITION BY doc_id ORDER BY fno))) AS BIGINT) AS dist
+        |      FROM h)
+        |SELECT doc_id, CAST(fno AS BIGINT) AS frame_no, phash, dist,
+        |  COALESCE(dist > 4, false) AS is_cut
+        |FROM w""".stripMargin,
+    "q252_gini_profile" ->
+      """WITH m AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR)
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |c AS (SELECT col_name, value, CAST(count(*) AS BIGINT) AS c
+        |      FROM m GROUP BY 1, 2),
+        |g AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        sum(c::HUGEINT * c) AS s2
+        |      FROM c GROUP BY 1)
+        |SELECT col_name, n_rows, n_distinct,
+        |  CAST((1048576::HUGEINT *
+        |        (n_rows::HUGEINT * n_rows - s2)) //
+        |       (n_rows::HUGEINT * n_rows) AS BIGINT) AS gini_q20
+        |FROM g""".stripMargin,
+    "q253_dataset_card" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+        |    AS dup_docs,
+        |  CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+        |FROM documents GROUP BY 1""".stripMargin,
   )
 }

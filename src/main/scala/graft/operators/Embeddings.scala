@@ -237,4 +237,64 @@ object Embeddings {
       .select(col("grp"), col("id"),
         (col("_ss").cast("double") / col("_den")).as("dist2"))
   }
+
+  /** k-center greedy coreset selection (Gonzalez's 2-approximation) —
+    * the diversity-sampling complement to [[Dedup.semanticDedup]]:
+    * where SemDeDup removes near-duplicates, k-center PICKS the k most
+    * mutually-distant exemplars (curation seed sets, eval-set
+    * stratification, labeling-budget allocation).
+    *
+    * Exactness: vectors ride as [[quantizeInt8Codes]] int8 grids and
+    * distances are the integer d² = |a|² + |b|² − 2⟨a,b⟩ (native
+    * [[graft.functions.Int8Dot]] codegen kernel), so every argmax is an
+    * integer comparison with a vec-id tiebreak — the selected set is
+    * bit-identical on any engine or partitioning.
+    *
+    * Shape: the seed is the minimum id; each of the k−1 rounds updates
+    * a running min-distance column against ONE new broadcast-literal
+    * center (O(n·dims) narrow map, no shuffle) and takes the argmax via
+    * orderBy+limit(1) (TakeOrdered — per-partition heaps). The k
+    * per-round scalar collects are centroid-sized, the same pattern as
+    * [[SimilaritySearch.ivfTopK]]'s centroid table; rows and vectors
+    * never leave the executors otherwise. Lineage grows one map per
+    * round, so the frame is checkpointed every 8 rounds for large k.
+    *
+    * Output: (sel_order 1..k, vec_id, d2 — the selected point's
+    * distance to the previously-chosen set; NULL for the seed).
+    */
+  def kcenterCoreset(
+      df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val codes = quantizeInt8Codes(df, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("codes"))
+      .withColumn("_self2",
+        graft.functions.int8Dot(col("codes"), col("codes")))
+      .localCheckpoint(false) // consumed k times (once per round)
+    def centerOf(row: org.apache.spark.sql.Row): (Long, Seq[Long], Long) =
+      (row.getLong(0), row.getSeq[Long](1), row.getLong(2))
+    val seed = centerOf(codes.orderBy("id").limit(1).collect()(0))
+    val picked = collection.mutable.ListBuffer(
+      (1L, seed._1, Option.empty[Long]))
+    def d2To(c: (Long, Seq[Long], Long)): Column =
+      col("_self2") + lit(c._3) -
+        lit(2L) * graft.functions.int8Dot(col("codes"), typedLit(c._2))
+    var frame = codes.filter(col("id") =!= seed._1)
+      .withColumn("_md", d2To(seed))
+    for (round <- 2 to k) {
+      val top = frame.orderBy(col("_md").desc, col("id")).limit(1)
+        .select(col("id"), col("codes"), col("_self2"), col("_md"))
+        .collect()
+      if (top.nonEmpty) {
+        val t = top(0)
+        val c = (t.getLong(0), t.getSeq[Long](1), t.getLong(2))
+        picked += ((round.toLong, c._1, Some(t.getLong(3))))
+        frame = frame.filter(col("id") =!= c._1)
+          .withColumn("_md", least(col("_md"), d2To(c)))
+        if (round % 8 == 0) frame = frame.localCheckpoint(false)
+      }
+    }
+    picked.toSeq.toDF("sel_order", "vec_id", "d2")
+  }
 }

@@ -189,4 +189,61 @@ object Multimodal {
           i => col("content").substr(i * span + 1, lit(frameBytes))))
         .as(Seq("frame_no", "frame_bytes")))
   }
+
+  case class FrameHash(id: Long, frame_no: Long, phash: Long)
+
+  /** Scene-cut detection over "video" blobs — the shot-segmentation
+    * pass a video-training pipeline runs before per-scene sampling:
+    * sample frames ([[sampleFrames]]), fingerprint each with the
+    * [[aHash]] construction, and mark a cut wherever consecutive
+    * frames' hashes differ by more than `cutDist` hamming bits (the
+    * classic perceptual-hash shot-boundary heuristic; with a real
+    * decoder in [[resizeStub]]'s place this is production shot
+    * detection).
+    *
+    * Shape: frame explode (per-row, no shuffle) → partition-batched
+    * hashing (one kernel init per partition, like [[extractFeatures]])
+    * → ONE keyed window per video (`lag` over frame_no — never a
+    * global window). Frames never shuffle their bytes: the window
+    * carries only (id, frame_no, phash).
+    *
+    * Output: (id, frame_no, phash, dist — hamming to previous frame,
+    * NULL on each video's first frame; is_cut — dist > cutDist, false
+    * on first frames).
+    */
+  def sceneCuts(
+      df: DataFrame, frameBytes: Int = 64, stride: Int = 4,
+      bits: Int = 16, cutDist: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bits > 0 && bits <= 32, s"bits $bits must be in (0, 32]")
+    val frames = sampleFrames(df, frameBytes, stride)
+    implicit val enc = Encoders.product[FrameHash]
+    implicit val encIn =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.BINARY)
+    val hashed = frames
+      .select(col("id").cast("long").as("id"),
+        col("frame_no").cast("long").as("frame_no"), col("frame_bytes"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: val codec = Codec.open() — once per partition
+        it.map { case (id, fno, bytes) =>
+          if (bytes == null || bytes.isEmpty) FrameHash(id, fno, 0L)
+          else {
+            val m = resizeStub(bytes, bits)
+            val s = m.map(_.toLong).sum
+            var h = 0L; var k = 0
+            while (k < bits) {
+              if (m(k).toLong * bits >= s) h |= (1L << k); k += 1
+            }
+            FrameHash(id, fno, h)
+          }
+        }
+      }.toDF()
+    val w = Window.partitionBy("id").orderBy("frame_no")
+    hashed
+      .withColumn("dist",
+        bit_count(col("phash").bitwiseXOR(lag(col("phash"), 1).over(w)))
+          .cast("long"))
+      .withColumn("is_cut", coalesce(col("dist") > cutDist, lit(false)))
+  }
 }

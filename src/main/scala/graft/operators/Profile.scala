@@ -738,4 +738,40 @@ object Profile {
             (col("_B").cast(dec) * col("_N") * col("old_n")).cast("double")))
       .select("bucket", "old_n", "new_n", "contribution")
   }
+
+  /** Per-column categorical dispersion: Gini impurity
+    * 1 − Σ p_c² — the log-free concentration measure (entropy's
+    * monotone cousin: both are 0 for a constant column and maximal for
+    * uniform) read next to distinct counts when profiling which
+    * columns can stratify, partition, or predict. Exact fixed-point:
+    * gini_q20 = floor(2^20 · (N² − Σc²) / N²), all products in
+    * decimal(38,0) — at corpus scale Σc² overflows a long the moment
+    * one value holds >3B rows.
+    *
+    * Shape: one melt scan ([[topKValues]]'s explode), one
+    * (col, value) partial-aggregated count, one per-column rollup —
+    * never a distinct or a window. Nulls are excluded per column (a
+    * null is absence, not a category).
+    *
+    * Output: (col_name, n_rows, n_distinct, gini_q20).
+    */
+  def giniDispersion(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need columns")
+    val dec = "decimal(38,0)"
+    val melted = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value")))
+        : _*)).as("kv"))
+      .select(col("kv.col_name"), col("kv.value"))
+      .filter(col("value").isNotNull)
+    val counts = melted.groupBy("col_name", "value")
+      .agg(count(lit(1)).as("_c"))
+    val n2 = (col("n_rows") * col("n_rows")).cast(dec)
+    val num = lit(1048576).cast(dec) * (n2 - col("_s2"))
+    counts.groupBy("col_name")
+      .agg(sum(col("_c")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("_c") * col("_c")).cast(dec)).as("_s2"))
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        ((num - num % n2) / n2).cast("long").as("gini_q20"))
+  }
 }

@@ -929,4 +929,93 @@ object TextAnalysis {
     */
   def confusableNormalize(c: Column): Column =
     translate(c, ConfusableFrom, ConfusableTo)
+
+  /** Per-document top-k terms by tf·idf — keyword extraction for index
+    * building and topic tagging. idf is the log-free rational form
+    * N/df (the [[pmiCollocations]] / [[bm25TopK]] trick: log is
+    * monotone, so ranking needs only the rational argument):
+    * score_q20 = floor(2^20 · tf · N / df), integer-exact in
+    * decimal(38,0) and engine-portable.
+    *
+    * Shape: one tokenize+explode → (doc, term, tf) partial-aggregated
+    * map-side → df by a second aggregation OF THE TF FRAME (no second
+    * scan of the corpus) → vocab-keyed equi-join attaches df → per-doc
+    * top-k is a KEYED window (doc_id partitions — never a global sort).
+    * The corpus-total N rides a broadcast 1-row frame.
+    *
+    * Output: doc_id-keyed (id, term, tf, df, score_q20, rk), rk <= k,
+    * ties broken by term asc. Blank documents yield no rows.
+    */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val tf = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast("decimal(38,0)").as("_N"))
+    val num = lit(1048576).cast("decimal(38,0)") *
+      col("tf").cast("decimal(38,0)") * col("_N")
+    val den = col("df").cast("decimal(38,0)")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_q20").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        ((num - num % den) / den).cast("long").as("score_q20"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** CCNet-style LM surprise scoring: each document's mean token
+    * surprisal under an add-one-smoothed unigram model trained on
+    * `ref`, used to split a corpus into head/middle/tail quality
+    * buckets (Wenzek et al., CCNet — there with a KenLM 5-gram; the
+    * unigram form is the same pipeline with a cheaper model).
+    *
+    * Log-free exactness: surprisal −log p(t) is monotone in
+    * 1/p(t) = (T + V)/(c_t + 1) (T = reference token count, V =
+    * reference vocab size; unseen tokens get c_t = 0), so each token
+    * carries the integer s_q20 = floor(2^20·(T+V)/(c_t+1)) and a
+    * document scores floor(Σ s_q20 / n_tokens) — engine-portable with
+    * no transcendentals, same discipline as [[dsirWeights]].
+    *
+    * Buckets are corpus-relative equi-depth thirds of the score
+    * ([[Profile.valueRankBuckets]] — distributed rank, no global-sort
+    * window): 0 = head (low surprise, in-distribution), 1 = middle,
+    * 2 = tail.
+    *
+    * Shape: the reference model is a (term → count) aggregate; corpus
+    * tokens left-join it on term (vocab-keyed — AQE broadcasts when the
+    * model is small, exactly the [[dsirWeights]] join) and aggregate
+    * per document. Blank documents are excluded (no tokens to score).
+    *
+    * Output: (id, n_tokens, surprise_q20, bucket).
+    */
+  def surpriseScores(
+      df: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val refTok = ref.filter(length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("term"))
+    val model = refTok.groupBy("term").agg(count(lit(1)).as("_c"))
+    val tv = model.agg((sum(col("_c")) + count(lit(1)))
+      .cast("decimal(38,0)").as("_tv"))
+    val num = lit(1048576).cast("decimal(38,0)") * col("_tv")
+    val den = (coalesce(col("_c"), lit(0L)) + lit(1L)).cast("decimal(38,0)")
+    val scored = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .join(model, Seq("term"), "left")
+      .crossJoin(broadcast(tv))
+      .select(col(idCol),
+        ((num - num % den) / den).cast("long").as("_s"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_s")).as("_ss"))
+      .select(col(idCol), col("n_tokens"),
+        expr("_ss div n_tokens").as("surprise_q20"))
+    val buckets = Profile.valueRankBuckets(scored, "surprise_q20", 3)
+    scored.join(buckets, scored("surprise_q20") === buckets("_v"))
+      .select(col(idCol), col("n_tokens"), col("surprise_q20"),
+        col("bucket"))
+  }
 }

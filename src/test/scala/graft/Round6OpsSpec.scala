@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+/** Specs for the round-6 additions: tf·idf keyword extraction, CCNet
+  * surprise scoring, k-center coreset selection, scene-cut detection and
+  * the Gini dispersion profile — all against hand-computed fixtures.
+  */
+class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("tfidfTopTerms ranks by rational tf·idf with blank docs in N") {
+    import spark.implicits._
+    val df = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rk")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // N = 3 (blank doc counts toward the corpus); q20 = 2^20 = 1048576.
+    // doc1: apple tf=2 df=1 → floor(2^20·2·3/1) = 6291456;
+    //       banana tf=1 df=2 → floor(2^20·3/2) = 1572864
+    // doc2: cherry tf=1 df=1 → 3145728; banana → 1572864
+    assert(got == Seq(
+      (1L, "apple", 2L, 1L, 6291456L, 1L),
+      (1L, "banana", 1L, 2L, 1572864L, 2L),
+      (2L, "cherry", 1L, 1L, 3145728L, 1L),
+      (2L, "banana", 1L, 2L, 1572864L, 2L)))
+  }
+
+  test("surpriseScores: add-one unigram surprisal + equi-depth thirds") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b"), (2L, "c c"), (3L, " "))
+      .toDF("doc_id", "text")
+    val ref = Seq(Tuple1("a a b")).toDF("text")
+    val got = TextAnalysis.surpriseScores(corpus, ref, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // model a:2 b:1, T=3 V=2 → T+V=5; s(c)=floor(2^20·5/(c+1)):
+    // s(a)=floor(5242880/3)=1747626, s(b)=2621440, OOV c→5242880.
+    // doc1 = (1747626+2621440) div 2 = 2184533; doc2 = 5242880.
+    // buckets (k=3, 2 docs): rows-before 0 → 0, 1 → (1·3) div 2 = 1.
+    assert(got == Seq(
+      (1L, 2L, 2184533L, 0L),
+      (2L, 2L, 5242880L, 1L)))
+  }
+
+  test("kcenterCoreset: greedy max-min selection matches hand-computed " +
+    "int8 geometry") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.1f)),
+      (4L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val got = Embeddings.kcenterCoreset(df, "vec_id", "embedding", k = 4)
+      .orderBy("sel_order")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // codes: 1→(127,0) 2→(0,127) 3→(-127,13) 4→(95,127); seed = min id 1.
+    // d²(2)=32258 d²(3)=64685 d²(4)=17153 → pick 3 (64685);
+    // then md(2)=min(32258,29125)=29125, md(4)=17153 → pick 2 (29125);
+    // then md(4)=min(17153,9025)=9025 → pick 4.
+    assert(got == Seq(
+      (1L, 1L, -1L), (2L, 3L, 64685L), (3L, 2L, 29125L), (4L, 4L, 9025L)))
+  }
+
+  test("sceneCuts flags the frame where the aHash jumps") {
+    import spark.implicits._
+    val video = "a" * 512 + ("a" * 32 + "z" * 32) * 8 // 1024 ASCII bytes
+    val blobs = Multimodal.attachBinary(
+      Seq((10L, video)).toDF("doc_id", "text"), "doc_id", "text",
+      "video/fake")
+    val got = Multimodal.sceneCuts(blobs, frameBytes = 64, stride = 4,
+        bits = 16, cutDist = 4)
+      .orderBy("frame_no")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    // 4 frames at byte offsets 0/256/512/768: two uniform 'a' frames
+    // hash 0xFFFF; the 'a'*32+'z'*32 frames hash 0xFF00 (high half
+    // above the mean) → dist 8 at frame 2 (cut), 0 elsewhere.
+    assert(got == Seq(
+      (0L, 0xFFFFL, -1L, false),
+      (1L, 0xFFFFL, 0L, false),
+      (2L, 0xFF00L, 8L, true),
+      (3L, 0xFF00L, 0L, false)))
+  }
+
+  test("giniDispersion: constant → 0, uniform → (k−1)/k, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("k", "a", Some("a")), ("k", "b", Some("a")),
+      ("k", "c", Some("b")), ("k", "d", None))
+      .toDF("x", "y", "z")
+    val got = Profile.giniDispersion(df, Seq("x", "y", "z"))
+      .orderBy("col_name")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // x: constant → 0; y: 4 distinct of 4 → floor(2^20·12/16) = 786432;
+    // z: counts (2,1) over 3 non-null rows → floor(2^20·(9−5)/9) = 466033.
+    assert(got == Seq(
+      ("x", 4L, 1L, 0L),
+      ("y", 4L, 4L, 786432L),
+      ("z", 3L, 2L, 466033L)))
+  }
+}
