@@ -3880,6 +3880,119 @@ object SparkEntry {
         (count(lit(1)) - countDistinct(md5($("text")))).as("dup_docs"))
       .withColumn("mean_chars", expr("n_chars div n_docs"))
 
+  /** DAU/WAU stickiness per ISO week — the engagement ratio dashboards
+    * track: mean daily active over weekly active, exact integer
+    * numerator/denominator with ONE correctly-rounded division.
+    */
+  private def q254Stickiness(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(graft.functions.isoWeek(to_date($("ts"))).as("week"),
+        to_date($("ts")).as("day"), $("user_id"))
+    val dau = e.groupBy("week", "day")
+      .agg(countDistinct($("user_id")).as("dau"))
+    val byWeek = dau.groupBy("week")
+      .agg(sum($("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+    val wau = e.groupBy("week").agg(countDistinct($("user_id")).as("wau"))
+    byWeek.join(wau, Seq("week"))
+      .select($("week"), $("wau"), $("sum_dau"), $("n_days"),
+        ($("sum_dau").cast("double") /
+          ($("n_days") * $("wau")).cast("double")).as("stickiness"))
+  }
+
+  /** Mergeable log2-bucket quantile sketch read at p50/p90/p99 over
+    * order totals (cents) per priority — the constant-memory quantile
+    * form next to HLL/Misra-Gries.
+    */
+  private def q255SketchQuantiles(s: SparkSession, dir: String): DataFrame =
+    Sketches.log2HistogramQuantiles(
+      t(s, dir, "orders").select($("o_orderpriority"),
+        ($("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents")),
+      "o_orderpriority", "cents", qs = Seq(50, 90, 99))
+
+  /** Corpus snapshot diff — dataset versioning's added/removed/changed
+    * /unchanged table per source. The "old" snapshot is synthesized
+    * deterministically (every 11th doc missing = added since, every
+    * 5th text edited = changed, every 13th doc_id shifted past the id
+    * space = removed); the diff itself is one full-outer join on
+    * doc_id comparing content hashes, then a source rollup.
+    */
+  private def q256SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val prev = d.filter($("doc_id") % 11 =!= 0)
+      .select($("doc_id"), $("source"),
+        when($("doc_id") % 5 === 0, concat($("text"), lit(" v1")))
+          .otherwise($("text")).as("text"))
+      .unionByName(d.filter($("doc_id") % 13 === 0)
+        .select(($("doc_id") + 10000000L).as("doc_id"), $("source"),
+          $("text")))
+    val o = prev.select($("doc_id"), $("source").as("_src_old"),
+      md5($("text")).as("_h_old"))
+    val n = d.select($("doc_id"), $("source").as("_src_new"),
+      md5($("text")).as("_h_new"))
+    n.join(o, Seq("doc_id"), "full_outer")
+      .groupBy(coalesce($("_src_new"), $("_src_old")).as("source"))
+      .agg(
+        sum(when($("_h_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when($("_h_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when($("_h_old").isNotNull && $("_h_new").isNotNull &&
+          $("_h_old") =!= $("_h_new"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when($("_h_old") === $("_h_new"), 1L).otherwise(0L))
+          .as("n_unchanged"))
+  }
+
+  /** Tokenizer fertility per language: subwords per whitespace word —
+    * the compression-efficiency metric a tokenizer eval reports (high
+    * fertility = the vocab splits that language's words into many
+    * pieces). Exact integer sums, one division.
+    */
+  private def q257Fertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy($("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount($("text")).cast("long")).as("n_words"),
+        sum(TextAnalysis.subwordCount($("text")).cast("long"))
+          .as("n_subwords"))
+      .withColumn("fertility",
+        when($("n_words") > 0,
+          $("n_subwords").cast("double") / $("n_words").cast("double")))
+
+  /** Boolean retrieval (`+table scan group -stale`): all must terms,
+    * >= 1 should term, no mustNot terms — one postings pass, broadcast
+    * term-role join, exclusion on the same aggregate.
+    */
+  private def q258BooleanSearch(s: SparkSession, dir: String): DataFrame =
+    Search.booleanSearch(docs(s, dir), "doc_id", "text",
+      must = Seq("table"), should = Seq("scan", "group"),
+      mustNot = Seq("stale"), minShould = 1)
+
+  /** RAG chunk-level dedup audit: q87's 32/8 overlapping chunks hashed;
+    * an occurrence is a duplicate if an identical chunk appeared
+    * earlier in (doc_id, chunk_no) order. Per-source duplicate mass in
+    * q20 fixed point — the retrieval-index bloat estimate. The
+    * first-occurrence key packs (doc_id, chunk_no) into one long
+    * (chunk_no < 2^20 by construction at 32-token steps).
+    */
+  private def q259ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ch = TextAnalysis.chunkWithOverlap(d, "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+      .select($("doc_id"), md5($("chunk")).as("_h"),
+        ($("doc_id") * 1048576L + $("chunk_no")).as("_ck"))
+    val firsts = ch.groupBy("_h").agg(min($("_ck")).as("_first"))
+    val num = lit(1048576).cast("decimal(38,0)") *
+      col("n_dup_chunks").cast("decimal(38,0)")
+    val den = col("n_chunks").cast("decimal(38,0)")
+    ch.join(firsts, Seq("_h"))
+      .select($("doc_id"),
+        when($("_ck") =!= $("_first"), 1L).otherwise(0L).as("_d"))
+      .join(d.select($("doc_id"), $("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"), sum($("_d")).as("n_dup_chunks"))
+      .select($("source"), $("n_chunks"), $("n_dup_chunks"),
+        ((num - num % den) / den).cast("long").as("dup_q20"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4136,6 +4249,12 @@ object SparkEntry {
     "q251_scene_cuts" -> (q251SceneCuts _),
     "q252_gini_profile" -> (q252GiniProfile _),
     "q253_dataset_card" -> (q253DatasetCard _),
+    "q254_stickiness" -> (q254Stickiness _),
+    "q255_sketch_quantiles" -> (q255SketchQuantiles _),
+    "q256_snapshot_diff" -> (q256SnapshotDiff _),
+    "q257_fertility" -> (q257Fertility _),
+    "q258_boolean_search" -> (q258BooleanSearch _),
+    "q259_chunk_dedup" -> (q259ChunkDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8447,5 +8566,133 @@ object SparkEntry {
         |    AS dup_docs,
         |  CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "q254_stickiness" ->
+      """WITH e AS (SELECT concat(CAST(isoyear(ts) AS VARCHAR), '-W',
+        |    lpad(CAST(weekofyear(ts) AS VARCHAR), 2, '0')) AS week,
+        |    CAST(ts AS DATE) AS day, user_id FROM events),
+        |d AS (SELECT week, day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM e GROUP BY 1, 2),
+        |bw AS (SELECT week, CAST(sum(dau) AS BIGINT) AS sum_dau,
+        |    CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1),
+        |w AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM e GROUP BY 1)
+        |SELECT bw.week, wau, sum_dau, n_days,
+        |  CAST(sum_dau AS DOUBLE) / CAST(n_days * wau AS DOUBLE)
+        |    AS stickiness
+        |FROM bw JOIN w ON bw.week = w.week""".stripMargin,
+    "q255_sketch_quantiles" ->
+      """WITH v AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |b AS (SELECT o_orderpriority,
+        |    CAST(length(printf('%b', cents)) AS BIGINT) AS bits,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM v WHERE cents > 0 GROUP BY 1, 2),
+        |cw AS (SELECT o_orderpriority, bits, c,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY bits
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |      AS n_total
+        |  FROM b),
+        |q AS (SELECT unnest([50, 90, 99]) AS q_pct),
+        |pick AS (SELECT o_orderpriority, CAST(q_pct AS BIGINT) AS q_pct,
+        |    bits, cum_n, n_total,
+        |    row_number() OVER (PARTITION BY o_orderpriority, q_pct
+        |      ORDER BY bits) AS rk
+        |  FROM cw, q WHERE cum_n * 100 >= q_pct * n_total)
+        |SELECT o_orderpriority, q_pct, bits AS bucket_bits,
+        |  CAST(1::BIGINT << CAST(bits - 1 AS INT) AS BIGINT) AS lo,
+        |  CAST((1::BIGINT << CAST(bits AS INT)) - 1 AS BIGINT) AS hi,
+        |  cum_n, n_total
+        |FROM pick WHERE rk = 1""".stripMargin,
+    "q256_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, source, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |o AS (SELECT doc_id, source AS src_old, md5(text) AS h_old
+        |      FROM prev),
+        |n AS (SELECT doc_id, source AS src_new, md5(text) AS h_new
+        |      FROM documents)
+        |SELECT COALESCE(src_new, src_old) AS source,
+        |  CAST(sum(CASE WHEN h_old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN h_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN h_old IS NOT NULL AND h_new IS NOT NULL
+        |        AND h_old <> h_new THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(CASE WHEN h_old = h_new THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged
+        |FROM n FULL OUTER JOIN o USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+    "q257_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |    AS BIGINT) AS n_words,
+        |  CAST(sum(len(list_filter(range(1, length(text)+1), i ->
+        |    CASE WHEN regexp_matches(substr(text, i, 1), '[a-zA-Z0-9]')
+        |         THEN i = 1 OR
+        |           NOT regexp_matches(substr(text, i-1, 1), '[a-zA-Z0-9]')
+        |         ELSE true END))) AS BIGINT) AS n_subwords,
+        |  CASE WHEN sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END) > 0
+        |    THEN CAST(sum(len(list_filter(range(1, length(text)+1), i ->
+        |      CASE WHEN regexp_matches(substr(text, i, 1), '[a-zA-Z0-9]')
+        |           THEN i = 1 OR
+        |             NOT regexp_matches(substr(text, i-1, 1),
+        |               '[a-zA-Z0-9]')
+        |           ELSE true END))) AS DOUBLE) /
+        |      CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |        AS DOUBLE)
+        |    ELSE NULL END AS fertility
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q258_boolean_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+')))
+        |      AS tok
+        |  FROM documents),
+        |r AS (SELECT * FROM (VALUES ('table', 'must'),
+        |    ('scan', 'should'), ('group', 'should'), ('stale', 'not'))
+        |    AS t(w, role)),
+        |m AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN role = 'must' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_must,
+        |    CAST(sum(CASE WHEN role = 'should' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_should,
+        |    sum(CASE WHEN role = 'not' THEN 1 ELSE 0 END) AS n_not
+        |  FROM tok JOIN r ON tok.tok = r.w GROUP BY 1)
+        |SELECT doc_id, n_must, n_should FROM m
+        |WHERE n_must = 1 AND n_not = 0 AND n_should >= 1""".stripMargin,
+    "q259_chunk_dedup" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |st AS (SELECT doc_id, l,
+        |         unnest(range(0, greatest(len(l)-8-1, 0)+1, 24)) AS start
+        |       FROM tk),
+        |ch AS (SELECT doc_id,
+        |    md5(array_to_string(l[start+1:start+32], ' ')) AS h,
+        |    doc_id * 1048576 + start // 24 AS ck
+        |  FROM st),
+        |f AS (SELECT h, min(ck) AS firstk FROM ch GROUP BY 1),
+        |d AS (SELECT ch.doc_id,
+        |    CASE WHEN ch.ck <> f.firstk THEN 1 ELSE 0 END AS is_dup
+        |  FROM ch JOIN f ON ch.h = f.h),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks
+        |  FROM d JOIN documents USING (doc_id) GROUP BY 1)
+        |SELECT source, n_chunks, n_dup_chunks,
+        |  CAST((1048576::HUGEINT * n_dup_chunks) // n_chunks AS BIGINT)
+        |    AS dup_q20
+        |FROM g""".stripMargin,
   )
 }

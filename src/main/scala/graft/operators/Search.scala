@@ -91,4 +91,51 @@ object Search {
       .select(col(idCol), instr(col(textCol), needle).cast("long")
         .as("first_ix"))
   }
+
+  /** Boolean retrieval over the postings layout: documents containing
+    * ALL `must` terms, at least `minShould` of the `should` terms, and
+    * NONE of the `mustNot` terms — the Lucene `+a b -c` query form on
+    * the same index shape as [[phraseSearch]]/[[TextAnalysis.bm25TopK]].
+    *
+    * One distinct-token explode, a broadcast term-role join that prunes
+    * the postings stream to the query's terms at the scan, and one
+    * per-doc count aggregate carrying all three role counters — work is
+    * proportional to the query terms' postings, never the corpus, and
+    * the exclusion check rides the same aggregate (a doc with a
+    * `mustNot` hit has n_not > 0) instead of an anti-join pass.
+    *
+    * At least one positive term is required (a pure-negation query is a
+    * corpus scan, not an index lookup — by construction every hit has a
+    * positive posting, so the aggregate's domain covers all hits).
+    *
+    * Output: (idCol, n_must, n_should) for matching documents.
+    */
+  def booleanSearch(
+      df: DataFrame, idCol: String, textCol: String,
+      must: Seq[String], should: Seq[String] = Nil,
+      mustNot: Seq[String] = Nil, minShould: Int = 1): DataFrame = {
+    require(must.nonEmpty || should.nonEmpty,
+      "need at least one positive term")
+    require((must ++ should ++ mustNot).forall(w =>
+      w.nonEmpty && !w.exists(_.isWhitespace)),
+      "terms must be single non-blank tokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val roles = (must.map((_, "must")) ++ should.map((_, "should")) ++
+      mustNot.map((_, "not"))).toDF("w", "role")
+    df.select(col(idCol),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+          .as("tok"))
+      .join(broadcast(roles), col("tok") === col("w"))
+      .groupBy(idCol)
+      .agg(
+        sum(when(col("role") === "must", 1L).otherwise(0L)).as("n_must"),
+        sum(when(col("role") === "should", 1L).otherwise(0L))
+          .as("n_should"),
+        sum(when(col("role") === "not", 1L).otherwise(0L)).as("_n_not"))
+      .filter(col("n_must") === must.length && col("_n_not") === 0 &&
+        (if (should.isEmpty) lit(true)
+         else col("n_should") >= minShould))
+      .select(col(idCol), col("n_must"), col("n_should"))
+  }
 }

@@ -150,4 +150,57 @@ object Sketches {
       .filter(col("cnt") * lit(k.toLong) > col("_n"))
       .select(col(keyCol), col("cnt"))
   }
+
+  /** Mergeable log₂-bucket histogram quantiles — the constant-memory
+    * quantile sketch next to HLL (cardinality) and Misra-Gries
+    * (frequency): each positive value lands in the bucket of its bit
+    * length (bucket b covers [2^(b−1), 2^b−1], ≤ 64 buckets per group
+    * FOREVER), so per-group histograms are a few hundred bytes,
+    * map-side partial-aggregated, and merge across shards/days by
+    * simple addition — while any quantile is answered from the
+    * cumulative counts with a guaranteed ≤ 2× relative value error
+    * (the bucket's bounds bracket the true quantile). The same
+    * integer-bit-length trick as `Profile.bucketByRank`'s sub-bucket
+    * key; exact alternatives are `Profile.equiDepthHistogram` (full
+    * shuffle of distinct values) when the error bound isn't enough.
+    *
+    * Quantile read: for each q (percent) the FIRST bucket whose
+    * cumulative count reaches ceil(q·N/100) — integer threshold
+    * arithmetic, no doubles anywhere. The per-group cumulative window
+    * runs over ≤ 64 rows per group (bucket-sized, never corpus-sized).
+    *
+    * Output: (groupCol, q_pct, bucket_bits, lo, hi, cum_n, n_total).
+    */
+  def log2HistogramQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 100),
+      "quantiles must be percents in (0, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val buckets = df
+      .select(col(groupCol), col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull && col("_v") > 0)
+      .withColumn("_bits", length(conv(col("_v"), 10, 2)).cast("long"))
+      .groupBy(groupCol, "_bits").agg(count(lit(1)).as("_c"))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col("_bits"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    val withCum = buckets
+      .withColumn("cum_n", sum(col("_c")).over(cum))
+      .withColumn("n_total", sum(col("_c")).over(tot))
+    val pick = Window.partitionBy(col(groupCol), col("q_pct"))
+      .orderBy(col("_bits"))
+    withCum
+      .crossJoin(broadcast(
+        df.sparkSession.range(1).select(
+          explode(array(qs.map(q => lit(q.toLong)): _*)).as("q_pct"))))
+      .filter(col("cum_n") * 100 >= col("q_pct") * col("n_total"))
+      .withColumn("_rk", row_number().over(pick))
+      .filter(col("_rk") === 1)
+      .select(col(groupCol), col("q_pct"),
+        col("_bits").as("bucket_bits"),
+        expr("shiftleft(1L, cast(_bits - 1 as int))").as("lo"),
+        expr("shiftleft(1L, cast(_bits as int)) - 1").as("hi"),
+        col("cum_n"), col("n_total"))
+  }
 }

@@ -309,4 +309,115 @@ object StreamingEtl {
           Iterator.single((shard, m.keys.toSeq.sorted, n))
       }.toDF("shard", "candidates", "shard_n")
   }
+
+  /** Per-group bucket-count state for [[streamingLog2Histogram]]. */
+  case class HistState(counts: Map[Long, Long])
+
+  /** Streaming twin of [[graft.operators.Sketches.log2HistogramQuantiles]]'s
+    * histogram: per-group bit-length bucket counts held as
+    * flatMapGroupsWithState state (≤ 64 counters per group FOREVER —
+    * the sketch, not the stream, is the state, same contract as
+    * [[streamingHeavyHitterCandidates]]) and re-emitted every
+    * micro-batch. Because the sketch merges by addition, the streamed
+    * state after any prefix of the stream is IDENTICAL to the batch
+    * histogram over that prefix — not approximately, register-for-
+    * register (the spec pins it) — and quantile reads are the same
+    * cumulative-count arithmetic as the batch form.
+    *
+    * Output stream (Update mode): (group, bits array, counts array) —
+    * latest row per group is its current histogram, buckets ascending.
+    */
+  def streamingLog2Histogram(
+      stream: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ds = stream.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") > 0)
+      .as[(String, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long)],
+            state: GroupState[HistState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(s => m ++= s.counts)
+          rows.foreach { case (_, v) =>
+            val bits = (64 - java.lang.Long.numberOfLeadingZeros(v)).toLong
+            m(bits) = m.getOrElse(bits, 0L) + 1L
+          }
+          state.update(HistState(m.toMap))
+          val sorted = m.toSeq.sortBy(_._1)
+          Iterator.single((g, sorted.map(_._1), sorted.map(_._2)))
+      }.toDF(groupCol, "bits", "counts")
+  }
+
+  /** An event entering [[gapSessions]] (event time in epoch seconds). */
+  final case class SEvent(user: String, sec: Long,
+      ts: java.sql.Timestamp)
+  /** Per-user open session carried between micro-batches. */
+  final case class OpenSession(start: Long, end: Long, n: Long)
+  /** A closed session emitted by [[gapSessions]]. */
+  final case class ClosedSession(
+      user: String, start_sec: Long, end_sec: Long, n_events: Long)
+
+  /** Streaming gap sessionization — the stateful twin of q82's batch
+    * `session_window`: one bounded [[OpenSession]] per active user,
+    * extended while events arrive within `gapSec` of the session's
+    * last event (MERGE at exactly last+gap, matching Spark's batch
+    * session_window boundary), closed and emitted either when a
+    * farther event opens the next session or when the event-time
+    * watermark passes end+gap (EventTimeTimeout — idle users' sessions
+    * drain without waiting for their next event, and state for a user
+    * who never returns is dropped, so state stays proportional to
+    * ACTIVE users, not ever-seen users).
+    *
+    * Equality with the batch form holds when each user's events arrive
+    * in event-time order across micro-batches (the spec pins stream ==
+    * batch `session_window` min/max/count); a late event cannot reopen
+    * an emitted session — that reconciliation belongs to the batch
+    * backfill, the same contract as [[rollingFeatures]].
+    */
+  def gapSessions(
+      events: org.apache.spark.sql.Dataset[SEvent],
+      gapSec: Long = 1800)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: String, rows: Iterator[SEvent],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.start, s.end, s.n))
+          } else {
+            val out = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            for (e <- rows.toSeq.sortBy(_.sec)) {
+              open match {
+                case Some(s) if e.sec <= s.end + gapSec =>
+                  open = Some(OpenSession(s.start, math.max(s.end, e.sec),
+                    s.n + 1))
+                case Some(s) =>
+                  out += ClosedSession(user, s.start, s.end, s.n)
+                  open = Some(OpenSession(e.sec, e.sec, 1))
+                case None =>
+                  open = Some(OpenSession(e.sec, e.sec, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire only once an event at exactly end+gap (which would
+              // still merge) can no longer arrive
+              state.setTimeoutTimestamp((s.end + gapSec) * 1000 + 1)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

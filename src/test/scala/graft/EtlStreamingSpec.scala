@@ -627,6 +627,89 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.sorted == (1 to 6).map(i => s"s$i"), out.sorted) // no loss
     assert(out.distinct.length == out.length) // no duplicates
   }
+
+  test("StreamingEtl.gapSessions: closed sessions stream == batch " +
+    "session_window, idle users drain via event-time timeout") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingEtl.SEvent
+    def ev(u: String, sec: Long) =
+      SEvent(u, sec, new java.sql.Timestamp(sec * 1000))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SEvent]
+    val q = StreamingEtl.gapSessions(mem.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // u1: events at 1000/1500, then 3300 = exactly end+gap -> MERGES
+    // (the batch session_window boundary), then 10000 -> new session.
+    // u2: one event, then idle forever — only the timeout can close it.
+    // (3300 rides in b1: u2@5000 puts the 0-delay watermark past u1's
+    // gap, so a later 3300 would be a late event — dropped by contract.)
+    val b1 = Seq(ev("u1", 1000L), ev("u1", 1500L), ev("u1", 3300L),
+      ev("u2", 5000L))
+    val b2 = Seq(ev("u1", 10000L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // advance the watermark far past every end+gap; timeouts fire on
+      // the NEXT micro-batch after the watermark update
+      mem.addData(ev("zz", 100000L)); q.processAllAvailable()
+      mem.addData(ev("zz", 100001L)); q.processAllAvailable()
+      val streamed = spark.sql(
+          "select * from sessions where user not like 'zz'")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val batch = (b1 ++ b2).toDF()
+        .groupBy($"user",
+          session_window(timestamp_seconds($"sec"), "30 minutes").as("w"))
+        .agg(min($"sec").as("start_sec"), max($"sec").as("end_sec"),
+          count(lit(1)).as("n_events"))
+        .select("user", "start_sec", "end_sec", "n_events")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      // the exactly-at-gap event merged rather than splitting
+      assert(streamed.contains(("u1", 1000L, 3300L, 3L)))
+    } finally q.stop()
+  }
+
+  test("StreamingEtl.streamingLog2Histogram: sketch state after the " +
+    "stream == batch histogram, register for register") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val q = StreamingEtl.streamingLog2Histogram(
+        mem.toDS().toDF("g", "v"), "g", "v")
+      .writeStream.format("memory").queryName("hist")
+      .outputMode("update").start()
+    val b1 = Seq(("g1", 1L), ("g1", 3L), ("g1", 5L), ("g2", 8L))
+    val b2 = Seq(("g1", 7L), ("g1", 100L), ("g2", 9L), ("g2", 0L)) // 0 drops
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // memory sink in update mode appends every emission — take the
+      // LAST row per group (its current histogram)
+      val streamed = spark.sql("select * from hist").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+        .groupBy(_._1).map { case (g, rows) => g -> rows.last }
+      val batch = (b1 ++ b2).toDF("g", "v").filter($"v" > 0)
+        .withColumn("bits", length(conv($"v", 10, 2)).cast("long"))
+        .groupBy("g", "bits").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (g, rows) =>
+          val s = rows.sortBy(_._2)
+          g -> (g, s.map(_._2).toSeq, s.map(_._3).toSeq)
+        }
+      assert(streamed.keySet == batch.keySet)
+      for (g <- streamed.keySet) {
+        assert(streamed(g)._2 == batch(g)._2, s"$g bits")
+        assert(streamed(g)._3 == batch(g)._3, s"$g counts")
+      }
+    } finally q.stop()
+  }
 }
 
 /** Fault injector for the crash-recovery spec: same-JVM local mode, so a

@@ -666,6 +666,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("q248 tfidf: keyed rank window, broadcast corpus total, map-side " +
+      "partial counts") {
+    val p = plan("q248_tfidf_terms")
+    // the per-doc top-k is a doc_id-keyed window (WindowGroupLimit caps
+    // it) — never a global rank; N rides a broadcast 1-row frame
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(p.contains("partial_count"), "tf counting lost map-side combine")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("q249 surprise: rank buckets keep the broadcast bucket-map join, " +
+      "no global-sort window") {
+    val p = plan("q249_surprise_filter")
+    // bucketByRank's offset frame broadcasts back; the only windows are
+    // its bounded per-_b frames, never a corpus-wide constant key
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!"Window.*partitionBy\\(\\)".r.findFirstIn(p).isDefined)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "model counting lost map-side combine")
+  }
+
+  test("q255 sketch quantiles: windows are bucket-sized and keyed") {
+    val p = plan("q255_sketch_quantiles")
+    // the cumulative read runs over <= 64 bucket rows per group — every
+    // Window in the plan is keyed by the group column
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("o_orderpriority")),
+      winLines.mkString("\n"))
+    assert(p.contains("partial_count"), "bucket counts lost map-side combine")
+  }
+
   test("gate source sweep: no constant-key windows; SparkEntry crossJoins " +
       "are all broadcast scalar frames") {
     import scala.jdk.CollectionConverters._

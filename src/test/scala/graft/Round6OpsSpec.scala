@@ -122,4 +122,48 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("y", 4L, 4L, 786432L),
       ("z", 3L, 2L, 466033L)))
   }
+
+  test("log2HistogramQuantiles: bit-length buckets, integer thresholds, " +
+    "non-positive values dropped") {
+    import spark.implicits._
+    val df = ((1L to 10L).map(("g1", _)) :+ (("g1", 0L)))
+      .toDF("g", "v")
+    val got = Sketches.log2HistogramQuantiles(df, "g", "v", Seq(50, 90))
+      .orderBy("q_pct")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // buckets: bits1 {1}, bits2 {2,3}, bits3 {4..7}, bits4 {8,9,10};
+    // cum 1/3/7/10 of N=10 (the 0 is dropped). p50 → cum ≥ 5 → bits3
+    // [4,7]; p90 → cum ≥ 9 → bits4 [8,15].
+    assert(got == Seq(
+      ("g1", 50L, 3L, 4L, 7L, 7L, 10L),
+      ("g1", 90L, 4L, 8L, 15L, 10L, 10L)))
+  }
+
+  test("booleanSearch: must AND, minShould OR, mustNot excludes; " +
+    "repeated tokens count once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"),        // must + 1 should
+      (2L, "alpha alpha delta"),       // must, 1 should (dup token once)
+      (3L, "alpha beta delta bad"),    // excluded by mustNot
+      (4L, "beta delta"),              // missing must
+      (5L, "alpha")                    // must but 0 should
+    ).toDF("doc_id", "text")
+    def run(minShould: Int) =
+      Search.booleanSearch(df, "doc_id", "text",
+          must = Seq("alpha"), should = Seq("beta", "delta"),
+          mustNot = Seq("bad"), minShould = minShould)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    assert(run(1) == Seq((1L, 1L, 1L), (2L, 1L, 1L)))
+    assert(run(2) == Seq.empty) // nobody has both should terms cleanly
+    // no should terms → pure conjunction, doc 5 qualifies too
+    val conj = Search.booleanSearch(df, "doc_id", "text",
+        must = Seq("alpha"), mustNot = Seq("bad"))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(conj == Seq(1L, 2L, 5L))
+  }
 }
