@@ -3993,6 +3993,53 @@ object SparkEntry {
         ((num - num % den) / den).cast("long").as("dup_q20"))
   }
 
+  /** Data-contract run over orders — the dbt-tests check battery as one
+    * aggregation pass: uniqueness, bounds, enum, regex and null rules
+    * from a declarative rule table.
+    */
+  private def q260DataContract(s: SparkSession, dir: String): DataFrame =
+    Contracts.validate(t(s, dir, "orders"), Seq(
+      Contracts.Rule("o_orderkey", "unique", ""),
+      Contracts.Rule("o_custkey", "not_null", ""),
+      Contracts.Rule("o_totalprice", "min", "0"),
+      Contracts.Rule("o_totalprice", "max", "1000000"),
+      Contracts.Rule("o_orderstatus", "enum", "O|F|P"),
+      Contracts.Rule("o_orderpriority", "regex", "[1-5]-[A-Z ]+")))
+
+  /** Seasonal-naive forecast evaluation: predict each day's event-value
+    * total with the SAME WEEKDAY a week earlier, report per-type MAE —
+    * the baseline every forecasting pipeline must beat. Cents-exact
+    * error sums, one division.
+    */
+  private def q261SeasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter($("value").isNotNull)
+      .groupBy($("event_type"), to_date($("ts")).as("day"))
+      .agg(sum(($("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val pred = daily.select($("event_type"),
+      date_add($("day"), 7).as("day"), $("cents").as("pred_cents"))
+    daily.join(pred, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs($("cents") - $("pred_cents"))).as("sum_abs_err_cents"))
+      .withColumn("mae_cents",
+        $("sum_abs_err_cents").cast("double") / $("n_days").cast("double"))
+  }
+
+  /** Label-noise detection: rows whose label disagrees with their
+    * 5-NN majority (IVF-probed candidates, q161's bucketed shape) —
+    * the confident-learning curation pass.
+    */
+  private def q262LabelNoise(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.labelNoiseFlags(
+      t(s, dir, "embeddings").select($("vec_id").as("id"),
+        $("embedding").as("vec"), $("label")),
+      k = 5, numCells = 32)
+      .select($("vec_id"), $("label").cast("long").as("label"),
+        $("majority_label").cast("long").as("majority_label"),
+        $("n_neighbors"), $("n_agree"), $("flagged"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4255,6 +4302,9 @@ object SparkEntry {
     "q257_fertility" -> (q257Fertility _),
     "q258_boolean_search" -> (q258BooleanSearch _),
     "q259_chunk_dedup" -> (q259ChunkDedup _),
+    "q260_data_contract" -> (q260DataContract _),
+    "q261_seasonal_naive" -> (q261SeasonalNaive _),
+    "q262_label_noise" -> (q262LabelNoise _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8694,5 +8744,103 @@ object SparkEntry {
         |  CAST((1048576::HUGEINT * n_dup_chunks) // n_chunks AS BIGINT)
         |    AS dup_q20
         |FROM g""".stripMargin,
+    "q260_data_contract" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+        |r AS (
+        |  SELECT 'o_orderkey' AS "column", 'unique' AS "check",
+        |    '' AS param,
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+        |      AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', 'not_null', '',
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', 'min', '0',
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |          AND CAST(o_totalprice AS DOUBLE) < 0
+        |          THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', 'max', '1000000',
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |          AND CAST(o_totalprice AS DOUBLE) > 1000000
+        |          THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', 'enum', 'O|F|P',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |          AND o_orderstatus NOT IN ('O', 'F', 'P')
+        |          THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', 'regex', '[1-5]-[A-Z ]+',
+        |    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+        |          AND NOT regexp_matches(o_orderpriority,
+        |            '^(?:[1-5]-[A-Z ]+)$')
+        |          THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders)
+        |SELECT "column", "check", param, n.n_rows, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM r, n""".stripMargin,
+    "q261_seasonal_naive" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT event_type, day + 7 AS day,
+        |    cents AS pred_cents FROM daily)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(daily.cents - p.pred_cents)) AS BIGINT)
+        |    AS sum_abs_err_cents,
+        |  CAST(sum(abs(daily.cents - p.pred_cents)) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS mae_cents
+        |FROM daily JOIN p USING (event_type, day)
+        |GROUP BY 1""".stripMargin,
+    "q262_label_noise" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |             FROM embeddings),
+        |cent AS (SELECT vec_id AS cell_id, v AS cv FROM emb
+        |         ORDER BY vec_id LIMIT 32),
+        |assign AS (
+        |  SELECT vec_id, v, cell_id FROM (
+        |    SELECT e.vec_id, e.v, c.cell_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+        |          c.cell_id) AS rn
+        |    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, qv, cell_id FROM (
+        |    SELECT q.vec_id AS qid, q.v AS qv, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+        |          c.cell_id) AS rn
+        |    FROM emb q CROSS JOIN cent c) WHERE rn <= 4),
+        |tk AS (SELECT qid, id FROM (
+        |  SELECT p.qid, a.vec_id AS id,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY list_cosine_similarity(a.v, p.qv) DESC,
+        |        a.vec_id) AS rank
+        |  FROM assign a JOIN probes p USING (cell_id)
+        |  WHERE a.vec_id <> p.qid) WHERE rank <= 5),
+        |nb AS (SELECT tk.qid, e.label AS nl FROM tk
+        |       JOIN emb e ON e.vec_id = tk.id),
+        |votes AS (SELECT qid, nl, CAST(count(*) AS BIGINT) AS c
+        |          FROM nb GROUP BY 1, 2),
+        |maj AS (SELECT qid, nl AS majority_label FROM (
+        |    SELECT qid, nl, row_number() OVER (PARTITION BY qid
+        |      ORDER BY c DESC, nl) AS mr FROM votes) WHERE mr = 1),
+        |agg AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_neighbors
+        |        FROM nb GROUP BY 1)
+        |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+        |  CAST(maj.majority_label AS BIGINT) AS majority_label,
+        |  agg.n_neighbors, COALESCE(v.c, 0) AS n_agree,
+        |  maj.majority_label <> e.label AS flagged
+        |FROM emb e
+        |JOIN agg ON agg.qid = e.vec_id
+        |JOIN maj ON maj.qid = e.vec_id
+        |LEFT JOIN votes v ON v.qid = e.vec_id AND v.nl = e.label""".stripMargin,
   )
 }

@@ -358,42 +358,96 @@ object SimilaritySearch {
           // only (qid, id, cosine) reaches the rank — the 2x64-float
           // payload arrays stay out of the window exchange
           .select(col("qid"), col("id"), col("cosine"))
-      } else {
-        val cells =
-          if (numCells > 0) numCells
-          else math.max(32, math.sqrt(corpus.count().toDouble).toInt)
-        val cents = corpus.orderBy("id").limit(cells)
-          .select(col("id").as("cell_id"), col("vec").as("cvec"),
-            sqrt(graft.functions.floatDot(col("vec"), col("vec"))).as("cnorm"))
-        def cellCos(v: Column, n: Column) =
-          graft.functions.floatDot(v, col("cvec")) / (n * col("cnorm"))
-        // nearest centroid per vector: map-side-complete argmax over the
-        // broadcast centroid rows (same shape as ivfTopK's assignment)
-        val assigned = withNorm.crossJoin(broadcast(cents))
-          .withColumn("_cos", cellCos(col("vec"), col("_n")))
-          .groupBy("id")
-          .agg(first("vec").as("vec"), first("_n").as("_n"),
-            max_by(col("cell_id"), struct(col("_cos"), -col("cell_id")))
-              .as("cell_id"))
-        val probes = withNorm
-          .select(col("id").as("qid"), col("vec").as("qvec"),
-            col("_n").as("_qn"))
-          .crossJoin(broadcast(cents))
-          .withColumn("_cos", cellCos(col("qvec"), col("_qn")))
-          .withColumn("_pr", row_number().over(
-            Window.partitionBy("qid").orderBy(col("_cos").desc, col("cell_id"))))
-          .filter(col("_pr") <= nprobe)
-          .select(col("qid"), col("qvec"), col("_qn"), col("cell_id"))
-        assigned.join(probes, Seq("cell_id")) // shuffle equi-join, no broadcast
-          .filter(col("id") =!= col("qid"))
-          .withColumn("cosine",
-            graft.functions.floatDot(col("vec"), col("qvec")) /
-              (col("_n") * col("_qn")))
-          .select(col("qid"), col("id"), col("cosine"))
-      }
+      } else probedSelfScored(withNorm, numCells, nprobe)
     val top = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("cosine"), col("rank"))
     mutualize(top)
+  }
+
+  /** IVF-probed self-join candidate scoring shared by [[mutualKnnGraph]]
+    * and [[labelNoiseFlags]]: deterministic first-`cells` centroids,
+    * broadcast assignment + probe argmax, then a SHUFFLE equi-join on
+    * cell_id (the probe table is corpus-sized — never broadcast).
+    * Input must carry (id, vec, _n = norm); output (qid, id, cosine)
+    * over candidate pairs, self excluded.
+    */
+  private def probedSelfScored(
+      withNorm: DataFrame, numCells: Int, nprobe: Int): DataFrame = {
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(32, math.sqrt(withNorm.count().toDouble).toInt)
+    val cents = withNorm.orderBy("id").limit(cells)
+      .select(col("id").as("cell_id"), col("vec").as("cvec"),
+        col("_n").as("cnorm"))
+    def cellCos(v: Column, n: Column) =
+      graft.functions.floatDot(v, col("cvec")) / (n * col("cnorm"))
+    // nearest centroid per vector: map-side-complete argmax over the
+    // broadcast centroid rows (same shape as ivfTopK's assignment)
+    val assigned = withNorm.crossJoin(broadcast(cents))
+      .withColumn("_cos", cellCos(col("vec"), col("_n")))
+      .groupBy("id")
+      .agg(first("vec").as("vec"), first("_n").as("_n"),
+        max_by(col("cell_id"), struct(col("_cos"), -col("cell_id")))
+          .as("cell_id"))
+    val probes = withNorm
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("_n").as("_qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_cos", cellCos(col("qvec"), col("_qn")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_cos").desc, col("cell_id"))))
+      .filter(col("_pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("_qn"), col("cell_id"))
+    assigned.join(probes, Seq("cell_id")) // shuffle equi-join, no broadcast
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine",
+        graft.functions.floatDot(col("vec"), col("qvec")) /
+          (col("_n") * col("_qn")))
+      .select(col("qid"), col("id"), col("cosine"))
+  }
+
+  /** Label-noise detection (confident-learning-lite): flag rows whose
+    * label disagrees with the majority label of their k nearest
+    * neighbors — the curation pass that surfaces mislabeled training
+    * examples before they poison a classifier. Neighbors come from the
+    * same IVF-probed candidate generation as [[mutualKnnGraph]]
+    * (bucketed — never an all-pairs scan; recall is the documented IVF
+    * trade, measured by q194/q238's recall harness), majority is
+    * deterministic (count desc, label asc on ties).
+    *
+    * Corpus columns: (id, vec, label). Output: (vec_id, label,
+    * majority_label, n_neighbors, n_agree, flagged).
+    */
+  def labelNoiseFlags(
+      corpus: DataFrame, k: Int, numCells: Int = 0,
+      nprobe: Int = 4): DataFrame = {
+    val withNorm = corpus.select(col("id"), col("vec"),
+      sqrt(graft.functions.floatDot(col("vec"), col("vec"))).as("_n"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    val top = probedSelfScored(withNorm, numCells, nprobe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"))
+    val labels = corpus.select(col("id"), col("label"))
+    val nb = top
+      .join(labels.select(col("id"), col("label").as("_nl")), Seq("id"))
+    val votes = nb.groupBy(col("qid"), col("_nl"))
+      .agg(count(lit(1)).as("_c"))
+    val maj = votes
+      .withColumn("_mr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_c").desc, col("_nl"))))
+      .filter(col("_mr") === 1)
+      .select(col("qid"), col("_nl").as("majority_label"))
+    val agg = nb.groupBy("qid")
+      .agg(count(lit(1)).as("n_neighbors"))
+      .join(maj, Seq("qid"))
+    labels
+      .join(agg, col("id") === col("qid"))
+      .join(votes.select(col("qid").as("_vq"), col("_nl"), col("_c")),
+        col("qid") === col("_vq") && col("label") === col("_nl"), "left")
+      .select(col("id").as("vec_id"), col("label"), col("majority_label"),
+        col("n_neighbors"), coalesce(col("_c"), lit(0L)).as("n_agree"),
+        (col("majority_label") =!= col("label")).as("flagged"))
   }
 }

@@ -166,4 +166,52 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(conj == Seq(1L, 2L, 5L))
   }
+
+  test("Contracts.validate: one pass, per-rule violation counts, nulls " +
+    "only fail not_null") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(5.0), Some("A")),
+      (Some(1L), Some(-2.0), Some("B")), // dup id, min violation
+      (Some(2L), None: Option[Double], Some("C")), // null v, bad enum
+      (None: Option[Long], Some(3.0), None: Option[String]))
+      .toDF("id", "v", "s")
+    val got = Contracts.validate(df, Seq(
+        Contracts.Rule("id", "unique", ""),
+        Contracts.Rule("v", "not_null", ""),
+        Contracts.Rule("v", "min", "0"),
+        Contracts.Rule("s", "enum", "A|B"),
+        Contracts.Rule("s", "regex", "[A-B]")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      ("id", "unique", 4L, 1L, false), // null id is not a duplicate
+      ("v", "not_null", 4L, 1L, false),
+      ("v", "min", 4L, 1L, false), // the null v does not also fail min
+      ("s", "enum", 4L, 1L, false), // null s passes enum
+      ("s", "regex", 4L, 1L, false)))
+  }
+
+  test("labelNoiseFlags: the planted mislabel is the only flagged row") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; vec 6 sits in cluster A
+    // but carries cluster B's label
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(1.0f, 0.1f), 0),
+      (6L, Array(0.95f, 0.0f), 1), // mislabeled
+      (10L, Array(0.0f, 1.0f), 1),
+      (11L, Array(0.1f, 0.9f), 1),
+      (12L, Array(0.0f, 0.9f), 1))
+      .toDF("id", "vec", "label")
+    val got = SimilaritySearch.labelNoiseFlags(df, k = 3, numCells = 7)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(5)))
+      .toSeq
+    assert(got.filter(_._4) == Seq((6L, 1, 0, true)), got.mkString(", "))
+    assert(got.length == 7) // every row is scored
+  }
 }
