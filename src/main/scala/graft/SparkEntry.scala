@@ -4040,6 +4040,20 @@ object SparkEntry {
         $("majority_label").cast("long").as("majority_label"),
         $("n_neighbors"), $("n_agree"), $("flagged"))
 
+  /** VAD segmentation over "audio" blobs: voiced = frame mean-byte
+    * energy >= 94 (the corpus median — the stub stand-in for an RMS
+    * threshold), segments via the gaps-and-islands key.
+    */
+  private def q263VadSegments(s: SparkSession, dir: String): DataFrame = {
+    val ascii = docs(s, dir)
+      .filter(octet_length($("text")) === length($("text")))
+    Multimodal.vadSegments(
+      Multimodal.attachBinary(ascii, "doc_id", "text", "audio/fake"),
+      frameBytes = 64, stride = 4, silenceBelow = 94L)
+      .select($("id").as("doc_id"), $("seg_no"), $("start_frame"),
+        $("end_frame"), $("n_frames"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4305,6 +4319,7 @@ object SparkEntry {
     "q260_data_contract" -> (q260DataContract _),
     "q261_seasonal_naive" -> (q261SeasonalNaive _),
     "q262_label_noise" -> (q262LabelNoise _),
+    "q263_vad_segments" -> (q263VadSegments _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8842,5 +8857,36 @@ object SparkEntry {
         |JOIN agg ON agg.qid = e.vec_id
         |JOIN maj ON maj.qid = e.vec_id
         |LEFT JOIN votes v ON v.qid = e.vec_id AND v.nl = e.label""".stripMargin,
+    "q263_vad_segments" ->
+      """WITH a AS (SELECT doc_id, text FROM documents
+        |           WHERE strlen(text) = length(text)),
+        |f AS (SELECT doc_id, text,
+        |        unnest(range(0, greatest(length(text) // 256, 1)))
+        |          AS fno
+        |      FROM a),
+        |ft AS (SELECT doc_id, fno,
+        |         substring(text, (fno * 256 + 1)::BIGINT, 64) AS ftext
+        |       FROM f),
+        |e AS (SELECT doc_id, fno,
+        |        CASE WHEN length(ftext) = 0 THEN 0 ELSE
+        |          list_sum(list_transform(range(1, length(ftext) + 1),
+        |            i -> ord(substr(ftext, CAST(i AS INT), 1))))
+        |            // length(ftext) END AS energy
+        |      FROM ft),
+        |v AS (SELECT doc_id, fno FROM e WHERE energy >= 94),
+        |isl AS (SELECT doc_id, fno,
+        |          fno - row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY fno) AS k
+        |        FROM v),
+        |seg AS (SELECT doc_id, k, min(fno) AS start_frame,
+        |          max(fno) AS end_frame,
+        |          CAST(count(*) AS BIGINT) AS n_frames
+        |        FROM isl GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY start_frame) AS BIGINT) AS seg_no,
+        |  CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(end_frame AS BIGINT) AS end_frame, n_frames
+        |FROM seg""".stripMargin,
   )
 }

@@ -190,6 +190,58 @@ object Multimodal {
         .as(Seq("frame_no", "frame_bytes")))
   }
 
+  case class FrameEnergy(id: Long, frame_no: Long, energy: Long)
+
+  /** Voice-activity-detection segmentation over "audio" blobs — the
+    * silence-splitting pass an audio-training pipeline runs before
+    * transcription/embedding: sample frames ([[sampleFrames]]), compute
+    * per-frame energy (integer mean byte value — the stub stand-in for
+    * RMS amplitude; a real decoder slots into the same mapPartitions),
+    * and merge consecutive voiced frames (energy >= `silenceBelow`)
+    * into segments via the gaps-and-islands key (frame_no −
+    * row_number, the q224 streak idiom — one keyed window, no
+    * self-join).
+    *
+    * Output: one row per voiced segment — (id, seg_no 1-based by
+    * start, start_frame, end_frame, n_frames).
+    */
+  def vadSegments(
+      df: DataFrame, frameBytes: Int = 64, stride: Int = 4,
+      silenceBelow: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = sampleFrames(df, frameBytes, stride)
+    implicit val enc = Encoders.product[FrameEnergy]
+    implicit val encIn =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.BINARY)
+    val energies = frames
+      .select(col("id").cast("long").as("id"),
+        col("frame_no").cast("long").as("frame_no"), col("frame_bytes"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: val codec = Codec.open() — once per partition
+        it.map { case (id, fno, bytes) =>
+          if (bytes == null || bytes.isEmpty) FrameEnergy(id, fno, 0L)
+          else {
+            var s = 0L; var i = 0
+            while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+            FrameEnergy(id, fno, s / bytes.length)
+          }
+        }
+      }.toDF()
+    val voiced = energies.filter(col("energy") >= silenceBelow)
+    val wIsl = Window.partitionBy("id").orderBy("frame_no")
+    val seg = voiced
+      .withColumn("_isl", col("frame_no") - row_number().over(wIsl))
+      .groupBy("id", "_isl")
+      .agg(min(col("frame_no")).as("start_frame"),
+        max(col("frame_no")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+    seg
+      .withColumn("seg_no", row_number().over(
+        Window.partitionBy("id").orderBy("start_frame")).cast("long"))
+      .select("id", "seg_no", "start_frame", "end_frame", "n_frames")
+  }
+
   case class FrameHash(id: Long, frame_no: Long, phash: Long)
 
   /** Scene-cut detection over "video" blobs — the shot-segmentation

@@ -214,4 +214,22 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._4) == Seq((6L, 1, 0, true)), got.mkString(", "))
     assert(got.length == 7) // every row is scored
   }
+
+  test("vadSegments merges voiced islands and splits on silence") {
+    import spark.implicits._
+    // 4 frames at 256-byte spans: loud / silent / loud / loud
+    val audio = "z" * 256 + " " * 256 + "z" * 512
+    val blobs = Multimodal.attachBinary(
+      Seq((7L, audio)).toDF("doc_id", "text"), "doc_id", "text",
+      "audio/fake")
+    val got = Multimodal.vadSegments(blobs, frameBytes = 64, stride = 4,
+        silenceBelow = 94L)
+      .orderBy("seg_no")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // 'z' = 122 (voiced), ' ' = 32 (silence): frame 1 splits the blob
+    // into segments [0,0] and [2,3]
+    assert(got == Seq((7L, 1L, 0L, 0L, 1L), (7L, 2L, 2L, 3L, 2L)))
+  }
 }
