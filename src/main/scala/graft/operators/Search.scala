@@ -107,6 +107,9 @@ object Search {
     * At least one positive term is required (a pure-negation query is a
     * corpus scan, not an index lookup — by construction every hit has a
     * positive posting, so the aggregate's domain covers all hits).
+    * Terms match RAW tokens (case-sensitive, like [[phraseSearch]]) —
+    * for case-insensitive retrieval lowercase both the corpus and the
+    * query terms upstream.
     *
     * Output: (idCol, n_must, n_should) for matching documents.
     */
