@@ -4029,13 +4029,17 @@ object SparkEntry {
 
   /** Label-noise detection: rows whose label disagrees with their
     * 5-NN majority (IVF-probed candidates, q161's bucketed shape) —
-    * the confident-learning curation pass.
+    * the confident-learning curation pass. Cells auto-scale as
+    * max(32, sqrt n) exactly like q161 (a FIXED cell count makes the
+    * probe join O(n²/cells) — measured 12× at the 10× scale run;
+    * sqrt-scaling keeps pairs ~n^1.5/nprobe and equals the oracle's 32
+    * cells at the gate SF).
     */
   private def q262LabelNoise(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.labelNoiseFlags(
       t(s, dir, "embeddings").select($("vec_id").as("id"),
         $("embedding").as("vec"), $("label")),
-      k = 5, numCells = 32)
+      k = 5)
       .select($("vec_id"), $("label").cast("long").as("label"),
         $("majority_label").cast("long").as("majority_label"),
         $("n_neighbors"), $("n_agree"), $("flagged"))

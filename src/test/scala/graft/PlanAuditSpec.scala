@@ -698,6 +698,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_count"), "bucket counts lost map-side combine")
   }
 
+  test("q262 label noise: candidate join shuffles on cell_id — the " +
+      "corpus-sized probe table is never broadcast") {
+    val p = plan("q262_label_noise")
+    // the only broadcasts allowed are the bounded centroid tables (the
+    // two crossJoin(broadcast(cents)) argmax stages); the probe ⋈
+    // assigned candidate join must be a shuffle join keyed by cell_id
+    val joinLine = p.linesIterator.find(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("cell_id"))
+    assert(joinLine.isDefined, p.take(4000))
+    val badBroadcast = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cell_id#"))
+    assert(!badBroadcast, "probe table degenerated to a broadcast join")
+  }
+
   test("gate source sweep: no constant-key windows; SparkEntry crossJoins " +
       "are all broadcast scalar frames") {
     import scala.jdk.CollectionConverters._
