@@ -25,6 +25,7 @@ import graft.shipping.Views
   * graft.Cli manifest-diff <oldNdjson> <newNdjson> <outDir>
   * graft.Cli mint         <existingDir|-> <count> <outDir> [seed]
   * graft.Cli refresh-view <warehouseDir> <pa_v1|pa_v2> <outDir> [--dry-run]
+  * graft.Cli explain      <query-name> <sfDir> [--simple]
   * }}}
   */
 object Cli {
@@ -69,12 +70,39 @@ object Cli {
         System.err.println(s"sample not found: $barcode")
         sys.exit(1)
       }
+    case "explain" :: name :: sfDir :: rest =>
+      val spark = session()
+      explain(spark, name, sfDir, formatted = !rest.contains("--simple"))
+        .foreach(println)
+      spark.stop()
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "commands: receive | etl-fhir | manifest-diff | mint | refresh-view | get-sample")
+        "commands: receive | etl-fhir | manifest-diff | mint | refresh-view | get-sample | explain")
       sys.exit(2)
   }
+
+  /** Plan inspection for any gate query — `EXPLAIN (FORMATTED)` as a CLI
+    * verb, the review tool behind PlanAuditSpec's pinned shapes: prints
+    * the executed plan so a scan that lost `PushedFilters`, a join that
+    * lost its broadcast, or a window that went constant-key is visible
+    * without writing a spec first. Returns the plan text lines (also
+    * printed), or an error line listing valid names.
+    */
+  def explain(spark: SparkSession, name: String, sfDir: String,
+      formatted: Boolean): Seq[String] =
+    SparkEntry.queries.get(name) match {
+      case None =>
+        Seq(s"unknown query: $name",
+          s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      case Some(q) =>
+        val df = q(spark, sfDir)
+        val text =
+          if (formatted) df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          else df.queryExecution.executedPlan.toString
+        text.linesIterator.toSeq
+    }
 
   /** S1/S2 — append NDJSON documents to a receiving table, ids continuing
     * after the current maximum (the reference's bigserial).

@@ -183,4 +183,17 @@ class CliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(visible("alice") == Set("s1", "s2"))
     assert(visible("bob") == Set("s1"))
   }
+
+  test("explain prints the formatted physical plan for any gate query") {
+    val lines = Cli.explain(spark, "q1_agg", "/root/testdata/sf0.001",
+      formatted = true)
+    assert(lines.exists(_.contains("== Physical Plan ==")), lines.take(5))
+    assert(lines.exists(_.contains("HashAggregate")), lines.take(30))
+    // the formatted mode carries the scan detail PlanAuditSpec pins
+    assert(lines.exists(l => l.contains("PushedFilters") ||
+      l.contains("ReadSchema")), "scan detail missing")
+    val bad = Cli.explain(spark, "nope", "/root/testdata/sf0.001",
+      formatted = true)
+    assert(bad.head.startsWith("unknown query"))
+  }
 }
