@@ -6721,7 +6721,8 @@ object SparkEntry {
     "q161_mutual_knn" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cell_id, v AS cv FROM emb
-        |         ORDER BY vec_id LIMIT 32),
+        |         ORDER BY vec_id LIMIT (SELECT greatest(32,
+        |           CAST(floor(sqrt(count(*))) AS BIGINT)) FROM emb)),
         |assign AS (
         |  SELECT vec_id, v, cell_id FROM (
         |    SELECT e.vec_id, e.v, c.cell_id,
@@ -8822,7 +8823,8 @@ object SparkEntry {
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
         |             FROM embeddings),
         |cent AS (SELECT vec_id AS cell_id, v AS cv FROM emb
-        |         ORDER BY vec_id LIMIT 32),
+        |         ORDER BY vec_id LIMIT (SELECT greatest(32,
+        |           CAST(floor(sqrt(count(*))) AS BIGINT)) FROM emb)),
         |assign AS (
         |  SELECT vec_id, v, cell_id FROM (
         |    SELECT e.vec_id, e.v, c.cell_id,
