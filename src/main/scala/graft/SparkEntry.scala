@@ -4058,6 +4058,45 @@ object SparkEntry {
         $("end_frame"), $("n_frames"))
   }
 
+  /** Sketch-accuracy audit: the log2-bucket p50/p90/p99 bounds (q255)
+    * against the EXACT quantile value per priority, with the same
+    * integer threshold rule on both — the bracketing guarantee
+    * (lo <= exact <= hi) read as a query. The exact side's cumulative
+    * window runs over distinct cents values per group (keyed, bounded
+    * by value cardinality).
+    */
+  private def q264SketchAccuracy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = t(s, dir, "orders").select($("o_orderpriority"),
+      ($("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    val sk = Sketches.log2HistogramQuantiles(cents, "o_orderpriority",
+      "cents", qs = Seq(50, 90, 99))
+    val c = cents.filter($("cents") > 0)
+      .groupBy($("o_orderpriority"), $("cents"))
+      .agg(count(lit(1)).as("_c"))
+    val cum = Window.partitionBy($("o_orderpriority")).orderBy($("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($("o_orderpriority"))
+    val qs = s.range(1).select(
+      explode(array(lit(50L), lit(90L), lit(99L))).as("q_pct"))
+    val pick = Window.partitionBy($("o_orderpriority"), $("q_pct"))
+      .orderBy($("cents"))
+    val exact = c
+      .withColumn("_cum", sum($("_c")).over(cum))
+      .withColumn("_tot", sum($("_c")).over(tot))
+      .crossJoin(broadcast(qs))
+      .filter($("_cum") * 100 >= $("q_pct") * $("_tot"))
+      .withColumn("_rk", row_number().over(pick))
+      .filter($("_rk") === 1)
+      .select($("o_orderpriority"), $("q_pct"), $("cents").as("exact_value"))
+    sk.join(exact, Seq("o_orderpriority", "q_pct"))
+      .select($("o_orderpriority"), $("q_pct"), $("lo"), $("hi"),
+        $("exact_value"),
+        ($("exact_value") >= $("lo") && $("exact_value") <= $("hi"))
+          .as("within_bound"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4324,6 +4363,7 @@ object SparkEntry {
     "q261_seasonal_naive" -> (q261SeasonalNaive _),
     "q262_label_noise" -> (q262LabelNoise _),
     "q263_vad_segments" -> (q263VadSegments _),
+    "q264_sketch_accuracy" -> (q264SketchAccuracy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8894,5 +8934,52 @@ object SparkEntry {
         |  CAST(start_frame AS BIGINT) AS start_frame,
         |  CAST(end_frame AS BIGINT) AS end_frame, n_frames
         |FROM seg""".stripMargin,
+    "q264_sketch_accuracy" ->
+      """WITH v AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |b AS (SELECT o_orderpriority,
+        |    CAST(length(printf('%b', cents)) AS BIGINT) AS bits,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM v WHERE cents > 0 GROUP BY 1, 2),
+        |cw AS (SELECT o_orderpriority, bits, c,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY bits
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |      AS n_total
+        |  FROM b),
+        |q AS (SELECT unnest([50, 90, 99]) AS q_pct),
+        |skp AS (SELECT o_orderpriority, CAST(q_pct AS BIGINT) AS q_pct,
+        |    bits,
+        |    row_number() OVER (PARTITION BY o_orderpriority, q_pct
+        |      ORDER BY bits) AS rk
+        |  FROM cw, q WHERE cum_n * 100 >= q_pct * n_total),
+        |sk AS (SELECT o_orderpriority, q_pct,
+        |    CAST(1::BIGINT << CAST(bits - 1 AS INT) AS BIGINT) AS lo,
+        |    CAST((1::BIGINT << CAST(bits AS INT)) - 1 AS BIGINT) AS hi
+        |  FROM skp WHERE rk = 1),
+        |dc AS (SELECT o_orderpriority, cents,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM v WHERE cents > 0 GROUP BY 1, 2),
+        |dcw AS (SELECT o_orderpriority, cents, c,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |      AS tot
+        |  FROM dc),
+        |ex AS (SELECT o_orderpriority, CAST(q_pct AS BIGINT) AS q_pct,
+        |    cents AS exact_value,
+        |    row_number() OVER (PARTITION BY o_orderpriority, q_pct
+        |      ORDER BY cents) AS rk
+        |  FROM dcw, q WHERE cum * 100 >= q_pct * tot)
+        |SELECT sk.o_orderpriority, sk.q_pct, sk.lo, sk.hi,
+        |  ex.exact_value,
+        |  ex.exact_value >= sk.lo AND ex.exact_value <= sk.hi
+        |    AS within_bound
+        |FROM sk JOIN ex ON ex.o_orderpriority = sk.o_orderpriority
+        |  AND ex.q_pct = sk.q_pct AND ex.rk = 1""".stripMargin,
   )
 }

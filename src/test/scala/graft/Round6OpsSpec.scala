@@ -232,4 +232,16 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // into segments [0,0] and [2,3]
     assert(got == Seq((7L, 1L, 0L, 0L, 1L), (7L, 2L, 2L, 3L, 2L)))
   }
+
+  test("q264 sketch accuracy: every exact quantile lies inside its " +
+      "log2 bucket (the bracketing guarantee holds on real data)") {
+    val got = SparkEntry.queries("q264_sketch_accuracy")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(got.nonEmpty)
+    // the sketch picks the first bucket whose cumulative count reaches
+    // the threshold; the exact quantile (same integer rule) has that
+    // bucket's bit length, so lo <= exact <= hi must hold for every row
+    assert(got.forall(_.getAs[Boolean]("within_bound")),
+      got.filterNot(_.getAs[Boolean]("within_bound")).mkString(", "))
+  }
 }
