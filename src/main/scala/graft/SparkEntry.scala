@@ -4097,6 +4097,54 @@ object SparkEntry {
           .as("within_bound"))
   }
 
+  /** Readability mix per source — Flesch fixed-point signals
+    * (TextAnalysis.readabilitySignals) rolled up to band counts and
+    * score bounds. Pure map stage + one partial-agg groupBy.
+    */
+  private def q265Readability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readabilitySignals(docs(s, dir), "text")
+      .groupBy($("source"), $("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($("flesch_milli")).as("sum_flesch_milli"),
+        min($("flesch_milli")).as("min_flesch_milli"),
+        max($("flesch_milli")).as("max_flesch_milli"))
+
+  /** Content-defined chunk dedup per source — CDC boundaries from the
+    * codegen kernel (one pass in the scan, never a per-char explode),
+    * then the q259 chunk-hash first-occurrence accounting. The CDC/
+    * fixed-size pair (q266/q259) is the shift-robust vs aligned
+    * trade-off read directly off the same corpus.
+    */
+  private def q266CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ch = TextAnalysis.cdcChunks(d, "doc_id", "text", k = 8, m = 64)
+      .select($("doc_id"), md5($("chunk")).as("_h"),
+        ($("chunk_end") - $("chunk_start")).as("_len"),
+        ($("doc_id") * 1048576L + $("chunk_no")).as("_ck"))
+    val firsts = ch.groupBy("_h").agg(min($("_ck")).as("_first"))
+    val num = lit(1048576).cast("decimal(38,0)") *
+      col("n_dup_chunks").cast("decimal(38,0)")
+    val den = col("n_chunks").cast("decimal(38,0)")
+    ch.join(firsts, Seq("_h"))
+      .select($("doc_id"), $("_len"),
+        when($("_ck") =!= $("_first"), 1L).otherwise(0L).as("_d"))
+      .join(d.select($("doc_id"), $("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"), sum($("_d")).as("n_dup_chunks"),
+        sum($("_len")).as("sum_chunk_chars"))
+      .select($("source"), $("n_chunks"), $("n_dup_chunks"),
+        $("sum_chunk_chars"),
+        ((num - num % den) / den).cast("long").as("dup_q20"))
+  }
+
+  /** Context-length planning: docs fitting / tokens kept / tokens lost
+    * at candidate max sequence lengths 16/32/64 per source
+    * (TextAnalysis.truncationWaste).
+    */
+  private def q267TruncationWaste(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.truncationWaste(docs(s, dir), "source", "text",
+      Seq(16, 32, 64))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4364,6 +4412,9 @@ object SparkEntry {
     "q262_label_noise" -> (q262LabelNoise _),
     "q263_vad_segments" -> (q263VadSegments _),
     "q264_sketch_accuracy" -> (q264SketchAccuracy _),
+    "q265_readability" -> (q265Readability _),
+    "q266_cdc_chunks" -> (q266CdcChunks _),
+    "q267_truncation_waste" -> (q267TruncationWaste _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8981,5 +9032,82 @@ object SparkEntry {
         |    AS within_bound
         |FROM sk JOIN ex ON ex.o_orderpriority = sk.o_orderpriority
         |  AND ex.q_pct = sk.q_pct AND ex.rk = 1""".stripMargin,
+    "q265_readability" ->
+      """WITH r AS (SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+        |           AS BIGINT) END AS w,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS y
+        |  FROM documents),
+        |f AS (SELECT source,
+        |    206835
+        |      - CAST((1015 * w - (1015 * w) % s) / s AS BIGINT)
+        |      - CAST((84600 * y - (84600 * y) % greatest(w, 1))
+        |          / greatest(w, 1) AS BIGINT) AS fm
+        |  FROM r)
+        |SELECT source,
+        |  CASE WHEN fm >= 90000 THEN 'very_easy'
+        |       WHEN fm >= 60000 THEN 'standard'
+        |       WHEN fm >= 30000 THEN 'difficult'
+        |       ELSE 'very_difficult' END AS band,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(fm) AS BIGINT) AS sum_flesch_milli,
+        |  CAST(min(fm) AS BIGINT) AS min_flesch_milli,
+        |  CAST(max(fm) AS BIGINT) AS max_flesch_milli
+        |FROM f GROUP BY 1, 2""".stripMargin,
+    "q266_cdc_chunks" ->
+      """WITH pos AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text))) AS i
+        |  FROM documents WHERE length(text) > 0),
+        |pc AS (SELECT doc_id, i,
+        |    unicode(substr(text, CAST(i AS INT), 1)) AS code
+        |  FROM pos),
+        |w AS (SELECT doc_id, i,
+        |    sum(code) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wsum
+        |  FROM pc),
+        |bset AS (SELECT DISTINCT doc_id, e FROM (
+        |    SELECT doc_id, i AS e FROM w WHERE i >= 8 AND wsum % 64 = 0
+        |    UNION ALL
+        |    SELECT doc_id, length(text) AS e FROM documents
+        |    WHERE length(text) > 0)),
+        |ch AS (SELECT doc_id, e,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+        |      AS st,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS cn
+        |  FROM bset),
+        |hx AS (SELECT ch.doc_id,
+        |    md5(substr(d.text, CAST(st + 1 AS INT), CAST(e - st AS INT)))
+        |      AS h,
+        |    e - st AS len, ch.doc_id * 1048576 + cn AS ck
+        |  FROM ch JOIN documents d ON d.doc_id = ch.doc_id),
+        |f AS (SELECT h, min(ck) AS firstk FROM hx GROUP BY 1),
+        |g AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(CASE WHEN hx.ck <> f.firstk THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dup_chunks,
+        |    CAST(sum(hx.len) AS BIGINT) AS sum_chunk_chars
+        |  FROM hx JOIN f ON hx.h = f.h
+        |  JOIN documents d ON d.doc_id = hx.doc_id
+        |  GROUP BY 1)
+        |SELECT source, n_chunks, n_dup_chunks, sum_chunk_chars,
+        |  CAST((1048576::HUGEINT * n_dup_chunks) // n_chunks AS BIGINT)
+        |    AS dup_q20
+        |FROM g""".stripMargin,
+    "q267_truncation_waste" ->
+      """WITH tok AS (SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+        |           AS BIGINT) END AS n
+        |  FROM documents),
+        |l AS (SELECT CAST(unnest([16, 32, 64]) AS BIGINT) AS max_len)
+        |SELECT source, max_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n <= max_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fit,
+        |  CAST(sum(least(n, max_len)) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(greatest(n - max_len, 0)) AS BIGINT) AS tokens_lost
+        |FROM tok, l GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -39,6 +39,12 @@ package object functions {
   def deflatedLength(text: Column): Column =
     toCol(DeflatedLength(toExpr(text)))
 
+  /** Content-defined chunk end positions as a Column — one codegen pass
+    * per string, no per-character explode ([[CdcBoundaries]]).
+    */
+  def cdcBoundaries(text: Column, k: Int, m: Int): Column =
+    toCol(CdcBoundaries(toExpr(text), k, m))
+
   /** Codegen'd integer dot product of two long arrays — the int8-code
     * scoring loop of quantized search (HOF zip_with/aggregate forms are
     * interpreted per element; this stays in whole-stage codegen).

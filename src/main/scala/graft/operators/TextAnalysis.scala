@@ -500,6 +500,102 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync family, rolling-sum
+    * stand-in): one chunk row per (doc, boundary interval), boundaries
+    * from [[graft.functions.CdcBoundaries]] — a position is a cut when
+    * the rolling sum of the last `k` code points is ≡ 0 (mod `m`).
+    * Because cuts depend only on local content, an edit near the head of
+    * a document re-aligns within ~m characters and every later chunk
+    * hash is shared again — the property that makes chunk-level dedup
+    * robust to boilerplate prefixes/suffixes where q259's fixed-size
+    * chunking shares nothing after a one-character shift.
+    *
+    * Scale shape: boundary detection is one codegen pass inside the scan
+    * (never a per-character explode + keyed window, which would shuffle
+    * the corpus byte-for-byte); the explode fans out ≈ len/m chunk rows
+    * per doc. Expected chunk length is `m` characters.
+    *
+    * Output: doc_id, chunk_no (0-based), chunk_start (0-based, exclusive
+    * of the previous boundary), chunk_end, chunk.
+    */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, m: Int): DataFrame = {
+    val bs = graft.functions.cdcBoundaries(col(textCol), k, m)
+    df.select(col(idCol).as("doc_id"), col(textCol).as("_t"), bs.as("_bs"))
+      .select(col("doc_id"), col("_t"), col("_bs"),
+        posexplode(col("_bs")).as(Seq("_i", "_e")))
+      .select(col("doc_id"), col("_i").cast("long").as("chunk_no"),
+        when(col("_i") > 0, element_at(col("_bs"), col("_i")))
+          .otherwise(lit(0)).cast("long").as("chunk_start"),
+        col("_e").cast("long").as("chunk_end"), col("_t"))
+      .withColumn("chunk",
+        substring(col("_t"), (col("chunk_start") + 1).cast("int"),
+          (col("chunk_end") - col("chunk_start")).cast("int")))
+      .drop("_t")
+  }
+
+  /** Flesch-reading-ease readability signals, fixed-point (milli-units)
+    * so the score hash-matches any engine running the same integer
+    * chain: words = whitespace tokens, sentences = `[.!?]+` runs
+    * (min 1), syllables = `[aeiouy]+` vowel groups of the lowercased
+    * text (the standard cheap proxy). Score:
+    *   flesch_milli = 206835 − ⌊1015·words/sentences⌋
+    *                        − ⌊84600·syllables/words⌋
+    * with the floors as explicit `a − a%b` integer division (words
+    * floored at 1 in the denominator so empty docs score the constant).
+    * Pure per-row column math — a map stage fused into the scan.
+    *
+    * Output: input columns + n_words, n_sentences, n_syllables,
+    * flesch_milli, band (very_easy ≥ 90k / standard ≥ 60k /
+    * difficult ≥ 30k / very_difficult).
+    */
+  def readabilitySignals(df: DataFrame, textCol: String): DataFrame = {
+    def fdiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    df.withColumn("n_words", tokenCount(col(textCol)).cast("long"))
+      .withColumn("n_sentences",
+        greatest(regexp_count(col(textCol), lit("[.!?]+")).cast("long"),
+          lit(1L)))
+      .withColumn("n_syllables",
+        regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long"))
+      .withColumn("flesch_milli",
+        lit(206835L) -
+          fdiv(lit(1015L) * col("n_words"), col("n_sentences")) -
+          fdiv(lit(84600L) * col("n_syllables"),
+            greatest(col("n_words"), lit(1L))))
+      .withColumn("band",
+        when(col("flesch_milli") >= 90000L, "very_easy")
+          .when(col("flesch_milli") >= 60000L, "standard")
+          .when(col("flesch_milli") >= 30000L, "difficult")
+          .otherwise("very_difficult"))
+  }
+
+  /** Context-length planning report: for each candidate max sequence
+    * length, how many docs fit outright and how many tokens a hard
+    * truncation keeps vs discards — the measurement behind choosing a
+    * training context length (and whether packing/chunking is worth
+    * its cost) before committing a 100 TB tokenization run. One
+    * map-side-partial aggregation per (group, L); the candidate-length
+    * frame is a broadcast literal cross of constant size.
+    *
+    * Output: groupCol, max_len, n_docs, n_fit, tokens_kept, tokens_lost.
+    */
+  def truncationWaste(
+      df: DataFrame, groupCol: String, textCol: String,
+      lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty, "need at least one candidate length")
+    val ls = array(lengths.map(l => lit(l.toLong)): _*)
+    df.select(col(groupCol), tokenCount(col(textCol)).cast("long").as("_n"))
+      .select(col(groupCol), col("_n"),
+        explode(ls).as("max_len"))
+      .groupBy(col(groupCol), col("max_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_n") <= col("max_len"), 1L).otherwise(0L)).as("n_fit"),
+        sum(least(col("_n"), col("max_len"))).as("tokens_kept"),
+        sum(greatest(col("_n") - col("max_len"), lit(0L)))
+          .as("tokens_lost"))
+  }
+
   /** Vocabulary build: the top-`size` lowercased whitespace tokens by
     * corpus frequency, with contiguous 0-based ids ordered (count desc,
     * token asc) — the id assignment every tokenizer/embedding-table

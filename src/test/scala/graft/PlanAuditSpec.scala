@@ -713,6 +713,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!badBroadcast, "probe table degenerated to a broadcast join")
   }
 
+  test("q266 cdc chunking: boundaries come from the codegen kernel in the " +
+      "scan stage — no per-character explode or keyed window") {
+    val p = plan("q266_cdc_chunks")
+    assert(p.toLowerCase.contains("cdcboundaries"), p.take(3000))
+    // the relational CDC formulation would show a Window (per-doc rolling
+    // sum over exploded characters); the kernel plan must have none
+    assert(!p.contains("Window"), "per-char window leaked into the CDC plan")
+  }
+
   test("gate source sweep: no constant-key windows; SparkEntry crossJoins " +
       "are all broadcast scalar frames") {
     import scala.jdk.CollectionConverters._

@@ -233,6 +233,75 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((7L, 1L, 0L, 0L, 1L), (7L, 2L, 2L, 3L, 2L)))
   }
 
+  test("cdcBoundaries matches a direct reimplementation and always ends " +
+      "at the final code point") {
+    import spark.implicits._
+    def ref(s: String, k: Int, m: Int): Seq[Int] = {
+      val cps = s.codePoints().toArray.toSeq
+      val cuts = (k to cps.length).filter(i =>
+        cps.slice(i - k, i).map(_.toLong).sum % m == 0)
+      if (cps.isEmpty) Seq.empty
+      else if (cuts.lastOption.contains(cps.length)) cuts
+      else cuts :+ cps.length
+    }
+    val samples = Seq("", "a", "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaa", "punctuation, too! and? digits 0123456789",
+      "café naïve über résumé snippet text here")
+    val got = samples.toDF("t")
+      .select(graft.functions.cdcBoundaries(col("t"), 8, 64))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    assert(got == samples.map(ref(_, 8, 64)))
+  }
+
+  test("cdcChunks re-aligns after a prefix edit (the content-defined " +
+      "property fixed-size chunking lacks)") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val edited = "INSERTED-PREFIX " + base
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = TextAnalysis.cdcChunks(df, "doc_id", "text", k = 8, m = 64)
+      .select(col("doc_id"), md5(col("chunk")).as("h")).collect()
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(1)).toSet
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(1)).toSet
+    // boundaries re-synchronize shortly after the edit: the two docs
+    // share most chunk hashes despite every byte offset having shifted
+    val shared = (h1 & h2).size
+    assert(shared * 10 >= h1.size * 6, s"shared=$shared of ${h1.size}")
+    // and chunks reconstruct the document exactly (partition property)
+    val rows = TextAnalysis.cdcChunks(df, "doc_id", "text", 8, 64)
+      .select("doc_id", "chunk_no", "chunk").collect()
+    val rebuilt = rows.groupBy(_.getLong(0)).map { case (id, rs) =>
+      id -> rs.sortBy(_.getLong(1)).map(_.getString(2)).mkString
+    }
+    assert(rebuilt == Map(1L -> base, 2L -> edited))
+  }
+
+  test("readabilitySignals computes the fixed-point Flesch chain") {
+    import spark.implicits._
+    // "Go now. Stop!" → words=3, sentences=2, syllables=3 (o, o, o)
+    val got = TextAnalysis.readabilitySignals(
+        Seq("Go now. Stop!").toDF("text"), "text")
+      .select("n_words", "n_sentences", "n_syllables", "flesch_milli",
+        "band")
+      .collect().head
+    // 206835 - floor(1015*3/2) - floor(84600*3/3) = 206835-1522-84600
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getString(4)) == ((3L, 2L, 3L, 120713L, "very_easy")))
+  }
+
+  test("truncationWaste partitions every token into kept or lost") {
+    import spark.implicits._
+    val df = Seq(("a", "w " * 10), ("a", "w " * 40), ("b", " "))
+      .toDF("source", "text")
+    val got = TextAnalysis.truncationWaste(df, "source", "text", Seq(16))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // a: 10 fits (kept 10), 40 truncates (kept 16, lost 24); b: blank=0
+    assert(got == Seq(("a", 16L, 2L, 1L, 26L, 24L),
+      ("b", 16L, 1L, 1L, 0L, 0L)))
+  }
+
   test("q264 sketch accuracy: every exact quantile lies inside its " +
       "log2 bucket (the bracketing guarantee holds on real data)") {
     val got = SparkEntry.queries("q264_sketch_accuracy")(
