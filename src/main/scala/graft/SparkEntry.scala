@@ -4145,6 +4145,62 @@ object SparkEntry {
     TextAnalysis.truncationWaste(docs(s, dir), "source", "text",
       Seq(16, 32, 64))
 
+  /** Count-min frequency ceilings audited against exact counts for the
+    * top-20 tokens: the sketch's exchange is depth·width-bounded
+    * regardless of corpus size (map-side partial agg), the estimate
+    * join broadcasts the kilobyte sketch, and every estimate is ≥ the
+    * exact count (one-sided error — the property that makes it a safe
+    * screen). Companion to q264's quantile-sketch audit.
+    */
+  private def q268CountMin(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(TextAnalysis.tokens(lower($("text")))).as("token"))
+      .filter(length($("token")) > 0)
+    val sketch = Sketches.countMinSketch(toks, "token", depth = 4, width = 1024)
+    val top = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+      .orderBy($("exact_n").desc, $("token").asc).limit(20)
+    Sketches.cmEstimates(sketch, top, "token", depth = 4, width = 1024)
+      .join(broadcast(top), Seq("token"))
+      .select($("token"), $("exact_n"), $("cm_est"),
+        ($("cm_est") - $("exact_n")).as("overcount"))
+  }
+
+  /** Model-based quality gate per source — fastText-style hashed-feature
+    * linear scoring (TextAnalysis.hashedLinearScore) with a
+    * deterministic integer weight table standing in for trained weights
+    * (same plan shape: broadcast kilobyte model, no text shuffle).
+    */
+  private def q269HashedClassifier(s: SparkSession, dir: String): DataFrame = {
+    val weights = s.range(1024).select($("id").as("bucket"),
+      (($("id") * 2654435761L) % 1021 - 510).as("weight"))
+    TextAnalysis.hashedLinearScore(docs(s, dir), "doc_id", "text",
+        weights, dim = 1024)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($("score") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum($("score")).as("sum_score"),
+        min($("score")).as("min_score"),
+        max($("score")).as("max_score"))
+  }
+
+  /** Incremental aggregate maintenance: per-(type, day) mergeable
+    * states for the standing 20 days + a freshly appended 10-day delta,
+    * merged to per-type totals by re-aggregating STATES only
+    * (Ivm.mergeStates) — the refresh path that never rescans raw data.
+    * The oracle aggregates the raw table directly; equality is the
+    * monoid-merge correctness proof.
+    */
+  private def q270IvmTotals(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select($("event_type"),
+      to_date($("ts")).as("day"), $("value"))
+    val cutoff = to_date(lit("2024-01-21"))
+    val standing = Ivm.aggState(
+      ev.filter($("day") < cutoff), "event_type", "day", "value")
+    val deltaState = Ivm.aggState(
+      ev.filter($("day") >= cutoff), "event_type", "day", "value")
+    Ivm.mergeStates(standing.unionByName(deltaState), "event_type")
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4415,6 +4471,9 @@ object SparkEntry {
     "q265_readability" -> (q265Readability _),
     "q266_cdc_chunks" -> (q266CdcChunks _),
     "q267_truncation_waste" -> (q267TruncationWaste _),
+    "q268_count_min" -> (q268CountMin _),
+    "q269_hashed_classifier" -> (q269HashedClassifier _),
+    "q270_ivm_totals" -> (q270IvmTotals _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9109,5 +9168,58 @@ object SparkEntry {
         |  CAST(sum(least(n, max_len)) AS BIGINT) AS tokens_kept,
         |  CAST(sum(greatest(n - max_len, 0)) AS BIGINT) AS tokens_lost
         |FROM tok, l GROUP BY 1, 2""".stripMargin,
+    "q268_count_min" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT token FROM t WHERE len(token) > 0),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (SELECT rs.r,
+        |    ('0x'||substr(md5(tk.token||'|cm'||CAST(rs.r AS VARCHAR)),1,15))
+        |      ::BIGINT % 1024 AS bucket
+        |  FROM tk, rs),
+        |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |top AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM tk
+        |  GROUP BY 1 ORDER BY exact_n DESC, token ASC LIMIT 20),
+        |pe AS (SELECT top.token, top.exact_n, rs.r,
+        |    ('0x'||substr(md5(top.token||'|cm'||CAST(rs.r AS VARCHAR)),1,15))
+        |      ::BIGINT % 1024 AS bucket
+        |  FROM top, rs),
+        |est AS (SELECT pe.token, pe.exact_n,
+        |    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
+        |  FROM pe LEFT JOIN sk ON sk.r = pe.r AND sk.bucket = pe.bucket
+        |  GROUP BY 1, 2)
+        |SELECT token, exact_n, cm_est,
+        |  CAST(cm_est - exact_n AS BIGINT) AS overcount FROM est""".stripMargin,
+    "q269_hashed_classifier" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM t WHERE len(token) > 0),
+        |w AS (SELECT range AS bucket,
+        |    (range * 2654435761) % 1021 - 510 AS weight FROM range(1024)),
+        |b AS (SELECT doc_id,
+        |    ('0x'||substr(md5(token||'|feat'),1,15))::BIGINT % 1024 AS bucket
+        |  FROM tk),
+        |sc AS (SELECT b.doc_id, CAST(sum(w.weight) AS BIGINT) AS score
+        |  FROM b JOIN w USING (bucket) GROUP BY 1),
+        |ds AS (SELECT d.doc_id, d.source, coalesce(sc.score, 0) AS score
+        |  FROM documents d LEFT JOIN sc USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score
+        |FROM ds GROUP BY 1""".stripMargin,
+    "q270_ivm_totals" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM c GROUP BY 1""".stripMargin,
   )
 }

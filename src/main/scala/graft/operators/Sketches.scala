@@ -151,6 +151,58 @@ object Sketches {
       .select(col(keyCol), col("cnt"))
   }
 
+  /** Count-min sketch build — the mergeable FREQUENCY sketch next to
+    * HLL (cardinality), Misra-Gries (top-k membership) and the log₂
+    * histogram (quantiles): `depth` independent md5-salted hash rows of
+    * `width` counters each. Every input key increments one counter per
+    * row; a point estimate reads the MINIMUM of its `depth` counters,
+    * which can only OVERCOUNT (collisions add, never subtract) — the
+    * one-sided guarantee that makes it safe as a frequency CEILING for
+    * blocklist screens and cap-style sampling at corpus scale.
+    *
+    * Scale shape: the explode fans each row to `depth` (row, bucket)
+    * pairs, but hash-partial aggregation collapses them map-side to at
+    * most depth·width groups per task, so the exchange carries a
+    * sketch-sized payload REGARDLESS of corpus size — and two shards'
+    * sketches merge by plain counter addition (groupBy-sum), the same
+    * re-merge-without-rescan property as [[shardSketches]]. Standard
+    * bound: with width w, overcount ≤ 2·n/w per row with prob ≥ 1/2,
+    * so the min over `depth` rows exceeds it with prob ≤ 2^(−depth).
+    *
+    * Output: (r, bucket, cnt) — at most depth·width rows.
+    */
+  def countMinSketch(
+      df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+    df.select(explode(array((0 until depth).map { r =>
+        struct(lit(r.toLong).as("r"),
+          (Sampling.keyHash60(col(keyCol), s"cm$r") % width).as("bucket"))
+      }: _*)).as("_p"))
+      .groupBy(col("_p.r").as("r"), col("_p.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMinSketch]]: each probe key
+    * hashes to its `depth` (row, bucket) cells, the sketch (≤ depth·width
+    * rows — kilobytes) joins in as a BROADCAST, and the estimate is the
+    * min surviving counter (an absent cell means nothing ever hashed
+    * there → 0). Estimates satisfy `cm_est >= true count` always.
+    *
+    * Output: (keyCol, cm_est).
+    */
+  def cmEstimates(
+      sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    keys.select(col(keyCol),
+        explode(array((0 until depth).map { r =>
+          struct(lit(r.toLong).as("r"),
+            (Sampling.keyHash60(col(keyCol), s"cm$r") % width).as("bucket"))
+        }: _*)).as("_p"))
+      .select(col(keyCol), col("_p.r").as("r"), col("_p.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+
   /** Mergeable log₂-bucket histogram quantiles — the constant-memory
     * quantile sketch next to HLL (cardinality) and Misra-Gries
     * (frequency): each positive value lands in the bucket of its bit

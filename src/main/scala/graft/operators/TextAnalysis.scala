@@ -596,6 +596,41 @@ object TextAnalysis {
           .as("tokens_lost"))
   }
 
+  /** Hashed-feature linear scoring — the fastText-style quality
+    * classifier's inference pass: each lowercased token hashes into one
+    * of `dim` feature buckets (the hashing trick — no vocabulary file,
+    * OOV-free, fixed model size), the bucket→weight table joins in as a
+    * BROADCAST (a linear model is kilobytes even at dim 2^20), and a
+    * document's score is the integer sum of its tokens' weights. This is
+    * the shape of model-based corpus filtering (CCNet/fastText quality
+    * and language filters, FineWeb-Edu's classifier gate): one explode +
+    * broadcast join + per-doc partial aggregation — no shuffle of text,
+    * no per-row UDF, and the weight table swaps for real trained
+    * weights without touching the plan. Integer weights keep scores
+    * engine-exact ([[surpriseScores]]' fixed-point discipline).
+    *
+    * Docs with no tokens keep score 0 via the spine join.
+    *
+    * Output: input columns + score (long).
+    */
+  def hashedLinearScore(
+      df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, // (bucket long, weight long)
+      dim: Int, salt: String = "feat"): DataFrame = {
+    require(dim >= 2, "need dim >= 2")
+    val scores = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+      .select(col(idCol),
+        (Sampling.keyHash60(col("_tok"), salt) % dim).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(sum(col("weight")).as("_sc"))
+    df.join(scores, Seq(idCol), "left")
+      .withColumn("score", coalesce(col("_sc"), lit(0L)))
+      .drop("_sc")
+  }
+
   /** Vocabulary build: the top-`size` lowercased whitespace tokens by
     * corpus frequency, with contiguous 0-based ids ordered (count desc,
     * token asc) — the id assignment every tokenizer/embedding-table

@@ -352,6 +352,47 @@ object StreamingEtl {
       }.toDF(groupCol, "bits", "counts")
   }
 
+  /** Per-row counter state for [[streamingCountMin]]. */
+  case class CmRowState(counts: Map[Long, Long])
+
+  /** Streaming twin of [[graft.operators.Sketches.countMinSketch]]: the
+    * same md5-salted (row, bucket) cells, held as one bounded counter
+    * map per sketch row (≤ width counters per row FOREVER) in
+    * flatMapGroupsWithState state and re-emitted every micro-batch.
+    * Counter addition is the merge, so after any stream prefix the
+    * state is register-for-register IDENTICAL to the batch sketch over
+    * that prefix (spec-pinned) — frequency ceilings stay valid while
+    * the stream runs, no rebuild between micro-batches.
+    *
+    * Output stream (Update mode): (r, buckets array, cnts array),
+    * buckets ascending — latest row per r is that sketch row's state.
+    */
+  def streamingCountMin(
+      stream: DataFrame, keyCol: String, depth: Int, width: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val cells = stream.select(explode(array((0 until depth).map { r =>
+        struct(lit(r.toLong).as("r"),
+          (graft.operators.Sampling.keyHash60(col(keyCol), s"cm$r") % width)
+            .as("bucket"))
+      }: _*)).as("_p"))
+      .select(col("_p.r").as("r"), col("_p.bucket").as("bucket"))
+      .as[(Long, Long)]
+    cells.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (r: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[CmRowState]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(s => m ++= s.counts)
+          rows.foreach { case (_, b) => m(b) = m.getOrElse(b, 0L) + 1L }
+          state.update(CmRowState(m.toMap))
+          val sorted = m.toSeq.sortBy(_._1)
+          Iterator.single((r, sorted.map(_._1), sorted.map(_._2)))
+      }.toDF("r", "buckets", "cnts")
+  }
+
   /** An event entering [[gapSessions]] (event time in epoch seconds). */
   final case class SEvent(user: String, sec: Long,
       ts: java.sql.Timestamp)

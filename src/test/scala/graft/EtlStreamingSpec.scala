@@ -710,6 +710,39 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("StreamingEtl.streamingCountMin: sketch state after the stream == " +
+    "batch count-min sketch, counter for counter") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = StreamingEtl.streamingCountMin(
+        mem.toDS().toDF("k"), "k", depth = 3, width = 8)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("update").start()
+    val b1 = Seq("a", "b", "a", "c", "a")
+    val b2 = Seq("b", "d", "a", "e", "e")
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.sql("select * from cms").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+        .groupBy(_._1).map { case (r, rows) => r -> rows.last }
+      val batch = graft.operators.Sketches
+        .countMinSketch((b1 ++ b2).toDF("k"), "k", 3, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (r, rows) =>
+          val s = rows.sortBy(_._2)
+          r -> (r, s.map(_._2).toSeq, s.map(_._3).toSeq)
+        }
+      assert(streamed.keySet == batch.keySet)
+      for (r <- streamed.keySet) {
+        assert(streamed(r)._2 == batch(r)._2, s"row $r buckets")
+        assert(streamed(r)._3 == batch(r)._3, s"row $r counts")
+      }
+    } finally q.stop()
+  }
 }
 
 /** Fault injector for the crash-recovery spec: same-JVM local mode, so a

@@ -722,6 +722,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), "per-char window leaked into the CDC plan")
   }
 
+  test("q268 count-min: kilobyte sketch joins broadcast, top-20 is " +
+      "TakeOrdered — no sort-merge join, no global window") {
+    val p = plan("q268_count_min")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "sketch/top join degenerated to SMJ")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 should be TakeOrdered")
+    assert(!p.contains("Window"), "no window belongs in the sketch plan")
+  }
+
+  test("q269 hashed classifier: the weight table joins broadcast (the " +
+      "model is kilobytes; text never shuffles with it)") {
+    val p = plan("q269_hashed_classifier")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("gate source sweep: no constant-key windows; SparkEntry crossJoins " +
       "are all broadcast scalar frames") {
     import scala.jdk.CollectionConverters._

@@ -302,6 +302,75 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("b", 16L, 1L, 1L, 0L, 0L)))
   }
 
+  test("countMinSketch: estimates are one-sided (>= exact for EVERY key) " +
+      "and shard sketches merge by addition to the whole-corpus sketch") {
+    import spark.implicits._
+    val keys = (Seq.fill(40)("a") ++ Seq.fill(17)("b") ++ Seq.fill(5)("c") ++
+      ('d' to 'z').map(_.toString)).toDF("k")
+    val sk = Sketches.countMinSketch(keys, "k", depth = 3, width = 8)
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("n"))
+    val est = Sketches.cmEstimates(sk, exact.select("k"), "k", 3, 8)
+    val joined = est.join(exact, Seq("k")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("n"),
+        s"undercount for ${r.getString(0)}")
+    }
+    // merge = counter addition: sketch(shard1) + sketch(shard2) == sketch(all)
+    val (s1, s2) = (keys.filter(md5($"k").startsWith("a")),
+      keys.filter(!md5($"k").startsWith("a")))
+    val merged = Sketches.countMinSketch(s1, "k", 3, 8)
+      .unionByName(Sketches.countMinSketch(s2, "k", 3, 8))
+      .groupBy("r", "bucket").agg(sum($"cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val whole = sk.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(merged.toSeq == whole.toSeq)
+  }
+
+  test("hashedLinearScore: additive over tokens, zero for blank docs, " +
+      "equal to the manual bucket-weight join") {
+    import spark.implicits._
+    val w = spark.range(64).select($"id".as("bucket"),
+      (($"id" * 37L) % 21 - 10).as("weight"))
+    val df = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "beta"),
+      (4L, "   "), (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(df, "doc_id", "text", w, 64)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(4L) == 0L && got(5L) == 0L)
+    assert(got(1L) == got(2L) + got(3L)) // linear: score("a b")=score(a)+score(b)
+    val manual = Seq("alpha").toDF("t")
+      .select((Sampling.keyHash60($"t", "feat") % 64).as("bucket"))
+      .join(w, Seq("bucket")).select("weight").collect().head.getLong(0)
+    assert(got(2L) == manual)
+  }
+
+  test("Ivm: merging per-epoch states equals aggregating raw, and " +
+      "appending a delta epoch's state equals full recompute") {
+    import spark.implicits._
+    val raw = Seq(("a", 1, Some(1.25)), ("a", 1, Some(2.50)),
+      ("a", 2, Some(-0.75)), ("b", 1, Some(10.00)), ("b", 2, None))
+      .toDF("g", "epoch", "v")
+    val direct = raw.filter($"v".isNotNull)
+      .select($"g", ($"v".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum($"c").as("sum_cents"),
+        min($"c").as("min_cents"), max($"c").as("max_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    def got(states: org.apache.spark.sql.DataFrame) =
+      Ivm.mergeStates(states, "g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(got(Ivm.aggState(raw, "g", "epoch", "v")) == direct)
+    // incremental: standing epoch-1 states + fresh epoch-2 delta state
+    val standing = Ivm.aggState(raw.filter($"epoch" === 1), "g", "epoch", "v")
+    val delta = Ivm.aggState(raw.filter($"epoch" === 2), "g", "epoch", "v")
+    assert(got(standing.unionByName(delta)) == direct)
+    // b's epoch-2 value is null: no state row, totals still correct
+    assert(direct.exists(t => t._1 == "b" && t._2 == 1L))
+  }
+
   test("q264 sketch accuracy: every exact quantile lies inside its " +
       "log2 bucket (the bracketing guarantee holds on real data)") {
     val got = SparkEntry.queries("q264_sketch_accuracy")(
