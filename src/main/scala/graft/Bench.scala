@@ -27,9 +27,7 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.experimental.extraOptimizations = Seq(
-      graft.plans.HammingThresholdRewrite,
-      graft.plans.RegexpCountExistenceRewrite)
+    graft.plans.GraftExtensions.registerAll(spark)
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

@@ -4201,6 +4201,26 @@ object SparkEntry {
     Ivm.mergeStates(standing.unionByName(deltaState), "event_type")
   }
 
+  /** Privacy audit before a data release: k-anonymity / l-diversity over
+    * the (nation, market-segment) quasi-identifier with account
+    * delinquency as the sensitive attribute (Profile.kAnonymity) —
+    * groups smaller than k=10 or with a single sensitive value are
+    * re-identification risks. Result is QI-cardinality-sized at any SF.
+    */
+  private def q271KAnonymity(s: SparkSession, dir: String): DataFrame =
+    Profile.kAnonymity(
+      t(s, dir, "customer").select($("c_nationkey"), $("c_mktsegment"),
+        when($("c_acctbal") < 0, "delinquent").otherwise("ok")
+          .as("risk_class")),
+      Seq("c_nationkey", "c_mktsegment"), "risk_class", k = 10, l = 2)
+
+  /** Per-label Gram matrix of int8-quantized embeddings
+    * (Embeddings.gramMatrixInt8) — the exact-integer Σ x·xᵀ pass behind
+    * PCA/whitening; only the groups·d² matrix crosses the wire.
+    */
+  private def q272GramMatrix(s: SparkSession, dir: String): DataFrame =
+    Embeddings.gramMatrixInt8(t(s, dir, "embeddings"), "label", "embedding")
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4474,6 +4494,8 @@ object SparkEntry {
     "q268_count_min" -> (q268CountMin _),
     "q269_hashed_classifier" -> (q269HashedClassifier _),
     "q270_ivm_totals" -> (q270IvmTotals _),
+    "q271_k_anonymity" -> (q271KAnonymity _),
+    "q272_gram_matrix" -> (q272GramMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9221,5 +9243,30 @@ object SparkEntry {
         |  CAST(min(cents) AS BIGINT) AS min_cents,
         |  CAST(max(cents) AS BIGINT) AS max_cents
         |FROM c GROUP BY 1""".stripMargin,
+    "q271_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'delinquent'
+        |      ELSE 'ok' END) AS BIGINT) AS l_div
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, n, l_div,
+        |  (n < 10 OR l_div < 2) AS at_risk FROM g""".stripMargin,
+    "q272_gram_matrix" ->
+      """WITH s AS (SELECT label, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+        |      AS scale
+        |  FROM embeddings),
+        |q AS (SELECT label,
+        |    list_transform(v, x -> CAST(floor(x * 127 / scale + 0.5)
+        |      AS BIGINT)) AS c
+        |  FROM s WHERE scale > 0),
+        |ij AS (SELECT i.i, j.j
+        |  FROM (SELECT unnest(generate_series(1, 64)) AS i) i,
+        |       (SELECT unnest(generate_series(1, 64)) AS j) j
+        |  WHERE j.j >= i.i)
+        |SELECT label, CAST(ij.i - 1 AS BIGINT) AS i,
+        |  CAST(ij.j - 1 AS BIGINT) AS j,
+        |  CAST(sum(q.c[ij.i] * q.c[ij.j]) AS BIGINT) AS g
+        |FROM q, ij GROUP BY 1, 2, 3""".stripMargin,
   )
 }

@@ -20,12 +20,10 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // graft's optimizer rules (session-local injection; the
-    // spark.sql.extensions route needs the conf before JVM session
+    // graft's optimizer rules + SQL functions (session-local injection;
+    // the spark.sql.extensions route needs the conf before JVM session
     // creation, which sbt runMain shares across runs)
-    spark.experimental.extraOptimizations = Seq(
-      graft.plans.HammingThresholdRewrite,
-      graft.plans.RegexpCountExistenceRewrite)
+    graft.plans.GraftExtensions.registerAll(spark)
     new java.io.File(outDir).mkdirs()
     // dev aid: SPARK_GRAFT_ONLY=q67_ivf_topk,q29_embed_topk limits the dump
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -297,4 +297,38 @@ object Embeddings {
     }
     picked.toSeq.toDF("sel_order", "vec_id", "d2")
   }
+
+  /** Per-group Gram matrix over int8-quantized codes — the Σ x·xᵀ pass
+    * that feeds PCA / whitening / linear-probe covariance on an
+    * embedding corpus. Quantizing first ([[quantizeInt8Codes]]) makes
+    * every accumulation an exact integer sum (products bounded by 127²,
+    * sums far under long range at any corpus count), so the matrix is
+    * bit-identical on any engine and partitioning — the same discipline
+    * as [[kmeansAssignQuantized]].
+    *
+    * Plan shape: two chained posexplodes fan each vector to its
+    * d(d+1)/2 upper-triangle index pairs (codegen'd generators, no
+    * interpreted HOF), and ONE map-side-combining groupBy collapses the
+    * stream to groups·d² rows — the classic distributed Gram: the
+    * matrix, not the corpus, crosses the wire. O(n·d²) work is the
+    * Gram lower bound; no pairwise row joins anywhere.
+    *
+    * Output: (groupCol, i, j, g) for i ≤ j, g = Σ codes[i]·codes[j].
+    */
+  def gramMatrixInt8(
+      df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    // the id pass-through slot of quantizeInt8Codes carries the group
+    // key, so no per-row rejoin is needed to recover it
+    val codes = quantizeInt8Codes(
+      df.select(col(groupCol), col(vecCol)), groupCol, vecCol)
+    codes
+      .select(col(groupCol), col("codes"),
+        posexplode(col("codes")).as(Seq("i", "ci")))
+      .select(col(groupCol), col("i"), col("ci"),
+        posexplode(col("codes")).as(Seq("j", "cj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col(groupCol), col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"))
+      .agg(sum(col("ci") * col("cj")).as("g"))
+  }
 }

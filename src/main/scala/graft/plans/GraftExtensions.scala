@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Gr
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{HammingDistance, HammingDistanceLte}
+import graft.functions.{CdcBoundaries, DeflatedLength, FloatDot, HammingDistance, HammingDistanceLte, Int8Dot, NfcNormalize}
 
 /** Catalyst integration (`spark.sql.extensions=graft.plans.GraftExtensions`
   * or `.withExtensions(new GraftExtensions)`):
@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hammingDistanceDesc)
     ext.injectFunction(GraftExtensions.hammingDistanceLteDesc)
+    ext.injectFunction(GraftExtensions.nfcNormalizeDesc)
+    ext.injectFunction(GraftExtensions.deflatedLengthDesc)
+    ext.injectFunction(GraftExtensions.floatDotDesc)
+    ext.injectFunction(GraftExtensions.int8DotDesc)
+    ext.injectFunction(GraftExtensions.cdcBoundariesDesc)
     ext.injectOptimizerRule(_ => HammingThresholdRewrite)
     ext.injectOptimizerRule(_ => RegexpCountExistenceRewrite)
   }
@@ -33,6 +38,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Every SQL-registered graft function, in one list — injected at
+    * session build by [[GraftExtensions]], or installed on an existing
+    * session via [[registerAll]].
+    */
+  def allFunctions: Seq[FunctionDescription] = Seq(
+    hammingDistanceDesc, hammingDistanceLteDesc, nfcNormalizeDesc,
+    deflatedLengthDesc, floatDotDesc, int8DotDesc, cdcBoundariesDesc)
+
+  /** Install graft's SQL functions + optimizer rules on an EXISTING
+    * session — the session-local equivalent of configuring
+    * `spark.sql.extensions=graft.plans.GraftExtensions` before startup
+    * (which an sbt-shared JVM can't do). Verify/Bench call this so
+    * `spark.sql("... hamming_distance(a, b) ...")` works in gate
+    * queries exactly as it would on a cluster with the static conf.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    allFunctions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftSqlBridge
+        .registerFunction(spark, id, info, builder)
+    }
+    val rules = Seq(HammingThresholdRewrite, RegexpCountExistenceRewrite)
+    val cur = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      cur ++ rules.filterNot(cur.contains)
+  }
 
   val hammingDistanceDesc: FunctionDescription = (
     FunctionIdentifier("hamming_distance"),
@@ -44,6 +75,40 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HammingDistanceLte].getName, "hamming_distance_lte"),
     (children: Seq[Expression]) =>
       HammingDistanceLte(children(0), children(1), children(2)))
+
+  val nfcNormalizeDesc: FunctionDescription = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => NfcNormalize(children(0)))
+
+  val deflatedLengthDesc: FunctionDescription = (
+    FunctionIdentifier("deflated_length"),
+    new ExpressionInfo(classOf[DeflatedLength].getName, "deflated_length"),
+    (children: Seq[Expression]) => DeflatedLength(children(0)))
+
+  val floatDotDesc: FunctionDescription = (
+    FunctionIdentifier("float_dot"),
+    new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+    (children: Seq[Expression]) => FloatDot(children(0), children(1)))
+
+  val int8DotDesc: FunctionDescription = (
+    FunctionIdentifier("int8_dot"),
+    new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
+    (children: Seq[Expression]) => Int8Dot(children(0), children(1)))
+
+  /** k and m must be integer literals (sketch/chunk parameters, not data). */
+  val cdcBoundariesDesc: FunctionDescription = (
+    FunctionIdentifier("cdc_boundaries"),
+    new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
+    (children: Seq[Expression]) => {
+      def intLit(e: Expression, name: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"cdc_boundaries: $name must be an integer literal, got $other")
+      }
+      CdcBoundaries(children(0), intLit(children(1), "k"),
+        intLit(children(2), "m"))
+    })
 }
 
 /** `hamming_distance(a,b) <= k` (k literal) → `hamming_distance_lte(a,b,k)`.

@@ -64,6 +64,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getBoolean(0)).toSeq == Seq(true, true, false))
   }
 
+  test("GraftExtensions.registerAll: every native expression is callable " +
+      "from plain spark.sql") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT hamming_distance('abcd', 'abxd') AS hd,
+        |  hamming_distance_lte('abcd', 'abxd', 1) AS lte,
+        |  nfc_normalize('café') AS nfc,
+        |  deflated_length(repeat('ab', 50)) AS dl,
+        |  float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS fd,
+        |  int8_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS id,
+        |  cdc_boundaries('abc', 1, 2) AS cb""".stripMargin).collect().head
+    assert(r.getAs[Int]("hd") == 1)
+    assert(r.getAs[Boolean]("lte"))
+    assert(r.getAs[String]("nfc") == "café") // composed, not e+U+0301
+    assert(r.getAs[Int]("dl") > 0 &&
+      r.getAs[Int]("dl") < 100) // repeated text compresses
+    assert(r.getAs[Double]("fd") == 4.0)
+    assert(r.getAs[Long]("id") == 32L)
+    // 'abc' = 97,98,99: only 98 is even (k=1, m=2) → cut at 2, final at 3
+    assert(r.getSeq[Int](r.fieldIndex("cb")) == Seq(2, 3))
+    // registerAll is idempotent (re-registration must not duplicate rules)
+    val before = spark.experimental.extraOptimizations.size
+    graft.plans.GraftExtensions.registerAll(spark)
+    assert(spark.experimental.extraOptimizations.size == before)
+  }
+
   test("barcode_slices matches the reference slice definition") {
     import spark.implicits._
     val r = Seq("abcd").toDF("c")

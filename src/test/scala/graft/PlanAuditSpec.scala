@@ -738,6 +738,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q272 gram matrix: pure explode + one partial aggregation — no " +
+      "joins, no windows (the matrix, not the corpus, crosses the wire)") {
+    val p = plan("q272_gram_matrix")
+    assert(!p.contains("Join"), "the Gram pass must not join")
+    assert(!p.contains("Window"))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("gate source sweep: no constant-key windows; SparkEntry crossJoins " +
       "are all broadcast scalar frames") {
     import scala.jdk.CollectionConverters._

@@ -371,6 +371,39 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(direct.exists(t => t._1 == "b" && t._2 == 1L))
   }
 
+  test("kAnonymity flags small groups and sensitive-homogeneous groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("us", "a", "x"), ("us", "a", "y"), ("us", "a", "x"), // n=3, l=2: safe
+      ("us", "b", "x"), ("us", "b", "x"),   // n=2 >= k, but l=1: at risk
+      ("fr", "a", "x")).toDF("nat", "seg", "sens") // n=1 < k: at risk
+    val got = Profile.kAnonymity(df, Seq("nat", "seg"), "sens", k = 2, l = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("us", "a")) == ((3L, 2L, false)))
+    assert(got(("us", "b")) == ((2L, 1L, true)))
+    assert(got(("fr", "a")) == ((1L, 1L, true)))
+  }
+
+  test("gramMatrixInt8 equals the hand-computed integer Gram and skips " +
+      "zero vectors") {
+    import spark.implicits._
+    // maxabs 2.0 → codes floor(x*127/2+0.5): 1.0→64, 2.0→127,
+    // -2.0→floor(-126.5)→-127
+    val df = Seq((1L, 10, Seq(1.0f, 2.0f)), (2L, 10, Seq(2.0f, -2.0f)),
+      (3L, 20, Seq(0.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+    val got = Embeddings.gramMatrixInt8(df, "label", "embedding")
+      .collect().map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    // label 10: v1=(64,127), v2=(127,-127)
+    assert(got((10, 0L, 0L)) == 64L * 64 + 127L * 127)
+    assert(got((10, 0L, 1L)) == 64L * 127 + 127L * -127)
+    assert(got((10, 1L, 1L)) == 127L * 127 + 127L * 127)
+    // zero vector quantizes to an empty code array → contributes nothing
+    assert(!got.keySet.exists(_._1 == 20))
+    assert(got.size == 3) // d(d+1)/2 upper-triangle entries only
+  }
+
   test("q264 sketch accuracy: every exact quantile lies inside its " +
       "log2 bucket (the bracketing guarantee holds on real data)") {
     val got = SparkEntry.queries("q264_sketch_accuracy")(
