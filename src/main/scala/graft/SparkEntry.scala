@@ -4221,6 +4221,26 @@ object SparkEntry {
   private def q272GramMatrix(s: SparkSession, dir: String): DataFrame =
     Embeddings.gramMatrixInt8(t(s, dir, "embeddings"), "label", "embedding")
 
+  /** Typo-tolerant record linkage: all supplier-name pairs within one
+    * edit (Dedup.editDistancePairs) — FastSS deletion-neighborhood
+    * candidates + exact levenshtein verify, never a quadratic compare.
+    */
+  private def q273EditDistanceJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(
+        t(s, dir, "supplier").select($("s_suppkey"), $("s_name")),
+        "s_suppkey", "s_name")
+      .select($("id_a"), $("id_b"), $("str_a"), $("str_b"),
+        $("dist").cast("long").as("dist"))
+
+  /** Neyman minimum-variance budget allocation across event types
+    * (Sampling.neymanAllocation): 1000 measurement slots apportioned
+    * ∝ N·S with the exact-integer radicand sqrt and largest-remainder
+    * rounding — the stratified-sampling planner's core step.
+    */
+  private def q274NeymanAllocation(s: SparkSession, dir: String): DataFrame =
+    Sampling.neymanAllocation(Tables.events(s, dir), "event_type", "value",
+      total = 1000L)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4496,6 +4516,8 @@ object SparkEntry {
     "q270_ivm_totals" -> (q270IvmTotals _),
     "q271_k_anonymity" -> (q271KAnonymity _),
     "q272_gram_matrix" -> (q272GramMatrix _),
+    "q273_edit_distance_join" -> (q273EditDistanceJoin _),
+    "q274_neyman_allocation" -> (q274NeymanAllocation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9268,5 +9290,33 @@ object SparkEntry {
         |  CAST(ij.j - 1 AS BIGINT) AS j,
         |  CAST(sum(q.c[ij.i] * q.c[ij.j]) AS BIGINT) AS g
         |FROM q, ij GROUP BY 1, 2, 3""".stripMargin,
+    "q273_edit_distance_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  a.s_name AS str_a, b.s_name AS str_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a, supplier b
+        |WHERE a.s_suppkey < b.s_suppkey
+        |  AND levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+    "q274_neyman_allocation" ->
+      """WITH c AS (SELECT event_type AS stratum,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT stratum, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(c) AS s, sum(c * c) AS s2
+        |  FROM c GROUP BY 1),
+        |w AS (SELECT stratum,
+        |    CAST(floor(sqrt(CAST(n * s2 - s * s AS DOUBLE))) AS HUGEINT)
+        |      AS w
+        |  FROM st),
+        |tot AS (SELECT sum(w) AS tw FROM w),
+        |q AS (SELECT stratum, w, (1000 * w) // tw AS fq,
+        |    (1000 * w) % tw AS rem FROM w, tot),
+        |d AS (SELECT 1000 - sum(fq) AS def FROM q),
+        |r AS (SELECT stratum, w, fq,
+        |    row_number() OVER (ORDER BY rem DESC, stratum) AS rk FROM q)
+        |SELECT stratum, CAST(w AS BIGINT) AS w,
+        |  CAST(fq + CASE WHEN rk <= def THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM r, d""".stripMargin,
   )
 }

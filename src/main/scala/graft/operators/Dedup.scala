@@ -1049,4 +1049,50 @@ object Dedup {
           .otherwise(round(col("n_both").cast("double") / col("n_exact"), 6))
           .as("recall"))
   }
+
+  /** FastSS deletion-neighborhood edit-distance join — all pairs with
+    * Levenshtein distance ≤ 1 (the typo/OCR-variant record-linkage
+    * case) WITHOUT a quadratic comparison. Each string emits its
+    * deletion neighborhood {s} ∪ {s minus one character}; two strings
+    * within one edit always share a member (equal → s itself;
+    * substitution at i → both minus position i; insert/delete → the
+    * shorter string is in the longer one's neighborhood), so an
+    * equi-join on the variant key is a COMPLETE candidate generator and
+    * the exact `levenshtein ≤ 1` verify runs only on the sliver that
+    * collides. Complements [[graft.operators.Barcodes.similarityJoin]]'s
+    * positioned-slice prefilter, which is substitution-only
+    * (fixed-length hamming); this handles insertions/deletions too.
+    *
+    * Scale shape: len+1 variant rows per string (strings are join keys
+    * — short by construction), shuffle on the variant key exactly like
+    * an LSH band join, candidate distinct before the verify so a pair
+    * sharing several variants is scored once. Bucket sizes are bounded
+    * by near-duplicate cluster sizes, the same property every banded
+    * join here relies on.
+    *
+    * Output: (id_a, id_b, str_a, str_b, dist) with id_a < id_b.
+    */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
+    val variants = base
+      .select(col("_id"), col("_s"),
+        explode(sequence(lit(-1), length(col("_s")) - 1)).as("_i"))
+      .select(col("_id"), col("_s"),
+        when(col("_i") === -1, col("_s"))
+          .otherwise(concat(
+            col("_s").substr(lit(1), col("_i")),
+            col("_s").substr(col("_i") + 2, length(col("_s")))))
+          .as("_v"))
+    val a = variants.select(col("_id").as("id_a"), col("_s").as("str_a"),
+      col("_v"))
+    val b = variants.select(col("_id").as("id_b"), col("_s").as("str_b"),
+      col("_v"))
+    a.join(b, Seq("_v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -464,6 +464,38 @@ object Sampling {
     * except when the total weight is zero (nothing to apportion), which
     * degenerates to all-zero quotas.
     */
+  /** Neyman (minimum-variance) sample allocation — the survey-sampling
+    * upgrade of proportional quotas: stratum h receives budget
+    * ∝ N_h·S_h (size × standard deviation), so volatile strata get the
+    * measurements and near-constant strata stop wasting budget. The
+    * weight is computed EXACTLY as integers right up to one IEEE sqrt:
+    * N_h·S_h = √(N_h·Σc² − (Σc)²) over cent-quantized values — the
+    * radicand is a decimal(38,0) integer, the sqrt of the same integer
+    * is the same double on every engine, and its floor feeds
+    * [[proportionalAllocation]]'s exact largest-remainder apportionment
+    * (one stratum-sized frame; the corpus is touched once for the
+    * moment sums, map-side partial-aggregated).
+    *
+    * Output: stratum, w (floored N·S weight), quota; Σquota == total
+    * whenever any stratum has variance.
+    */
+  def neymanAllocation(
+      df: DataFrame, stratumCol: String, valueCol: String,
+      total: Long): DataFrame = {
+    val dec = "decimal(38,0)"
+    val st = df.filter(col(valueCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast(dec).as("_c"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).cast(dec).as("_n"), sum(col("_c")).as("_s"),
+        sum((col("_c") * col("_c")).cast(dec)).as("_s2"))
+      .select(col("stratum"),
+        floor(sqrt((col("_n") * col("_s2") - col("_s") * col("_s"))
+          .cast("double"))).cast("long").as("_w"))
+    proportionalAllocation(st, "stratum", "_w", total)
+      .withColumnRenamed("group", "stratum")
+  }
+
   def proportionalAllocation(
       df: DataFrame, groupCol: String, weightCol: String,
       total: Long): DataFrame = {

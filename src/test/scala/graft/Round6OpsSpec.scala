@@ -404,6 +404,50 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3) // d(d+1)/2 upper-triangle entries only
   }
 
+  test("editDistancePairs finds EVERY lev<=1 pair (substitution, insert, " +
+      "delete) — complete vs the brute-force cross join") {
+    import spark.implicits._
+    val names = Seq((1L, "kitten"), (2L, "mitten"), // substitution
+      (3L, "kitten!"),                              // insertion
+      (4L, "kittn"),                                // deletion
+      (5L, "sitting"), (6L, "kitten"))              // far; exact dup
+    val df = names.toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (ia, sa) <- names; (ib, sb) <- names if ia < ib
+      if levenshteinRef(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
+      got.contains((1L, 4L)) && got.contains((1L, 6L)) &&
+      !got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("neymanAllocation: quotas sum to the budget and volatile strata " +
+      "out-allocate their proportional share") {
+    import spark.implicits._
+    // stratum a: 100 near-constant values; stratum b: 100 volatile ones
+    val rows = (1 to 100).map(i => ("a", 50.0 + (i % 2) * 0.01)) ++
+      (1 to 100).map(i => ("b", if (i % 2 == 0) 0.0 else 100.0))
+    val got = Sampling.neymanAllocation(rows.toDF("g", "v"), "g", "v", 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("a") + got("b") == 100L)
+    // equal sizes, so proportional would be 50/50; Neyman shifts almost
+    // everything to the volatile stratum
+    assert(got("b") > 90L, s"b=${got("b")}")
+  }
+
   test("q264 sketch accuracy: every exact quantile lies inside its " +
       "log2 bucket (the bracketing guarantee holds on real data)") {
     val got = SparkEntry.queries("q264_sketch_accuracy")(
