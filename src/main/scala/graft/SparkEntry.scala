@@ -4241,6 +4241,32 @@ object SparkEntry {
     Sampling.neymanAllocation(Tables.events(s, dir), "event_type", "value",
       total = 1000L)
 
+  /** Interval-overlap join: 30-minute user sessions × the 20 busiest
+    * hours (TimeSeries.overlapJoin) — grid-bucketed equi-join + exact
+    * overlap arithmetic, never the cartesian theta-join; rolled up to
+    * per-hour session counts and overlap mass.
+    */
+  private def q275OverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select($("user_id"), epochS($("ts")).as("sec"))
+    val sessions = e.groupBy($("user_id"),
+        session_window(timestamp_seconds($("sec")), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("_n"))
+      .select($("user_id"), unix_timestamp($("w.start")).as("s_start"),
+        unix_timestamp($("w.end")).as("s_end"))
+    val busy = e
+      .groupBy(expr("sec div 3600").as("hour"))
+      .agg(count(lit(1)).as("n_ev"))
+      .orderBy($("n_ev").desc, $("hour").asc).limit(20)
+      .select($("hour"), ($("hour") * 3600).as("b_start"),
+        ($("hour") * 3600 + 3600).as("b_end"))
+    TimeSeries.overlapJoin(sessions, busy,
+        "s_start", "s_end", "b_start", "b_end", bucketSecs = 1800L)
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($("overlap_secs")).as("sum_overlap_secs"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4518,6 +4544,7 @@ object SparkEntry {
     "q272_gram_matrix" -> (q272GramMatrix _),
     "q273_edit_distance_join" -> (q273EditDistanceJoin _),
     "q274_neyman_allocation" -> (q274NeymanAllocation _),
+    "q275_overlap_join" -> (q275OverlapJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9318,5 +9345,27 @@ object SparkEntry {
         |  CAST(fq + CASE WHEN rk <= def THEN 1 ELSE 0 END AS BIGINT)
         |    AS quota
         |FROM r, d""".stripMargin,
+    "q275_overlap_join" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |           FROM events),
+        |o AS (SELECT user_id, sec,
+        |  CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+        |         OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (SELECT user_id, sec, sum(brk) OVER (PARTITION BY user_id
+        |        ORDER BY sec ROWS UNBOUNDED PRECEDING) AS grp FROM o),
+        |sess AS (SELECT user_id, min(sec) AS s_start,
+        |    max(sec) + 1800 AS s_end FROM g GROUP BY user_id, grp),
+        |busy AS (SELECT sec // 3600 AS hour, count(*) AS n_ev FROM e
+        |  GROUP BY 1 ORDER BY n_ev DESC, hour ASC LIMIT 20),
+        |b AS (SELECT hour, hour * 3600 AS b_start,
+        |    hour * 3600 + 3600 AS b_end FROM busy)
+        |SELECT b.hour, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(least(s_end, b_end) - greatest(s_start, b_start))
+        |    AS BIGINT) AS sum_overlap_secs
+        |FROM sess JOIN b ON s_start < b_end AND b_start < s_end
+        |WHERE least(s_end, b_end) - greatest(s_start, b_start) > 0
+        |GROUP BY 1""".stripMargin,
   )
 }

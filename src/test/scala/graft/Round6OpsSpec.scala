@@ -448,6 +448,29 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("b") > 90L, s"b=${got("b")}")
   }
 
+  test("overlapJoin: exact overlaps, touching intervals excluded, pairs " +
+      "spanning several grid cells counted once") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 100L), (2L, 100L, 200L), (3L, 950L, 1250L))
+      .toDF("aid", "s_start", "s_end")
+    val b = Seq((10L, 50L, 150L), (20L, 200L, 300L), (30L, 900L, 1300L))
+      .toDF("bid", "b_start", "b_end")
+    val got = TimeSeries.overlapJoin(a, b,
+        "s_start", "s_end", "b_start", "b_end", bucketSecs = 100L)
+      .select("aid", "bid", "overlap_secs").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute-force truth over the 9 pairs
+    val brute = (for {
+      (ai, as_, ae) <- Seq((1L, 0L, 100L), (2L, 100L, 200L), (3L, 950L, 1250L))
+      (bi, bs, be) <- Seq((10L, 50L, 150L), (20L, 200L, 300L), (30L, 900L, 1300L))
+      ov = math.min(ae, be) - math.max(as_, bs) if ov > 0
+    } yield (ai, bi) -> ov).toMap
+    assert(got == brute)
+    assert(got((1L, 10L)) == 50L) // partial overlap
+    assert(!got.contains((2L, 20L))) // touching at 200: zero overlap, out
+    assert(got((3L, 30L)) == 300L) // spans 4 cells, counted once, exact
+  }
+
   test("q264 sketch accuracy: every exact quantile lies inside its " +
       "log2 bucket (the bracketing guarantee holds on real data)") {
     val got = SparkEntry.queries("q264_sketch_accuracy")(
