@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data layout for columnar tables — the write-side half of the
@@ -72,6 +72,26 @@ object Layout {
       .groupBy(input_file_name().as("file"))
       .agg(min(col(colName)).as("lo"), max(col(colName)).as("hi"),
         count(lit(1)).as("rows"))
+
+  /** Skip-effectiveness report over a [[fileRanges]] frame: for a range
+    * predicate [lo, hi] on the audited column, how many files (and
+    * rows) a min/max zone map would prune without opening them. This is
+    * the measurement to run BEFORE committing a 100 TB re-cluster: if
+    * the current layout already skips 95% of files for the hot
+    * predicates, a Z-order rewrite buys little; if it skips 0%, the
+    * rewrite pays for itself in scan time. One aggregation over the
+    * file-count-sized stats frame.
+    *
+    * Output: one row — n_files, n_skipped, n_rows, rows_skipped.
+    */
+  def skipEffectiveness(ranges: DataFrame, lo: Column, hi: Column): DataFrame =
+    ranges.agg(
+      count(lit(1)).as("n_files"),
+      sum(when(col("hi") < lo || col("lo") > hi, 1L).otherwise(0L))
+        .as("n_skipped"),
+      sum(col("rows")).as("n_rows"),
+      sum(when(col("hi") < lo || col("lo") > hi, col("rows"))
+        .otherwise(0L)).as("rows_skipped"))
 
   /** Small-file compaction (the OPTIMIZE verb): rewrite a parquet
     * directory into ceil(bytes / targetBytes) files. Incremental ingest

@@ -46,6 +46,29 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sy.max <= 31, s"y spreads $sy")
   }
 
+  test("skipEffectiveness: a key-sorted layout prunes most files for a " +
+      "narrow range predicate; a hash-scattered one prunes none") {
+    import spark.implicits._
+    val data = (0 until 4096).map(i => (i, s"row$i")).toDF("k", "v")
+    val sortedDir = Files.createTempDirectory("graft_sorted").toString + "/t"
+    val scatterDir = Files.createTempDirectory("graft_scat").toString + "/t"
+    data.repartitionByRange(16, col("k")).sortWithinPartitions("k")
+      .write.parquet(sortedDir)
+    data.repartition(16, col("v")).write.parquet(scatterDir)
+    def eff(dir: String): (Long, Long) = {
+      val r = Layout.skipEffectiveness(
+        Layout.fileRanges(spark, dir, "k"), lit(1000), lit(1100))
+        .collect().head
+      (r.getAs[Long]("n_files"), r.getAs[Long]("n_skipped"))
+    }
+    val (nfS, skS) = eff(sortedDir)
+    val (nfH, skH) = eff(scatterDir)
+    // range-sorted: the [1000, 1100] band lives in 1-2 files
+    assert(skS >= nfS - 2, s"sorted skipped only $skS of $nfS")
+    // hash-scattered: every file spans ~the full key range — zero skips
+    assert(skH == 0, s"scattered should skip none, skipped $skH of $nfH")
+  }
+
   test("co-bucketed tables equi-join and aggregate with zero exchange") {
     import spark.implicits._
     val facts = (0L until 1000L).map(i => (i % 97, i)).toDF("k", "v")
