@@ -4201,19 +4201,6 @@ object SparkEntry {
     Ivm.mergeStates(standing.unionByName(deltaState), "event_type")
   }
 
-  /** Privacy audit before a data release: k-anonymity / l-diversity over
-    * the (nation, market-segment) quasi-identifier with account
-    * delinquency as the sensitive attribute (Profile.kAnonymity) —
-    * groups smaller than k=10 or with a single sensitive value are
-    * re-identification risks. Result is QI-cardinality-sized at any SF.
-    */
-  private def q271KAnonymity(s: SparkSession, dir: String): DataFrame =
-    Profile.kAnonymity(
-      t(s, dir, "customer").select($("c_nationkey"), $("c_mktsegment"),
-        when($("c_acctbal") < 0, "delinquent").otherwise("ok")
-          .as("risk_class")),
-      Seq("c_nationkey", "c_mktsegment"), "risk_class", k = 10, l = 2)
-
   /** Per-label Gram matrix of int8-quantized embeddings
     * (Embeddings.gramMatrixInt8) — the exact-integer Σ x·xᵀ pass behind
     * PCA/whitening; only the groups·d² matrix crosses the wire.
@@ -4221,16 +4208,16 @@ object SparkEntry {
   private def q272GramMatrix(s: SparkSession, dir: String): DataFrame =
     Embeddings.gramMatrixInt8(t(s, dir, "embeddings"), "label", "embedding")
 
-  /** Typo-tolerant record linkage: all supplier-name pairs within one
-    * edit (Dedup.editDistancePairs) — FastSS deletion-neighborhood
-    * candidates + exact levenshtein verify, never a quadratic compare.
+  /** Typo-tolerant record linkage at distance 1: supplier-name pairs
+    * through FuzzyJoin.symspellJoin's POSITION-TAGGED lev≤1 path —
+    * substitution candidates are exactly the answers, so the join stays
+    * linear on these template-heavy keys where q150's untagged k=2
+    * variants are the documented degenerate case.
     */
   private def q273EditDistanceJoin(s: SparkSession, dir: String): DataFrame =
-    Dedup.editDistancePairs(
-        t(s, dir, "supplier").select($("s_suppkey"), $("s_name")),
-        "s_suppkey", "s_name")
-      .select($("id_a"), $("id_b"), $("str_a"), $("str_b"),
-        $("dist").cast("long").as("dist"))
+    FuzzyJoin.symspellJoin(
+      t(s, dir, "supplier").select($("s_suppkey"), $("s_name")),
+      "s_suppkey", "s_name", maxDist = 1)
 
   /** Neyman minimum-variance budget allocation across event types
     * (Sampling.neymanAllocation): 1000 measurement slots apportioned
@@ -4240,32 +4227,6 @@ object SparkEntry {
   private def q274NeymanAllocation(s: SparkSession, dir: String): DataFrame =
     Sampling.neymanAllocation(Tables.events(s, dir), "event_type", "value",
       total = 1000L)
-
-  /** Interval-overlap join: 30-minute user sessions × the 20 busiest
-    * hours (TimeSeries.overlapJoin) — grid-bucketed equi-join + exact
-    * overlap arithmetic, never the cartesian theta-join; rolled up to
-    * per-hour session counts and overlap mass.
-    */
-  private def q275OverlapJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-      .select($("user_id"), epochS($("ts")).as("sec"))
-    val sessions = e.groupBy($("user_id"),
-        session_window(timestamp_seconds($("sec")), "30 minutes").as("w"))
-      .agg(count(lit(1)).as("_n"))
-      .select($("user_id"), unix_timestamp($("w.start")).as("s_start"),
-        unix_timestamp($("w.end")).as("s_end"))
-    val busy = e
-      .groupBy(expr("sec div 3600").as("hour"))
-      .agg(count(lit(1)).as("n_ev"))
-      .orderBy($("n_ev").desc, $("hour").asc).limit(20)
-      .select($("hour"), ($("hour") * 3600).as("b_start"),
-        ($("hour") * 3600 + 3600).as("b_end"))
-    TimeSeries.overlapJoin(sessions, busy,
-        "s_start", "s_end", "b_start", "b_end", bucketSecs = 1800L)
-      .groupBy("hour")
-      .agg(count(lit(1)).as("n_sessions"),
-        sum($("overlap_secs")).as("sum_overlap_secs"))
-  }
 
   // ------------------------------------------------------------ the surface
 
@@ -4540,11 +4501,9 @@ object SparkEntry {
     "q268_count_min" -> (q268CountMin _),
     "q269_hashed_classifier" -> (q269HashedClassifier _),
     "q270_ivm_totals" -> (q270IvmTotals _),
-    "q271_k_anonymity" -> (q271KAnonymity _),
     "q272_gram_matrix" -> (q272GramMatrix _),
     "q273_edit_distance_join" -> (q273EditDistanceJoin _),
     "q274_neyman_allocation" -> (q274NeymanAllocation _),
-    "q275_overlap_join" -> (q275OverlapJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9292,14 +9251,6 @@ object SparkEntry {
         |  CAST(min(cents) AS BIGINT) AS min_cents,
         |  CAST(max(cents) AS BIGINT) AS max_cents
         |FROM c GROUP BY 1""".stripMargin,
-    "q271_k_anonymity" ->
-      """WITH g AS (SELECT c_nationkey, c_mktsegment,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'delinquent'
-        |      ELSE 'ok' END) AS BIGINT) AS l_div
-        |  FROM customer GROUP BY 1, 2)
-        |SELECT c_nationkey, c_mktsegment, n, l_div,
-        |  (n < 10 OR l_div < 2) AS at_risk FROM g""".stripMargin,
     "q272_gram_matrix" ->
       """WITH s AS (SELECT label, embedding::DOUBLE[] AS v,
         |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
@@ -9319,7 +9270,7 @@ object SparkEntry {
         |FROM q, ij GROUP BY 1, 2, 3""".stripMargin,
     "q273_edit_distance_join" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
-        |  a.s_name AS str_a, b.s_name AS str_b,
+        |  a.s_name AS name_a, b.s_name AS name_b,
         |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
         |FROM supplier a, supplier b
         |WHERE a.s_suppkey < b.s_suppkey
@@ -9345,27 +9296,5 @@ object SparkEntry {
         |  CAST(fq + CASE WHEN rk <= def THEN 1 ELSE 0 END AS BIGINT)
         |    AS quota
         |FROM r, d""".stripMargin,
-    "q275_overlap_join" ->
-      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
-        |           FROM events),
-        |o AS (SELECT user_id, sec,
-        |  CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
-        |         OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
-        |       THEN 1 ELSE 0 END AS brk
-        |  FROM e),
-        |g AS (SELECT user_id, sec, sum(brk) OVER (PARTITION BY user_id
-        |        ORDER BY sec ROWS UNBOUNDED PRECEDING) AS grp FROM o),
-        |sess AS (SELECT user_id, min(sec) AS s_start,
-        |    max(sec) + 1800 AS s_end FROM g GROUP BY user_id, grp),
-        |busy AS (SELECT sec // 3600 AS hour, count(*) AS n_ev FROM e
-        |  GROUP BY 1 ORDER BY n_ev DESC, hour ASC LIMIT 20),
-        |b AS (SELECT hour, hour * 3600 AS b_start,
-        |    hour * 3600 + 3600 AS b_end FROM busy)
-        |SELECT b.hour, CAST(count(*) AS BIGINT) AS n_sessions,
-        |  CAST(sum(least(s_end, b_end) - greatest(s_start, b_start))
-        |    AS BIGINT) AS sum_overlap_secs
-        |FROM sess JOIN b ON s_start < b_end AND b_start < s_end
-        |WHERE least(s_end, b_end) - greatest(s_start, b_start) > 0
-        |GROUP BY 1""".stripMargin,
   )
 }

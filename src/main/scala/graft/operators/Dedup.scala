@@ -1049,78 +1049,4 @@ object Dedup {
           .otherwise(round(col("n_both").cast("double") / col("n_exact"), 6))
           .as("recall"))
   }
-
-  /** FastSS deletion-neighborhood edit-distance join — all pairs with
-    * Levenshtein distance ≤ 1 (the typo/OCR-variant record-linkage
-    * case) WITHOUT a quadratic comparison, via the deletion
-    * neighborhood {s} ∪ {s minus one character}: equal/substituted
-    * pairs share a POSITION-TAGGED deletion key (a self-join whose
-    * candidates are exactly the answers — see inline note), and
-    * insert/delete pairs surface where the shorter string equals a
-    * deletion of the longer (an asymmetric identity-vs-deletions join).
-    * The exact `levenshtein ≤ 1` verify runs only on what collides.
-    * Complements [[graft.operators.Barcodes.similarityJoin]]'s
-    * positioned-slice prefilter, which is substitution-only
-    * (fixed-length hamming); this handles insertions/deletions too.
-    *
-    * Scale shape: len+1 keyed rows per string (strings are join keys —
-    * short by construction), two shuffles on variant keys exactly like
-    * an LSH band join, candidate distinct before the verify so a pair
-    * colliding on several keys is scored once. The position tag keeps
-    * substitution buckets answer-sized even on template corpora; indel
-    * buckets are bounded by alphabet·length one-insert extensions.
-    *
-    * Output: (id_a, id_b, str_a, str_b, dist) with id_a < id_b.
-    */
-  def editDistancePairs(
-      df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
-    def delAt(s: Column, i: Column): Column =
-      concat(s.substr(lit(1), i), s.substr(i + 2, length(s)))
-    // Substitution/equal candidates: POSITION-TAGGED deletion keys.
-    // (i, del_i(a)) == (i, del_i(b)) ⟺ a and b agree everywhere except
-    // position i — candidates are EXACTLY the substitution pairs, so
-    // template-heavy corpora (zero-padded codes, boilerplate prefixes)
-    // cannot blow the join up: an untagged variant key collides every
-    // pair within TWO edits and was measured 10× superlinear at the
-    // 10× scale run on exactly such keys. The i = -1 row is the
-    // identity key, catching exact duplicates.
-    val keyed = base
-      .select(col("_id"), col("_s"),
-        explode(sequence(lit(-1), length(col("_s")) - 1)).as("_i"))
-      .select(col("_id"), col("_s"),
-        concat(col("_i").cast("string"), lit("|"),
-          when(col("_i") === -1, col("_s"))
-            .otherwise(delAt(col("_s"), col("_i")))).as("_k"))
-    val subPairs = keyed.select(col("_id").as("id_a"),
-        col("_s").as("str_a"), col("_k"))
-      .join(keyed.select(col("_id").as("id_b"), col("_s").as("str_b"),
-        col("_k")), Seq("_k"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "str_a", "str_b")
-    // Insert/delete candidates (lengths differ by 1): the shorter
-    // string IS a deletion of the longer — an asymmetric join of
-    // identity targets against deletion variants. distinct first:
-    // repeated characters make several deletion positions yield the
-    // same variant ("0001" has one distinct zero-deletion, not three).
-    val dels = base
-      .select(col("_id"), col("_s"),
-        explode(sequence(lit(0), length(col("_s")) - 1)).as("_i"))
-      .select(col("_id").as("_did"), col("_s").as("_ds"),
-        delAt(col("_s"), col("_i")).as("_k"))
-      .distinct()
-    val indelPairs = base.join(dels, col("_s") === col("_k"))
-      .filter(col("_id") =!= col("_did"))
-      .select(
-        least(col("_id"), col("_did")).as("id_a"),
-        greatest(col("_id"), col("_did")).as("id_b"),
-        when(col("_id") < col("_did"), col("_s")).otherwise(col("_ds"))
-          .as("str_a"),
-        when(col("_id") < col("_did"), col("_ds")).otherwise(col("_s"))
-          .as("str_b"))
-    subPairs.unionByName(indelPairs)
-      .distinct()
-      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
-      .filter(col("dist") <= 1)
-  }
 }

@@ -54,10 +54,21 @@ object FuzzyJoin {
     }
 
   /** Self-join: pairs (id_a < id_b) with levenshtein(name_a, name_b)
-    * <= maxDist. Output: id_a, id_b, name_a, name_b, dist. */
+    * <= maxDist. Output: id_a, id_b, name_a, name_b, dist.
+    *
+    * maxDist = 1 takes the POSITION-TAGGED path ([[lev1Pairs]]):
+    * substitution candidates are exactly the answer set, which keeps
+    * template corpora (zero-padded codes, shared prefixes) linear where
+    * untagged deletion variants collide every pair within two edits —
+    * measured 15.4s → 6.1s (output-bound) at the 10× scale run.
+    * maxDist = 2 uses the classic untagged variant postings (positions
+    * stop aligning once an indel is involved); its known degenerate
+    * corpus is documented at q150 in dev/PERF_r6.md.
+    */
   def symspellJoin(
       df: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
+    if (maxDist == 1) return lev1Pairs(df, idCol, strCol)
     val posting = df
       .select(col(idCol).as("_id"), col(strCol).as("_s"))
       .select(col("_id"), col("_s"),
@@ -76,6 +87,59 @@ object FuzzyJoin {
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** The lev ≤ 1 fast path: substitution/equal pairs meet on a
+    * position-tagged deletion key — (i, del_i(a)) == (i, del_i(b)) ⟺
+    * a and b agree everywhere except position i, so those candidates
+    * are EXACTLY the answers, with no blow-up on template keys.
+    * Insert/delete pairs (lengths differ by 1) surface where the
+    * shorter string equals a deletion of the longer — an asymmetric
+    * identity-vs-deletions equi-join whose buckets are bounded by
+    * alphabet·length one-insert extensions. The i = -1 identity key
+    * catches exact duplicates.
+    */
+  private def lev1Pairs(
+      df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
+    def delAt(s: Column, i: Column): Column =
+      concat(s.substr(lit(1), i), s.substr(i + 2, length(s)))
+    val keyed = base
+      .select(col("_id"), col("_s"),
+        explode(sequence(lit(-1), length(col("_s")) - 1)).as("_i"))
+      .select(col("_id"), col("_s"),
+        concat(col("_i").cast("string"), lit("|"),
+          when(col("_i") === -1, col("_s"))
+            .otherwise(delAt(col("_s"), col("_i")))).as("_k"))
+    val subPairs = keyed.select(col("_id").as("id_a"),
+        col("_s").as("name_a"), col("_k"))
+      .join(keyed.select(col("_id").as("id_b"), col("_s").as("name_b"),
+        col("_k")), Seq("_k"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "name_a", "name_b")
+    // distinct first: repeated characters make several deletion
+    // positions yield the same variant ("0001" has one distinct
+    // zero-deletion, not three)
+    val dels = base
+      .select(col("_id"), col("_s"),
+        explode(sequence(lit(0), length(col("_s")) - 1)).as("_i"))
+      .select(col("_id").as("_did"), col("_s").as("_ds"),
+        delAt(col("_s"), col("_i")).as("_k"))
+      .distinct()
+    val indelPairs = base.join(dels, col("_s") === col("_k"))
+      .filter(col("_id") =!= col("_did"))
+      .select(
+        least(col("_id"), col("_did")).as("id_a"),
+        greatest(col("_id"), col("_did")).as("id_b"),
+        when(col("_id") < col("_did"), col("_s")).otherwise(col("_ds"))
+          .as("name_a"),
+        when(col("_id") < col("_did"), col("_ds")).otherwise(col("_s"))
+          .as("name_b"))
+    subPairs.unionByName(indelPairs)
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
   }
 
   /** Vocabulary-level fuzzy dedup: distinct the value column with

@@ -774,34 +774,4 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_distinct"),
         ((num - num % n2) / n2).cast("long").as("gini_q20"))
   }
-
-  /** k-anonymity / l-diversity audit — the privacy gate a dataset
-    * release runs before publishing quasi-identifiable rows (Sweeney's
-    * k-anonymity; Machanavajjhala's l-diversity): every combination of
-    * the quasi-identifier columns must be shared by ≥ k rows, and
-    * within each combination the sensitive attribute must take ≥ l
-    * distinct values (a group can be k-anonymous yet leak its secret
-    * when everyone in it shares one sensitive value). Companion to the
-    * PII masking/redaction operators — those hide direct identifiers,
-    * this measures re-identification risk from the columns that remain.
-    *
-    * One partial-aggregated groupBy over the QI columns: the result is
-    * bounded by QI-combination cardinality, not row count, so the audit
-    * is dashboard-sized at any corpus scale. Exact distinct per group is
-    * correct here because the sensitive domain per group is small by
-    * construction (it is the column being protected).
-    *
-    * Output: qiCols..., n (group size), l_div (distinct sensitive
-    * values), at_risk (n < k or l_div < l).
-    */
-  def kAnonymity(
-      df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
-      k: Int, l: Int = 2): DataFrame = {
-    require(qiCols.nonEmpty && k >= 2 && l >= 1, "need QI cols, k>=2, l>=1")
-    df.groupBy(qiCols.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col(sensitiveCol)).as("l_div"))
-      .withColumn("at_risk",
-        col("n") < k || col("l_div") < l)
-  }
 }

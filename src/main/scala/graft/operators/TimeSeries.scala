@@ -75,47 +75,4 @@ object TimeSeries {
         coalesce(col(nCol), lit(0L)).as(nCol),
         last(col(carryCol), ignoreNulls = true).over(w).as(carryCol))
   }
-
-  /** Interval-overlap join — the interval×interval companion to
-    * [[RangeBinJoin]]'s point-in-range: every (left, right) pair whose
-    * [start, end) spans intersect, with the overlap length. A direct
-    * theta-join on `aStart < bEnd AND bStart < aEnd` is a cartesian in
-    * every engine (no equi key); the scale form here grid-buckets time:
-    * each interval explodes to the `bucketSecs` cells it touches
-    * (sequence + explode — codegen'd, ≈ duration/bucketSecs rows), the
-    * join is a plain equi-join on the cell, and a distinct collapses
-    * pairs that co-occupy several cells before the exact overlap
-    * arithmetic. Work is Σ cells + Σ per-cell pair products — the
-    * classic spatial-grid bound, never |A|×|B|. Pick bucketSecs near
-    * the median interval length: too fine multiplies rows, too coarse
-    * multiplies per-cell pairs (the [[Dedup]] banding trade-off, in
-    * time).
-    *
-    * Output: left cols + right cols + overlap_secs (> 0; touching
-    * intervals with zero overlap are excluded, half-open semantics).
-    */
-  def overlapJoin(
-      a: DataFrame, b: DataFrame,
-      aStart: String, aEnd: String, bStart: String, bEnd: String,
-      bucketSecs: Long): DataFrame = {
-    require(bucketSecs >= 1, "bucketSecs must be >= 1")
-    // integer-exact cell ids: (x - x%b)/b divides an exact multiple, so
-    // the double division cannot misround (plain floor(x/b) can, one ulp
-    // under a cell edge)
-    def cellOf(x: org.apache.spark.sql.Column) =
-      ((x - x % bucketSecs) / bucketSecs).cast("long")
-    def cells(df: DataFrame, s: String, e: String): DataFrame =
-      df.withColumn("_cell", explode(sequence(
-        cellOf(col(s)),
-        // end is exclusive: an interval ending exactly on a cell edge
-        // does not touch the next cell
-        cellOf(col(e) - 1))))
-    val ac = cells(a, aStart, aEnd)
-    val bc = cells(b, bStart, bEnd)
-    ac.join(bc, Seq("_cell"))
-      .drop("_cell").distinct()
-      .withColumn("overlap_secs",
-        least(col(aEnd), col(bEnd)) - greatest(col(aStart), col(bStart)))
-      .filter(col("overlap_secs") > 0)
-  }
 }

@@ -746,14 +746,6 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
-  test("q275 overlap join: grid cells make it an equi-join — no " +
-      "cartesian/BNL theta-join anywhere in the plan") {
-    val p = plan("q275_overlap_join")
-    assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "theta-join leaked — the grid key should make this an equi-join")
-  }
-
   test("gate source sweep: no constant-key windows; SparkEntry crossJoins " +
       "are all broadcast scalar frames") {
     import scala.jdk.CollectionConverters._

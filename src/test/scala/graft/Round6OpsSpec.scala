@@ -371,20 +371,6 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(direct.exists(t => t._1 == "b" && t._2 == 1L))
   }
 
-  test("kAnonymity flags small groups and sensitive-homogeneous groups") {
-    import spark.implicits._
-    val df = Seq(
-      ("us", "a", "x"), ("us", "a", "y"), ("us", "a", "x"), // n=3, l=2: safe
-      ("us", "b", "x"), ("us", "b", "x"),   // n=2 >= k, but l=1: at risk
-      ("fr", "a", "x")).toDF("nat", "seg", "sens") // n=1 < k: at risk
-    val got = Profile.kAnonymity(df, Seq("nat", "seg"), "sens", k = 2, l = 2)
-      .collect().map(r => ((r.getString(0), r.getString(1)),
-        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
-    assert(got(("us", "a")) == ((3L, 2L, false)))
-    assert(got(("us", "b")) == ((2L, 1L, true)))
-    assert(got(("fr", "a")) == ((1L, 1L, true)))
-  }
-
   test("gramMatrixInt8 equals the hand-computed integer Gram and skips " +
       "zero vectors") {
     import spark.implicits._
@@ -404,15 +390,15 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3) // d(d+1)/2 upper-triangle entries only
   }
 
-  test("editDistancePairs finds EVERY lev<=1 pair (substitution, insert, " +
-      "delete) — complete vs the brute-force cross join") {
+  test("symspellJoin's positioned lev<=1 path finds EVERY pair " +
+      "(substitution, insert, delete) — complete vs brute force") {
     import spark.implicits._
     val names = Seq((1L, "kitten"), (2L, "mitten"), // substitution
       (3L, "kitten!"),                              // insertion
       (4L, "kittn"),                                // deletion
       (5L, "sitting"), (6L, "kitten"))              // far; exact dup
     val df = names.toDF("id", "s")
-    val got = Dedup.editDistancePairs(df, "id", "s")
+    val got = FuzzyJoin.symspellJoin(df, "id", "s", maxDist = 1)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = (for {
@@ -446,29 +432,6 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // equal sizes, so proportional would be 50/50; Neyman shifts almost
     // everything to the volatile stratum
     assert(got("b") > 90L, s"b=${got("b")}")
-  }
-
-  test("overlapJoin: exact overlaps, touching intervals excluded, pairs " +
-      "spanning several grid cells counted once") {
-    import spark.implicits._
-    val a = Seq((1L, 0L, 100L), (2L, 100L, 200L), (3L, 950L, 1250L))
-      .toDF("aid", "s_start", "s_end")
-    val b = Seq((10L, 50L, 150L), (20L, 200L, 300L), (30L, 900L, 1300L))
-      .toDF("bid", "b_start", "b_end")
-    val got = TimeSeries.overlapJoin(a, b,
-        "s_start", "s_end", "b_start", "b_end", bucketSecs = 100L)
-      .select("aid", "bid", "overlap_secs").collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-    // brute-force truth over the 9 pairs
-    val brute = (for {
-      (ai, as_, ae) <- Seq((1L, 0L, 100L), (2L, 100L, 200L), (3L, 950L, 1250L))
-      (bi, bs, be) <- Seq((10L, 50L, 150L), (20L, 200L, 300L), (30L, 900L, 1300L))
-      ov = math.min(ae, be) - math.max(as_, bs) if ov > 0
-    } yield (ai, bi) -> ov).toMap
-    assert(got == brute)
-    assert(got((1L, 10L)) == 50L) // partial overlap
-    assert(!got.contains((2L, 20L))) // touching at 200: zero overlap, out
-    assert(got((3L, 30L)) == 300L) // spans 4 cells, counted once, exact
   }
 
   test("q264 sketch accuracy: every exact quantile lies inside its " +
