@@ -4228,6 +4228,44 @@ object SparkEntry {
     Sampling.neymanAllocation(Tables.events(s, dir), "event_type", "value",
       total = 1000L)
 
+  /** Fellegi–Sunter record linkage (Linkage.blockedScores): customers ×
+    * suppliers blocked on the entity number minted into both name
+    * columns (a blocking key whose cardinality grows with the data —
+    * the linkage analogue of sqrt-scaled IVF cells), scored by integer
+    * log-odds weights on nation agreement, balance proximity
+    * (within $1000), and balance sign.
+    */
+  private def q275RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import Linkage.FieldWeight
+    def cents(c: Column): Column =
+      (c.cast("decimal(18,2)") * 100).cast("long")
+    val c = t(s, dir, "customer").select(
+      $("c_custkey").as("id_a"),
+      substring($("c_name"), 10, 9).cast("long").as("_block"),
+      $("c_nationkey").as("_an"), cents($("c_acctbal")).as("_ac"))
+    val sup = t(s, dir, "supplier").select(
+      $("s_suppkey").as("id_b"),
+      substring($("s_name"), 10, 9).cast("long").as("_block"),
+      $("s_nationkey").as("_bn"), cents($("s_acctbal")).as("_bc"))
+    Linkage.blockedScores(c, sup, Seq(
+        FieldWeight($("_an") === $("_bn"), 12L, 4L),
+        FieldWeight(abs($("_ac") - $("_bc")) < 100000L, 5L, 2L),
+        FieldWeight(($("_ac") >= 0) === ($("_bc") >= 0), 3L, 1L)))
+      .select($("id_a"), $("id_b"), $("n_agree"), $("score"))
+  }
+
+  /** Winsorized revenue statistics per return flag
+    * (Profile.winsorizedStats): extended price clamped at its exact
+    * P5/P95 (PERCENTILE_DISC over the compacted value vocabulary)
+    * before the mean — the tail-tamed aggregate, every row retained.
+    */
+  private def q276Winsorized(s: SparkSession, dir: String): DataFrame =
+    Profile.winsorizedStats(
+      t(s, dir, "lineitem").select($("l_returnflag"),
+        ($("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents")),
+      "l_returnflag", "price_cents", pct = 5)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4504,6 +4542,8 @@ object SparkEntry {
     "q272_gram_matrix" -> (q272GramMatrix _),
     "q273_edit_distance_join" -> (q273EditDistanceJoin _),
     "q274_neyman_allocation" -> (q274NeymanAllocation _),
+    "q275_record_linkage" -> (q275RecordLinkage _),
+    "q276_winsorized" -> (q276Winsorized _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9296,5 +9336,47 @@ object SparkEntry {
         |  CAST(fq + CASE WHEN rk <= def THEN 1 ELSE 0 END AS BIGINT)
         |    AS quota
         |FROM r, d""".stripMargin,
+    "q275_record_linkage" ->
+      """WITH c AS (SELECT c_custkey AS id_a,
+        |    CAST(substr(c_name, 10) AS BIGINT) AS blk,
+        |    c_nationkey AS an,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS ac
+        |  FROM customer),
+        |s AS (SELECT s_suppkey AS id_b,
+        |    CAST(substr(s_name, 10) AS BIGINT) AS blk,
+        |    s_nationkey AS bn,
+        |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bc
+        |  FROM supplier)
+        |SELECT id_a, id_b,
+        |  CAST(CASE WHEN an = bn THEN 1 ELSE 0 END
+        |    + CASE WHEN abs(ac - bc) < 100000 THEN 1 ELSE 0 END
+        |    + CASE WHEN (ac >= 0) = (bc >= 0) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_agree,
+        |  CAST(CASE WHEN an = bn THEN 12 ELSE -4 END
+        |    + CASE WHEN abs(ac - bc) < 100000 THEN 5 ELSE -2 END
+        |    + CASE WHEN (ac >= 0) = (bc >= 0) THEN 3 ELSE -1 END
+        |    AS BIGINT) AS score
+        |FROM c JOIN s USING (blk)""".stripMargin,
+    "q276_winsorized" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v
+        |  FROM lineitem),
+        |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT g, v, n,
+        |    sum(n) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER (PARTITION BY g) AS tot FROM c),
+        |bd AS (SELECT g,
+        |    min(CASE WHEN cum * 100 >= tot * 5 THEN v END) AS lo,
+        |    min(CASE WHEN cum * 100 >= tot * 95 THEN v END) AS hi,
+        |    CAST(max(tot) AS BIGINT) AS n FROM w GROUP BY 1)
+        |SELECT c.g AS l_returnflag, bd.n, lo, hi,
+        |  CAST(sum(greatest(lo, least(hi, c.v)) * c.n) AS BIGINT)
+        |    AS wins_sum,
+        |  CAST(sum(greatest(lo, least(hi, c.v)) * c.n) AS BIGINT)::DOUBLE
+        |    / bd.n AS wins_mean
+        |FROM c JOIN bd USING (g) GROUP BY c.g, bd.n, lo, hi""".stripMargin,
   )
 }

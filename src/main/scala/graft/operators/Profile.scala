@@ -774,4 +774,54 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_distinct"),
         ((num - num % n2) / n2).cast("long").as("gini_q20"))
   }
+
+  /** Winsorized per-group statistics — clamp an integer column at its
+    * exact p-th / (100−p)-th percentiles before summing, the standard
+    * tail-taming for revenue/length distributions where a handful of
+    * extreme rows dominate a plain mean ([[trimmedMean]] DROPS the
+    * tails and changes n; winsorizing keeps every row, so downstream
+    * per-row joins still reconcile). Percentile semantics are
+    * PERCENTILE_DISC
+    * (smallest value whose cumulative count reaches p% of the group) —
+    * exact, engine-neutral, and integer-only, never an interpolated
+    * float quantile.
+    *
+    * Shape: the [[twoMedian]] compaction — one (group, value) count
+    * aggregation (map-side partial), a window over the COMPACTED
+    * distinct values per group (vocabulary-sized, not row-sized), then
+    * the winsorized sum rides the same compacted frame weighted by
+    * count. Never a per-row sort.
+    *
+    * Output: (groupCol, n, lo, hi, wins_sum, wins_mean) — wins_mean is
+    * the single exact IEEE division wins_sum/n.
+    */
+  def winsorizedStats(
+      df: DataFrame, groupCol: String, valueCol: String,
+      pct: Int): DataFrame = {
+    require(pct >= 1 && pct < 50, s"pct $pct must be in [1, 50)")
+    import org.apache.spark.sql.expressions.Window
+    val c = df.select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy("_g", "_v").agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = c.withColumn("_cum", sum(col("_n")).over(w))
+      .withColumn("_tot", sum(col("_n")).over(Window.partitionBy("_g")))
+    // PERCENTILE_DISC(f): first value with cum/n >= f, integer form
+    // 100·cum >= f·100·n
+    val bounds = cum.groupBy(col("_g"))
+      .agg(min(when(col("_cum") * 100 >= col("_tot") * pct, col("_v")))
+          .as("_lo"),
+        min(when(col("_cum") * 100 >= col("_tot") * (100 - pct), col("_v")))
+          .as("_hi"),
+        max(col("_tot")).as("n"))
+    c.join(bounds, Seq("_g"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max(col("n")).as("n"), max(col("_lo")).as("lo"),
+        max(col("_hi")).as("hi"),
+        sum(greatest(col("_lo"), least(col("_hi"), col("_v"))) * col("_n"))
+          .as("wins_sum"))
+      .withColumn("wins_mean",
+        col("wins_sum").cast("double") / col("n"))
+  }
 }

@@ -445,4 +445,43 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_.getAs[Boolean]("within_bound")),
       got.filterNot(_.getAs[Boolean]("within_bound")).mkString(", "))
   }
+
+  test("blockedScores sums agreement/disagreement weights per blocked " +
+      "pair and never pairs across blocks") {
+    import spark.implicits._
+    import Linkage.FieldWeight
+    val a = Seq((1L, 10L, "us", 5L), (2L, 20L, "fr", -3L))
+      .toDF("id_a", "_block", "_anat", "_abal")
+    val b = Seq((7L, 10L, "us", 4L), (8L, 10L, "de", 900L), (9L, 30L, "us", 5L))
+      .toDF("id_b", "_block", "_bnat", "_bbal")
+    val got = Linkage.blockedScores(a, b, Seq(
+        FieldWeight(col("_anat") === col("_bnat"), 10L, 3L),
+        FieldWeight(abs(col("_abal") - col("_bbal")) <= 10L, 5L, 2L)))
+      .select("id_a", "id_b", "n_agree", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // block 10: customer 1 vs suppliers 7 and 8 only; 2 (block 20) and
+    // 9 (block 30) pair with nothing
+    assert(got.keySet == Set((1L, 7L), (1L, 8L)))
+    assert(got((1L, 7L)) == ((2L, 15L)))   // both agree: 10 + 5
+    assert(got((1L, 8L)) == ((0L, -5L)))   // both disagree: -3 - 2
+  }
+
+  test("winsorizedStats clamps at exact PERCENTILE_DISC bounds, keeps " +
+      "every row, and skips nulls") {
+    import spark.implicits._
+    val vals = (1 to 10).map(v => ("g", Some(v.toLong))) :+
+      (("g", Option.empty[Long]))
+    val got = Profile.winsorizedStats(
+      vals.toDF("g", "v"), "g", "v", pct = 25).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // n=10, P25 = first v with cum >= 2.5 -> 3; P75 -> first cum >= 7.5
+    // -> 8; clamped sum = 3+3+3+4+5+6+7+8+8+8 = 55
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("lo") == 3L && r.getAs[Long]("hi") == 8L)
+    assert(r.getAs[Long]("wins_sum") == 55L)
+    assert(r.getAs[Double]("wins_mean") == 5.5)
+  }
+
 }
