@@ -62,8 +62,20 @@ object ScaleUp {
     write(t("region"), "region", 1)
     write(t("nation"), "nation", 1)
 
-    write(replicate(t("customer"), Seq("c_custkey")), "customer", 4)
-    write(replicate(t("supplier"), Seq("s_suppkey")), "supplier", 2)
+    // entity names embed the entity number (TPC-H style) — regenerate
+    // them from the SHIFTED key, otherwise every replica carries an
+    // identical name and name-keyed operators (edit-distance joins,
+    // linkage blocks) see manufactured factor-way clone families the
+    // real distribution doesn't have (measured: q273 at 100x spent
+    // 640s emitting the 225M clone pairs this manufactures)
+    def renumber(prefix: String, key: String)(d: DataFrame, i: Int) =
+      if (i == 0) d
+      else d.withColumn(s"${prefix.toLowerCase.take(1)}_name",
+        concat(lit(s"$prefix#"), lpad(col(key).cast("string"), 9, "0")))
+    write(replicate(t("customer"), Seq("c_custkey"),
+      tweak = renumber("Customer", "c_custkey")), "customer", 4)
+    write(replicate(t("supplier"), Seq("s_suppkey"),
+      tweak = renumber("Supplier", "s_suppkey")), "supplier", 2)
     write(replicate(t("part"), Seq("p_partkey")), "part", 4)
     write(replicate(t("orders"), Seq("o_orderkey", "o_custkey")), "orders", 8)
     write(replicate(t("lineitem"),
