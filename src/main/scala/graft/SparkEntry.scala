@@ -2245,15 +2245,19 @@ object SparkEntry {
         docs(s, dir).filter($("doc_id") % 100 === 0), "doc_id", k = 3)
       .select($("id"), $("hops"))
 
-  /** SemDeDup: exact quantized k-means clusters (the q76 algorithm at
-    * k = 25 — SemDeDup's own regime is many clusters so the within-cell
-    * pair space stays bounded) gate the cosine search; within-cluster
-    * pairs >= 0.3 drop the larger id.
+  /** SemDeDup: exact quantized k-means clusters (the q76 algorithm) gate
+    * the cosine search; within-cluster pairs >= 0.3 drop the larger id.
+    * Cells auto-size to max(25, √N) — SemDeDup's own regime is clusters
+    * GROWING with the corpus so the within-cell pair space is O(N^1.5),
+    * never N²/constant: the fixed k = 25 form measured 72s at the 100×
+    * run (1.6G within-cell pairs) vs ~5s with √N cells. The oracle
+    * computes the same k from count(*), so the gate stays exact.
     */
   private def q136Semdedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    val k = math.max(25, math.floor(math.sqrt(e.count().toDouble)).toInt)
     val assign = Embeddings.kmeansAssignQuantized(
-      e, "vec_id", "embedding", k = 25, iters = 2)
+      e, "vec_id", "embedding", k = k, iters = 2)
     Dedup.semanticDedup(e, "vec_id", "embedding", assign, threshold = 0.3)
   }
 
@@ -6512,8 +6516,11 @@ object SparkEntry {
         |  FROM embeddings),
         |flat AS (SELECT id, unnest(range(0, len(qv))) AS dim, unnest(qv) AS x
         |         FROM emb),
+        |kk AS (SELECT greatest(25,
+        |         CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT)) AS k
+        |       FROM embeddings),
         |c0 AS (SELECT id AS cell, dim, x AS s, 1::BIGINT AS n
-        |       FROM flat WHERE id < 25),
+        |       FROM flat, kk WHERE id < kk.k),
         |s1 AS (SELECT f.id, c.cell,
         |         sum((c.n*f.x - c.s)*(c.n*f.x - c.s))::DOUBLE / (c.n*c.n) AS score
         |       FROM flat f JOIN c0 c USING (dim) GROUP BY f.id, c.cell, c.n),

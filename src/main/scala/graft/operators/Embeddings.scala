@@ -62,28 +62,46 @@ object Embeddings {
   def kmeansAssignQuantized(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scale: Int = 100): DataFrame = {
-    val flat = df
-      .select(col(idCol).as("id"),
-        posexplode(quantize(col(vecCol), scale)).as(Seq("dim", "x")))
+    // Assignment is a broadcast scan of the k centroid ARRAYS per row —
+    // N·k codegen int-dot evaluations — never the (dim-join → N·k·d
+    // rows → re-aggregate) form, which is d× more exchange rows and
+    // measured 10-min-timeout vs seconds at the 100× run once k
+    // sqrt-scales. Distances stay exact integers via the expansion
+    //   Σ_d (n·x_d − s_d)² = n²·(x·x) − 2n·(x·s) + (s·s)
+    // (centroids ride as rational component sums s/n), and the score
+    // double num/n² is the SAME division as before, so assignments are
+    // bit-identical to the historical form and the DuckDB oracle.
+    val rows = df
+      .select(col(idCol).as("id"), quantize(col(vecCol), scale).as("_q"))
+      .withColumn("_xx", graft.functions.int8Dot(col("_q"), col("_q")))
       .localCheckpoint(false) // consumed once per iteration
-    var centroids = flat.filter(col("id") < k)
-      .select(col("id").as("cell"), col("dim"), col("x").as("s"),
-        lit(1L).as("n"))
+    var cents = rows.filter(col("id") < k)
+      .select(col("id").as("cell"), col("_q").as("_s"), lit(1L).as("_n"))
     var assign: DataFrame = null
     for (_ <- 1 to iters) {
-      val d = col("n") * col("x") - col("s") // exact long arithmetic
-      val scores = flat
-        .join(broadcast(centroids), Seq("dim"))
-        .groupBy("id", "cell", "n")
-        .agg(sum(d * d).as("_num"))
-        .select(col("id"), col("cell"),
-          (col("_num").cast("double") / (col("n") * col("n"))).as("score"))
-      assign = scores.groupBy("id")
+      val scored = rows.crossJoin(broadcast(cents.withColumn("_ss",
+          graft.functions.int8Dot(col("_s"), col("_s")))))
+        .withColumn("_num",
+          col("_n") * col("_n") * col("_xx")
+            - lit(2L) * col("_n") *
+              graft.functions.int8Dot(col("_q"), col("_s"))
+            + col("_ss"))
+        .withColumn("score",
+          col("_num").cast("double") / (col("_n") * col("_n")))
+      assign = scored.groupBy("id")
         .agg(min(struct(col("score"), col("cell"))).as("_m"))
         .select(col("id"), col("_m.cell").as("cell"))
-      centroids = flat.join(assign, Seq("id"))
-        .groupBy("cell", "dim")
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      // centroid update: one narrow posexplode + k·d-sized partial agg,
+      // component sums rebuilt into arrays in dimension order
+      cents = rows.join(assign, Seq("id"))
+        .select(col("cell"), posexplode(col("_q")).as(Seq("_dim", "_x")))
+        .groupBy("cell", "_dim")
+        .agg(sum(col("_x")).as("_sd"), count(lit(1)).as("_nd"))
+        .groupBy("cell")
+        .agg(transform(
+            array_sort(collect_list(struct(col("_dim"), col("_sd")))),
+            e => e.getField("_sd")).as("_s"),
+          max(col("_nd")).as("_n"))
         .localCheckpoint(false) // truncate the per-iteration lineage
     }
     assign
