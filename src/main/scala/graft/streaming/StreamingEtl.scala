@@ -461,4 +461,48 @@ object StreamingEtl {
           }
       }
   }
+
+  /** Per-key OLS accumulator carried between micro-batches: the five
+    * monoid sums of [[graft.operators.EventAnalytics.trendSlopes]]. */
+  final case class TrendState(n: Long, sx: Long, sy: Long, sxy: Long,
+      sxx: Long)
+
+  /** Streaming twin of the batch trend detector
+    * ([[graft.operators.EventAnalytics.trendSlopes]]): the OLS slope's
+    * five sums (n, Σx, Σy, Σxy, Σx²) are a commutative monoid, so the
+    * per-key state is FIVE LONGS regardless of stream length — the
+    * canonical "aggregate state, never raw rows" incremental shape.
+    * `yCol` must already be integer units (cents/micros — the house
+    * exactness discipline), `secCol` epoch seconds; `epochOffset`
+    * recenters x exactly like the batch operator so the sums, and
+    * therefore the slope computed from them, match the batch run over
+    * the same prefix sum-for-sum (spec-pinned).
+    *
+    * Output stream (Update mode): (key, n_events, sx, sy, sxy, sxx) —
+    * latest row per key is its current state; slope = the batch
+    * projection (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) applied downstream.
+    */
+  def streamingTrendSums(
+      stream: DataFrame, keyCol: String, secCol: String, yCol: String,
+      epochOffset: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rows = stream.select(col(keyCol).cast("string"),
+        (col(secCol).cast("long") - epochOffset).as("_x"),
+        col(yCol).cast("long"))
+      .as[(String, Long, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[(String, Long, Long)],
+            state: GroupState[TrendState]) =>
+          var s = state.getOption.getOrElse(TrendState(0L, 0L, 0L, 0L, 0L))
+          it.foreach { case (_, x, y) =>
+            s = TrendState(s.n + 1, s.sx + x, s.sy + y,
+              s.sxy + x * y, s.sxx + x * x)
+          }
+          state.update(s)
+          Iterator.single((k, s.n, s.sx, s.sy, s.sxy, s.sxx))
+      }.toDF(keyCol, "n_events", "sx", "sy", "sxy", "sxx")
+  }
 }

@@ -711,6 +711,51 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("StreamingEtl.streamingTrendSums: OLS sums after the stream == " +
+    "batch trendSlopes inputs, and the projected slope matches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val off = 1000L
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    val q = StreamingEtl.streamingTrendSums(
+        mem.toDS().toDF("k", "sec", "y"), "k", "sec", "y", off)
+      .writeStream.format("memory").queryName("trend")
+      .outputMode("update").start()
+    val b1 = Seq(("a", 1001L, 10L), ("a", 1002L, 12L), ("b", 1005L, 7L))
+    val b2 = Seq(("a", 1003L, 14L), ("b", 1005L, 9L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.sql("select * from trend").collect()
+        .map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.last._2 }
+      // y = 2x + 8 exactly for key a -> slope 2; key b has one distinct
+      // x -> batch slope is null
+      assert(streamed("a") == ((3L, 6L, 36L, 76L, 14L)))
+      val batch = graft.operators.EventAnalytics.trendSlopes(
+          (b1 ++ b2).toDF("k", "sec", "y"), "k", "sec", "y", off)
+        .collect().map(r => r.getString(0) -> r).toMap
+      // recompute the slope from the streamed sums with the batch
+      // projection and compare value-for-value
+      for (k <- Seq("a", "b")) {
+        val (n, sx, sy, sxy, sxx) = streamed(k)
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        val slope =
+          if (n >= 2 && den != 0) Some(num.toDouble / den.toDouble) else None
+        val b = batch(k)
+        assert(b.getLong(1) == n, s"$k n")
+        val bSlope = if (b.isNullAt(2)) None else Some(b.getDouble(2))
+        assert(bSlope == slope, s"$k slope")
+      }
+      assert(streamed("a")._1 == 3L)
+      assert(batch("a").getDouble(2) == 2.0)
+    } finally q.stop()
+  }
+
   test("StreamingEtl.streamingCountMin: sketch state after the stream == " +
     "batch count-min sketch, counter for counter") {
     import spark.implicits._
