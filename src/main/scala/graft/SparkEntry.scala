@@ -4270,6 +4270,18 @@ object SparkEntry {
           .as("price_cents")),
       "l_returnflag", "price_cents", pct = 5)
 
+  /** LSH-gated exact Jaccard near-dup pairs (Dedup.lshJaccardPairs):
+    * MinHash band collisions generate candidates, exact distinct-shingle
+    * Jaccard verifies only those — the production dedup shape. Its
+    * completeness gap vs the recall-complete exact join is what q165
+    * measures; the exact forms (q20/q147) are the 100×-documented
+    * pair-mass wall on this template corpus.
+    */
+  private def q277LshJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshJaccardPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 4, threshold = 0.5)
+      .withColumn("jaccard", round($("jaccard"), 6))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4548,6 +4560,7 @@ object SparkEntry {
     "q274_neyman_allocation" -> (q274NeymanAllocation _),
     "q275_record_linkage" -> (q275RecordLinkage _),
     "q276_winsorized" -> (q276Winsorized _),
+    "q277_lsh_jaccard" -> (q277LshJaccard _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9385,5 +9398,31 @@ object SparkEntry {
         |  CAST(sum(greatest(lo, least(hi, c.v)) * c.n) AS BIGINT)::DOUBLE
         |    / bd.n AS wins_mean
         |FROM c JOIN bd USING (g) GROUP BY c.g, bd.n, lo, hi""".stripMargin,
+    "q277_lsh_jaccard" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+3], ' ')
+        |            for i in range(1, greatest(len(l)-3, 1)+1)])] AS bs
+        |  FROM tk),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl]
+        |    AS sg
+        |  FROM base, css),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a, sig b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_filter(range(0, 4),
+        |          b2 -> a.sg[b2*4+1:b2*4+4] = b.sg[b2*4+1:b2*4+4])) > 0),
+        |j AS (SELECT id_a, id_b,
+        |    len(list_intersect(x.bs, y.bs)) AS i,
+        |    len(x.bs) AS sa, len(y.bs) AS sb
+        |  FROM cand JOIN base x ON x.doc_id = id_a
+        |            JOIN base y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, round(i::DOUBLE / (sa + sb - i), 6) AS jaccard
+        |FROM j WHERE i::DOUBLE / (sa + sb - i) >= 0.5""".stripMargin,
   )
 }

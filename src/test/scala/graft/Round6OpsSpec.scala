@@ -446,6 +446,28 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.filterNot(_.getAs[Boolean]("within_bound")).mkString(", "))
   }
 
+  test("lshJaccardPairs reports TRUE Jaccard values (equal to the exact " +
+      "join's) on a subset of the exact pair set; exact dups always collide") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"), // near-dup of 1
+      (3L, "p q r s t u v w"), // unrelated
+      (4L, "a b c d e f g h")  // exact dup of 1
+    ).toDF("doc_id", "text")
+    val lsh = Dedup.lshJaccardPairs(docs, "doc_id", "text", shingleN = 3,
+        threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty)
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    for ((k, v) <- lsh) assert(v == exact(k), s"pair $k")
+    // identical shingle sets share every band -> guaranteed candidate
+    assert(lsh.get((1L, 4L)).contains(1.0))
+  }
+
   test("blockedScores sums agreement/disagreement weights per blocked " +
       "pair and never pairs across blocks") {
     import spark.implicits._
