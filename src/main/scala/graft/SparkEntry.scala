@@ -3787,6 +3787,9 @@ object SparkEntry {
         lit("\\b(slow|big|stale)\\b")).cast("long")).as("cleanliness"))
       .localCheckpoint(false) // three bucket maps + the join read it
     val k = 10000
+    // inner join is safe only because all three metrics are provably
+    // non-negative (counts; cleanliness floored by the 1e6 offset) —
+    // valueRankBuckets drops negative values from its map (see its doc)
     def pct(c: String, out: String)(df: DataFrame) = {
       val m = Profile.valueRankBuckets(base, c, k)
         .select(col("_v").as(s"_v_$out"),
@@ -4205,6 +4208,16 @@ object SparkEntry {
     Ivm.mergeStates(standing.unionByName(deltaState), "event_type")
   }
 
+  /** Candidate-mass estimate for the exact set-similarity family
+    * (Dedup.candidateMassStats): one linear pass + a vocabulary-sized
+    * aggregate producing the Σ df·(df−1)/2 inverted-index pair bound —
+    * the circuit-breaker input that routes q20/q175-shaped exact joins
+    * to the LSH-gated q277 form before they write a pair-mass shuffle
+    * (the round-6 100× OOM class). Backfills the q271 gate hole.
+    */
+  private def q271CandidateMass(s: SparkSession, dir: String): DataFrame =
+    Dedup.candidateMassStats(t(s, dir, "documents"), "doc_id", "text", 3)
+
   /** Per-label Gram matrix of int8-quantized embeddings
     * (Embeddings.gramMatrixInt8) — the exact-integer Σ x·xᵀ pass behind
     * PCA/whitening; only the groups·d² matrix crosses the wire.
@@ -4555,6 +4568,7 @@ object SparkEntry {
     "q268_count_min" -> (q268CountMin _),
     "q269_hashed_classifier" -> (q269HashedClassifier _),
     "q270_ivm_totals" -> (q270IvmTotals _),
+    "q271_candidate_mass" -> (q271CandidateMass _),
     "q272_gram_matrix" -> (q272GramMatrix _),
     "q273_edit_distance_join" -> (q273EditDistanceJoin _),
     "q274_neyman_allocation" -> (q274NeymanAllocation _),
@@ -9311,6 +9325,23 @@ object SparkEntry {
         |  CAST(min(cents) AS BIGINT) AS min_cents,
         |  CAST(max(cents) AS BIGINT) AS max_cents
         |FROM c GROUP BY 1""".stripMargin,
+    "q271_candidate_mass" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ')
+        |                         for i in range(1, greatest(len(l)-2, 1)+1)]) AS g
+        |  FROM tk)),
+        |dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+        |docs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT docs.n_docs,
+        |  CAST(sum(df) AS BIGINT) AS n_postings,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(max(df) AS BIGINT) AS max_df,
+        |  CAST(sum(df::HUGEINT * (df - 1)) // 2 AS BIGINT) AS candidate_pairs,
+        |  CAST(docs.n_docs::HUGEINT * (docs.n_docs - 1) // 2 AS BIGINT)
+        |    AS total_pairs
+        |FROM dfreq, docs
+        |GROUP BY docs.n_docs""".stripMargin,
     "q272_gram_matrix" ->
       """WITH s AS (SELECT label, embedding::DOUBLE[] AS v,
         |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))

@@ -66,7 +66,8 @@ object Contracts {
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getLong(0)
     val report = rules.zipWithIndex.map { case (r, i) =>
-      val v = row.getLong(i + 1)
+      // sum(...) over zero rows is null: an empty table has 0 violations
+      val v = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
       (r.column, r.check, r.param, n, v, v == 0L)
     }
     report.toDF("column", "check", "param", "n_rows", "n_violations",

@@ -4,6 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Thrown by the exact set-similarity family's candidate-mass circuit
+  * breaker (see [[Dedup.candidateMassStats]]): the cheap pre-estimate of
+  * inverted-index pair mass exceeded the caller's budget, so the exact
+  * candidate join would have written a pair-mass-sized shuffle (measured
+  * 83–89 GB and an OOM at 100× on a template-vocabulary corpus) for a
+  * result the sketch family produces safely. Fail fast with a routing
+  * diagnostic instead.
+  */
+final class CandidateMassExceededException(
+    val estimated: java.math.BigDecimal, val budget: Long,
+    message: String) extends IllegalStateException(message)
+
 /** Deduplication operators for large-scale text corpora — the
   * training-data-pipeline surface layered on the same engine. All
   * implementations are shuffle-conscious: candidate generation is always
@@ -92,16 +104,99 @@ object Dedup {
     * family: (id_a < id_b, inter, sz_a, sz_b) of distinct-shingle
     * intersections and per-doc set sizes.
     */
-  private def ngramPairCounts(
+  /** Candidate-mass estimate for the exact set-similarity family — the
+    * circuit-breaker input. One pass over the corpus shingles, one
+    * vocabulary-sized aggregate, one row out:
+    *
+    *   - n_docs, total_pairs = n_docs·(n_docs−1)/2 (the all-pairs mass)
+    *   - n_postings (distinct (doc, gram) rows after `dfCap`), n_grams
+    *     (distinct grams), max_df (hottest inverted-index key — the skew
+    *     signal)
+    *   - candidate_pairs = Σ_g df(g)·(df(g)−1)/2 — the EXACT row count
+    *     the inverted-index self-join of [[ngramJaccardPairs]] /
+    *     [[ngramContainmentPairs]] would produce (before per-pair
+    *     grouping), and an upper bound for the prefix-filtered forms.
+    *
+    * When candidate_pairs ≈ total_pairs the vocabulary is non-selective
+    * (every prefilter degenerates: the round-6 100× template corpus put
+    * 3.5% of ALL pairs behind a shared gram — an 83 GB doomed shuffle)
+    * and the LSH-gated [[lshJaccardPairs]] / minhash sketch family is
+    * the only plan that survives. Internal math is decimal(38,0); the
+    * reported columns are BIGINT (pair counts < 9.2e18 ≈ 4.3e9 docs —
+    * beyond any corpus this engine meets).
+    */
+  def candidateMassStats(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, dfCap: Option[Int]): DataFrame = {
+      n: Int, dfCap: Option[Int] = None): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), n)).as("gram"))
+    val dfreq = sh.groupBy("gram").agg(count(lit(1)).as("_df"))
+    val capped = dfCap match {
+      case Some(cap) => dfreq.filter(col("_df") <= cap)
+      case None => dfreq
+    }
+    val d = col("_df").cast("decimal(38,0)")
+    val stats = capped.agg(
+      coalesce(sum(col("_df")), lit(0L)).cast("long").as("n_postings"),
+      count(lit(1)).cast("long").as("n_grams"),
+      coalesce(max(col("_df")), lit(0L)).cast("long").as("max_df"),
+      // df·(df−1) is even, so the decimal /2 is exact and the cast clean
+      coalesce((sum(d * (d - lit(1))) / lit(2)).cast("long"), lit(0L))
+        .as("candidate_pairs"))
+    val nd = count(lit(1)).cast("decimal(38,0)")
+    val docs = df.agg(count(lit(1)).cast("long").as("n_docs"),
+      ((nd * (nd - lit(1))) / lit(2)).cast("long").as("total_pairs"))
+    docs.crossJoin(stats) // 1 row × 1 row
+      .select("n_docs", "n_postings", "n_grams", "max_df",
+        "candidate_pairs", "total_pairs")
+  }
+
+  /** Eager budget check shared by the exact-similarity guards: `massOf2x`
+    * is a 1-column frame whose single row holds TWICE the estimated
+    * candidate mass (Σ df·(df−1) or Σ 2·df_a·df_b — callers avoid the
+    * division); collect it (one small job) and fail fast when over
+    * budget. The estimate job itself only shuffles the vocabulary-sized
+    * gram histogram — linear, never pair mass.
+    */
+  private def requireCandidateBudget(
+      op: String, massOf2x: DataFrame, budget: Long, hint: String): Unit = {
+    val two = massOf2x.collect()(0).getDecimal(0)
+    val est = two.divide(java.math.BigDecimal.valueOf(2))
+    if (est.compareTo(java.math.BigDecimal.valueOf(budget)) > 0)
+      throw new CandidateMassExceededException(est, budget,
+        s"$op: estimated candidate mass $est pairs exceeds the " +
+          s"budget $budget — candidate mass ~ pair mass on this corpus " +
+          s"(non-selective vocabulary), so the exact inverted-index join " +
+          s"would write a doomed pair-mass shuffle. $hint")
+  }
+
+  private val LshHint = "Use lshJaccardPairs (LSH-gated exact Jaccard, " +
+    "the CCNet/C4 production shape) or the minhash/simhash sketch " +
+    "family instead, or raise maxCandidatePairs deliberately."
+
+  private def ngramPairCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, dfCap: Option[Int],
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
+    val sh0 = df.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), n)).as("gram"))
+    // with the guard on, the parse+shingle pass feeds both the estimate
+    // job and the real plan — checkpoint it once
+    val sh = if (maxCandidatePairs.isDefined) sh0.localCheckpoint(false)
+      else sh0
     val filtered = dfCap match {
       case Some(cap) =>
         val freq = sh.groupBy("gram").count().filter(col("count") <= cap)
         sh.join(freq.select("gram"), "gram")
       case None => sh
+    }
+    maxCandidatePairs.foreach { budget =>
+      val d = col("_df").cast("decimal(38,0)")
+      requireCandidateBudget("ngramPairCounts",
+        filtered.groupBy("gram").agg(count(lit(1)).as("_df"))
+          .agg(coalesce(sum(d * (d - lit(1))),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
+        budget, LshHint)
     }
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     filtered.as("a").hint("shuffle_hash").join(filtered.as("b"),
@@ -116,8 +211,9 @@ object Dedup {
 
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, dfCap: Option[Int] = None): DataFrame =
-    ngramPairCounts(df, idCol, textCol, n, dfCap)
+      n: Int, threshold: Double, dfCap: Option[Int] = None,
+      maxCandidatePairs: Option[Long] = None): DataFrame =
+    ngramPairCounts(df, idCol, textCol, n, dfCap, maxCandidatePairs)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -145,7 +241,8 @@ object Dedup {
     */
   def prefixFilterJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
     // grams ride as 60-bit hashes from here on: the verify arrays carry
     // 8-byte longs instead of gram strings (4× less candidate-pair
     // payload — measured dominant at dense-vocabulary corpora), same
@@ -162,11 +259,26 @@ object Dedup {
     // global rarity order: (document frequency asc, gram asc) is total
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("_df"))
     val byId = Window.partitionBy("id")
-    val prefix = sh.join(dfreq, "g")
+    val prefix0 = sh.join(dfreq, "g")
       .withColumn("_pos", row_number().over(byId.orderBy(col("_df"), col("g"))))
       .withColumn("_n", count(lit(1)).over(byId))
       .filter(col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
       .select("id", "g", "_pos", "_n")
+    // guard on → the ranked-prefix pass feeds both estimate and plan
+    val prefix = if (maxCandidatePairs.isDefined)
+      prefix0.localCheckpoint(false) else prefix0
+    maxCandidatePairs.foreach { budget =>
+      // EXACT bound on the prefix-vs-prefix join output (before the
+      // length/positional prunes): Σ_g dfp(g)·(dfp(g)−1)/2 over PREFIX
+      // document frequencies — tighter than the full-gram bound by
+      // construction (prefix grams are the globally rarest)
+      val d = col("_pdf").cast("decimal(38,0)")
+      requireCandidateBudget("prefixFilterJaccardPairs",
+        prefix.groupBy("g").agg(count(lit(1)).as("_pdf"))
+          .agg(coalesce(sum(d * (d - lit(1))),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
+        budget, LshHint)
+    }
     // candidate join with the two other PPJoin prunes, both safe because
     // a qualifying pair always joins on its MINIMUM common gram, where
     // both bounds hold: (a) length filter — J >= t forces t·|A| <= |B|
@@ -235,8 +347,9 @@ object Dedup {
     */
   def ngramContainmentPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, dfCap: Option[Int] = None): DataFrame =
-    ngramPairCounts(df, idCol, textCol, n, dfCap)
+      n: Int, threshold: Double, dfCap: Option[Int] = None,
+      maxCandidatePairs: Option[Long] = None): DataFrame =
+    ngramPairCounts(df, idCol, textCol, n, dfCap, maxCandidatePairs)
       .withColumn("c_ab",
         round(col("inter").cast("double") / col("sz_a"), 6))
       .withColumn("c_ba",
@@ -264,7 +377,8 @@ object Dedup {
     */
   def prefixFilterContainmentPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), n)).as("gram"))
       .select(col("id"), hash60Base(col("gram")).as("g"))
@@ -274,12 +388,26 @@ object Dedup {
       count(lit(1)).as("_sz"))
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("_df"))
     val byId = Window.partitionBy("id")
-    val ranked = sh.join(dfreq, "g")
+    val ranked0 = sh.join(dfreq, "g")
       .withColumn("_pos", row_number().over(byId.orderBy(col("_df"), col("g"))))
       .withColumn("_n", count(lit(1)).over(byId))
+    val ranked = if (maxCandidatePairs.isDefined)
+      ranked0.localCheckpoint(false) else ranked0
     val prefix = ranked
       .filter(col("_pos") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
       .select(col("id"), col("g"), col("_pos"), col("_n"))
+    maxCandidatePairs.foreach { budget =>
+      // EXACT bound on the prefix-vs-full probe volume: Σ_g dfp(g)·df(g)
+      // (dfp = prefix document frequency, df = full) — doubled so the
+      // shared checker's /2 lands back on the true probe count
+      requireCandidateBudget("prefixFilterContainmentPairs",
+        prefix.groupBy("g").agg(count(lit(1)).as("_pdf"))
+          .join(dfreq, "g")
+          .agg(coalesce(sum(lit(2) * col("_pdf").cast("decimal(38,0)") *
+            col("_df").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
+        budget, LshHint)
+    }
     // smaller side probes its prefix against the larger side's full set;
     // size ties probe both ways, the unordered-pair distinct dedups.
     // Positional prune (safe): every common gram sits at-or-after the
@@ -1043,6 +1171,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 4, threshold: Double = 0.5,
       numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+    require(numHashes % bandSize == 0,
+      s"numHashes ($numHashes) must be a multiple of bandSize ($bandSize):" +
+        " leftover signature positions would be silently dropped," +
+        " quietly lowering recall versus the configured hash budget")
     val numBands = numHashes / bandSize
     val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
     val banded = sigs.select(col("id"),
@@ -1070,6 +1202,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** `approx=auto` Jaccard pair join: probe the prefix-filter candidate
+    * mass first (the guard's own estimate — one linear job), run the
+    * recall-complete exact plan ([[prefixFilterJaccardPairs]]) when it
+    * fits the budget, and fall back to the LSH-gated plan
+    * ([[lshJaccardPairs]]) when it doesn't. The fallback trades the
+    * banding miss rate (audit with [[lshRecallAudit]]) for candidate
+    * mass bounded by band collisions — the only plan that survives a
+    * non-selective vocabulary, where "exact but OOM" is not a result.
+    * Both branches emit the same (id_a < id_b, jaccard >= threshold)
+    * schema with TRUE Jaccard values, so the routing is transparent to
+    * downstream consumers (connected components, survivor picks).
+    */
+  def jaccardPairsAuto(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxCandidatePairs: Long,
+      numHashes: Int = 16, bandSize: Int = 4): DataFrame =
+    try prefixFilterJaccardPairs(df, idCol, textCol, n, threshold,
+      maxCandidatePairs = Some(maxCandidatePairs))
+    catch {
+      case _: CandidateMassExceededException =>
+        lshJaccardPairs(df, idCol, textCol, n, threshold,
+          numHashes, bandSize)
+    }
 
   def lshRecallAudit(
       df: DataFrame, idCol: String, textCol: String,

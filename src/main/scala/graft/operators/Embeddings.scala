@@ -79,18 +79,20 @@ object Embeddings {
       .select(col("id").as("cell"), col("_q").as("_s"), lit(1L).as("_n"))
     var assign: DataFrame = null
     for (_ <- 1 to iters) {
-      val scored = rows.crossJoin(broadcast(cents.withColumn("_ss",
-          graft.functions.int8Dot(col("_s"), col("_s")))))
-        .withColumn("_num",
-          col("_n") * col("_n") * col("_xx")
-            - lit(2L) * col("_n") *
-              graft.functions.int8Dot(col("_q"), col("_s"))
-            + col("_ss"))
-        .withColumn("score",
-          col("_num").cast("double") / (col("_n") * col("_n")))
-      assign = scored.groupBy("id")
-        .agg(min(struct(col("score"), col("cell"))).as("_m"))
-        .select(col("id"), col("_m.cell").as("cell"))
+      // the shared broadcast-scan argmin kernel
+      // (SimilaritySearch.assignNearest), scored with the exact-integer
+      // distance expansion — arithmetic verbatim from the historical
+      // form, so assignments stay bit-identical to the DuckDB oracle
+      val num = col("_n") * col("_n") * col("_xx") -
+        lit(2L) * col("_n") * graft.functions.int8Dot(col("_q"), col("_s")) +
+        col("_ss")
+      assign = SimilaritySearch.assignNearest(rows,
+        cents.withColumn("_ss",
+          graft.functions.int8Dot(col("_s"), col("_s"))),
+        "id", "cell",
+        num.cast("double") / (col("_n") * col("_n")),
+        minimize = true, carry = Seq.empty)
+        .select(col("id"), col("cell"))
       // centroid update: one narrow posexplode + k·d-sized partial agg,
       // component sums rebuilt into arrays in dimension order
       cents = rows.join(assign, Seq("id"))

@@ -135,6 +135,13 @@ object Profile {
 
   /** The (value → equi-depth bucket) mapping itself — join it back to
     * rows when a per-row bucket is needed (RFM scoring, decile tags).
+    *
+    * PRECONDITION: only non-negative values are bucketed (negative and
+    * null values are dropped from the map). A caller inner-joining rows
+    * back to this map therefore silently loses rows whose value is
+    * negative — gate that upstream (e.g. q246 composite scoring joins
+    * provably non-negative metrics) or left-join and treat a null
+    * bucket as a loud failure.
     */
   def valueRankBuckets(
       df: DataFrame, valueCol: String, k: Int): DataFrame = {

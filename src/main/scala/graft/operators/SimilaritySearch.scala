@@ -29,6 +29,47 @@ object SimilaritySearch {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** THE shared nearest-centroid assignment kernel — one implementation
+    * behind [[ivfTopK]]'s corpus assignment, [[mutualKnnGraph]]/
+    * [[labelNoiseFlags]]'s probed self-join ([[probedSelfScored]]) and
+    * [[Embeddings.kmeansAssignQuantized]]'s Lloyd step (the √N-cells
+    * lesson was learned three times before this landed in one place).
+    *
+    * Shape: broadcast the tiny centroid table against the corpus (the
+    * cross join preserves corpus partitioning, so each id's candidate
+    * rows stay local) and take a MAP-SIDE-COMPLETE argbest per row — no
+    * window, no extra shuffle, N·k score evaluations. `score` is any
+    * expression over one corpus row's columns and one centroid row's
+    * columns (float cosine via the FloatDot kernel, or the exact-integer
+    * n²(x·x) − 2n(x·s) + (s·s) distance form — callers keep their
+    * oracle-pinned arithmetic verbatim). Ties break to the LOWest cell
+    * id in both directions, via each caller's historical aggregate form
+    * (`max_by` over (score, −cell) / `min` over (score, cell)) so
+    * results stay bit-identical.
+    *
+    * @param carry corpus columns to keep on the assigned row (via
+    *              first(), constant per id)
+    */
+  private[graft] def assignNearest(
+      rows: DataFrame, cents: DataFrame, idCol: String, cellCol: String,
+      score: Column, minimize: Boolean, carry: Seq[String]): DataFrame = {
+    val scored = rows.crossJoin(broadcast(cents))
+      .withColumn("_score", score)
+    val carryAggs = carry.map(c => first(col(c)).as(c))
+    if (minimize) {
+      val aggs = carryAggs :+
+        min(struct(col("_score"), col(cellCol))).as("_m")
+      scored.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+        .select(col(idCol) +: carry.map(col) :+
+          col(s"_m.$cellCol").as(cellCol): _*)
+    } else {
+      val aggs = carryAggs :+
+        max_by(col(cellCol), struct(col("_score"), -col(cellCol)))
+          .as(cellCol)
+      scored.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
   /** Deterministic ±1 hyperplane component for (plane p, dim i) —
     * computed ON THE DRIVER. The hyperplanes are row-independent
     * constants; an earlier formulation derived them with in-plan md5
@@ -130,16 +171,14 @@ object SimilaritySearch {
     val cents = corpus.orderBy("id").limit(numCells)
       .select(col("id").as("cell_id"), col("vec").as("cvec"),
         sqrt(fdot(col("vec"), col("vec"))).as("cnorm"))
-    // nearest centroid per corpus vector: map-side-complete argmax (the
-    // broadcast cross join keeps corpus partitioning, so each id's
-    // candidate rows are local) — no window, no extra shuffle
-    val assigned = corpus
-      .select(col("id"), col("vec"), sqrt(fdot(col("vec"), col("vec"))).as("vnorm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("_cos", fdot(col("vec"), col("cvec")) / (col("vnorm") * col("cnorm")))
-      .groupBy("id")
-      .agg(first("vec").as("vec"), first("vnorm").as("vnorm"),
-        max_by(col("cell_id"), struct(col("_cos"), -col("cell_id"))).as("cell_id"))
+    // nearest centroid per corpus vector: the shared broadcast-scan
+    // argmax kernel (see assignNearest)
+    val assigned = assignNearest(
+      corpus.select(col("id"), col("vec"),
+        sqrt(fdot(col("vec"), col("vec"))).as("vnorm")),
+      cents, "id", "cell_id",
+      fdot(col("vec"), col("cvec")) / (col("vnorm") * col("cnorm")),
+      minimize = false, carry = Seq("vec", "vnorm"))
     val probes = queries
       .select(col("qid"), col("qvec"), sqrt(fdot(col("qvec"), col("qvec"))).as("qnorm"))
       .crossJoin(broadcast(cents))
@@ -382,14 +421,11 @@ object SimilaritySearch {
         col("_n").as("cnorm"))
     def cellCos(v: Column, n: Column) =
       graft.functions.floatDot(v, col("cvec")) / (n * col("cnorm"))
-    // nearest centroid per vector: map-side-complete argmax over the
-    // broadcast centroid rows (same shape as ivfTopK's assignment)
-    val assigned = withNorm.crossJoin(broadcast(cents))
-      .withColumn("_cos", cellCos(col("vec"), col("_n")))
-      .groupBy("id")
-      .agg(first("vec").as("vec"), first("_n").as("_n"),
-        max_by(col("cell_id"), struct(col("_cos"), -col("cell_id")))
-          .as("cell_id"))
+    // nearest centroid per vector: the shared broadcast-scan argmax
+    // kernel (same call as ivfTopK's assignment)
+    val assigned = assignNearest(withNorm, cents, "id", "cell_id",
+      cellCos(col("vec"), col("_n")),
+      minimize = false, carry = Seq("vec", "_n"))
     val probes = withNorm
       .select(col("id").as("qid"), col("vec").as("qvec"),
         col("_n").as("_qn"))

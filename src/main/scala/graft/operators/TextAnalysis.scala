@@ -907,12 +907,16 @@ object TextAnalysis {
   def bm25TopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, qidCol: String, k: Int,
-      pruneStopTerms: Boolean = true): DataFrame = {
+      pruneStopTerms: Boolean = true,
+      maxPostings: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = corpus
+    val tf0 = corpus
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    // with the guard on, the tokenize+combine pass feeds both the
+    // estimate job and the real postings join — checkpoint it once
+    val tf = if (maxPostings.isDefined) tf0.localCheckpoint(false) else tf0
     val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -934,6 +938,22 @@ object TextAnalysis {
         .crossJoin(broadcast(stats))
       if (pruneStopTerms) withDf.filter(col("df") * 2 <= col("n"))
       else withDf
+    }
+    // candidate-mass circuit breaker: the postings join fans out exactly
+    // Σ df(term) rows over the live (query, term) set. On a degenerate
+    // corpus with pruning off that is ~|queries|·N (the round-6 sf10 run
+    // OOM'd at 89 GB); fail fast with a routing diagnostic instead.
+    maxPostings.foreach { budget =>
+      val est = liveTerms
+        .agg(coalesce(sum(col("df")), lit(0L)).cast("decimal(38,0)"))
+        .collect()(0).getDecimal(0)
+      if (est.compareTo(java.math.BigDecimal.valueOf(budget)) > 0)
+        throw new CandidateMassExceededException(est, budget,
+          s"bm25TopK: the live query terms fan out to an estimated $est " +
+            s"postings rows, over the budget $budget — every query term " +
+            "is a stop term on this corpus. Enable pruneStopTerms (the " +
+            "production default: df > N/2 terms carry ~zero rank signal), " +
+            "tighten the query set, or raise maxPostings deliberately.")
     }
     val terms = liveTerms
       .join(tf, Seq("token"))

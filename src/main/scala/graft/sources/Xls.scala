@@ -157,8 +157,18 @@ object Xls {
         // crossing into a CONTINUE segment mid-characters: a fresh
         // compression flag precedes the remaining chars (BIFF8 rule)
         if ({ ensure(); off == 0 && si > 0 && read > 0 }) grbit = byte()
-        val wide = (grbit & 0x01) != 0
-        val avail = segRemaining / (if (wide) 2 else 1)
+        var wide = (grbit & 0x01) != 0
+        var avail = segRemaining / (if (wide) 2 else 1)
+        // malformed BIFF8: a wide run leaving one odd byte before a
+        // CONTINUE boundary. Drop the dangling byte and re-read the next
+        // segment's compression flag instead of letting word() straddle
+        // the boundary unflagged (which would shift every later char).
+        while (avail == 0 && si < segs.length - 1) {
+          skip(segRemaining.toLong)
+          grbit = byte()
+          wide = (grbit & 0x01) != 0
+          avail = segRemaining / (if (wide) 2 else 1)
+        }
         val take = math.min(cch - read, math.max(avail, 1))
         var i = 0
         while (i < take) {

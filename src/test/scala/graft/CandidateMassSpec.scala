@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{CandidateMassExceededException, Dedup, TextAnalysis}
+
+/** The candidate-mass circuit breaker (round-7 hardening, VERDICT r6
+  * item 2): on a template-vocabulary corpus the exact set-similarity
+  * family's candidate mass ≈ pair mass (the 100× run measured 83–89 GB
+  * doomed shuffles), so a cheap pre-estimate must fail fast AT CALL TIME
+  * — before the pair join's shuffle exists — with a diagnostic routing
+  * to the LSH-gated form, and `jaccardPairsAuto` must route there
+  * silently.
+  */
+class CandidateMassSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Worst case for every exact prefilter: 40 docs over ONE shared
+    * 12-token template (pairwise Jaccard 1.0) — every gram's df is 40,
+    * candidate mass == total pairs == 780.
+    */
+  private def templateCorpus: DataFrame = {
+    import spark.implicits._
+    val text = (1 to 12).map(i => s"tok$i").mkString(" ")
+    (1 to 40).map(i => (i.toLong, text)).toDF("id", "text")
+  }
+
+  /** Selective corpus: 30 docs with disjoint vocabularies — zero shared
+    * grams, candidate mass 0.
+    */
+  private def distinctCorpus: DataFrame = {
+    import spark.implicits._
+    (1 to 30).map(i => (i.toLong,
+      (1 to 12).map(j => s"w${i}_$j").mkString(" "))).toDF("id", "text")
+  }
+
+  test("candidateMassStats: exact numbers on a hand-computable corpus") {
+    import spark.implicits._
+    // 3 docs, 1-gram shingles: a={x,y}, b={x,y}, c={x,z}
+    // dfs: x=3, y=2, z=1 → postings 6, grams 3, max_df 3,
+    // cand = 3·2/2 + 2·1/2 + 0 = 4, total = 3
+    val df = Seq((1L, "x y"), (2L, "y x"), (3L, "x z")).toDF("id", "text")
+    val r = Dedup.candidateMassStats(df, "id", "text", 1).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_postings") === 6L)
+    assert(r.getAs[Long]("n_grams") === 3L)
+    assert(r.getAs[Long]("max_df") === 3L)
+    assert(r.getAs[Long]("candidate_pairs") === 4L)
+    assert(r.getAs[Long]("total_pairs") === 3L)
+  }
+
+  test("candidateMassStats: empty corpus reports zeros, not nulls") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, String)].toDF("id", "text")
+    val r = Dedup.candidateMassStats(df, "id", "text", 2).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 0L)
+    assert(r.getAs[Long]("candidate_pairs") === 0L)
+    assert(r.getAs[Long]("total_pairs") === 0L)
+  }
+
+  test("guards fire at call time on the template corpus, before any " +
+      "pair join runs") {
+    val c = templateCorpus
+    val e1 = intercept[CandidateMassExceededException] {
+      Dedup.ngramJaccardPairs(c, "id", "text", 2, 0.5,
+        maxCandidatePairs = Some(100L))
+    }
+    assert(e1.getMessage.contains("lshJaccardPairs"))
+    assert(e1.budget === 100L)
+    // the estimate is the JOIN row mass — each pair counted once per
+    // shared gram: 11 shared 2-gram shingles × C(40,2) = 8580
+    assert(e1.estimated.longValueExact() === 8580L)
+    intercept[CandidateMassExceededException] {
+      Dedup.ngramContainmentPairs(c, "id", "text", 2, 0.5,
+        maxCandidatePairs = Some(100L))
+    }
+    intercept[CandidateMassExceededException] {
+      Dedup.prefixFilterJaccardPairs(c, "id", "text", 2, 0.5,
+        maxCandidatePairs = Some(100L))
+    }
+    intercept[CandidateMassExceededException] {
+      Dedup.prefixFilterContainmentPairs(c, "id", "text", 2, 0.5,
+        maxCandidatePairs = Some(100L))
+    }
+  }
+
+  test("guards pass through on a selective corpus and results are " +
+      "unchanged vs the unguarded plan") {
+    val c = distinctCorpus
+    assert(Dedup.ngramJaccardPairs(c, "id", "text", 2, 0.5,
+      maxCandidatePairs = Some(1000L)).count() === 0L)
+    val unguarded = Dedup.prefixFilterJaccardPairs(
+      templateCorpus, "id", "text", 2, 0.5).count()
+    // template prefix mass is 6 prefix grams × C(40,2) = 4680 — a
+    // budget above it admits the exact plan unchanged
+    val guarded = Dedup.prefixFilterJaccardPairs(
+      templateCorpus, "id", "text", 2, 0.5,
+      maxCandidatePairs = Some(5000L)).count()
+    assert(unguarded === 780L && guarded === 780L)
+  }
+
+  test("bm25TopK fails fast when pruning is off and every query term " +
+      "is a stop term") {
+    import spark.implicits._
+    val corpus = templateCorpus
+    val queries = Seq((1L, "tok1 tok2"), (2L, "tok3")).toDF("qid", "text")
+    val e = intercept[CandidateMassExceededException] {
+      TextAnalysis.bm25TopK(corpus, queries, "id", "text", "qid", 5,
+        pruneStopTerms = false, maxPostings = Some(10L))
+    }
+    assert(e.getMessage.contains("pruneStopTerms"))
+    // 3 live terms × df 40 = 120 postings rows
+    assert(e.estimated.longValueExact() === 120L)
+    // with pruning on, the same call is guard-clean (live terms empty)
+    val pruned = TextAnalysis.bm25TopK(corpus, queries, "id", "text",
+      "qid", 5, pruneStopTerms = true, maxPostings = Some(10L))
+    assert(pruned.count() === 0L)
+  }
+
+  test("jaccardPairsAuto routes: exact when affordable, LSH-gated when " +
+      "the estimate blows the budget") {
+    // affordable: selective corpus, exact path → 0 pairs, no throw
+    assert(Dedup.jaccardPairsAuto(distinctCorpus, "id", "text", 2, 0.5,
+      maxCandidatePairs = 1000L).count() === 0L)
+    // template corpus with a tiny budget → LSH route; identical docs
+    // share every band bucket, so all 780 pairs at jaccard 1.0 survive
+    val auto = Dedup.jaccardPairsAuto(templateCorpus, "id", "text", 2, 0.5,
+      maxCandidatePairs = 100L)
+    val lsh = Dedup.lshJaccardPairs(templateCorpus, "id", "text", 2, 0.5)
+    assert(auto.count() === lsh.count())
+    assert(auto.count() === 780L)
+  }
+}
