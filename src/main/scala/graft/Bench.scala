@@ -11,7 +11,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // --sf1 [outPath]: the one-command scale-regression artifact —
+    // synthesize dev/sf1 (10×) when absent or from an older ScaleUp
+    // perturbation scheme, run the full gate there, and write the full
+    // artifact (per-pass raws included) to outPath (default
+    // BENCH_sf1_r07.json) INSTEAD of bench_times.json, whose committed
+    // retry floor belongs to sf0.1.
+    val sf1Mode = args.headOption.contains("--sf1")
+    val sf1Out = if (sf1Mode && args.length > 1) args(1)
+      else "BENCH_sf1_r07.json"
+    if (sf1Mode) {
+      val marker = java.nio.file.Paths.get("dev/sf1/_scaleup.json")
+      val fresh = java.nio.file.Files.exists(marker) && new String(
+        java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        .contains("\"version\":2")
+      if (!fresh)
+        graft.dev.ScaleUp.main(Array("/root/testdata/sf0.1", "dev/sf1", "10"))
+    }
+    val sfDir = if (sf1Mode) "dev/sf1"
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -229,7 +247,8 @@ object Bench {
     // clobber the full-suite baseline the retry floor reads back (that
     // corruption shipped once; see the round-5 review).
     if (only.isEmpty) {
-      val out = java.nio.file.Paths.get("bench_times.json")
+      val out = java.nio.file.Paths.get(
+        if (sf1Mode) sf1Out else "bench_times.json")
       java.nio.file.Files.write(out, lineFull.getBytes("UTF-8"))
     }
     println(line)

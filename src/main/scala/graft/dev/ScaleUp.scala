@@ -11,13 +11,20 @@ import org.apache.spark.sql.functions._
   *
   * Replica i shifts every key column by i × (max(key)+1) so FK
   * relationships stay intact WITHIN a replica and cardinality ratios
-  * are preserved. Two columns get tiny deterministic perturbations so
-  * the blow-up does not manufacture pathological duplicate clusters the
+  * are preserved. Two columns get deterministic perturbations so the
+  * blow-up does not manufacture pathological duplicate clusters the
   * real distribution doesn't have:
-  *   - documents.text gains a per-replica suffix token (n_chars updated
-  *     to keep the n_chars == len(text) invariant) — otherwise every
-  *     doc would have 9 exact clones and the dedup/LSH pair counts
-  *     would grow quadratically instead of linearly;
+  *   - documents.text: every token of replica i > 0 gains the replica
+  *     tag `q<i>z` (n_chars updated to keep n_chars == len(text)).
+  *     The renaming is BIJECTIVE per replica, so all within-replica
+  *     similarity structure (shingle sets, exact-substring spans,
+  *     near-dup pairs) is preserved verbatim while cross-replica
+  *     similarity drops to zero — the corpus duplication RATE stays
+  *     constant as the factor grows and near-dup answer mass scales
+  *     exactly ×factor. (History: round 5 appended ONE suffix token,
+  *     which de-duplicated exact clones but left cross-replica Jaccard
+  *     ≈ 0.99 — the ×100 run then measured the near-dup family's own
+  *     factor²-answer mass, not the operators; see PERF_r6.md.)
   *   - embeddings.embedding[0] += i/1000 — otherwise ANN/kNN queries
   *     would see 10-way cosine ties.
   *
@@ -84,7 +91,8 @@ object ScaleUp {
     write(replicate(t("documents"), Seq("doc_id"),
       tweak = (d, i) =>
         if (i == 0) d
-        else d.withColumn("text", concat(col("text"), lit(s" qq${i}zz")))
+        else d.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"$$1q${i}z"))
           .withColumn("n_chars", length(col("text")).cast("long"))),
       "documents", 8)
     write(replicate(t("embeddings"), Seq("vec_id"),
@@ -95,6 +103,11 @@ object ScaleUp {
             when(j === 0, x + lit(i / 1000.0f)).otherwise(x)))),
       "embeddings", 4)
 
+    // synthesis-version marker: Bench --sf1 resynthesizes when the
+    // on-disk data predates the current perturbation scheme (v2 = the
+    // bijective per-replica token renaming)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dst/_scaleup.json"),
+      s"""{"version":2,"factor":$factor,"src":"$src"}""".getBytes("UTF-8"))
     println(s"[scaleup] wrote $dst at ${factor}x of $src")
     spark.stop()
   }

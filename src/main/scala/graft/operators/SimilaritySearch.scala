@@ -49,11 +49,19 @@ object SimilaritySearch {
     *
     * @param carry corpus columns to keep on the assigned row (via
     *              first(), constant per id)
+    * @param joinOn when non-empty, candidate centroids come from an
+    *               equi-join on these keys instead of the broadcast
+    *               cross join — the two-level (IMI-style) form, where
+    *               the centroid table is cells-sized (too big to
+    *               broadcast at constant occupancy) but each row only
+    *               meets its own partition's centroids
     */
   private[graft] def assignNearest(
       rows: DataFrame, cents: DataFrame, idCol: String, cellCol: String,
-      score: Column, minimize: Boolean, carry: Seq[String]): DataFrame = {
-    val scored = rows.crossJoin(broadcast(cents))
+      score: Column, minimize: Boolean, carry: Seq[String],
+      joinOn: Seq[String] = Nil): DataFrame = {
+    val scored = (if (joinOn.isEmpty) rows.crossJoin(broadcast(cents))
+      else rows.join(cents, joinOn))
       .withColumn("_score", score)
     val carryAggs = carry.map(c => first(col(c)).as(c))
     if (minimize) {
@@ -377,7 +385,8 @@ object SimilaritySearch {
     * Output: id_a < id_b, cosine (rounded 6), rank_ab, rank_ba.
     */
   def mutualKnnGraph(corpus: DataFrame, k: Int, exact: Boolean = false,
-      numCells: Int = 0, nprobe: Int = 4): DataFrame = {
+      numCells: Int = 0, nprobe: Int = 4,
+      targetOccupancy: Int = 0, nprobeSuper: Int = 4): DataFrame = {
     // norms once per row OUTSIDE the pair loop; the pair-loop dot is the
     // codegen FloatDot expression — the interpreted HOF fold here ran
     // the 4M-pair sf0.1 scoring in 76s, this form in ~2s, with
@@ -397,7 +406,9 @@ object SimilaritySearch {
           // only (qid, id, cosine) reaches the rank — the 2x64-float
           // payload arrays stay out of the window exchange
           .select(col("qid"), col("id"), col("cosine"))
-      } else probedSelfScored(withNorm, numCells, nprobe)
+      } else if (targetOccupancy > 0)
+        twoLevelSelfScored(withNorm, targetOccupancy, nprobeSuper, nprobe)
+      else probedSelfScored(withNorm, numCells, nprobe)
     val top = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("cosine"), col("rank"))
@@ -436,6 +447,83 @@ object SimilaritySearch {
       .filter(col("_pr") <= nprobe)
       .select(col("qid"), col("qvec"), col("_qn"), col("cell_id"))
     assigned.join(probes, Seq("cell_id")) // shuffle equi-join, no broadcast
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine",
+        graft.functions.floatDot(col("vec"), col("qvec")) /
+          (col("_n") * col("_qn")))
+      .select(col("qid"), col("id"), col("cosine"))
+  }
+
+  /** Two-level (IMI-style) recall-traded candidate scoring — the
+    * TRUE-100-TB mutual-kNN path (`mutualKnnGraph(targetOccupancy=...)`).
+    * The flat √N-cell IVF of [[probedSelfScored]] is O(N^1.5): its
+    * assignment scans N·√N centroid pairs and each probe touches
+    * √N-sized cells. Holding cell OCCUPANCY constant instead
+    * (cells = N / targetOccupancy) makes the probe join linear —
+    * N·nprobe·occupancy candidate rows — but a flat centroid table that
+    * size can neither broadcast nor be scanned per row, so the coarse
+    * quantizer goes hierarchical, exactly the FAISS IMI convention
+    * (public literature: Babenko & Lempitsky, inverted multi-index):
+    *
+    *   - level 1: k1 ≈ √cells super-centroids, broadcast argmax
+    *     (N·√cells scores);
+    *   - level 2: k2 ≈ √cells sub-centroids PER super cell (the k2
+    *     smallest ids in it), assigned via an equi-join on the super
+    *     key (N·√cells scores again — never N·cells);
+    *   - probes walk the same two levels (nprobeSuper supers, then
+    *     nprobe cells among their sub-centroids), so probe selection is
+    *     N·(√cells + nprobeSuper·√cells) scores.
+    *
+    * Total cost 3·N·√(N/occ) assignment + O(N·nprobe·occ) candidates —
+    * the √occ-discounted N^1.5 every IMI deployment pays, with the
+    * probe side (the flat form's killer) now linear. Recall is the
+    * traded quantity: a candidate is found only if BOTH docs probe into
+    * the cell holding the other, and the spec pins the measured recall
+    * against the exact graph so the trade is audited, not assumed
+    * (the q238 harness shape).
+    */
+  private def twoLevelSelfScored(
+      withNorm: DataFrame, targetOccupancy: Int, nprobeSuper: Int,
+      nprobe: Int): DataFrame = {
+    val n = withNorm.count()
+    val cells = math.max(32L, n / math.max(1, targetOccupancy))
+    val k1 = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(cells.toDouble / k1).toInt)
+    def sc(v: Column, nn: Column) =
+      graft.functions.floatDot(v, col("cvec")) / (nn * col("cnorm"))
+    val cents1 = withNorm.orderBy("id").limit(k1)
+      .select(col("id").as("super"), col("vec").as("cvec"),
+        col("_n").as("cnorm"))
+    val a1 = assignNearest(withNorm, cents1, "id", "super",
+      sc(col("vec"), col("_n")), minimize = false, carry = Seq("vec", "_n"))
+    // level-2 centroids: the k2 smallest ids within each super cell,
+    // cell_id = that doc's own (globally unique) id. Consumed by both
+    // the assignment and the probe side → one lazy checkpoint.
+    val cents2 = a1.withColumn("_rk", row_number().over(
+        Window.partitionBy("super").orderBy("id")))
+      .filter(col("_rk") <= k2)
+      .select(col("super"), col("id").as("cell_id"),
+        col("vec").as("cvec"), col("_n").as("cnorm"))
+      .localCheckpoint(false)
+    val a2 = assignNearest(a1, cents2, "id", "cell_id",
+      sc(col("vec"), col("_n")), minimize = false,
+      carry = Seq("vec", "_n"), joinOn = Seq("super"))
+    val probes1 = withNorm
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("_n").as("_qn"))
+      .crossJoin(broadcast(cents1))
+      .withColumn("_cos", sc(col("qvec"), col("_qn")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_cos").desc, col("super"))))
+      .filter(col("_pr") <= nprobeSuper)
+      .select(col("qid"), col("qvec"), col("_qn"), col("super"))
+    val probes2 = probes1.join(cents2, Seq("super"))
+      .withColumn("_cos", sc(col("qvec"), col("_qn")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_cos").desc, col("cell_id"))))
+      .filter(col("_pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("_qn"), col("cell_id"))
+    a2.join(probes2, Seq("cell_id")) // shuffle equi-join, no broadcast
       .filter(col("id") =!= col("qid"))
       .withColumn("cosine",
         graft.functions.floatDot(col("vec"), col("qvec")) /
