@@ -41,6 +41,13 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", graft.Scratchspace.sparkLocalDir)
+      // STATIC conf — binds to the first session of the JVM. When Bench
+      // --sf1 synthesizes in-process, this session is that first one:
+      // without the raise here, Bench's own 10000-entry setting is a
+      // silent no-op and the 100-entry default thrashes janino across
+      // the 277-query passes (measured: a uniform 2.3× on TPC-H-ish
+      // queries in the first r7 sf1 run)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -172,6 +172,137 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Decoded grayscale image: row-major luma values in [0, 255]. */
+  case class ImagePixels(width: Int, height: Int, gray: Array[Int])
+
+  /** The codec seam the stubs stand in for. Implementations must be
+    * deterministic and Serializable (they ride into mapPartitions
+    * closures, initialized once per partition by construction).
+    */
+  trait ImageCodec extends Serializable {
+    /** None = not a decodable image (corrupt, truncated, wrong mime). */
+    def decode(bytes: Array[Byte]): Option[ImagePixels]
+  }
+
+  /** REAL image decoder on the pure-JDK `javax.imageio` stack (PNG,
+    * BMP, GIF, JPEG — no native libs, available in any Spark executor
+    * JVM). Luma is the exact integer BT.601 form
+    * (299·R + 587·G + 114·B + 500) / 1000 — deterministic across
+    * platforms, no float rounding. With this plugged into
+    * [[resizeImage]]/[[aHashImage]], the q104/q155/q251-shaped
+    * pipelines run production-real at zero plan change: the gate
+    * queries keep the byte-stub (their corpus is text bytes and the
+    * oracle must reproduce the arithmetic); `MultimodalCodecSpec`
+    * exercises this path on in-memory PNGs.
+    */
+  object ImageIoCodec extends ImageCodec {
+    def decode(bytes: Array[Byte]): Option[ImagePixels] = {
+      if (bytes == null || bytes.isEmpty) return None
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            gray(y * w + x) = (299 * r + 587 * g + 114 * b + 500) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        Some(ImagePixels(w, h, gray))
+      }
+    }
+  }
+
+  /** Real-image resize: decode via `codec`, then EXACT integer area
+    * averaging onto an `outW`×`outH` grid (pixel (x,y) belongs to cell
+    * (x·outW div w, y·outH div h); cell value = integer mean) — the
+    * same arithmetic contract as [[resizeStub]], now over real pixels.
+    * Undecodable blobs resize to the empty string (the [[resize]]
+    * empty-blob convention), so corrupt images surface as empties
+    * downstream instead of vanishing. Same mapPartitions shape (codec
+    * init once per partition).
+    */
+  def resizeImage(
+      blobs: Dataset[Blob], outW: Int = 8, outH: Int = 8,
+      codec: ImageCodec = ImageIoCodec): Dataset[Resized] = {
+    implicit val enc = Encoders.product[Resized]
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val r = codec.decode(b.content) match {
+          case None => ""
+          case Some(p) =>
+            val sum = new Array[Long](outW * outH)
+            val cnt = new Array[Long](outW * outH)
+            var y = 0
+            while (y < p.height) {
+              val cy = (y.toLong * outH / p.height).toInt
+              var x = 0
+              while (x < p.width) {
+                val k = cy * outW + (x.toLong * outW / p.width).toInt
+                sum(k) += p.gray(y * p.width + x); cnt(k) += 1
+                x += 1
+              }
+              y += 1
+            }
+            Array.tabulate(outW * outH)(k =>
+              if (cnt(k) == 0) 0 else (sum(k) / cnt(k)).toInt).mkString(",")
+        }
+        Resized(b.id, b.content.length.toLong, r)
+      }
+    }
+  }
+
+  /** Real-image average-hash: the classic 8×8 aHash (64-bit) over
+    * [[resizeImage]]'s integer cell means — bit k set iff
+    * 64·m_k >= Σm, exactly [[aHash]]'s integer rule over real pixels.
+    * Undecodable blobs hash to 0 (the stub family's empty convention).
+    * Output feeds [[phashPairs]] unchanged (bits = 64 splits into
+    * maxDist+1 bands whenever (maxDist+1) divides 64).
+    */
+  def aHashImage(
+      blobs: Dataset[Blob], codec: ImageCodec = ImageIoCodec): Dataset[PHash] = {
+    implicit val enc = Encoders.product[PHash]
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        codec.decode(b.content) match {
+          case None => PHash(b.id, b.content.length.toLong, 0L)
+          case Some(p) =>
+            val sum = new Array[Long](64)
+            val cnt = new Array[Long](64)
+            var y = 0
+            while (y < p.height) {
+              val cy = (y.toLong * 8 / p.height).toInt
+              var x = 0
+              while (x < p.width) {
+                val k = cy * 8 + (x.toLong * 8 / p.width).toInt
+                sum(k) += p.gray(y * p.width + x); cnt(k) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val m = Array.tabulate(64)(k =>
+              if (cnt(k) == 0) 0L else sum(k) / cnt(k))
+            val s = m.sum
+            var h = 0L
+            var k = 0
+            while (k < 64) { if (m(k) * 64 >= s) h |= (1L << k); k += 1 }
+            PHash(b.id, b.content.length.toLong, h)
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling for "video" blobs: every `stride`-th
     * frame window of `frameBytes` bytes, as its own row (explode shape —
     * downstream per-frame models join on (id, frame_no)). One frame per
