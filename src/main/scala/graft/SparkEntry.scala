@@ -136,7 +136,7 @@ object SparkEntry {
   /** F9/C12 — JSON field projection from a raw document column. */
   private def q10Json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .withColumn("k", get_json_object($("props"), "$.k").cast("long"))
+      .withColumn("k", graft.functions.jsonScalarField($("props"), lit("k")).cast("long"))
       .groupBy("event_type")
       .agg(sum($("k")).as("sum_k"), count(lit(1)).as("cnt"))
 
@@ -3244,7 +3244,7 @@ object SparkEntry {
     import org.apache.spark.sql.expressions.Window
     val wk = weekofyear(to_date($("ts").cast("timestamp")))
     val counts = Tables.events(s, dir)
-      .select(concat(lit("k"), get_json_object($("props"), "$.k"))
+      .select(concat(lit("k"), graft.functions.jsonScalarField($("props"), lit("k")))
         .as("token"), wk.as("week"))
       .groupBy("token", "week").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("token").orderBy("week")
@@ -3652,7 +3652,7 @@ object SparkEntry {
     */
   private def q240VocabGrowth(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .select(get_json_object($("props"), "$.k").as("key"),
+      .select(graft.functions.jsonScalarField($("props"), lit("k")).as("key"),
         weekofyear(to_date($("ts").cast("timestamp"))).cast("long")
           .as("week"))
       .groupBy("key").agg(min($("week")).as("first_week"))

@@ -62,6 +62,15 @@ package object functions {
     */
   def nfcNormalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))
 
+  /** Codegen top-level scalar JSON field extraction — the hot-loop form
+    * of `get_json_object(json, '$.key')` (every Spark JSON built-in is a
+    * CodegenFallback that news a Jackson parser per row; see
+    * [[JsonScalarImpl.extract]] for the equivalence contract and the
+    * structured-value restriction).
+    */
+  def jsonScalarField(json: Column, key: Column): Column =
+    toCol(JsonScalarField(toExpr(json), toExpr(key)))
+
   /** Z-order (Morton) bit-interleave of two non-negative ints confined to
     * `bits` bits each — the multi-dimensional layout key:
     * `sortWithinPartitions(zOrder2(a, b))` before a columnar write keeps

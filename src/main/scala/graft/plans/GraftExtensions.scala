@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Gr
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{CdcBoundaries, DeflatedLength, FloatDot, HammingDistance, HammingDistanceLte, Int8Dot, NfcNormalize}
+import graft.functions.{CdcBoundaries, DeflatedLength, FloatDot, HammingDistance, HammingDistanceLte, Int8Dot, JsonScalarField, NfcNormalize}
 
 /** Catalyst integration (`spark.sql.extensions=graft.plans.GraftExtensions`
   * or `.withExtensions(new GraftExtensions)`):
@@ -23,13 +23,9 @@ import graft.functions.{CdcBoundaries, DeflatedLength, FloatDot, HammingDistance
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.hammingDistanceDesc)
-    ext.injectFunction(GraftExtensions.hammingDistanceLteDesc)
-    ext.injectFunction(GraftExtensions.nfcNormalizeDesc)
-    ext.injectFunction(GraftExtensions.deflatedLengthDesc)
-    ext.injectFunction(GraftExtensions.floatDotDesc)
-    ext.injectFunction(GraftExtensions.int8DotDesc)
-    ext.injectFunction(GraftExtensions.cdcBoundariesDesc)
+    // ONE list (allFunctions) feeds both injection paths — a function
+    // added to only one of them is a latent UNRESOLVED_ROUTINE
+    GraftExtensions.allFunctions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => HammingThresholdRewrite)
     ext.injectOptimizerRule(_ => RegexpCountExistenceRewrite)
   }
@@ -45,7 +41,8 @@ object GraftExtensions {
     */
   def allFunctions: Seq[FunctionDescription] = Seq(
     hammingDistanceDesc, hammingDistanceLteDesc, nfcNormalizeDesc,
-    deflatedLengthDesc, floatDotDesc, int8DotDesc, cdcBoundariesDesc)
+    deflatedLengthDesc, floatDotDesc, int8DotDesc, cdcBoundariesDesc,
+    jsonScalarFieldDesc)
 
   /** Install graft's SQL functions + optimizer rules on an EXISTING
     * session — the session-local equivalent of configuring
@@ -95,6 +92,11 @@ object GraftExtensions {
     FunctionIdentifier("int8_dot"),
     new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
     (children: Seq[Expression]) => Int8Dot(children(0), children(1)))
+
+  val jsonScalarFieldDesc: FunctionDescription = (
+    FunctionIdentifier("json_scalar_field"),
+    new ExpressionInfo(classOf[JsonScalarField].getName, "json_scalar_field"),
+    (children: Seq[Expression]) => JsonScalarField(children(0), children(1)))
 
   /** k and m must be integer literals (sketch/chunk parameters, not data). */
   val cdcBoundariesDesc: FunctionDescription = (

@@ -38,7 +38,7 @@ object Views {
           col("organism_id"))), "target_id")
       .join(broadcast(organism.select(col("organism_id"),
         col("lineage"))), Seq("organism_id"), "left")
-      .withColumn("device", get_json_object(col("details"), "$.device"))
+      .withColumn("device", jsonScalarField(col("details"), lit("device")))
       .select("sample", "target", "present", "lineage", "device")
 
   /** primary_encounter_location (reference
@@ -104,7 +104,7 @@ object Views {
       else encounter
     val base = withResp
       .join(broadcast(site.select(col("site_id"), col("identifier").as("site"),
-        get_json_object(col("details"), "$.type").as("site_type"))), "site_id")
+        jsonScalarField(col("details"), lit("type")).as("site_type"))), "site_id")
       .join(individual.select(col("individual_id"), col("sex")), "individual_id")
       .join(sample.select(col("encounter_id"), col("identifier").as("sample")),
         Seq("encounter_id"), "left")

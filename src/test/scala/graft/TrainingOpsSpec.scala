@@ -601,6 +601,59 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       UTF8String.fromString("Café")).toString == "Café")
   }
 
+  test("jsonScalarField: get_json_object equivalence on scalar domain") {
+    import spark.implicits._
+    // every supported shape + the documented divergences, checked
+    // AGAINST get_json_object itself so the contract can't drift
+    val docs = Seq(
+      """{"device":"dev1"}""",
+      """{ "device" : "dev1" , "x" : 2 }""",      // whitespace
+      """{"x":1,"device":"dev2"}""",              // later member
+      """{"device":"a\"b\\c\/d\n\té"}""",    // escapes incl \uXXXX
+      """{"device":42}""",                        // integer: both agree
+      """{"device":true}""",
+      """{"device":null}""",                      // JSON null -> SQL null
+      """{"x":{"device":"nested"},"device":"top"}""", // nested decoy
+      """{"x":[1,"device",{"device":"in arr"}],"device":"after arr"}""",
+      """{"other":"v"}""",                        // absent
+      """{"devicex":"v"}""",                      // prefix key
+      """not json""",
+      """[1,2]""",                                // non-object top
+      """""",
+      """{"device":"unterminated""")              // malformed
+      .toDF("j")
+    val both = docs.select(
+        get_json_object(col("j"), "$.device").as("ref"),
+        graft.functions.jsonScalarField(col("j"), lit("device")).as("got"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    both.zipWithIndex.foreach { case ((ref, got), i) =>
+      assert(got == ref, s"row $i: get_json_object=$ref jsonScalarField=$got")
+    }
+    // documented restriction: structured values return null (the
+    // built-in re-serializes them) — the ONE intended divergence
+    val s = Seq("""{"device":{"a":1},"z":"after"}""",
+        """{"device":[1,2],"z":"after"}""").toDF("j")
+      .select(graft.functions.jsonScalarField(col("j"), lit("device")),
+        graft.functions.jsonScalarField(col("j"), lit("z")))
+      .collect()
+    s.foreach { r =>
+      assert(r.isNullAt(0))
+      assert(r.getString(1) == "after") // scanner skips structures cleanly
+    }
+    // second documented divergence: non-canonical numbers come back AS
+    // WRITTEN; get_json_object re-serializes through Jackson (4.50→4.5).
+    // Integer-valued fields — the gate's domain — agree exactly.
+    val num = Seq("""{"device":4.50}""").toDF("j").select(
+      get_json_object(col("j"), "$.device"),
+      graft.functions.jsonScalarField(col("j"), lit("device"))).head()
+    assert(num.getString(0) == "4.5" && num.getString(1) == "4.50")
+    // SQL registration works
+    graft.plans.GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql(
+      """select json_scalar_field('{"k":"v"}', 'k')""").head().getString(0)
+    assert(viaSql == "v")
+  }
+
   test("duplicateWindowStats: cross-doc, intra-doc and blank-doc windows") {
     import spark.implicits._
     val df = Seq(
