@@ -158,7 +158,7 @@ object Dedup {
     * budget. The estimate job itself only shuffles the vocabulary-sized
     * gram histogram — linear, never pair mass.
     */
-  private def requireCandidateBudget(
+  private[operators] def requireCandidateBudget(
       op: String, massOf2x: DataFrame, budget: Long, hint: String): Unit = {
     val two = massOf2x.collect()(0).getDecimal(0)
     val est = two.divide(java.math.BigDecimal.valueOf(2))
@@ -631,13 +631,30 @@ object Dedup {
     */
   def simhashPairs(
       fingerprints: DataFrame, // columns: id, simhash
-      maxHamming: Int = 6, numBands: Int = 4, bits: Int = 60): DataFrame = {
+      maxHamming: Int = 6, numBands: Int = 4, bits: Int = 60,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
     val chunk = bits / numBands
-    val banded = fingerprints.select(col("id"), col("simhash"),
+    val banded0 = fingerprints.select(col("id"), col("simhash"),
       posexplode(array((0 until numBands).map { b =>
         shiftright(col("simhash"), b * chunk)
           .bitwiseAND(lit((1L << chunk) - 1))
       }: _*)).as(Seq("band", "bucket")))
+    val banded = if (maxCandidatePairs.isDefined)
+      banded0.localCheckpoint(false) else banded0
+    maxCandidatePairs.foreach { budget =>
+      // exact bucket pair mass: Σ over (band, bucket) of c·(c−1)/2 —
+      // degenerate hash distributions (template corpora pile most docs
+      // into a few buckets) are caught before the self-join is written
+      val c = col("_c").cast("decimal(38,0)")
+      requireCandidateBudget("simhashPairs",
+        banded.groupBy("band", "bucket").agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(c * (c - lit(1))),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
+        budget,
+        "Raise `bits` (a more discriminative fingerprint), lower " +
+          "maxHamming (fewer, smaller bands), or pre-shard the corpus " +
+          "— this hash distribution piles documents into few buckets.")
+    }
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

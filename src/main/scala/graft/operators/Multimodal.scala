@@ -147,7 +147,8 @@ object Multimodal {
     * Output: id_a < id_b, hash_a, hash_b, hamming (<= maxDist).
     */
   def phashPairs(
-      hashes: DataFrame, bits: Int, maxDist: Int): DataFrame = {
+      hashes: DataFrame, bits: Int, maxDist: Int,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
     val nBands = maxDist + 1
     require(bits % nBands == 0,
       s"bits $bits must divide into ${nBands} bands")
@@ -156,9 +157,26 @@ object Multimodal {
     val bands = (0 until nBands).map(bn => struct(lit(bn).as("band"),
       shiftrightunsigned(col("phash"), bn * bandBits)
         .bitwiseAND(lit(mask)).as("bval")))
-    val posting = hashes
+    val posting0 = hashes
       .select(col("id"), col("phash"), explode(array(bands: _*)).as("b"))
       .select(col("id"), col("phash"), col("b.band"), col("b.bval"))
+    val posting = if (maxCandidatePairs.isDefined)
+      posting0.localCheckpoint(false) else posting0
+    maxCandidatePairs.foreach { budget =>
+      // same pigeonhole-bucket circuit breaker as Dedup.simhashPairs:
+      // Σ over (band, bval) of c·(c−1)/2 is the exact self-join mass —
+      // a degenerate hash distribution (near-identical byte histograms,
+      // e.g. a template corpus) fails fast instead of writing it
+      val c = col("_c").cast("decimal(38,0)")
+      Dedup.requireCandidateBudget("phashPairs",
+        posting.groupBy("band", "bval").agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(c * (c - lit(1))),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
+        budget,
+        "Raise `bits` (a more discriminative perceptual hash), lower " +
+          "maxDist (fewer, smaller bands), or pre-shard the corpus — " +
+          "this hash distribution piles blobs into few buckets.")
+    }
     val a = posting.select(col("id").as("id_a"), col("phash").as("hash_a"),
       col("band"), col("bval"))
     val b = posting.select(col("id").as("id_b"), col("phash").as("hash_b"),

@@ -126,6 +126,38 @@ class CandidateMassSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() === 0L)
   }
 
+  test("pigeonhole-band guards: simhashPairs and phashPairs fail fast " +
+      "on degenerate hash distributions") {
+    import spark.implicits._
+    // identical texts → identical simhash → every band bucket holds all
+    // 40 docs: bucket pair mass = 4 bands × C(40,2) = 3120
+    val fps = Dedup.simhash(templateCorpus, "id", "text")
+    val e = intercept[CandidateMassExceededException] {
+      Dedup.simhashPairs(fps, maxCandidatePairs = Some(1000L))
+    }
+    assert(e.estimated.longValueExact() === 3120L)
+    assert(e.getMessage.contains("bits"))
+    // distinct corpus passes through unchanged
+    val okFps = Dedup.simhash(distinctCorpus, "id", "text")
+    assert(Dedup.simhashPairs(okFps,
+      maxCandidatePairs = Some(100000L)).count() ===
+      Dedup.simhashPairs(okFps).count())
+    // phashPairs: same construction over perceptual hashes
+    val hashes = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 1024L))
+      .toDF("id", "phash")
+    val e2 = intercept[CandidateMassExceededException] {
+      graft.operators.Multimodal.phashPairs(hashes, bits = 32, maxDist = 3,
+        maxCandidatePairs = Some(2L))
+    }
+    // 4 bands of 8 bits: hash 5 lives in band 0, hash 1024 in band 1,
+    // so bands 2–3 bucket all four ids (2·C(4,2)=12) and bands 0–1
+    // bucket {1,2,3} vs {4} (2·C(3,2)=6) → 18 candidate pairs
+    assert(e2.estimated.longValueExact() === 18L)
+    assert(graft.operators.Multimodal.phashPairs(hashes, 32, 3,
+      maxCandidatePairs = Some(1000L)).count() ===
+      graft.operators.Multimodal.phashPairs(hashes, 32, 3).count())
+  }
+
   test("jaccardPairsAuto routes: exact when affordable, LSH-gated when " +
       "the estimate blows the budget") {
     // affordable: selective corpus, exact path → 0 pairs, no throw
