@@ -22,9 +22,15 @@ object Bench {
       else "BENCH_sf1_r07.json"
     if (sf1Mode) {
       val marker = java.nio.file.Paths.get("dev/sf1/_scaleup.json")
-      val fresh = java.nio.file.Files.exists(marker) && new String(
-        java.nio.file.Files.readAllBytes(marker), "UTF-8")
-        .contains("\"version\":2")
+      // freshness = scheme version AND the exact synthesis parameters —
+      // a dev/sf1 hand-built at another factor/src must not masquerade
+      // as the 10x artifact baseline
+      val fresh = java.nio.file.Files.exists(marker) && {
+        val m = new String(
+          java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        m.contains("\"version\":2") && m.contains("\"factor\":10") &&
+          m.contains("\"src\":\"/root/testdata/sf0.1\"")
+      }
       if (!fresh)
         graft.dev.ScaleUp.main(Array("/root/testdata/sf0.1", "dev/sf1", "10"))
     }

@@ -61,9 +61,14 @@ case class HammingDistance(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: non-nullable children inline this without a brace
+      // scope — a fixed name would collide across instances (latent
+      // until a projection carries two hamming_distance calls over
+      // non-null columns)
+      val d = ctx.freshName("graftDist")
       s"""
-         |int graftD = graft.functions.HammingImpl.distance($a, $b);
-         |if (graftD < 0) { ${ev.isNull} = true; } else { ${ev.value} = graftD; }
+         |int $d = graft.functions.HammingImpl.distance($a, $b);
+         |if ($d < 0) { ${ev.isNull} = true; } else { ${ev.value} = $d; }
        """.stripMargin
     })
 

@@ -13,8 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `JsonTuple`) is a `CodegenFallback` that instantiates a Jackson
   * parser per row — measured ~1.3 s of q53_pa_v2's 1.9 s at sf0.1 for a
   * 20-char document, and identical costs for all three built-ins
-  * (dev/ProbeQ53). This scanner allocates nothing but the result,
-  * stays inside whole-stage codegen (one static call per row), and
+  * (dev/ProbeQ53). This scanner allocates one String copy of the
+  * document per row plus the result — no parser object, no token
+  * stream (a direct UTF8String byte scan would drop the copy too;
+  * structural JSON chars are ASCII, so that is the documented next
+  * step if profiles ever blame the copy) — stays inside whole-stage
+  * codegen (one static call per row; measured q53 2.9 → 0.77 s), and
   * matches `get_json_object` semantics on its supported domain:
   *
   *   - top-level object with the key mapped to a string / number /
@@ -74,6 +78,9 @@ object JsonScalarImpl {
           val st = i
           while (i < n && s.charAt(i) != ',' && s.charAt(i) != '}' &&
             !isWs(s.charAt(i))) i += 1
+          // an empty literal ({"k":} / {"k":,...}) is malformed JSON —
+          // null, like get_json_object, regardless of which key matched
+          if (i == st) return null
           if (matches) {
             val lit = s.substring(st, i)
             return if (lit == "null") null else UTF8String.fromString(lit)
@@ -189,9 +196,13 @@ case class JsonScalarField(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (json, key) => {
+      // freshName: with non-nullable children nullSafeCodeGen inlines
+      // this WITHOUT a brace scope, so a fixed local name would janino-
+      // collide when two instances land in one generated method
+      val r = ctx.freshName("graftJson")
       s"""
-         |UTF8String graftJ = graft.functions.JsonScalarImpl.extract($json, $key);
-         |if (graftJ == null) { ${ev.isNull} = true; } else { ${ev.value} = graftJ; }
+         |UTF8String $r = graft.functions.JsonScalarImpl.extract($json, $key);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
 

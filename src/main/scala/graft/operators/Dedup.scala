@@ -184,18 +184,30 @@ object Dedup {
     // job and the real plan — checkpoint it once
     val sh = if (maxCandidatePairs.isDefined) sh0.localCheckpoint(false)
       else sh0
+    // ONE vocabulary histogram serves both the dfCap filter and the
+    // guard estimate (the guard over a capped corpus reads the SAME
+    // capped rows the join will see — no second gram shuffle)
+    val freq0 = if (dfCap.isDefined || maxCandidatePairs.isDefined)
+      Some(sh.groupBy("gram").agg(count(lit(1)).as("_df")))
+    else None
+    // checkpoint only when the histogram has two consumers (estimate
+    // job + filter join); a single consumer reads it straight through
+    val freq = if (dfCap.isDefined && maxCandidatePairs.isDefined)
+      freq0.map(_.localCheckpoint(false)) else freq0
+    val capped = (freq, dfCap) match {
+      case (Some(f), Some(cap)) => Some(f.filter(col("_df") <= cap))
+      case (Some(f), None) => Some(f)
+      case _ => None
+    }
     val filtered = dfCap match {
-      case Some(cap) =>
-        val freq = sh.groupBy("gram").count().filter(col("count") <= cap)
-        sh.join(freq.select("gram"), "gram")
+      case Some(_) => sh.join(capped.get.select("gram"), "gram")
       case None => sh
     }
     maxCandidatePairs.foreach { budget =>
       val d = col("_df").cast("decimal(38,0)")
       requireCandidateBudget("ngramPairCounts",
-        filtered.groupBy("gram").agg(count(lit(1)).as("_df"))
-          .agg(coalesce(sum(d * (d - lit(1))),
-            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
+        capped.get.agg(coalesce(sum(d * (d - lit(1))),
+          lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
         budget, LshHint)
     }
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))

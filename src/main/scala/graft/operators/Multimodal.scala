@@ -216,9 +216,12 @@ object Multimodal {
   object ImageIoCodec extends ImageCodec {
     def decode(bytes: Array[Byte]): Option[ImagePixels] = {
       if (bytes == null || bytes.isEmpty) return None
+      // plugin readers throw RuntimeExceptions (IllegalArgument, AIOOBE,
+      // CMMException...) on malformed images, not just IOException — a
+      // corrupt blob must become None, never a task-killing throw
       val img = try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val w = img.getWidth
@@ -257,6 +260,8 @@ object Multimodal {
     implicit val enc = Encoders.product[Resized]
     blobs.mapPartitions { it =>
       it.map { b =>
+        // decode() guards null content; the metadata must too
+        val len = if (b.content == null) 0L else b.content.length.toLong
         val r = codec.decode(b.content) match {
           case None => ""
           case Some(p) =>
@@ -276,7 +281,7 @@ object Multimodal {
             Array.tabulate(outW * outH)(k =>
               if (cnt(k) == 0) 0 else (sum(k) / cnt(k)).toInt).mkString(",")
         }
-        Resized(b.id, b.content.length.toLong, r)
+        Resized(b.id, len, r)
       }
     }
   }
@@ -293,8 +298,9 @@ object Multimodal {
     implicit val enc = Encoders.product[PHash]
     blobs.mapPartitions { it =>
       it.map { b =>
+        val len = if (b.content == null) 0L else b.content.length.toLong
         codec.decode(b.content) match {
-          case None => PHash(b.id, b.content.length.toLong, 0L)
+          case None => PHash(b.id, len, 0L)
           case Some(p) =>
             val sum = new Array[Long](64)
             val cnt = new Array[Long](64)
@@ -315,7 +321,7 @@ object Multimodal {
             var h = 0L
             var k = 0
             while (k < 64) { if (m(k) * 64 >= s) h |= (1L << k); k += 1 }
-            PHash(b.id, b.content.length.toLong, h)
+            PHash(b.id, len, h)
         }
       }
     }

@@ -19,9 +19,14 @@ class CoverageGuardSpec extends AnyFunSuite {
 
   // top-level members of an object/class body in this codebase are
   // indented exactly two spaces; nested local defs sit deeper and are
-  // implementation detail, not API
+  // implementation detail, not API. The modifier chain is captured so
+  // `final def` / `implicit def` / `lazy def` members can't slip past
+  // the guard; excluded are private/protected visibility AND
+  // `override` (an override implements an EXISTING interface — e.g.
+  // Catalyst Expression's dataType/nullSafeEval — so it cannot be a
+  // duplicated new operator, the failure mode this guard exists for).
   private val MemberDef =
-    """(?m)^  (?:(private\S*|protected\S*)\s+)?def\s+(\w+)""".r
+    """(?m)^  ((?:(?:private|protected)(?:\[\w+\])?|final|implicit|override|lazy)\s+)*def\s+(\w+)""".r
 
   private def publicMembers(dir: String): Seq[(String, String)] = {
     val d = Paths.get(s"src/main/scala/graft/$dir")
@@ -31,7 +36,9 @@ class CoverageGuardSpec extends AnyFunSuite {
       .flatMap { f =>
         val src = Files.readString(f)
         MemberDef.findAllMatchIn(src).collect {
-          case m if m.group(1) == null =>
+          case m if !m.matched.contains("private") &&
+              !m.matched.contains("protected") &&
+              !m.matched.contains("override") =>
             (f.getFileName.toString, m.group(2))
         }
       }

@@ -67,6 +67,12 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
       Blob(2L, "garbage".getBytes("UTF-8"), "image/png")).toDS()
     val got = Multimodal.resizeImage(blobs, outW = 4, outH = 4)
       .collect().map(r => r.id -> r.resized).toMap
+    // null content must surface as an empty row, not an NPE (review r7)
+    val nullBlob = Multimodal.resizeImage(
+      Seq(Blob(9L, null, "image/png")).toDS()).head()
+    assert(nullBlob.byte_len === 0L && nullBlob.resized === "")
+    assert(Multimodal.aHashImage(
+      Seq(Blob(9L, null, "image/png")).toDS()).head().phash === 0L)
     // reference: same integer area-average computed directly in the test
     val p = ImageIoCodec.decode(bytes).get
     val sum = new Array[Long](16); val cnt = new Array[Long](16)

@@ -647,11 +647,27 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       get_json_object(col("j"), "$.device"),
       graft.functions.jsonScalarField(col("j"), lit("device"))).head()
     assert(num.getString(0) == "4.5" && num.getString(1) == "4.50")
+    // malformed empty values are null for EVERY key, not "" (review r7)
+    val mf = Seq("""{"device":}""", """{"device":,"z":1}""").toDF("j")
+      .select(graft.functions.jsonScalarField(col("j"), lit("device")),
+        graft.functions.jsonScalarField(col("j"), lit("z")))
+      .collect()
+    mf.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
     // SQL registration works
     graft.plans.GraftExtensions.registerAll(spark)
     val viaSql = spark.sql(
       """select json_scalar_field('{"k":"v"}', 'k')""").head().getString(0)
     assert(viaSql == "v")
+    // two instances over non-nullable inputs share one codegen method —
+    // fixed local names would janino-collide (freshName regression)
+    val two = Seq(("""{"a":"1"}""", """{"b":"2"}""")).toDF("x", "y")
+      .select(
+        graft.functions.jsonScalarField(coalesce(col("x"), lit("{}")),
+          lit("a")).as("a"),
+        graft.functions.jsonScalarField(coalesce(col("y"), lit("{}")),
+          lit("b")).as("b"))
+      .head()
+    assert(two.getString(0) == "1" && two.getString(1) == "2")
   }
 
   test("duplicateWindowStats: cross-doc, intra-doc and blank-doc windows") {
