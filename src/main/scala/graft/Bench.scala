@@ -28,7 +28,7 @@ object Bench {
       val fresh = java.nio.file.Files.exists(marker) && {
         val m = new String(
           java.nio.file.Files.readAllBytes(marker), "UTF-8")
-        m.contains("\"version\":2") && m.contains("\"factor\":10") &&
+        m.contains("\"version\":2") && m.contains("\"factor\":10,") &&
           m.contains("\"src\":\"/root/testdata/sf0.1\"")
       }
       if (!fresh)

@@ -4295,6 +4295,19 @@ object SparkEntry {
         shingleN = 4, threshold = 0.5)
       .withColumn("jaccard", round($("jaccard"), 6))
 
+  /** Mutual-kNN via the two-level IMI quantizer — the constant-occupancy
+    * 100 TB form of q161 (cells = N/8 here, so the per-cell quadratic
+    * term never grows with the corpus; candidates are symmetrized so a
+    * pair is lost only if NEITHER side probes the other's cell, recall
+    * 0.963 spec-pinned). The flat q161 stays as the √N-cells reference
+    * shape; this is the one a 1000-executor deployment runs.
+    */
+  private def q278MutualKnnImi(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.mutualKnnGraph(
+      t(s, dir, "embeddings").select($("vec_id").as("id"),
+        $("embedding").as("vec")),
+      k = 10, targetOccupancy = 8, nprobeSuper = 4, nprobe = 4)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4575,6 +4588,7 @@ object SparkEntry {
     "q275_record_linkage" -> (q275RecordLinkage _),
     "q276_winsorized" -> (q276Winsorized _),
     "q277_lsh_jaccard" -> (q277LshJaccard _),
+    "q278_mutual_knn_imi" -> (q278MutualKnnImi _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9455,5 +9469,56 @@ object SparkEntry {
         |            JOIN base y ON y.doc_id = id_b)
         |SELECT id_a, id_b, round(i::DOUBLE / (sa + sb - i), 6) AS jaccard
         |FROM j WHERE i::DOUBLE / (sa + sb - i) >= 0.5""".stripMargin,
+    "q278_mutual_knn_imi" ->
+      """WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |             FROM embeddings),
+        |par AS (SELECT greatest(32, count(*) // 8) AS cells FROM emb),
+        |kk AS (SELECT cells,
+        |  greatest(4, CAST(ceil(sqrt(cells)) AS BIGINT)) AS k1 FROM par),
+        |kp AS (SELECT cells, k1,
+        |  greatest(1, CAST(ceil(cells / k1) AS BIGINT)) AS k2 FROM kk),
+        |c1 AS (SELECT id AS super, v AS cv FROM emb ORDER BY id
+        |       LIMIT (SELECT k1 FROM kp)),
+        |a1 AS (SELECT id, v, super FROM (
+        |  SELECT e.id, e.v, c.super,
+        |    row_number() OVER (PARTITION BY e.id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.super) AS rn
+        |  FROM emb e CROSS JOIN c1 c) WHERE rn = 1),
+        |c2 AS (SELECT super, id AS cell_id, v AS cv FROM (
+        |  SELECT super, id, v,
+        |    row_number() OVER (PARTITION BY super ORDER BY id) AS rk
+        |  FROM a1) WHERE rk <= (SELECT k2 FROM kp)),
+        |a2 AS (SELECT id, v, cell_id FROM (
+        |  SELECT a.id, a.v, c.cell_id,
+        |    row_number() OVER (PARTITION BY a.id
+        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cell_id)
+        |      AS rn
+        |  FROM a1 a JOIN c2 c USING (super)) WHERE rn = 1),
+        |p1 AS (SELECT qid, qv, super FROM (
+        |  SELECT q.id AS qid, q.v AS qv, c.super,
+        |    row_number() OVER (PARTITION BY q.id
+        |      ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.super) AS rn
+        |  FROM emb q CROSS JOIN c1 c) WHERE rn <= 4),
+        |p2 AS (SELECT qid, qv, cell_id FROM (
+        |  SELECT p.qid, p.qv, c.cell_id,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY list_cosine_similarity(p.qv, c.cv) DESC, c.cell_id)
+        |      AS rn
+        |  FROM p1 p JOIN c2 c USING (super)) WHERE rn <= 4),
+        |raw AS (SELECT p.qid, a.id, list_cosine_similarity(a.v, p.qv) AS cos
+        |  FROM a2 a JOIN p2 p USING (cell_id) WHERE a.id <> p.qid),
+        |cand AS (SELECT qid, id, max(cos) AS cos FROM (
+        |  SELECT qid, id, cos FROM raw
+        |  UNION ALL SELECT id AS qid, qid AS id, cos FROM raw)
+        |  GROUP BY 1, 2),
+        |tk AS (SELECT qid, id, cos, rank FROM (
+        |  SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+        |      AS rank
+        |  FROM cand) WHERE rank <= 10)
+        |SELECT a.qid AS id_a, a.id AS id_b, round(a.cos, 6) AS cosine,
+        |  CAST(a.rank AS BIGINT) AS rank_ab, CAST(b.rank AS BIGINT) AS rank_ba
+        |FROM tk a JOIN tk b ON b.qid = a.id AND b.id = a.qid
+        |WHERE a.qid < a.id""".stripMargin,
   )
 }

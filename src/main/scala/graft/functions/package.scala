@@ -62,11 +62,11 @@ package object functions {
     */
   def nfcNormalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))
 
-  /** Codegen top-level scalar JSON field extraction — the hot-loop form
-    * of `get_json_object(json, '$.key')` (every Spark JSON built-in is a
+  /** Codegen top-level JSON field extraction — the hot-loop form of
+    * `get_json_object(json, '$.key')` (every Spark JSON built-in is a
     * CodegenFallback that news a Jackson parser per row; see
-    * [[JsonScalarImpl.extract]] for the equivalence contract and the
-    * structured-value restriction).
+    * [[JsonScalarImpl.extract]] for the equivalence contract —
+    * structured values come back as raw serialized text).
     */
   def jsonScalarField(json: Column, key: Column): Column =
     toCol(JsonScalarField(toExpr(json), toExpr(key)))

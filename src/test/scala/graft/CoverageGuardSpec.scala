@@ -30,9 +30,12 @@ class CoverageGuardSpec extends AnyFunSuite {
 
   private def publicMembers(dir: String): Seq[(String, String)] = {
     val d = Paths.get(s"src/main/scala/graft/$dir")
-    Files.list(d).iterator().asScala
+    val listing = Files.list(d)
+    val files =
+      try listing.iterator().asScala.toSeq finally listing.close()
+    files
       .filter(_.toString.endsWith(".scala"))
-      .toSeq.sortBy(_.toString)
+      .sortBy(_.toString)
       .flatMap { f =>
         val src = Files.readString(f)
         MemberDef.findAllMatchIn(src).collect {

@@ -620,7 +620,12 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       """not json""",
       """[1,2]""",                                // non-object top
       """""",
-      """{"device":"unterminated""")              // malformed
+      """{"device":"unterminated""",              // malformed
+      """{"device":"bad\""" + """x"}""",          // invalid escape → null
+      """{"device":"bad\""" + """u12"}""",        // truncated \u → null
+      """{"device":"bad\""" + """uZZZZ"}""",      // non-hex \u → null
+      "{\"device\":\"a\nb\"}",                    // raw ctrl char: permitted
+      """{"x":"bad\""" + """q","device":"later"}""") // strict: poisons doc
       .toDF("j")
     val both = docs.select(
         get_json_object(col("j"), "$.device").as("ref"),
@@ -629,17 +634,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     both.zipWithIndex.foreach { case ((ref, got), i) =>
       assert(got == ref, s"row $i: get_json_object=$ref jsonScalarField=$got")
     }
-    // documented restriction: structured values return null (the
-    // built-in re-serializes them) — the ONE intended divergence
+    // structured values: raw serialized text, byte-equal to the
+    // built-in's Jackson re-serialization on whitespace-free documents
     val s = Seq("""{"device":{"a":1},"z":"after"}""",
         """{"device":[1,2],"z":"after"}""").toDF("j")
-      .select(graft.functions.jsonScalarField(col("j"), lit("device")),
+      .select(get_json_object(col("j"), "$.device"),
+        graft.functions.jsonScalarField(col("j"), lit("device")),
         graft.functions.jsonScalarField(col("j"), lit("z")))
       .collect()
     s.foreach { r =>
-      assert(r.isNullAt(0))
-      assert(r.getString(1) == "after") // scanner skips structures cleanly
+      assert(r.getString(1) == r.getString(0)) // agrees with the built-in
+      assert(r.getString(2) == "after") // scanner skips structures cleanly
     }
+    // documented structured divergence: interior whitespace is kept
+    // as-written (get_json_object strips it via Jackson)
+    val ws = Seq("""{ "device" : { "a" : 1 } }""").toDF("j").select(
+      get_json_object(col("j"), "$.device"),
+      graft.functions.jsonScalarField(col("j"), lit("device"))).head()
+    assert(ws.getString(0) == """{"a":1}""")
+    assert(ws.getString(1) == """{ "a" : 1 }""")
     // second documented divergence: non-canonical numbers come back AS
     // WRITTEN; get_json_object re-serializes through Jackson (4.50→4.5).
     // Integer-valued fields — the gate's domain — agree exactly.
