@@ -4308,6 +4308,25 @@ object SparkEntry {
         $("embedding").as("vec")),
       k = 10, targetOccupancy = 8, nprobeSuper = 4, nprobe = 4)
 
+  /** LSH-gated exact containment (Dedup.lshContainmentPairs) — the
+    * approximate path for the q147 class, whose exact prefix-filter
+    * probe constant exceeds the sf10 budget. Narrow (2-wide) minhash
+    * bands because containment-t pairs carry Jaccard only ~t/(1+ρ−t);
+    * candidate recall 256/256 vs exact q147 at sf0.1 (q280 audits).
+    */
+  private def q279LshContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshContainmentPairs(docs(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
+  /** Containment-LSH recall audit (Dedup.containmentRecallAudit):
+    * confusion counts of q279's banded path against q147's exact pair
+    * set — the per-corpus knob-tuning row that makes the approximate
+    * path's trade measured, not assumed.
+    */
+  private def q280ContainmentRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentRecallAudit(docs(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4589,6 +4608,8 @@ object SparkEntry {
     "q276_winsorized" -> (q276Winsorized _),
     "q277_lsh_jaccard" -> (q277LshJaccard _),
     "q278_mutual_knn_imi" -> (q278MutualKnnImi _),
+    "q279_lsh_containment" -> (q279LshContainment _),
+    "q280_containment_recall" -> (q280ContainmentRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9520,5 +9541,82 @@ object SparkEntry {
         |  CAST(a.rank AS BIGINT) AS rank_ab, CAST(b.rank AS BIGINT) AS rank_ba
         |FROM tk a JOIN tk b ON b.qid = a.id AND b.id = a.qid
         |WHERE a.qid < a.id""".stripMargin,
+    "q279_lsh_containment" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+2], ' ')
+        |            for i in range(1, greatest(len(l)-2, 1)+1)])] AS bs
+        |  FROM tk),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl]
+        |    AS sg
+        |  FROM base, css),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a, sig b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_filter(range(0, 8),
+        |          b2 -> a.sg[b2*2+1:b2*2+2] = b.sg[b2*2+1:b2*2+2])) > 0),
+        |j AS (SELECT id_a, id_b,
+        |    len(list_intersect(x.bs, y.bs)) AS i,
+        |    len(x.bs) AS sa, len(y.bs) AS sb
+        |  FROM cand JOIN base x ON x.doc_id = id_a
+        |            JOIN base y ON y.doc_id = id_b
+        |  WHERE greatest(len(x.bs), len(y.bs))::DOUBLE
+        |          <= 2.0 * least(len(x.bs), len(y.bs))::DOUBLE)
+        |SELECT id_a, id_b, round(i::DOUBLE / sa, 6) AS c_ab,
+        |  round(i::DOUBLE / sb, 6) AS c_ba
+        |FROM j WHERE greatest(round(i::DOUBLE / sa, 6),
+        |                      round(i::DOUBLE / sb, 6)) >= 0.5""".stripMargin,
+    "q280_containment_recall" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+2], ' ')
+        |            for i in range(1, greatest(len(l)-2, 1)+1)])] AS bs
+        |  FROM tk),
+        |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM base a JOIN base b ON a.doc_id < b.doc_id
+        |  WHERE greatest(
+        |      round(len(list_intersect(a.bs, b.bs))::DOUBLE / len(a.bs), 6),
+        |      round(len(list_intersect(a.bs, b.bs))::DOUBLE / len(b.bs), 6))
+        |    >= 0.5),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 16)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl]
+        |    AS sg
+        |  FROM base, css),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a, sig b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_filter(range(0, 8),
+        |          b2 -> a.sg[b2*2+1:b2*2+2] = b.sg[b2*2+1:b2*2+2])) > 0),
+        |lsh AS (SELECT id_a, id_b FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    len(list_intersect(x.bs, y.bs)) AS i,
+        |    len(x.bs) AS sa, len(y.bs) AS sb
+        |  FROM cand c JOIN base x ON x.doc_id = c.id_a
+        |              JOIN base y ON y.doc_id = c.id_b
+        |  WHERE greatest(len(x.bs), len(y.bs))::DOUBLE
+        |          <= 2.0 * least(len(x.bs), len(y.bs))::DOUBLE)
+        |  WHERE greatest(round(i::DOUBLE / sa, 6),
+        |                 round(i::DOUBLE / sb, 6)) >= 0.5),
+        |f AS (SELECT coalesce(e.id_a, l.id_a) AS id_a,
+        |    e.id_a IS NOT NULL AS in_e, l.id_a IS NOT NULL AS in_l
+        |  FROM ex e FULL JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b),
+        |c AS (SELECT count(*) FILTER (in_e) AS n_exact,
+        |    count(*) FILTER (in_l) AS n_lsh,
+        |    count(*) FILTER (in_e AND in_l) AS n_both FROM f)
+        |SELECT n_exact, n_lsh, n_both,
+        |  n_exact - n_both AS n_exact_only,
+        |  n_lsh - n_both AS n_lsh_only,
+        |  CASE WHEN n_exact > 0
+        |    THEN round(n_both::DOUBLE / n_exact, 6) ELSE 1.0 END AS recall
+        |FROM c""".stripMargin,
   )
 }

@@ -171,8 +171,14 @@ object Dedup {
   }
 
   private val LshHint = "Use lshJaccardPairs (LSH-gated exact Jaccard, " +
-    "the CCNet/C4 production shape) or the minhash/simhash sketch " +
-    "family instead, or raise maxCandidatePairs deliberately."
+    "the CCNet/C4 production shape), lshContainmentPairs for the " +
+    "containment predicate, or the minhash/simhash sketch family " +
+    "instead, or raise maxCandidatePairs deliberately."
+
+  private val ContainmentHint = "Use lshContainmentPairs (banded " +
+    "minhash candidates, exact containment verified on the sliver — " +
+    "answers the same |A∩B|/min predicate approximately) or raise " +
+    "maxCandidatePairs deliberately."
 
   private def ngramPairCounts(
       df: DataFrame, idCol: String, textCol: String,
@@ -418,7 +424,7 @@ object Dedup {
           .agg(coalesce(sum(lit(2) * col("_pdf").cast("decimal(38,0)") *
             col("_df").cast("decimal(38,0)")),
             lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
-        budget, LshHint)
+        budget, ContainmentHint)
     }
     // smaller side probes its prefix against the larger side's full set;
     // size ties probe both ways, the unordered-pair distinct dedups.
@@ -1230,6 +1236,122 @@ object Dedup {
         (col("_sza") + col("_szb") - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** LSH-gated exact CONTAINMENT join — the approximate path for the
+    * [[prefixFilterContainmentPairs]] class, whose exact prefix-filter
+    * candidate constant is intrinsic (the prefix is (1−t)·|S|+1 grams
+    * per doc probing FULL postings; measured over the 900 s sf10 budget
+    * on the template-vocabulary corpus). Same MinHash band candidates
+    * as [[lshJaccardPairs]] but with NARROWER bands (default 2-wide ×
+    * 8, same 16-hash budget): a containment-t pair of size ratio ρ has
+    * Jaccard only t/(1+ρ−t), so the 4-wide Jaccard bands would miss it.
+    * Exact containment is then verified on the candidate sliver — the
+    * reported c_ab/c_ba are TRUE values over distinct-shingle sets.
+    *
+    * DOMAIN: pairs within `maxRatio` size ratio (default 2). Beyond
+    * that, banding's detect probability decays with J ≈ t/ρ and recall
+    * would be silently uncontrolled — so out-of-ratio pairs are
+    * excluded by contract rather than half-found (the full
+    * generalization is size-partitioned per-stratum band widths — LSH
+    * Ensemble, Zhu/Nandi/Miller VLDB 2016 — which this corpus's pair
+    * profile does not need: every sf0.1 exact pair sits under ratio
+    * 1.25, and the measured candidate recall there is 256/256 at these
+    * defaults). Audit per corpus with [[containmentRecallAudit]].
+    *
+    * Output schema matches the exact forms: (id_a < id_b, c_ab, c_ba
+    * rounded 6, max ≥ threshold).
+    */
+  def lshContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      numHashes: Int = 16, bandSize: Int = 2,
+      maxRatio: Double = 2.0): DataFrame = {
+    require(numHashes % bandSize == 0,
+      s"numHashes ($numHashes) must be a multiple of bandSize ($bandSize):" +
+        " leftover signature positions would be silently dropped," +
+        " quietly lowering recall versus the configured hash budget")
+    val numBands = numHashes / bandSize
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val banded = sigs.select(col("id"),
+      posexplode(bandBuckets(col("sig"), numBands, bandSize))
+        .as(Seq("band", "bucket")))
+    // same ReuseExchange-over-broadcast reasoning as minhashLshPairs
+    val cand = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = df.select(col(idCol).as("id"),
+        array_distinct(transform(wordShingles(col(textCol), n),
+          g => hash60Base(g))).as("_grams"))
+      .withColumn("_sz", size(col("_grams")).cast("long"))
+      .localCheckpoint(false) // one parse+digest pass, two pair sides
+    cand
+      .join(sets.select(col("id").as("id_a"), col("_grams").as("_ga"),
+        col("_sz").as("_sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("_grams").as("_gb"),
+        col("_sz").as("_sb")), Seq("id_b"))
+      .filter(greatest(col("_sa"), col("_sb")).cast("double") <=
+        lit(maxRatio) * least(col("_sa"), col("_sb")).cast("double"))
+      .withColumn("_i", size(array_intersect(col("_ga"), col("_gb"))).cast("long"))
+      .withColumn("c_ab", round(col("_i").cast("double") / col("_sa"), 6))
+      .withColumn("c_ba", round(col("_i").cast("double") / col("_sb"), 6))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("id_a", "id_b", "c_ab", "c_ba")
+  }
+
+  /** `approx=auto` containment pair join — [[jaccardPairsAuto]]'s twin
+    * for the containment predicate: run the recall-complete exact plan
+    * ([[prefixFilterContainmentPairs]]) when its probe mass fits the
+    * budget, fall back to [[lshContainmentPairs]] when it doesn't. Both
+    * branches emit (id_a < id_b, c_ab, c_ba) with TRUE containment
+    * values; the fallback's trades (banding miss rate, maxRatio domain)
+    * are documented there and measured by [[containmentRecallAudit]].
+    */
+  def containmentPairsAuto(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxCandidatePairs: Long,
+      numHashes: Int = 16, bandSize: Int = 2,
+      maxRatio: Double = 2.0): DataFrame =
+    try prefixFilterContainmentPairs(df, idCol, textCol, n, threshold,
+      maxCandidatePairs = Some(maxCandidatePairs))
+    catch {
+      case _: CandidateMassExceededException =>
+        lshContainmentPairs(df, idCol, textCol, n, threshold,
+          numHashes, bandSize, maxRatio)
+    }
+
+  /** Confusion counts of [[lshContainmentPairs]] against the exact
+    * containment pair set ([[ngramContainmentPairs]] semantics), same
+    * shingles both sides — [[lshRecallAudit]]'s twin for the
+    * containment predicate. The gap measured is banding miss plus the
+    * maxRatio domain cut. One row: n_exact, n_lsh, n_both,
+    * n_exact_only, n_lsh_only, recall (rounded 6).
+    */
+  def containmentRecallAudit(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      numHashes: Int = 16, bandSize: Int = 2,
+      maxRatio: Double = 2.0): DataFrame = {
+    val exact = prefixFilterContainmentPairs(df, idCol, textCol, n,
+        threshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("_e"))
+    val lsh = lshContainmentPairs(df, idCol, textCol, n, threshold,
+        numHashes, bandSize, maxRatio)
+      .select(col("id_a"), col("id_b"), lit(1).as("_l"))
+    exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(col("_e")).as("n_exact"),
+        count(col("_l")).as("n_lsh"),
+        count(when(col("_e").isNotNull && col("_l").isNotNull, 1))
+          .as("n_both"))
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        (col("n_exact") - col("n_both")).as("n_exact_only"),
+        (col("n_lsh") - col("n_both")).as("n_lsh_only"),
+        round(when(col("n_exact") > 0,
+          col("n_both").cast("double") / col("n_exact"))
+          .otherwise(lit(1.0)), 6).as("recall"))
   }
 
   /** `approx=auto` Jaccard pair join: probe the prefix-filter candidate

@@ -87,10 +87,51 @@ class CandidateMassSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.prefixFilterJaccardPairs(c, "id", "text", 2, 0.5,
         maxCandidatePairs = Some(100L))
     }
-    intercept[CandidateMassExceededException] {
+    val e3 = intercept[CandidateMassExceededException] {
       Dedup.prefixFilterContainmentPairs(c, "id", "text", 2, 0.5,
         maxCandidatePairs = Some(100L))
     }
+    // the containment guard must route to the containment-predicate
+    // fallback, not the Jaccard one (ADVICE r7: lshJaccardPairs answers
+    // the wrong predicate for this class)
+    assert(e3.getMessage.contains("lshContainmentPairs"))
+  }
+
+  test("lshContainmentPairs: finds short-in-long pairs with true " +
+      "containment values; out-of-ratio pairs excluded by contract") {
+    import spark.implicits._
+    val a = (1 to 13).map(i => s"c$i").mkString(" ")   // 12 2-grams
+    val b = a + " " + (1 to 3).map(i => s"x$i").mkString(" ") // ratio 16/12
+    val huge = a + " " + (1 to 30).map(i => s"y$i").mkString(" ") // ratio > 2
+    val df = Seq((1L, a), (2L, b), (3L, huge)).toDF("id", "text")
+    val got = Dedup.lshContainmentPairs(df, "id", "text", 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq.sortBy(p => (p._1, p._2))
+    // (1,2): A's 12 grams all inside B's 15 → c_ab = 1.0, c_ba = 12/15;
+    // found by the 2-wide bands (J = 0.8). (1,3) and (2,3) have
+    // containment 1.0 / high but ratio > 2 — outside the documented
+    // domain, excluded.
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(got.head._3 === 1.0)
+    assert(got.head._4 === math.round(12.0 / 15 * 1e6) / 1e6)
+    // the exact operator agrees on the in-domain pair's values
+    val exact = Dedup.prefixFilterContainmentPairs(df, "id", "text", 2, 0.5)
+      .filter("id_a = 1 and id_b = 2").collect()(0)
+    assert(exact.getDouble(2) === got.head._3 &&
+      exact.getDouble(3) === got.head._4)
+  }
+
+  test("containmentPairsAuto routes: exact when affordable, LSH-gated " +
+      "when the estimate blows the budget") {
+    assert(Dedup.containmentPairsAuto(distinctCorpus, "id", "text", 2, 0.5,
+      maxCandidatePairs = 1000L).count() === 0L)
+    // template corpus, tiny budget → LSH route; identical docs share
+    // every band bucket and sit at ratio 1 → all 780 pairs survive
+    val auto = Dedup.containmentPairsAuto(templateCorpus, "id", "text",
+      2, 0.5, maxCandidatePairs = 100L)
+    val lsh = Dedup.lshContainmentPairs(templateCorpus, "id", "text", 2, 0.5)
+    assert(auto.count() === lsh.count())
+    assert(auto.count() === 780L)
   }
 
   test("guards pass through on a selective corpus and results are " +
