@@ -1109,24 +1109,53 @@ object Dedup {
     * [[wordShingles]] (a doc shorter than n contributes its clamped
     * prefix gram), and coverage is clipped to the real token count.
     *
+    * `autoPrefilter` (the routing VERDICT r7 asked for): on a
+    * mostly-CLEAN corpus (the production state) a trigramSearch-style
+    * distinct-gram semi-join prefilter wins — only contaminated docs
+    * pay the positional explode — but on a mostly-dirty corpus it
+    * prunes nothing and adds a full gram pass (measured: this
+    * testdata's tiny synthetic vocabulary leaves 94% of docs sharing a
+    * trigram with the eval set). The win/lose condition is the
+    * contamination RATE, so when `autoPrefilter` is on it is estimated
+    * first on a deterministic 1-in-16 id-hash sample (two tiny driver
+    * actions — the candidate-mass probe pattern) and the prefilter is
+    * prepended only when the sampled share is ≤ `prefilterBelow`.
+    * Routing never changes results: docs without any shared gram have
+    * empty coverage either way.
+    *
     * Output: idCol, n_tokens, cut_tokens, clean_text.
     */
   def decontaminationCut(
       corpus: DataFrame, evalSet: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    val evalGrams = evalSet
+      textCol: String, n: Int, autoPrefilter: Boolean = false,
+      prefilterBelow: Double = 0.5): DataFrame = {
+    val evalGrams0 = evalSet
       .select(explode(wordShingles(col(textCol), n)).as("g")).distinct()
+    // with the prefilter probe on, the eval gram set has up to three
+    // consumers (probe, prefilter, covered join) — materialize once
+    val evalGrams = if (autoPrefilter) evalGrams0.localCheckpoint(false)
+      else evalGrams0
     val base = corpus.select(col(idCol).as("id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       TextAnalysis.tokens(col(textCol)).as("_toks"))
-    // On a mostly-clean corpus (the production state) prepend a
-    // trigramSearch-style DISTINCT-gram semi-join so only contaminated
-    // docs pay this positional explode; measured on THIS testdata it
-    // LOSES (tiny synthetic vocabulary ⇒ 94% of docs share a trigram
-    // with the eval set, so the prefilter prunes nothing and adds a
-    // full gram pass) — single-stage here, the prefilter is a one-join
-    // prepend when the contamination rate warrants it.
-    val pos = corpus
+    val docGrams = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingles(col(textCol), n))).as("g"))
+    val usePrefilter = autoPrefilter && {
+      val sample = docGrams.filter(pmod(xxhash64(col("id")), lit(16)) === 0)
+      val sampled = sample.select("id").distinct().count()
+      sampled > 0 && {
+        val hit = sample.join(evalGrams, Seq("g"), "left_semi")
+          .select("id").distinct().count()
+        hit.toDouble / sampled <= prefilterBelow
+      }
+    }
+    val posCorpus = if (usePrefilter)
+      corpus.join(
+        docGrams.join(evalGrams, Seq("g"), "left_semi")
+          .select(col("id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+    else corpus
+    val pos = posCorpus
       .select(col(idCol).as("id"),
         TextAnalysis.tokenCount(col(textCol)).as("_n"),
         posexplode(TextAnalysis.wordNgrams(col(textCol), n))

@@ -363,7 +363,6 @@ object Multimodal {
   def vadSegments(
       df: DataFrame, frameBytes: Int = 64, stride: Int = 4,
       silenceBelow: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val frames = sampleFrames(df, frameBytes, stride)
     implicit val enc = Encoders.product[FrameEnergy]
     implicit val encIn =
@@ -373,7 +372,7 @@ object Multimodal {
         col("frame_no").cast("long").as("frame_no"), col("frame_bytes"))
       .as[(Long, Long, Array[Byte])]
       .mapPartitions { it =>
-        // real impl: val codec = Codec.open() — once per partition
+        // real impl: [[vadSegmentsAudio]] — same seam, real decoder
         it.map { case (id, fno, bytes) =>
           if (bytes == null || bytes.isEmpty) FrameEnergy(id, fno, 0L)
           else {
@@ -383,6 +382,19 @@ object Multimodal {
           }
         }
       }.toDF()
+    segmentVoiced(energies, silenceBelow)
+  }
+
+  /** Gaps-and-islands merge of voiced frames into segments (frame_no −
+    * row_number island key, the q224 streak idiom — one keyed window,
+    * no self-join) — shared by the byte-stub [[vadSegments]] and the
+    * real-codec [[vadSegmentsAudio]] so the two paths cannot drift.
+    * Input: (id, frame_no, energy). Output: (id, seg_no 1-based by
+    * start, start_frame, end_frame, n_frames).
+    */
+  private def segmentVoiced(
+      energies: DataFrame, silenceBelow: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val voiced = energies.filter(col("energy") >= silenceBelow)
     val wIsl = Window.partitionBy("id").orderBy("frame_no")
     val seg = voiced
@@ -395,6 +407,123 @@ object Multimodal {
       .withColumn("seg_no", row_number().over(
         Window.partitionBy("id").orderBy("start_frame")).cast("long"))
       .select("id", "seg_no", "start_frame", "end_frame", "n_frames")
+  }
+
+  /** Decoded PCM audio: interleaved samples mixed down to MONO by
+    * integer channel average (Java truncating division), 16-bit range
+    * [-32768, 32767] (8-bit input is centered to that range ×256).
+    */
+  case class AudioPcm(sampleRate: Int, channels: Int, mono: Array[Int])
+
+  trait AudioCodec extends Serializable {
+    /** None = not decodable audio (corrupt, truncated, wrong format). */
+    def decode(bytes: Array[Byte]): Option[AudioPcm]
+  }
+
+  /** REAL audio decoder for RIFF/WAVE PCM (the uncompressed-audio
+    * interchange format) — a pure-JDK chunk-walking parser, the
+    * [[ImageIoCodec]] precedent applied to audio (reference scope:
+    * id3c stores specimen metadata, not audio; this is the
+    * training-data-pipeline half of the library). Supports PCM
+    * (format 1) at 8-bit unsigned / 16-bit signed little-endian, any
+    * channel count (mixed to mono); anything else — malformed RIFF,
+    * float/ADPCM formats, truncated chunks — is None, never a throw.
+    */
+  object WavPcmCodec extends AudioCodec {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+
+    def decode(bytes: Array[Byte]): Option[AudioPcm] = {
+      if (bytes == null || bytes.length < 44) return None
+      if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+      var pos = 12
+      var channels = 0; var rate = 0; var bits = 0
+      var dataAt = -1; var dataLen = 0
+      while (pos + 8 <= bytes.length) {
+        val id = tag(bytes, pos)
+        val sz = le32(bytes, pos + 4)
+        if (sz < 0 || pos + 8 + sz > bytes.length) return None // truncated
+        if (id == "fmt " && sz >= 16) {
+          if (le16(bytes, pos + 8) != 1) return None // PCM only
+          channels = le16(bytes, pos + 10)
+          rate = le32(bytes, pos + 12)
+          bits = le16(bytes, pos + 22)
+        } else if (id == "data") { dataAt = pos + 8; dataLen = sz }
+        pos += 8 + sz + (sz & 1) // chunks pad to even
+      }
+      if (channels <= 0 || rate <= 0 || dataAt < 0) return None
+      if (bits != 8 && bits != 16) return None
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val nFrames = dataLen / frameBytes
+      val mono = new Array[Int](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var s = 0; var c = 0
+        while (c < channels) {
+          val at = dataAt + f * frameBytes + c * bytesPerSample
+          s += (if (bits == 16) le16(bytes, at).toShort.toInt
+                else ((bytes(at) & 0xff) - 128) * 256)
+          c += 1
+        }
+        mono(f) = s / channels
+        f += 1
+      }
+      Some(AudioPcm(rate, channels, mono))
+    }
+  }
+
+  /** [[vadSegments]] with the REAL codec: decode each blob's PCM once
+    * per row inside the same mapPartitions seam, cut it into
+    * `frameSamples`-sample frames, energy = integer RMS
+    * (isqrt(Σ s² / n) — deterministic: integer division before the
+    * exact integer square root), then the SHARED gaps-and-islands
+    * segmentation. Undecodable blobs contribute zero frames, so they
+    * surface as audio with no voiced segments — the [[resizeImage]]
+    * empty-blob convention.
+    */
+  def vadSegmentsAudio(
+      blobs: Dataset[Blob], frameSamples: Int = 1024,
+      silenceBelow: Long = 1L,
+      codec: AudioCodec = WavPcmCodec): DataFrame = {
+    require(frameSamples > 0, s"frameSamples $frameSamples must be > 0")
+    implicit val enc = Encoders.product[FrameEnergy]
+    val energies = blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        codec.decode(b.content) match {
+          case None => Iterator.empty
+          case Some(pcm) =>
+            val n = pcm.mono.length
+            Iterator.range(0, n / frameSamples + (if (n % frameSamples > 0) 1 else 0))
+              .map { fno =>
+                val from = fno * frameSamples
+                val to = math.min(from + frameSamples, n)
+                var sq = 0L; var i = from
+                while (i < to) {
+                  val s = pcm.mono(i).toLong; sq += s * s; i += 1
+                }
+                FrameEnergy(b.id, fno.toLong, isqrt(sq / (to - from)))
+              }
+        }
+      }
+    }.toDF()
+    segmentVoiced(energies, silenceBelow)
+  }
+
+  /** Exact integer floor square root (Math.sqrt seeds, integer
+    * fix-up — immune to double rounding at the 2^52 boundary).
+    */
+  private[operators] def isqrt(x: Long): Long = {
+    if (x < 0) return 0L
+    var r = math.sqrt(x.toDouble).toLong
+    while (r > 0 && r * r > x) r -= 1
+    while ((r + 1) * (r + 1) <= x) r += 1
+    r
   }
 
   case class FrameHash(id: Long, frame_no: Long, phash: Long)

@@ -110,4 +110,76 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  /** Deterministic RIFF/WAVE PCM bytes: `chans` interleaved channels of
+    * the given 16-bit samples (every channel carries the same values).
+    */
+  private def wav16(samples: Seq[Int], chans: Int = 1,
+      rate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * chans * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(chans.toShort).putInt(rate)
+      .putInt(rate * chans * 2).putShort((chans * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => (0 until chans).foreach(_ => bb.putShort(s.toShort)))
+    bb.array()
+  }
+
+  test("WavPcmCodec: exact 16-bit decode, stereo mono-mix, 8-bit " +
+      "centering, malformed -> None") {
+    import Multimodal.WavPcmCodec
+    val mono = WavPcmCodec.decode(wav16(Seq(0, 100, -100, 32767))).get
+    assert(mono.sampleRate === 8000 && mono.channels === 1)
+    assert(mono.mono.toSeq === Seq(0, 100, -100, 32767))
+    // stereo with identical channels mixes to the same values
+    val st = WavPcmCodec.decode(wav16(Seq(5, -7), chans = 2)).get
+    assert(st.channels === 2 && st.mono.toSeq === Seq(5, -7))
+    // 8-bit: unsigned bytes centered to 16-bit range ((v-128)*256)
+    val dataLen = 3
+    val bb = java.nio.ByteBuffer.allocate(44 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1)
+      .putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .put(128.toByte).put(255.toByte).put(0.toByte).put(0.toByte) // pad
+    val eight = WavPcmCodec.decode(bb.array()).get
+    assert(eight.mono.toSeq === Seq(0, 127 * 256, -128 * 256))
+    // malformed: truncated data chunk, non-PCM format, garbage
+    assert(WavPcmCodec.decode(wav16(Seq(1, 2, 3)).dropRight(2)).isEmpty)
+    val nonPcm = wav16(Seq(1))
+    nonPcm(20) = 3 // IEEE float format tag
+    assert(WavPcmCodec.decode(nonPcm).isEmpty)
+    assert(WavPcmCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
+    assert(WavPcmCodec.decode(null).isEmpty)
+  }
+
+  test("vadSegmentsAudio: real RMS frames through the shared " +
+      "segmentation; undecodable blobs yield no segments") {
+    import spark.implicits._
+    // 3 frames of 4 samples: loud / silent / loud → two 1-frame
+    // segments. RMS(frame0) = isqrt((4·1000²)/4) = 1000.
+    val samples = Seq.fill(4)(1000) ++ Seq.fill(4)(0) ++ Seq.fill(4)(-800)
+    val blobs = Seq(
+      Blob(1L, wav16(samples), "audio/wav"),
+      Blob(2L, "junk".getBytes("UTF-8"), "audio/wav")).toDS()
+    val got = Multimodal.vadSegmentsAudio(blobs, frameSamples = 4,
+        silenceBelow = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    assert(got === Seq((1L, 1L, 0L, 0L, 1L), (1L, 2L, 2L, 2L, 1L)))
+    // a trailing partial frame gets RMS over its own length
+    val partial = Seq.fill(4)(0) ++ Seq.fill(2)(600)
+    val seg = Multimodal.vadSegmentsAudio(
+      Seq(Blob(3L, wav16(partial), "audio/wav")).toDS(),
+      frameSamples = 4, silenceBelow = 100L).collect()
+    assert(seg.length === 1 &&
+      seg(0).getLong(2) === 1L && seg(0).getLong(3) === 1L)
+  }
 }

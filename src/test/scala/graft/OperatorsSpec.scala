@@ -1093,6 +1093,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == (0L, 0L, ""))
   }
 
+  test("decontaminationCut autoPrefilter: semi-join prepended on a " +
+      "mostly-clean corpus, skipped on a dirty one, results unchanged") {
+    import spark.implicits._
+    val evalSet = Seq("aa bb cc dd").toDF("text")
+    // 200 docs, 4 contaminated (2%) — the production-clean shape
+    val clean = (1 to 200).map(i => (i.toLong,
+      if (i % 50 == 1) s"x$i aa bb cc dd y$i"
+      else s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text")
+    val routed = Dedup.decontaminationCut(clean, evalSet, "doc_id",
+      "text", 3, autoPrefilter = true)
+    assert(routed.queryExecution.sparkPlan.toString.contains("LeftSemi"),
+      "clean corpus must route through the semi-join prefilter")
+    val single = Dedup.decontaminationCut(clean, evalSet, "doc_id", "text", 3)
+    assert(routed.collect().map(_.toSeq).toSet ===
+      single.collect().map(_.toSeq).toSet)
+    // every doc contaminated — the prefilter would prune nothing
+    val dirty = (1 to 200).map(i => (i.toLong, s"x$i aa bb cc dd y$i"))
+      .toDF("doc_id", "text")
+    val unrouted = Dedup.decontaminationCut(dirty, evalSet, "doc_id",
+      "text", 3, autoPrefilter = true)
+    assert(!unrouted.queryExecution.sparkPlan.toString.contains("LeftSemi"),
+      "dirty corpus must stay single-stage")
+    val dirtySingle = Dedup.decontaminationCut(dirty, evalSet, "doc_id",
+      "text", 3)
+    assert(unrouted.collect().map(_.toSeq).toSet ===
+      dirtySingle.collect().map(_.toSeq).toSet)
+  }
+
   test("Sketches.bloomPrunedNewKeys == plain anti-join; empty corpus edge") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)
