@@ -20,10 +20,16 @@ import graft.operators.Multimodal.Blob
   * bucket-mass profile, so the "does the image-driven distribution
   * keep bucket pair mass linear?" question gets a measured answer.
   *
-  * Corpus shape: each image is a parameterized two-axis gradient with
-  * md5-derived coefficients (diverse luma structure → diverse hashes);
-  * every 100th image re-renders its predecessor with +2 luma shift —
-  * a ~1% planted near-dup rate, the real-corpus profile.
+  * Corpus shape: each image is a two-axis gradient PLUS an 8×8 grid of
+  * md5-derived per-block luma offsets — the TEXTURE that makes real
+  * photos' aHashes diverse. (The first cut used bare gradients: their
+  * aHash collapses to a handful of direction-quadrant patterns and the
+  * candidate-mass guard fires at 50k images with 125M bucket pairs —
+  * the measured confirmation that LOW-TEXTURE corpora are the
+  * degenerate case for mean-threshold hashes, guard working as
+  * designed.) Every 100th image re-renders its predecessor with a +2
+  * luma shift — a ~1% planted near-dup rate, the real-corpus profile;
+  * aHash is mean-relative so the shift keeps hamming ~0.
   *
   * Usage: runMain graft.dev.PhashScale [n] (default 500000 — the
   * sf10-equivalent 100× of sf0.1's 5000 documents)
@@ -41,17 +47,17 @@ object PhashScale {
     */
   private[dev] def png(id: Long): Array[Byte] = {
     val (base, shift) = if (id % 100 == 1 && id > 0) (id - 1, 2) else (id, 0)
-    val (a, b, c) = (coef(base, 0), coef(base, 1), coef(base, 2))
+    val (a, b) = (coef(base, 0), coef(base, 1))
+    val block = Array.tabulate(64)(k => coef(base, 10 + k))
     val img = new java.awt.image.BufferedImage(
       32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < 32) {
       var x = 0
       while (x < 32) {
-        val r = (x * a / 4 + c + shift) % 256
-        val g = (y * b / 4 + c + shift) % 256
-        val bl = ((x + y) * (a + b) / 8 + shift) % 256
-        img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        val v = (block((y / 4) * 8 + x / 4) * 3 +
+          x * a / 16 + y * b / 16 + shift) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
       }
       y += 1

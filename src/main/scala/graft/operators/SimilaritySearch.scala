@@ -382,11 +382,21 @@ object SimilaritySearch {
     * true` opts into the quadratic broadcast form (bounded inputs /
     * recall ground truth only).
     *
+    * AUTO-ROUTING (round 8): with every index knob left at default,
+    * the flat √N-cell IVF — whose assignment alone is O(N^1.5) score
+    * evaluations — is used only up to `autoThreshold` rows; past it
+    * the constant-occupancy two-level form takes over at occupancy 8
+    * (q278's gate configuration; measured at the 100× run: 31.1 s
+    * two-level vs 110.2 s flat on the same 200k-vector corpus, recall
+    * floor 0.95 spec-pinned). Explicit `numCells`/`targetOccupancy`
+    * pin a form, as q161's oracle does.
+    *
     * Output: id_a < id_b, cosine (rounded 6), rank_ab, rank_ba.
     */
   def mutualKnnGraph(corpus: DataFrame, k: Int, exact: Boolean = false,
       numCells: Int = 0, nprobe: Int = 4,
-      targetOccupancy: Int = 0, nprobeSuper: Int = 4): DataFrame = {
+      targetOccupancy: Int = 0, nprobeSuper: Int = 4,
+      autoThreshold: Long = 100000L): DataFrame = {
     // norms once per row OUTSIDE the pair loop; the pair-loop dot is the
     // codegen FloatDot expression — the interpreted HOF fold here ran
     // the 4M-pair sf0.1 scoring in 76s, this form in ~2s, with
@@ -408,7 +418,17 @@ object SimilaritySearch {
           .select(col("qid"), col("id"), col("cosine"))
       } else if (targetOccupancy > 0)
         twoLevelSelfScored(withNorm, targetOccupancy, nprobeSuper, nprobe)
-      else probedSelfScored(withNorm, numCells, nprobe)
+      else if (numCells > 0) probedSelfScored(withNorm, numCells, nprobe)
+      else {
+        // one checkpoint+count decides the route AND feeds the chosen
+        // plan — the sizing job is never paid twice
+        val ck = withNorm.localCheckpoint(false)
+        val n = ck.count()
+        if (n > autoThreshold)
+          twoLevelSelfScored(ck, 8, nprobeSuper, nprobe, knownN = n)
+        else probedSelfScored(ck,
+          math.max(32, math.sqrt(n.toDouble).toInt), nprobe)
+      }
     val top = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("cosine"), col("rank"))
@@ -486,12 +506,14 @@ object SimilaritySearch {
     */
   private def twoLevelSelfScored(
       withNormIn: DataFrame, targetOccupancy: Int, nprobeSuper: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, knownN: Long = -1L): DataFrame = {
     // consumed four times (count, cents1, assignment, probes1) on the
     // path built for the largest corpora — checkpoint once; the count()
-    // below is the action that materializes it (ADVICE r7)
-    val withNorm = withNormIn.localCheckpoint(false)
-    val n = withNorm.count()
+    // below is the action that materializes it (ADVICE r7). A caller
+    // that already checkpointed+counted (the auto route) passes knownN.
+    val withNorm = if (knownN >= 0) withNormIn
+      else withNormIn.localCheckpoint(false)
+    val n = if (knownN >= 0) knownN else withNorm.count()
     val cells = math.max(32L, n / math.max(1, targetOccupancy))
     val k1 = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
     val k2 = math.max(1, math.ceil(cells.toDouble / k1).toInt)

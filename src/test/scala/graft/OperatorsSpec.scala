@@ -928,6 +928,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val recall = probed.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.95,
       s"two-level recall $recall, exact=${exact.size} probed=${probed.size}")
+    // AUTO-ROUTING: all-defaults past autoThreshold = the two-level
+    // form at occupancy 8; below it = the flat max(32, √N)-cell IVF
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val autoTwo = edges(SimilaritySearch.mutualKnnGraph(vecs, k = 3,
+      autoThreshold = 100L))
+    val pinnedTwo = edges(SimilaritySearch.mutualKnnGraph(vecs, k = 3,
+      targetOccupancy = 8, nprobeSuper = 4, nprobe = 4))
+    assert(autoTwo === pinnedTwo, "past the threshold, auto == two-level")
+    val autoFlat = edges(SimilaritySearch.mutualKnnGraph(vecs, k = 3))
+    val pinnedFlat = edges(SimilaritySearch.mutualKnnGraph(vecs, k = 3,
+      numCells = 32))
+    assert(autoFlat === pinnedFlat, "below the threshold, auto == flat")
   }
 
   test("spanCorruptionPairs: exact masking layout, round-trip token count") {
