@@ -24,13 +24,38 @@ object Barcodes {
 
   /** All pairs (idA < idB) within hamming distance <= maxDist, via the
     * slice-prefilter plan. Sound for 8-char codes with maxDist <= 2.
+    *
+    * `maxCandidatePairs` is the [[Dedup.candidateMassStats]]-family
+    * circuit breaker: when the CODE SPACE saturates (corpus ≫
+    * alphabet^sliceLen, e.g. 1.5M six-hex-char codes — measured: 22G
+    * candidate slice pairs, a doomed shuffle at the 100× run), the
+    * slice df² mass is pre-estimated with one linear job and the call
+    * fails fast. On a saturated space the ANSWER itself is quadratic —
+    * no plan fixes that; mint longer codes (the reference's domain is
+    * distance-≥3-minted 8-char codes, where this join's answer is near
+    * empty) or check batches against the corpus ([[mintWithStats]]'s
+    * shape) instead of all-pairs.
     */
   def similarityJoin(
       codes: DataFrame, // columns: id (long), code (string)
-      maxDist: Int = 2): DataFrame = {
-    val sliced = codes.select(
+      maxDist: Int = 2,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
+    val sliced0 = codes.select(
       col("id"), col("code"),
       explode(barcodeSlices(col("code"))).as("slice"))
+    val sliced = if (maxCandidatePairs.isDefined)
+      sliced0.localCheckpoint(false) else sliced0
+    maxCandidatePairs.foreach { budget =>
+      val d = col("_df").cast("decimal(38,0)")
+      Dedup.requireCandidateBudget("Barcodes.similarityJoin",
+        sliced.groupBy("slice").agg(count(lit(1)).as("_df"))
+          .agg(coalesce(sum(d * (d - lit(1))),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
+        budget,
+        "Lengthen the codes (saturated code space: the answer set is " +
+          "itself quadratic) or join a bounded batch against the " +
+          "corpus (mintWithStats's shape) instead of all-pairs.")
+    }
     val a = sliced.as("a")
     val b = sliced.as("b")
     // shuffle_hash: both sides are the same sliced frame — identical

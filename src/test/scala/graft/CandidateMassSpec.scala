@@ -199,6 +199,27 @@ class CandidateMassSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.operators.Multimodal.phashPairs(hashes, 32, 3).count())
   }
 
+  test("Barcodes.similarityJoin guard fires on a saturated code space, " +
+      "passes through unchanged on a distinct one") {
+    import spark.implicits._
+    import graft.operators.Barcodes
+    // 40 identical 6-char codes: every slice bucket holds all 40 ids —
+    // 5 positioned slices × 40·39 = 7800 (the checker halves to 3900)
+    val sat = (1 to 40).map(i => (i.toLong, "aaaaaa")).toDF("id", "code")
+    val e = intercept[CandidateMassExceededException] {
+      Barcodes.similarityJoin(sat, maxDist = 2,
+        maxCandidatePairs = Some(100L))
+    }
+    assert(e.getMessage.contains("mintWithStats"))
+    assert(e.estimated.longValueExact() === 3900L)
+    // well-spread codes: guard admits the exact plan unchanged
+    val ok = (1 to 40).map(i => (i.toLong, f"$i%02dxy${i % 7}z"))
+      .toDF("id", "code")
+    assert(Barcodes.similarityJoin(ok, maxDist = 2,
+      maxCandidatePairs = Some(10000L)).count() ===
+      Barcodes.similarityJoin(ok, maxDist = 2).count())
+  }
+
   test("jaccardPairsAuto routes: exact when affordable, LSH-gated when " +
       "the estimate blows the budget") {
     // affordable: selective corpus, exact path → 0 pairs, no throw

@@ -746,6 +746,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("q278 two-level kNN: the cell candidate join shuffles on cell_id; " +
+      "only the bounded centroid tables broadcast") {
+    val p = plan("q278_mutual_knn_imi")
+    assert(!p.contains("CartesianProduct"), "IMI join degenerated")
+    val joinLine = p.linesIterator.find(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("cell_id"))
+    assert(joinLine.isDefined, p.take(4000))
+    val badBroadcast = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cell_id#"))
+    assert(!badBroadcast, "corpus-sized probe degenerated to a broadcast")
+  }
+
+  test("q279 containment band self-join is an equi join, never a " +
+      "cartesian product; text never rides the band shuffle") {
+    val p = plan("q279_lsh_containment")
+    assert(!p.contains("CartesianProduct"), "band join degenerated")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "band join degenerated")
+    // the band exchange carries (id, band, bucket) — never the document
+    val bandExchange = p.linesIterator.find(l =>
+      l.contains("Exchange hashpartitioning(band"))
+    bandExchange.foreach(l => assert(!l.contains("text#"), l))
+  }
+
+  test("q281 composed curation: equi joins end to end, no cartesian") {
+    val p = plan("q281_curation_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("gate source sweep: no constant-key windows; SparkEntry crossJoins " +
       "are all broadcast scalar frames") {
     import scala.jdk.CollectionConverters._
