@@ -9587,11 +9587,12 @@ object SparkEntry {
         |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl]
         |    AS sg
         |  FROM base, css),
-        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sig a, sig b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND len(list_filter(range(0, 8),
-        |          b2 -> a.sg[b2*2+1:b2*2+2] = b.sg[b2*2+1:b2*2+2])) > 0),
+        |banded AS (SELECT doc_id, b,
+        |    array_to_string(sg[b*2+1:b*2+2], ',') AS bv
+        |  FROM sig, range(0, 8) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
         |j AS (SELECT id_a, id_b,
         |    len(list_intersect(x.bs, y.bs)) AS i,
         |    len(x.bs) AS sa, len(y.bs) AS sb
@@ -9611,23 +9612,27 @@ object SparkEntry {
         |   for g in list_distinct([array_to_string(l[i:i+2], ' ')
         |            for i in range(1, greatest(len(l)-2, 1)+1)])] AS bs
         |  FROM tk),
-        |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM base a JOIN base b ON a.doc_id < b.doc_id
-        |  WHERE greatest(
-        |      round(len(list_intersect(a.bs, b.bs))::DOUBLE / len(a.bs), 6),
-        |      round(len(list_intersect(a.bs, b.bs))::DOUBLE / len(b.bs), 6))
-        |    >= 0.5),
+        |sh AS (SELECT doc_id AS id, unnest(bs) AS g FROM base),
+        |szs AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+        |          GROUP BY 1, 2),
+        |ex AS (SELECT id_a, id_b FROM inter
+        |  JOIN szs sa ON sa.id = id_a JOIN szs sb ON sb.id = id_b
+        |  WHERE greatest(round(i::DOUBLE / sa.sz, 6),
+        |                 round(i::DOUBLE / sb.sz, 6)) >= 0.5),
         |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
         |                for s in range(0, 16)] AS cl),
         |sig AS (SELECT doc_id,
         |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs]) for c in cl]
         |    AS sg
         |  FROM base, css),
-        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sig a, sig b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND len(list_filter(range(0, 8),
-        |          b2 -> a.sg[b2*2+1:b2*2+2] = b.sg[b2*2+1:b2*2+2])) > 0),
+        |banded AS (SELECT doc_id, b,
+        |    array_to_string(sg[b*2+1:b*2+2], ',') AS bv
+        |  FROM sig, range(0, 8) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
         |lsh AS (SELECT id_a, id_b FROM (
         |  SELECT c.id_a, c.id_b,
         |    len(list_intersect(x.bs, y.bs)) AS i,
