@@ -2528,16 +2528,20 @@ object SparkEntry {
 
   /** Mutual-kNN cosine graph over the embeddings corpus (k = 10): the
     * symmetric sparse similarity graph for graph-based semantic dedup.
-    * IVF-probed candidates (auto max(32, √N) cells — 32 at the sf0.01
+    * IVF-probed candidates (max(32, √N) cells — 32 at the sf0.01
     * gate, which the oracle's LIMIT 32 pins — 4 probes: cell equi-join,
     * no corpus broadcast, no N² pairs); the exact quadratic form stays
     * available as `exact = true` and is recall-pinned against this
-    * default in OperatorsSpec.
+    * default in OperatorsSpec. PINNED to the flat form at every SF
+    * (autoThreshold = MaxValue): this query's oracle mirrors the flat
+    * probe, and an oracle must never be outgrown by its own query —
+    * the two-level IMI face at scale is q278 (and the operator's
+    * all-defaults auto-routing, for library callers without an oracle).
     */
   private def q161MutualKnn(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.mutualKnnGraph(
       t(s, dir, "embeddings").select($("vec_id").as("id"),
-        $("embedding").as("vec")), k = 10)
+        $("embedding").as("vec")), k = 10, autoThreshold = Long.MaxValue)
 
   /** T5 span-corruption pairs over documents: spans of 3 tokens, every
     * 7th span masked — deterministic denoising-objective training data.
@@ -4304,7 +4308,8 @@ object SparkEntry {
     * term never grows with the corpus; candidates are symmetrized so a
     * pair is lost only if NEITHER side probes the other's cell, recall
     * 0.963 spec-pinned). The flat q161 stays as the √N-cells reference
-    * shape; this is the one a 1000-executor deployment runs.
+    * shape (pinned there via autoThreshold — its oracle mirrors the
+    * flat probe); this is the one a 1000-executor deployment runs.
     */
   private def q278MutualKnnImi(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.mutualKnnGraph(

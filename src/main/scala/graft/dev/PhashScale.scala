@@ -55,8 +55,12 @@ object PhashScale {
     while (y < 32) {
       var x = 0
       while (x < 32) {
-        val v = (block((y / 4) * 8 + x / 4) * 3 +
-          x * a / 16 + y * b / 16 + shift) % 256
+        // clamp the near-dup shift instead of adding it under the mod:
+        // residues 254/255 would wrap to 0/1 and flip hash bits, making
+        // the planted +2-luma dups undercount (review r8)
+        val v = math.min(255,
+          (block((y / 4) * 8 + x / 4) * 3 + x * a / 16 + y * b / 16) % 256
+            + shift)
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
       }

@@ -871,6 +871,14 @@ object Dedup {
       labels = next.select(col("id"), col("new_label").as("label"))
       round += 1
     }
+    // silent divergence is worse than a loud cap: a component whose
+    // diameter exceeds maxRounds would return NON-minimal labels that
+    // disagree with any recursive-closure oracle (review r8) — every
+    // converged caller is unaffected, an unconverged one must say so
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "a component's min-label chain is longer; raise maxRounds")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -1139,7 +1147,7 @@ object Dedup {
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       TextAnalysis.tokens(col(textCol)).as("_toks"))
     val docGrams = corpus.select(col(idCol).as("id"),
-      explode(array_distinct(wordShingles(col(textCol), n))).as("g"))
+      explode(wordShingles(col(textCol), n)).as("g")) // already distinct
     val usePrefilter = autoPrefilter && {
       val sample = docGrams.filter(pmod(xxhash64(col("id")), lit(16)) === 0)
       val sampled = sample.select("id").distinct().count()

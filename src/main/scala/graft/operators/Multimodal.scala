@@ -447,7 +447,9 @@ object Multimodal {
       while (pos + 8 <= bytes.length) {
         val id = tag(bytes, pos)
         val sz = le32(bytes, pos + 4)
-        if (sz < 0 || pos + 8 + sz > bytes.length) return None // truncated
+        // subtraction form: `pos + 8 + sz` overflows Int for a corrupt
+        // ~2^31 size field and would wrap PAST this guard (review r8)
+        if (sz < 0 || sz > bytes.length - pos - 8) return None // truncated
         if (id == "fmt " && sz >= 16) {
           if (le16(bytes, pos + 8) != 1) return None // PCM only
           channels = le16(bytes, pos + 10)

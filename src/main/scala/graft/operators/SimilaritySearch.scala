@@ -389,7 +389,8 @@ object SimilaritySearch {
     * (q278's gate configuration; measured at the 100× run: 31.1 s
     * two-level vs 110.2 s flat on the same 200k-vector corpus, recall
     * floor 0.95 spec-pinned). Explicit `numCells`/`targetOccupancy`
-    * pin a form, as q161's oracle does.
+    * (or an `autoThreshold` override — q161 pins the flat form that
+    * way, because its oracle mirrors the flat probe) pin a form.
     *
     * Output: id_a < id_b, cosine (rounded 6), rank_ab, rank_ba.
     */
@@ -560,7 +561,7 @@ object SimilaritySearch {
     // symmetrize: a directed candidate (q found x) also serves as
     // (x found q) — a pair is then LOST only if neither side probes
     // into the cell holding the other, squaring down the per-pair miss
-    // probability (measured: recall 0.812 → 0.974 on the pinned spec
+    // probability (measured: recall 0.812 → 0.963 on the pinned spec
     // corpus at identical probe budgets). cosine is bit-symmetric
     // (FloatDot accumulates in index order; double mul commutes), so
     // max() over the ≤2 copies is exact dedup, one linear shuffle.
