@@ -2464,7 +2464,13 @@ object SparkEntry {
     // around bits/2 — template text, no true near-dup tail), so the
     // gate keeps the reference parameterization and the scale story
     // lives in the band arithmetic, not a tuned constant.
-    Multimodal.phashPairs(hashes, bits = 32, maxDist = 7)
+    // Budget 1e9: N²/32 is 0.8M at sf0.1 and 78M at sf1 (pass, results
+    // untouched) but 7.8G at sf10 — there the guard fails fast in the
+    // estimate job's linear time instead of hanging past the 900 s
+    // harness budget (the r7-documented outcome, now enforced in the
+    // query itself; the real-image distribution story is dev.PhashScale).
+    Multimodal.phashPairs(hashes, bits = 32, maxDist = 7,
+      maxCandidatePairs = Some(1000000000L))
   }
 
   /** Per-column top-5 frequent values (categorical profile) over orders:
