@@ -71,6 +71,30 @@ package object functions {
   def jsonScalarField(json: Column, key: Column): Column =
     toCol(JsonScalarField(toExpr(json), toExpr(key)))
 
+  /** Codegen'd distinct-intersection COUNT of two sorted long arrays —
+    * `size(array_intersect(a, b))` without the per-row hash set and
+    * result array, for the exact-similarity verify stages whose gram
+    * sets are already sorted ([[SortedIntersectCount]]). PRECONDITION:
+    * both arrays sorted ascending (nulls first, `sort_array` order).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
+
+  /** Codegen'd word n-gram shingles — one byte scan per document, no
+    * interpreted HOF per gram ([[WordNgrams]]). `distinct = true` is
+    * the set-shingle form (Dedup.wordShingles), `false` the positional
+    * form (TextAnalysis.wordNgrams).
+    */
+  def wordNgramsNative(text: Column, n: Int, distinct: Boolean): Column =
+    toCol(WordNgrams(toExpr(text), n, distinct))
+
+  /** Fused shingle + hash60Base kernel — the distinct gram hashes of a
+    * document as `array<long>`, bit-identical to
+    * `hash60Base(explode(wordShingles(text, n)))` ([[WordNgramHash60]]).
+    */
+  def wordNgramHash60(text: Column, n: Int, distinct: Boolean): Column =
+    toCol(WordNgramHash60(toExpr(text), n, distinct))
+
   /** Z-order (Morton) bit-interleave of two non-negative ints confined to
     * `bits` bits each — the multi-dimensional layout key:
     * `sortWithinPartitions(zOrder2(a, b))` before a columnar write keeps

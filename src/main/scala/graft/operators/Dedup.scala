@@ -82,15 +82,30 @@ object Dedup {
     element_at(transform(array(v), body), 1)
 
   /** Word n-gram shingles, distinct (first-occurrence order). Tokenizes
-    * via [[TextAnalysis.tokens]] (trimmed split), matching the DuckDB
+    * as [[TextAnalysis.tokens]] (trimmed split), matching the DuckDB
     * oracles' `string_split_regex(trim(text))` — an untrimmed split
     * would emit a phantom empty first token on leading-whitespace text.
+    *
+    * Native codegen kernel ([[graft.functions.WordNgrams]]): the HOF
+    * formulation this replaces (`transform(sequence(...),
+    * array_join(slice(...)))`) ran INTERPRETED per gram — Spark's array
+    * lambdas have no codegen — on the hottest loop of the whole text
+    * family. Byte-equivalence with that formulation (trim/split edge
+    * cases, clamped short-doc gram, first-occurrence distinct order) is
+    * pinned by spec.
     */
   def wordShingles(text: Column, n: Int): Column =
-    bind(TextAnalysis.tokens(text), tokens =>
-      array_distinct(
-        transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
-          i => array_join(slice(tokens, i + 1, lit(n)), " "))))
+    graft.functions.wordNgramsNative(text, n, distinct = true)
+
+  /** Distinct gram HASHES of a document — the fused form of
+    * `hash60Base(explode(wordShingles(text, n)))` for the inverted-index
+    * pipelines: the md5 runs straight off the gram bytes (no hex string,
+    * no conv), and exploded index rows carry 8-byte longs, never gram
+    * text ([[graft.functions.WordNgramHash60]], value-equivalence
+    * spec-pinned).
+    */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    graft.functions.wordNgramHash60(text, n, distinct = true)
 
   /** Exact n-gram Jaccard similarity join: pairs (idA < idB) with
     * |A∩B| / |A∪B| >= threshold. Shingle-inverted-index plan: explode
@@ -129,7 +144,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, dfCap: Option[Int] = None): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), n)).as("gram"))
+        explode(wordShingleHashes(col(textCol), n)).as("gram"))
     val dfreq = sh.groupBy("gram").agg(count(lit(1)).as("_df"))
     val capped = dfCap match {
       case Some(cap) => dfreq.filter(col("_df") <= cap)
@@ -185,7 +200,7 @@ object Dedup {
       n: Int, dfCap: Option[Int],
       maxCandidatePairs: Option[Long] = None): DataFrame = {
     val sh0 = df.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), n)).as("gram"))
+        explode(wordShingleHashes(col(textCol), n)).as("gram"))
     // with the guard on, the parse+shingle pass feeds both the estimate
     // job and the real plan — checkpoint it once
     val sh = if (maxCandidatePairs.isDefined) sh0.localCheckpoint(false)
@@ -253,7 +268,8 @@ object Dedup {
     * volume of [[ngramJaccardPairs]] and its hottest key is a rare
     * gram, not a stop-gram — the classic skew fix and the scale win.
     * Candidates are then verified EXACTLY on the full sorted gram sets
-    * (one array_intersect per candidate pair, candidates << corpus).
+    * (one allocation-free [[graft.functions.SortedIntersectCount]] merge
+    * per candidate pair, candidates << corpus).
     *
     * Output: (id_a < id_b, jaccard double) with jaccard >= threshold.
     */
@@ -264,11 +280,12 @@ object Dedup {
     // grams ride as 60-bit hashes from here on: the verify arrays carry
     // 8-byte longs instead of gram strings (4× less candidate-pair
     // payload — measured dominant at dense-vocabulary corpora), same
-    // 2^-60 per-pair collision convention as the minhash family.
-    // One parse+digest pass, three consumers → lazy checkpoint.
+    // 2^-60 per-pair collision convention as the minhash family. The
+    // fused kernel digests gram BYTES — the gram strings are never
+    // materialized as rows. One parse+digest pass, three consumers →
+    // lazy checkpoint.
     val sh = df.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), n)).as("gram"))
-      .select(col("id"), hash60Base(col("gram")).as("g"))
+        explode(wordShingleHashes(col(textCol), n)).as("g"))
       .localCheckpoint(false)
     // full sorted gram-hash set + size per doc (the verification side)
     val docSets = sh.groupBy("id").agg(
@@ -319,7 +336,8 @@ object Dedup {
         col("_grams").as("_ga"), col("_sz").as("_sa")), "id_a")
       .join(docSets.select(col("id").as("id_b"),
         col("_grams").as("_gb"), col("_sz").as("_sb")), "id_b")
-      .withColumn("_i", size(array_intersect(col("_ga"), col("_gb"))).cast("long"))
+      .withColumn("_i", graft.functions
+        .sortedIntersectCount(col("_ga"), col("_gb")).cast("long"))
       .withColumn("jaccard",
         col("_i").cast("double") / (col("_sa") + col("_sb") - col("_i")))
       .filter(col("jaccard") >= threshold)
@@ -398,8 +416,7 @@ object Dedup {
       n: Int, threshold: Double,
       maxCandidatePairs: Option[Long] = None): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), n)).as("gram"))
-      .select(col("id"), hash60Base(col("gram")).as("g"))
+        explode(wordShingleHashes(col(textCol), n)).as("g"))
       .localCheckpoint(false)
     val docSets = sh.groupBy("id").agg(
       sort_array(collect_list("g")).as("_grams"),
@@ -447,7 +464,8 @@ object Dedup {
         col("_grams").as("_ga"), col("_sz").as("_sa")), "id_a")
       .join(docSets.select(col("id").as("id_b"),
         col("_grams").as("_gb"), col("_sz").as("_sb")), "id_b")
-      .withColumn("_i", size(array_intersect(col("_ga"), col("_gb"))).cast("long"))
+      .withColumn("_i", graft.functions
+        .sortedIntersectCount(col("_ga"), col("_gb")).cast("long"))
       .withColumn("c_ab", round(col("_i").cast("double") / col("_sa"), 6))
       .withColumn("c_ba", round(col("_i").cast("double") / col("_sb"), 6))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
@@ -475,10 +493,13 @@ object Dedup {
       benchmark: DataFrame, // text
       idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // grams ride as 60-bit hashes (the fused kernel; same 2^-60
+    // collision convention as the rest of the family) — the join key
+    // and shuffle payload are 8-byte longs, never gram text
     val corp = corpus.select(col(idCol).as("doc_id"),
-      explode(wordShingles(trim(col(textCol)), n)).as("g"))
+      explode(wordShingleHashes(trim(col(textCol)), n)).as("g"))
     val bench = benchmark
-      .select(explode(wordShingles(trim(col(textCol)), n)).as("g"))
+      .select(explode(wordShingleHashes(trim(col(textCol)), n)).as("g"))
       .distinct()
     val sz = corp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val ov = corp.join(bench, "g")
@@ -520,8 +541,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), shingleN)).as("gram"))
-      .select(col("id"), hash60Base(col("gram")).as("_hb"))
+        explode(wordShingleHashes(col(textCol), shingleN)).as("_hb"))
     val aggs = (0 until numHashes).map(s =>
       min(seededHash60(col("_hb"), s)).as(s"_h$s"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
@@ -929,7 +949,7 @@ object Dedup {
   def sourceOverlapMatrix(
       df: DataFrame, groupCol: String, textCol: String, n: Int): DataFrame = {
     val sg = df.select(col(groupCol).as("g"),
-        explode(wordShingles(col(textCol), n)).as("gram"))
+        explode(wordShingleHashes(col(textCol), n)).as("gram"))
       .distinct()
       .localCheckpoint(false) // sizes + both join sides
     val sizes = sg.groupBy("g").agg(count(lit(1)).as("sz"))
@@ -1026,19 +1046,15 @@ object Dedup {
     // the document text — feeds the duplicate count AND the semi-join
     // back; without it the tokenize + md5 pipeline executes once per
     // consumer (measured 4× at sf0.1)
-    // `bind` pins the token array to a lambda variable: projection
-    // collapse otherwise substitutes the split(trim(text)) expression for
-    // _toks INSIDE the transform lambda, re-tokenizing the document once
-    // per window (the nested-HOF re-evaluation trap — measured 25× on
-    // this operator; see dev/PERF_r5.md §2)
-    val wins = base
-      .select(col("id"),
-        bind(col("_toks"), toks =>
-          when(col("n_tokens") >= w,
-            transform(
-              sequence(lit(1), (col("n_tokens") - (w - 1)).cast("int")),
-              i => hash60Base(array_join(slice(toks, i, lit(w)), " "))))
-            .otherwise(array().cast("array<long>"))).as("_hs"))
+    // the fused positional kernel emits max(T-w, 0)+1 hashes including
+    // the clamped short-doc gram; this operator wants FULL windows only,
+    // so short docs are gated to an empty stream (as the HOF form was)
+    val wins = df
+      .select(col(idCol).as("id"),
+        when(TextAnalysis.tokenCount(col(textCol)) >= w,
+          graft.functions.wordNgramHash60(col(textCol), w,
+            distinct = false))
+          .otherwise(array().cast("array<long>")).as("_hs"))
       .select(col("id"), posexplode(col("_hs")).as(Seq("_p0", "h")))
       .select(col("id"), (col("_p0") + 1).as("pos"), col("h"))
       .localCheckpoint(false)
@@ -1098,9 +1114,13 @@ object Dedup {
         when(col("n_tokens") === 0, lit(""))
           .otherwise(bind(col("_toks"), toks => array_join(
             transform(
-              filter(
-                sequence(lit(1), greatest(col("n_tokens").cast("int"), lit(1))),
-                i => coalesce(!array_contains(col("_cut"), i), lit(true))),
+              // hash-based set difference: a per-token array_contains
+              // scan is O(n_tokens · |cut|) per row — quadratic exactly
+              // on the heavily-cut documents this operator exists for
+              array_except(
+                sequence(lit(1), greatest(col("n_tokens").cast("int"),
+                  lit(1))),
+                coalesce(col("_cut"), typedLit(Array.empty[Int]))),
               i => element_at(toks, i)),
             " "))).as("clean_text"))
   }
@@ -1137,8 +1157,10 @@ object Dedup {
       corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int, autoPrefilter: Boolean = false,
       prefilterBelow: Double = 0.5): DataFrame = {
+    // hashed grams end to end (fused kernel, 2^-60 convention): the
+    // membership joins carry 8-byte longs, never gram text
     val evalGrams0 = evalSet
-      .select(explode(wordShingles(col(textCol), n)).as("g")).distinct()
+      .select(explode(wordShingleHashes(col(textCol), n)).as("g")).distinct()
     // with the prefilter probe on, the eval gram set has up to three
     // consumers (probe, prefilter, covered join) — materialize once
     val evalGrams = if (autoPrefilter) evalGrams0.localCheckpoint(false)
@@ -1147,15 +1169,19 @@ object Dedup {
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       TextAnalysis.tokens(col(textCol)).as("_toks"))
     val docGrams = corpus.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), n)).as("g")) // already distinct
+      explode(wordShingleHashes(col(textCol), n)).as("g")) // already distinct
     val usePrefilter = autoPrefilter && {
+      // one driver action for both counts: sampled docs and the subset
+      // sharing any eval gram (a left join against the tiny broadcast
+      // gram set marks hits; countDistinct splits the two populations)
       val sample = docGrams.filter(pmod(xxhash64(col("id")), lit(16)) === 0)
-      val sampled = sample.select("id").distinct().count()
-      sampled > 0 && {
-        val hit = sample.join(evalGrams, Seq("g"), "left_semi")
-          .select("id").distinct().count()
-        hit.toDouble / sampled <= prefilterBelow
-      }
+      val row = sample
+        .join(evalGrams.withColumn("_hit", lit(true)), Seq("g"), "left")
+        .agg(count_distinct(col("id")).as("n"),
+          count_distinct(when(col("_hit"), col("id"))).as("hits"))
+        .head()
+      row.getLong(0) > 0 &&
+        row.getLong(1).toDouble / row.getLong(0) <= prefilterBelow
     }
     val posCorpus = if (usePrefilter)
       corpus.join(
@@ -1166,8 +1192,8 @@ object Dedup {
     val pos = posCorpus
       .select(col(idCol).as("id"),
         TextAnalysis.tokenCount(col(textCol)).as("_n"),
-        posexplode(TextAnalysis.wordNgrams(col(textCol), n))
-          .as(Seq("pos", "g")))
+        posexplode(graft.functions.wordNgramHash60(col(textCol), n,
+          distinct = false)).as(Seq("pos", "g")))
       .filter(col("_n") > 0)
     val covered = pos.join(evalGrams, Seq("g"))
       .select(col("id"), explode(sequence(col("pos") + 1,
@@ -1179,10 +1205,12 @@ object Dedup {
         when(col("n_tokens") === 0, lit(""))
           .otherwise(bind(col("_toks"), toks => array_join(
             transform(
-              filter(
+              // hash-based set difference, not a per-token
+              // array_contains scan — see [[cutDuplicateWindows]]
+              array_except(
                 sequence(lit(1), greatest(col("n_tokens").cast("int"),
                   lit(1))),
-                i => coalesce(!array_contains(col("_cut"), i), lit(true))),
+                coalesce(col("_cut"), typedLit(Array.empty[Int]))),
               i => element_at(toks, i)),
             " "))).as("clean_text"))
   }
@@ -1259,8 +1287,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sets = df.select(col(idCol).as("id"),
-        array_distinct(transform(wordShingles(col(textCol), shingleN),
-          g => hash60Base(g))).as("_grams"))
+        sort_array(wordShingleHashes(col(textCol), shingleN)).as("_grams"))
       .withColumn("_sz", size(col("_grams")))
       .localCheckpoint(false) // one parse+digest pass, two pair sides
     cand
@@ -1268,7 +1295,8 @@ object Dedup {
         col("_sz").as("_sza")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("_grams").as("_gb"),
         col("_sz").as("_szb")), Seq("id_b"))
-      .withColumn("_i", size(array_intersect(col("_ga"), col("_gb"))))
+      .withColumn("_i",
+        graft.functions.sortedIntersectCount(col("_ga"), col("_gb")))
       .withColumn("jaccard", col("_i").cast("double") /
         (col("_sza") + col("_szb") - col("_i")))
       .filter(col("jaccard") >= threshold)
@@ -1320,8 +1348,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sets = df.select(col(idCol).as("id"),
-        array_distinct(transform(wordShingles(col(textCol), n),
-          g => hash60Base(g))).as("_grams"))
+        sort_array(wordShingleHashes(col(textCol), n)).as("_grams"))
       .withColumn("_sz", size(col("_grams")).cast("long"))
       .localCheckpoint(false) // one parse+digest pass, two pair sides
     cand
@@ -1331,7 +1358,8 @@ object Dedup {
         col("_sz").as("_sb")), Seq("id_b"))
       .filter(greatest(col("_sa"), col("_sb")).cast("double") <=
         lit(maxRatio) * least(col("_sa"), col("_sb")).cast("double"))
-      .withColumn("_i", size(array_intersect(col("_ga"), col("_gb"))).cast("long"))
+      .withColumn("_i", graft.functions
+        .sortedIntersectCount(col("_ga"), col("_gb")).cast("long"))
       .withColumn("c_ab", round(col("_i").cast("double") / col("_sa"), 6))
       .withColumn("c_ba", round(col("_i").cast("double") / col("_sb"), 6))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)

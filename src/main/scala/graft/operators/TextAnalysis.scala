@@ -193,9 +193,7 @@ object TextAnalysis {
     * multiplicities that [[Dedup.wordShingles]] discards).
     */
   def wordNgrams(text: Column, n: Int): Column =
-    Dedup.bind(split(trim(text), "\\s+"), toks =>
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    graft.functions.wordNgramsNative(text, n, distinct = false)
 
   /** Gopher-style repetition signals per document: the fraction of n-gram
     * occurrences claimed by the single most frequent n-gram
@@ -212,7 +210,10 @@ object TextAnalysis {
   def repetitionSignals(
       df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
     df.select(col(idCol).as(idCol),
-        explode(wordNgrams(col(textCol), n)).as("gram"))
+        // positional gram HASHES — the gram value never reaches the
+        // output (only per-gram counts), so rows carry 8-byte longs
+        explode(graft.functions.wordNgramHash60(col(textCol), n,
+          distinct = false)).as("gram"))
       .groupBy(idCol, "gram").agg(count(lit(1)).as("_c"))
       .groupBy(idCol)
       .agg(sum("_c").as("_total"), max("_c").as("_top"),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Gr
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{CdcBoundaries, DeflatedLength, FloatDot, HammingDistance, HammingDistanceLte, Int8Dot, JsonScalarField, NfcNormalize}
+import graft.functions.{CdcBoundaries, DeflatedLength, FloatDot, HammingDistance, HammingDistanceLte, Int8Dot, JsonScalarField, NfcNormalize, SortedIntersectCount, WordNgramHash60, WordNgrams}
 
 /** Catalyst integration (`spark.sql.extensions=graft.plans.GraftExtensions`
   * or `.withExtensions(new GraftExtensions)`):
@@ -42,7 +42,8 @@ object GraftExtensions {
   def allFunctions: Seq[FunctionDescription] = Seq(
     hammingDistanceDesc, hammingDistanceLteDesc, nfcNormalizeDesc,
     deflatedLengthDesc, floatDotDesc, int8DotDesc, cdcBoundariesDesc,
-    jsonScalarFieldDesc)
+    jsonScalarFieldDesc, sortedIntersectCountDesc, wordNgramsDesc,
+    wordNgramHash60Desc)
 
   /** Install graft's SQL functions + optimizer rules on an EXISTING
     * session — the session-local equivalent of configuring
@@ -97,6 +98,45 @@ object GraftExtensions {
     FunctionIdentifier("json_scalar_field"),
     new ExpressionInfo(classOf[JsonScalarField].getName, "json_scalar_field"),
     (children: Seq[Expression]) => JsonScalarField(children(0), children(1)))
+
+  val sortedIntersectCountDesc: FunctionDescription = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName,
+      "sorted_intersect_count"),
+    (children: Seq[Expression]) =>
+      SortedIntersectCount(children(0), children(1)))
+
+  private def intLitArg(e: Expression, fn: String, name: String): Int =
+    e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be an integer literal, got $other")
+    }
+
+  private def boolLitArg(e: Expression, fn: String, name: String): Boolean =
+    e match {
+      case Literal(v: Boolean, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a boolean literal, got $other")
+    }
+
+  /** n (and the optional distinct flag, default true) must be literals. */
+  val wordNgramsDesc: FunctionDescription = (
+    FunctionIdentifier("word_ngrams"),
+    new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+    (children: Seq[Expression]) => WordNgrams(children(0),
+      intLitArg(children(1), "word_ngrams", "n"),
+      if (children.length > 2)
+        boolLitArg(children(2), "word_ngrams", "distinct") else true))
+
+  /** n (and the optional distinct flag, default true) must be literals. */
+  val wordNgramHash60Desc: FunctionDescription = (
+    FunctionIdentifier("word_ngram_hash60"),
+    new ExpressionInfo(classOf[WordNgramHash60].getName, "word_ngram_hash60"),
+    (children: Seq[Expression]) => WordNgramHash60(children(0),
+      intLitArg(children(1), "word_ngram_hash60", "n"),
+      if (children.length > 2)
+        boolLitArg(children(2), "word_ngram_hash60", "distinct") else true))
 
   /** k and m must be integer literals (sketch/chunk parameters, not data). */
   val cdcBoundariesDesc: FunctionDescription = (

@@ -683,6 +683,105 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(two.getString(0) == "1" && two.getString(1) == "2")
   }
 
+  test("sortedIntersectCount == size(array_intersect) on sorted arrays") {
+    import spark.implicits._
+    // randomized equivalence, duplicates included (value range 30 on
+    // length <=50 arrays forces both dup runs and empty intersections)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { _ =>
+      def arr() = Array.fill(rnd.nextInt(50))(rnd.nextInt(30).toLong).sorted
+      (arr().toSeq, arr().toSeq)
+    }
+    rows.toDF("a", "b")
+      .select(graft.functions.sortedIntersectCount(col("a"), col("b"))
+          .as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // empties + null ELEMENTS (sort_array order: nulls first; a shared
+    // null counts once, exactly as array_intersect counts it)
+    Seq(
+      (Seq[Option[Long]](None, Some(1L), Some(2L)),
+        Seq[Option[Long]](None, Some(2L))),
+      (Seq[Option[Long]](), Seq[Option[Long]](Some(1L))),
+      (Seq[Option[Long]](None), Seq[Option[Long]](Some(1L), Some(2L))))
+      .toDF("a", "b")
+      .select(graft.functions.sortedIntersectCount(col("a"), col("b"))
+          .as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // null ARRAY input → null (BinaryExpression null-intolerance)
+    val nl = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(graft.functions.sortedIntersectCount(col("a"), col("b")))
+      .head()
+    assert(nl.isNullAt(0))
+    // SQL registration works
+    graft.plans.GraftExtensions.registerAll(spark)
+    assert(spark.sql(
+      "select sorted_intersect_count(array(1L,2L,3L), array(2L,3L,9L))")
+      .head().getInt(0) == 2)
+  }
+
+  test("native word-ngram kernel == legacy HOF formulation, byte for byte") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // the exact Column trees the native expressions replaced — kept here
+    // verbatim so the pin survives any future library change
+    def legacyShingles(text: Column, n: Int): Column =
+      Dedup.bind(split(trim(text), "\\s+"), toks =>
+        array_distinct(
+          transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+            i => array_join(slice(toks, i + 1, lit(n)), " "))))
+    def legacyNgrams(text: Column, n: Int): Column =
+      Dedup.bind(split(trim(text), "\\s+"), toks =>
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("a", "bb", "ccc", "δδ", "über", "x1", "a b", "字字")
+    val seps = Seq(" ", "\t", "\n", "\r", "\f", "", "  ", " \t ", "\r\n")
+    def randText(): String = {
+      val k = rnd.nextInt(12)
+      val core = (0 until k).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(seps(rnd.nextInt(seps.length)))
+      val lead = if (rnd.nextBoolean()) seps(rnd.nextInt(seps.length)) else ""
+      val tail = if (rnd.nextBoolean()) seps(rnd.nextInt(seps.length)) else ""
+      lead + core + tail
+    }
+    val edge = Seq("", " ", "\t", " \t\n ", "a", " a ", "\ta b\tc\n",
+      "a b c", "a  b", "x \r\n y", "a a a a", "b b")
+    val texts = (edge ++ (0 until 300).map(_ => randText())).toDF("t")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val rows = texts.select(
+          Dedup.wordShingles(col("t"), n).as("ns"),
+          legacyShingles(col("t"), n).as("ls"),
+          graft.operators.TextAnalysis.wordNgrams(col("t"), n).as("np"),
+          legacyNgrams(col("t"), n).as("lp"),
+          Dedup.wordShingleHashes(col("t"), n).as("nh"),
+          transform(legacyShingles(col("t"), n),
+            g => Dedup.hash60Base(g)).as("lh"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"shingles n=$n")
+        assert(r.getSeq[String](2) == r.getSeq[String](3), s"positional n=$n")
+        assert(r.getSeq[Long](4) == r.getSeq[Long](5), s"hashes n=$n")
+      }
+    }
+    // null text → null, as split(trim(null)) propagates
+    val nr = Seq(Option.empty[String]).toDF("t")
+      .select(Dedup.wordShingles(col("t"), 3),
+        graft.operators.TextAnalysis.wordNgrams(col("t"), 3),
+        Dedup.wordShingleHashes(col("t"), 3)).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1) && nr.isNullAt(2))
+    // SQL registration
+    graft.plans.GraftExtensions.registerAll(spark)
+    assert(spark.sql("select word_ngrams('a b c', 2)").head()
+      .getSeq[String](0) == Seq("a b", "b c"))
+    assert(spark.sql(
+      "select word_ngram_hash60('a b c', 2, false)").head()
+      .getSeq[Long](0).length == 2)
+  }
+
   test("duplicateWindowStats: cross-doc, intra-doc and blank-doc windows") {
     import spark.implicits._
     val df = Seq(
