@@ -3754,7 +3754,9 @@ object SparkEntry {
     */
   private def q244NoveltyProfile(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir).select($("doc_id"),
-      explode(Dedup.wordShingles(trim($("text")), 3)).as("g"))
+      // hashed grams (fused kernel): the gram value never reaches the
+      // output — only counts and the min-doc_id owner comparison
+      explode(Dedup.wordShingleHashes(trim($("text")), 3)).as("g"))
     val firstOwner = grams.groupBy("g").agg(min($("doc_id")).as("_first"))
     grams.join(firstOwner, "g")
       .groupBy("doc_id")

@@ -124,7 +124,12 @@ object WordNgramsImpl {
     (v << 4) | ((d(7) >>> 4) & 0xFL)
   }
 
-  def ngramHash60(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+  /** `prefix` is digested BEFORE the gram bytes — the seeded family
+    * `hash60(g, s)` = md5("s<s>|" + g) rides the same kernel (winnowing
+    * fingerprints use seed 7). Empty prefix = plain hash60Base.
+    */
+  def ngramHash60(text: UTF8String, n: Int, distinct: Boolean,
+      prefix: Array[Byte]): ArrayData = {
     val bytes = text.trim().getBytes
     val (starts, ends, count) = tokenSpans(bytes)
     val numGrams = math.max(count - n, 0) + 1
@@ -139,12 +144,39 @@ object WordNgramsImpl {
       val g = gramBytes(bytes, starts, ends, i, math.min(i + n, count))
       if (seen == null || seen.add(UTF8String.fromBytes(g))) {
         md.reset()
+        if (prefix.length > 0) md.update(prefix)
         out(m) = hash60(md.digest(g))
         m += 1
       }
       i += 1
     }
     ArrayData.toArrayData(if (m == numGrams) out
+      else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Winnowing window minima (Schleimer et al. 2003): the DISTINCT
+    * (first-occurrence order) minima of every `w`-wide window over the
+    * hash array, with the legacy clamping — max(G-w+1, 1) windows, the
+    * last ones shrinking at the tail; a shorter-than-w array yields the
+    * single whole-array minimum. Empty input returns an empty array
+    * (unreachable through the gram kernel, which emits ≥ 1 hash).
+    */
+  def winnowMinima(h: ArrayData, w: Int): ArrayData = {
+    val g = h.numElements()
+    if (g == 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val numWins = math.max(g - w + 1, 1)
+    val out = new Array[Long](numWins)
+    var m = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < numWins) {
+      var mn = Long.MaxValue
+      var j = i; val end = math.min(i + w, g)
+      while (j < end) { val v = h.getLong(j); if (v < mn) mn = v; j += 1 }
+      if (seen.add(mn)) { out(m) = mn; m += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(if (m == numWins) out
       else java.util.Arrays.copyOf(out, m))
   }
 }
@@ -176,19 +208,48 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
   * bit-identical to hash60Base (pinned by spec), so every engine-
   * portability property of the md5 convention is preserved.
   */
-case class WordNgramHash60(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression {
+case class WordNgramHash60(child: Expression, n: Int, distinct: Boolean,
+    prefix: String = "") extends UnaryExpression {
   require(n > 0, "word_ngram_hash60: n must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(t: Any): Any =
-    WordNgramsImpl.ngramHash60(t.asInstanceOf[UTF8String], n, distinct)
+  private lazy val prefixBytes =
+    prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(t: Any): Any =
+    WordNgramsImpl.ngramHash60(
+      t.asInstanceOf[UTF8String], n, distinct, prefixBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pfx = ctx.addReferenceObj("wngPrefix", prefixBytes, "byte[]")
     nullSafeCodeGen(ctx, ev, t => {
-      s"${ev.value} = graft.functions.WordNgramsImpl.ngramHash60($t, $n, $distinct);"
+      s"${ev.value} = graft.functions.WordNgramsImpl" +
+        s".ngramHash60($t, $n, $distinct, $pfx);"
     })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): WordNgramHash60 =
+    copy(child = newChild)
+}
+
+/** `winnow_minima(hashes, w)` — the rolling-window distinct-minima
+  * stage of winnowing fingerprints as one primitive loop (the HOF form
+  * re-sliced the hash array and ran array_min through interpreted
+  * lambdas per window).
+  */
+case class WinnowMinima(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window > 0, "winnow_minima: window must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(h: Any): Any =
+    WordNgramsImpl.winnowMinima(h.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h => {
+      s"${ev.value} = graft.functions.WordNgramsImpl.winnowMinima($h, $window);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMinima =
     copy(child = newChild)
 }

@@ -92,8 +92,15 @@ package object functions {
     * document as `array<long>`, bit-identical to
     * `hash60Base(explode(wordShingles(text, n)))` ([[WordNgramHash60]]).
     */
-  def wordNgramHash60(text: Column, n: Int, distinct: Boolean): Column =
-    toCol(WordNgramHash60(toExpr(text), n, distinct))
+  def wordNgramHash60(text: Column, n: Int, distinct: Boolean,
+      prefix: String = ""): Column =
+    toCol(WordNgramHash60(toExpr(text), n, distinct, prefix))
+
+  /** Winnowing rolling-window distinct minima over a long-hash array —
+    * the fingerprint-selection stage of [[WinnowMinima]].
+    */
+  def winnowMinima(hashes: Column, window: Int): Column =
+    toCol(WinnowMinima(toExpr(hashes), window))
 
   /** Z-order (Morton) bit-interleave of two non-negative ints confined to
     * `bits` bits each — the multi-dimensional layout key:

@@ -234,11 +234,14 @@ object TextAnalysis {
     * partial-overlap detection; per-row column math only.
     */
   def winnowingFingerprints(text: Column, k: Int = 5, window: Int = 4): Column =
-    Dedup.bind(transform(Dedup.wordShingles(text, k), g => Dedup.hash60(g, 7)),
-      hashes =>
-        array_distinct(
-          transform(sequence(lit(1), greatest(size(hashes) - (window - 1), lit(1))),
-            i => array_min(slice(hashes, i, lit(window))))))
+    // seeded gram hashes (md5("s7|" + gram), positional) through the
+    // fused kernel, window minima in one primitive loop — the HOF form
+    // hashed and re-sliced through interpreted lambdas per gram/window;
+    // byte-equivalence with it is spec-pinned
+    graft.functions.winnowMinima(
+      graft.functions.wordNgramHash60(text, k, distinct = true,
+        prefix = "s7|"),
+      window)
 
   /** Sequence packing, concat-and-chunk style: documents are concatenated
     * in `idCol` order and cut into fixed `budget`-token training
@@ -366,15 +369,17 @@ object TextAnalysis {
     * `cols` through — shared by [[bigramLmScore]] and [[dsirWeights]]. */
   private def bigramPairs(
       textCol: String)(df: DataFrame, cols: Column*): DataFrame =
-    df.select((cols :+ Dedup.bind(tokens(col(textCol)), toks =>
-        when(size(toks) >= 2,
-          zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-            slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-            (a, b) => struct(a.as("w1"), b.as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-      .as("_prs")): _*)
-      .select((cols :+ explode(col("_prs")).as("_p")): _*)
-      .select((cols :+ col("_p.w1") :+ col("_p.w2")): _*)
+    // positional native bigrams (one byte scan; the zip_with form ran
+    // interpreted per token pair); tokens are whitespace-split, so the
+    // space join is reversible — same invariant pmiCollocations rides.
+    // The < 2-token guard keeps the legacy empty-stream semantics (the
+    // kernel would emit the clamped single-token gram).
+    df.select((cols :+ when(tokenCount(col(textCol)) >= 2,
+        graft.functions.wordNgramsNative(col(textCol), 2, distinct = false))
+        .otherwise(array().cast("array<string>")).as("_prs")): _*)
+      .select((cols :+ explode(col("_prs")).as("_g")): _*)
+      .select((cols :+ split_part(col("_g"), lit(" "), lit(1)).as("w1")
+        :+ split_part(col("_g"), lit(" "), lit(2)).as("w2")): _*)
 
   def bigramLmScore(
       corpus: DataFrame, reference: DataFrame,
@@ -827,8 +832,11 @@ object TextAnalysis {
         when(col("n_segments") === 0, lit(""))
           .otherwise(Dedup.bind(col("_toks"), toks => array_join(
             transform(
-              filter(sequence(lit(1), greatest(col("n_segments"), lit(1))),
-                i => coalesce(!array_contains(col("_drop"), i), lit(true))),
+              // hash-based set difference, not a per-segment
+              // array_contains scan — see Dedup.cutDuplicateWindows
+              array_except(
+                sequence(lit(1), greatest(col("n_segments"), lit(1))),
+                coalesce(col("_drop"), typedLit(Array.empty[Int]))),
               i => segText(toks, i)),
             " "))).as("clean_text"))
   }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Gr
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{CdcBoundaries, DeflatedLength, FloatDot, HammingDistance, HammingDistanceLte, Int8Dot, JsonScalarField, NfcNormalize, SortedIntersectCount, WordNgramHash60, WordNgrams}
+import graft.functions.{CdcBoundaries, DeflatedLength, FloatDot, HammingDistance, HammingDistanceLte, Int8Dot, JsonScalarField, NfcNormalize, SortedIntersectCount, WinnowMinima, WordNgramHash60, WordNgrams}
 
 /** Catalyst integration (`spark.sql.extensions=graft.plans.GraftExtensions`
   * or `.withExtensions(new GraftExtensions)`):
@@ -43,7 +43,7 @@ object GraftExtensions {
     hammingDistanceDesc, hammingDistanceLteDesc, nfcNormalizeDesc,
     deflatedLengthDesc, floatDotDesc, int8DotDesc, cdcBoundariesDesc,
     jsonScalarFieldDesc, sortedIntersectCountDesc, wordNgramsDesc,
-    wordNgramHash60Desc)
+    wordNgramHash60Desc, winnowMinimaDesc)
 
   /** Install graft's SQL functions + optimizer rules on an EXISTING
     * session — the session-local equivalent of configuring
@@ -137,6 +137,13 @@ object GraftExtensions {
       intLitArg(children(1), "word_ngram_hash60", "n"),
       if (children.length > 2)
         boolLitArg(children(2), "word_ngram_hash60", "distinct") else true))
+
+  /** window must be an integer literal. */
+  val winnowMinimaDesc: FunctionDescription = (
+    FunctionIdentifier("winnow_minima"),
+    new ExpressionInfo(classOf[WinnowMinima].getName, "winnow_minima"),
+    (children: Seq[Expression]) => WinnowMinima(children(0),
+      intLitArg(children(1), "winnow_minima", "window")))
 
   /** k and m must be integer literals (sketch/chunk parameters, not data). */
   val cdcBoundariesDesc: FunctionDescription = (

@@ -782,6 +782,42 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getSeq[Long](0).length == 2)
   }
 
+  test("native winnowing fingerprints == legacy HOF formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // the exact legacy tree: HOF shingles → seeded hash60 → rolling
+    // window minima via slice/array_min → array_distinct
+    def legacy(text: Column, k: Int, window: Int): Column =
+      Dedup.bind(
+        transform(
+          Dedup.bind(split(trim(text), "\\s+"), toks =>
+            array_distinct(
+              transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+                i => array_join(slice(toks, i + 1, lit(k)), " ")))),
+          g => Dedup.hash60(g, 7)),
+        hashes =>
+          array_distinct(
+            transform(
+              sequence(lit(1), greatest(size(hashes) - (window - 1), lit(1))),
+              i => array_min(slice(hashes, i, lit(window))))))
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e", "ff", "über")
+    val texts = (Seq("", " ", "a", "a b c d e f g h",
+      "a a a a a a a a a a") ++ (0 until 200).map { _ =>
+      (0 until rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    }).toDF("t")
+    for ((k, w) <- Seq((5, 4), (3, 2), (2, 5))) {
+      texts.select(
+          graft.operators.TextAnalysis.winnowingFingerprints(col("t"), k, w)
+            .as("n"),
+          legacy(col("t"), k, w).as("l"))
+        .collect()
+        .foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"k=$k w=$w"))
+    }
+  }
+
   test("duplicateWindowStats: cross-doc, intra-doc and blank-doc windows") {
     import spark.implicits._
     val df = Seq(
