@@ -3467,12 +3467,16 @@ object SparkEntry {
     * whole vocabulary-sized stats frame through one partition.
     */
   private def q229Branching(s: SparkSession, dir: String): DataFrame = {
-    val toks = graft.operators.TextAnalysis.tokens($("text"))
+    // native positional bigrams: the posexplode+element_at form carried
+    // the WHOLE token array on every exploded row (O(T²) row payload per
+    // doc); the space join is reversible on whitespace-split tokens
     val bi = docs(s, dir).select(
-        posexplode(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
-          .as(Seq("_i", "w1")),
-        toks.as("_t"))
-      .select($("w1"), element_at($("_t"), $("_i") + 2).as("w2"))
+        explode(when(
+          graft.operators.TextAnalysis.tokenCount($("text")) >= 2,
+          graft.functions.wordNgramsNative($("text"), 2, distinct = false))
+          .otherwise(array().cast("array<string>"))).as("_g"))
+      .select(split_part($("_g"), lit(" "), lit(1)).as("w1"),
+        split_part($("_g"), lit(" "), lit(2)).as("w2"))
     val stats = bi.groupBy("w1")
       .agg(count(lit(1)).as("occurrences"),
         countDistinct($("w2")).as("distinct_next"))
