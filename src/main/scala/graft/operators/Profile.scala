@@ -663,7 +663,16 @@ object Profile {
       conv(substring(md5(concat_ws("|",
         (lit(salt) +: cols.map(c => col(c).cast("string"))): _*)),
         1, 15), 16, 10).cast("long")
-    df.agg(count(lit(1)).as("n_rows"),
+    // the digest chain is µs-per-row CPU and a parquet ROW GROUP is the
+    // scan's atomic split — a table written as one row group would run
+    // the whole chain on one task. When the scan yields fewer splits
+    // than cores, fan out first: XOR is order- and partitioning-
+    // invariant by design (the operator's whole point), and at
+    // warehouse scale inputs carry >> cores splits so this is a no-op.
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val fanned = if (df.rdd.getNumPartitions < target)
+      df.repartition(target) else df
+    fanned.agg(count(lit(1)).as("n_rows"),
       bit_xor(digest("")).as("xor_digest"),
       bit_xor(digest("s2")).as("xor_digest_salted"))
   }
