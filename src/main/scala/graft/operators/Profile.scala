@@ -112,11 +112,16 @@ object Profile {
     */
   private def bucketByRank(c: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // lazy checkpoint: the coarse-bucket id is consumed by BOTH windows
+    // (per-bucket local cumsum, per-bucket offsets) whose partition keys
+    // differ — no exchange reuse, so without it the value compaction +
+    // conv-based bit-length run twice
     val withB = c
       .withColumn("_bits", length(conv(col("_v"), 10, 2)).cast("long"))
       .withColumn("_b", expr(
         "shiftleft(_bits, 10) + shiftright(_v, cast(greatest(_bits - 10, 0) as int))"))
       .drop("_bits")
+      .localCheckpoint(false)
     val inPrev = Window.partitionBy("_b").orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = withB.withColumn("_cin",
