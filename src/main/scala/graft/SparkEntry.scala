@@ -2433,7 +2433,11 @@ object SparkEntry {
   private def q154EntityResolution(s: SparkSession, dir: String): DataFrame = {
     val vocab = t(s, dir, "part").groupBy($("p_name").as("name"))
       .agg(count(lit(1)).as("n_rows"))
-    val pairs = FuzzyJoin.symspellJoin(vocab, "name", "name", maxDist = 2)
+    // guarded entry: fail fast on a degenerate vocabulary instead of a
+    // doomed variant-posting self-join (never fires on this corpus —
+    // sf10 measured mass is far under 1e9)
+    val pairs = FuzzyJoin.symspellJoin(vocab, "name", "name", maxDist = 2,
+      maxCandidatePairs = Some(1000000000L))
     val cc = Dedup.connectedComponents(pairs)
       .select(col("id").as("name"), col("cluster_id"))
     vocab.join(cc, Seq("name"), "left")
@@ -2978,17 +2982,21 @@ object SparkEntry {
     * (split, lang) doc and token totals.
     */
   private def q200Curation(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val clean = graft.operators.TextAnalysis.blocklistSignals(
         t(s, dir, "documents"), "text", Seq("slow", "big", "stale"), 5)
       .filter(!$("flagged"))
+    // pin the banding result: both the fingerprint aggregate (inside
+    // Dedup.exact) and the survivor semi-join consume it
     val banded = Sampling.percentileNormalize(
         clean, "lang", "n_chars", "doc_id")
       .filter($("pct") >= 0.05 && $("pct") <= 0.95)
-    val deduped = banded
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(md5($("text"))).orderBy($("doc_id"))))
-      .filter($("_rk") === 1)
+      .localCheckpoint(false)
+    // the library's exact-dedup entry (min doc_id per md5 fingerprint —
+    // identical survivors to a row_number-over-digest window, but the
+    // wide rows never shuffle: only (digest, id) pairs do, then a
+    // broadcast-able semi-join keeps the winners)
+    val deduped = banded.join(Dedup.exact(banded, "doc_id", "text"),
+      Seq("doc_id"), "left_semi")
     deduped
       .withColumn("split", Sampling.splitLabel($("doc_id"),
         Seq(("train", 8000), ("val", 1000), ("test", 1000))))
@@ -4375,6 +4383,67 @@ object SparkEntry {
         sum(when($("_keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** The wide-ratio containment corpus for q282/q283: documents plus
+    * synthesized SUPERSETS (groups of 4 docs concatenated in doc_id
+    * order, ids offset by 2e9) so member→superset containments sit at
+    * size ratio ~3–8 — beyond lshContainmentPairs' ratio-2 domain
+    * contract, inside the stratified operator's lifted domain.
+    */
+  private def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select($("doc_id").cast("long").as("doc_id"), $("text"))
+    val sup = d.groupBy(floor($("doc_id") / 4).cast("long").as("_g"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($("doc_id"), $("text")))),
+        x => x.getField("text")), " ").as("text"))
+      .select(($("_g") + 2000000000L).as("doc_id"), $("text"))
+    d.unionByName(sup)
+  }
+
+  /** Size-stratified containment join (LSH Ensemble, Zhu/Nandi/Miller
+    * VLDB 2016) at ratio domain 8 — the lifted form of q279's ratio-2
+    * banded path. 64-hash budget, recall target 0.9 per stratum delta;
+    * the candidate-mass guard fails fast on a degenerate corpus.
+    */
+  private def q282StratifiedContainment(
+      s: SparkSession, dir: String): DataFrame =
+    Dedup.stratifiedContainmentPairs(containmentCorpus(s, dir),
+      "doc_id", "text", n = 3, threshold = 0.7,
+      numHashes = 64, maxRatio = 8.0,
+      maxCandidatePairs = Some(2000000000L))
+
+  /** Recall audit of q282's stratified path against the exact
+    * containment set restricted to the same ratio-8 domain — the
+    * measured-recall row that makes the lifted domain a number, not a
+    * claim (q280's twin past ratio 2).
+    */
+  private def q283StratifiedRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.stratifiedContainmentRecallAudit(containmentCorpus(s, dir),
+      "doc_id", "text", n = 3, threshold = 0.7,
+      numHashes = 64, maxRatio = 8.0)
+
+  /** Minted-shape barcode similarity join — the PRODUCTION domain of J9
+    * (q19 is the saturated-space control whose guard fail-fasts at
+    * 100×): codes are uuid-suffix-shaped 8-hex strings (answer mass
+    * near-empty, as the reference's distance-≥3 mint trigger
+    * guarantees), with a planted distance-1 neighbor every 23rd
+    * customer so the gate has rows. Rides the part-combination
+    * pigeonhole plan (6 keys × 16⁴ values — the all-pairs form that
+    * stays linear at 1.5M codes where 2-char slices saturate).
+    */
+  private def q284MintedPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer").select(
+      $("c_custkey").cast("long").as("id"),
+      substring(md5($("c_custkey").cast("string")), 25, 8).as("code"))
+    val planted = base.filter($("id") % 23 === 0)
+      .select(($("id") + 1000000000L).as("id"),
+        concat(lit("z"), substring($("code"), 2, 7)).as("code"))
+    Barcodes.similarityJoinParts(base.unionByName(planted), maxDist = 2,
+        maxCandidatePairs = Some(100000000L))
+      .select($("id_a"), $("id_b"), $("code_a"), $("code_b"),
+        $("dist").cast("long").as("dist"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4659,6 +4728,9 @@ object SparkEntry {
     "q279_lsh_containment" -> (q279LshContainment _),
     "q280_containment_recall" -> (q280ContainmentRecall _),
     "q281_curation_neardup" -> (q281CurationNeardup _),
+    "q282_stratified_containment" -> (q282StratifiedContainment _),
+    "q283_stratified_recall" -> (q283StratifiedRecall _),
+    "q284_minted_pairs" -> (q284MintedPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9706,5 +9778,161 @@ object SparkEntry {
         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM q LEFT JOIN cc ON cc.id = q.doc_id
         |GROUP BY 1""".stripMargin,
+    // q282/q283 band groups mirror Dedup.stratifiedBandPlan(0.7, 64, 8,
+    // 0.9) — (width 2 × 24 bands, delta 0), (width 1 × 13, delta 1),
+    // (width 1 × 27, deltas 2-3); pinned by Round9OpsSpec
+    "q282_stratified_containment" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+        |           FROM documents),
+        |sup AS (SELECT 2000000000 + g AS doc_id, t AS text FROM (
+        |  SELECT doc_id // 4 AS g,
+        |         string_agg(text, ' ' ORDER BY doc_id) AS t
+        |  FROM d GROUP BY doc_id // 4)),
+        |corpus AS (SELECT * FROM d UNION ALL SELECT * FROM sup),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |       FROM corpus),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+2], ' ')
+        |            for i in range(1, greatest(len(l)-2, 1)+1)])] AS bs
+        |  FROM tk),
+        |st AS (SELECT doc_id, length(bin(len(bs))) - 1 AS st FROM base),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 64)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs])
+        |   for c in cl] AS sg
+        |  FROM base, css),
+        |b1 AS (SELECT doc_id, b, array_to_string(sg[b*2+1:b*2+2], ',') AS bv
+        |  FROM sig, range(0, 24) t(b)),
+        |b2 AS (SELECT doc_id, b, array_to_string(sg[b+1:b+1], ',') AS bv
+        |  FROM sig, range(0, 13) t(b)),
+        |b3 AS (SELECT doc_id, b, array_to_string(sg[b+1:b+1], ',') AS bv
+        |  FROM sig, range(0, 27) t(b)),
+        |cand AS (SELECT DISTINCT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM b1 a JOIN b1 b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  JOIN st sa ON sa.doc_id = a.doc_id
+        |  JOIN st sb ON sb.doc_id = b.doc_id
+        |  WHERE abs(sa.st - sb.st) = 0
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM b2 a JOIN b2 b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  JOIN st sa ON sa.doc_id = a.doc_id
+        |  JOIN st sb ON sb.doc_id = b.doc_id
+        |  WHERE abs(sa.st - sb.st) = 1
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM b3 a JOIN b3 b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  JOIN st sa ON sa.doc_id = a.doc_id
+        |  JOIN st sb ON sb.doc_id = b.doc_id
+        |  WHERE abs(sa.st - sb.st) IN (2, 3))),
+        |j AS (SELECT id_a, id_b,
+        |    len(list_intersect(x.bs, y.bs)) AS i,
+        |    len(x.bs) AS sa, len(y.bs) AS sb
+        |  FROM cand JOIN base x ON x.doc_id = id_a
+        |            JOIN base y ON y.doc_id = id_b
+        |  WHERE greatest(len(x.bs), len(y.bs))::DOUBLE
+        |          <= 8.0 * least(len(x.bs), len(y.bs))::DOUBLE)
+        |SELECT id_a, id_b, round(i::DOUBLE / sa, 6) AS c_ab,
+        |  round(i::DOUBLE / sb, 6) AS c_ba
+        |FROM j WHERE greatest(round(i::DOUBLE / sa, 6),
+        |                      round(i::DOUBLE / sb, 6)) >= 0.7""".stripMargin,
+    "q283_stratified_recall" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+        |           FROM documents),
+        |sup AS (SELECT 2000000000 + g AS doc_id, t AS text FROM (
+        |  SELECT doc_id // 4 AS g,
+        |         string_agg(text, ' ' ORDER BY doc_id) AS t
+        |  FROM d GROUP BY doc_id // 4)),
+        |corpus AS (SELECT * FROM d UNION ALL SELECT * FROM sup),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |       FROM corpus),
+        |base AS (SELECT doc_id,
+        |  [('0x'||substr(md5(g),1,15))::BIGINT
+        |   for g in list_distinct([array_to_string(l[i:i+2], ' ')
+        |            for i in range(1, greatest(len(l)-2, 1)+1)])] AS bs
+        |  FROM tk),
+        |sh AS (SELECT doc_id AS id, unnest(bs) AS g FROM base),
+        |szs AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+        |          GROUP BY 1, 2),
+        |ex AS (SELECT id_a, id_b FROM inter
+        |  JOIN szs sa ON sa.id = id_a JOIN szs sb ON sb.id = id_b
+        |  WHERE greatest(sa.sz, sb.sz)::DOUBLE <= 8.0 * least(sa.sz, sb.sz)::DOUBLE
+        |    AND greatest(round(i::DOUBLE / sa.sz, 6),
+        |                 round(i::DOUBLE / sb.sz, 6)) >= 0.7),
+        |st AS (SELECT doc_id, length(bin(len(bs))) - 1 AS st FROM base),
+        |css AS (SELECT [('0x'||substr(md5('seed'||s::VARCHAR),1,15))::BIGINT
+        |                for s in range(0, 64)] AS cl),
+        |sig AS (SELECT doc_id,
+        |  [list_min([xor(xor(b, c), xor(b, c) >> 31) for b in bs])
+        |   for c in cl] AS sg
+        |  FROM base, css),
+        |b1 AS (SELECT doc_id, b, array_to_string(sg[b*2+1:b*2+2], ',') AS bv
+        |  FROM sig, range(0, 24) t(b)),
+        |b2 AS (SELECT doc_id, b, array_to_string(sg[b+1:b+1], ',') AS bv
+        |  FROM sig, range(0, 13) t(b)),
+        |b3 AS (SELECT doc_id, b, array_to_string(sg[b+1:b+1], ',') AS bv
+        |  FROM sig, range(0, 27) t(b)),
+        |cand AS (SELECT DISTINCT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM b1 a JOIN b1 b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  JOIN st sa ON sa.doc_id = a.doc_id
+        |  JOIN st sb ON sb.doc_id = b.doc_id
+        |  WHERE abs(sa.st - sb.st) = 0
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM b2 a JOIN b2 b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  JOIN st sa ON sa.doc_id = a.doc_id
+        |  JOIN st sb ON sb.doc_id = b.doc_id
+        |  WHERE abs(sa.st - sb.st) = 1
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM b3 a JOIN b3 b
+        |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  JOIN st sa ON sa.doc_id = a.doc_id
+        |  JOIN st sb ON sb.doc_id = b.doc_id
+        |  WHERE abs(sa.st - sb.st) IN (2, 3))),
+        |lsh AS (SELECT id_a, id_b FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    len(list_intersect(x.bs, y.bs)) AS i,
+        |    len(x.bs) AS sa, len(y.bs) AS sb
+        |  FROM cand c JOIN base x ON x.doc_id = c.id_a
+        |              JOIN base y ON y.doc_id = c.id_b
+        |  WHERE greatest(len(x.bs), len(y.bs))::DOUBLE
+        |          <= 8.0 * least(len(x.bs), len(y.bs))::DOUBLE)
+        |  WHERE greatest(round(i::DOUBLE / sa, 6),
+        |                 round(i::DOUBLE / sb, 6)) >= 0.7),
+        |f AS (SELECT e.id_a IS NOT NULL AS in_e, l.id_a IS NOT NULL AS in_l
+        |  FROM ex e FULL JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b),
+        |c AS (SELECT count(*) FILTER (in_e) AS n_exact,
+        |    count(*) FILTER (in_l) AS n_lsh,
+        |    count(*) FILTER (in_e AND in_l) AS n_both FROM f)
+        |SELECT n_exact, n_lsh, n_both,
+        |  n_exact - n_both AS n_exact_only,
+        |  n_lsh - n_both AS n_lsh_only,
+        |  CASE WHEN n_exact > 0
+        |    THEN round(n_both::DOUBLE / n_exact, 6) ELSE 1.0 END AS recall
+        |FROM c""".stripMargin,
+    // the operator is recall-complete, so the oracle is the plain
+    // brute-force hamming join — no prefilter replication needed
+    "q284_minted_pairs" ->
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    substr(md5(c_custkey::VARCHAR), 25, 8) AS code FROM customer),
+        |pl AS (SELECT id + 1000000000 AS id,
+        |    'z' || substr(code, 2, 7) AS code FROM base WHERE id % 23 = 0),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM pl)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  a.code AS code_a, b.code AS code_b,
+        |  CAST(mismatches(a.code, b.code) AS BIGINT) AS dist
+        |FROM c a, c b
+        |WHERE a.id < b.id AND mismatches(a.code, b.code) <= 2""".stripMargin,
   )
 }

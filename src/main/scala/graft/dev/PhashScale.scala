@@ -45,10 +45,15 @@ object PhashScale {
   /** Deterministic 32×32 PNG for image id: near-dups re-render their
     * predecessor's gradient with a +`shift` luma offset.
     */
-  private[dev] def png(id: Long): Array[Byte] = {
+  private[dev] def png(id: Long, textured: Boolean = true): Array[Byte] = {
     val (base, shift) = if (id % 100 == 1 && id > 0) (id - 1, 2) else (id, 0)
     val (a, b) = (coef(base, 0), coef(base, 1))
-    val block = Array.tabulate(64)(k => coef(base, 10 + k))
+    // textured=false is the LOW-TEXTURE CONTROL (bare gradients): their
+    // hashes collapse to direction-quadrant patterns and the candidate-
+    // mass guard must fire — the r8 degeneracy, now a runnable mode
+    val block =
+      if (textured) Array.tabulate(64)(k => coef(base, 10 + k))
+      else Array.fill(64)(40)
     val img = new java.awt.image.BufferedImage(
       32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -73,6 +78,11 @@ object PhashScale {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    // width mode: 64 = BT.601 aHash (the r8 measurement), 128 = the
+    // r9 aHash‖dHash wide hash with 32-bit bands (PERF_r8 §3's knob)
+    val width = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    require(width == 64 || width == 128, s"width $width not in {64, 128}")
+    val textured = args.drop(2).headOption.forall(_ != "lowtexture")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -85,26 +95,36 @@ object PhashScale {
     implicit val enc = Encoders.product[Blob]
 
     val blobs = spark.range(n).repartition(256)
-      .mapPartitions(_.map(i => Blob(i, png(i), "image/png")))
+      .mapPartitions(_.map(i => Blob(i, png(i, textured), "image/png")))
     val t0 = System.nanoTime()
     // hash once, consumed by the pair join twice (both sides) and the
     // mass profile — the pipeline a real deployment persists anyway
-    val hashes = Multimodal.aHashImage(blobs).toDF()
-      .localCheckpoint(true)
+    val hashes =
+      (if (width == 64) Multimodal.aHashImage(blobs).toDF()
+       else Multimodal.pHash128Image(blobs).toDF())
+        .localCheckpoint(true)
     val tHash = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val pairs = Multimodal.phashPairs(hashes, bits = 64, maxDist = 3,
-      maxCandidatePairs = Some(100L * n))
+    val pairs =
+      if (width == 64) Multimodal.phashPairs(hashes, bits = 64, maxDist = 3,
+        maxCandidatePairs = Some(100L * n))
+      else Multimodal.phash128Pairs(hashes, maxDist = 3,
+        maxCandidatePairs = Some(100L * n))
     val nPairs = pairs.count()
     val tPairs = (System.nanoTime() - t1) / 1e9
     // bucket-mass profile of the 4 pigeonhole bands: Σ df·(df−1)/2 —
     // the quantity the guard bounds and the linearity question is about
-    val bandBits = 16
-    val mask = (1L << bandBits) - 1
+    val bandBits = width / 4
+    val mask = if (bandBits == 32) lit((1L << 32) - 1) else lit(0xffffL)
     val posting = hashes.select(col("id"),
-        explode(array((0 until 4).map(bn => struct(lit(bn).as("band"),
-          shiftrightunsigned(col("phash"), bn * bandBits)
-            .bitwiseAND(lit(mask)).as("bval"))): _*)).as("b"))
+        explode(array((0 until 4).map { bn =>
+          val off = bn * bandBits
+          val word =
+            if (width == 64) col("phash")
+            else if (off < 64) col("hash_lo") else col("hash_hi")
+          struct(lit(bn).as("band"),
+            shiftrightunsigned(word, off % 64).bitwiseAND(mask).as("bval"))
+        }: _*)).as("b"))
       .select(col("b.band"), col("b.bval"))
     val mass = posting.groupBy("band", "bval")
       .agg(count(lit(1)).as("df"))
@@ -112,7 +132,7 @@ object PhashScale {
         max(col("df")).as("maxdf"),
         count(lit(1)).as("buckets"))
       .head()
-    println(s"""{"metric":"phash_real_codec","n":$n,""" +
+    println(s"""{"metric":"phash_real_codec","n":$n,"width":$width,""" +
       s""""hash_sec":${math.round(tHash * 1000) / 1000.0},""" +
       s""""pairs_sec":${math.round(tPairs * 1000) / 1000.0},""" +
       s""""n_pairs":$nPairs,"bucket_pair_mass":${mass.getLong(0) / 2},""" +

@@ -158,8 +158,15 @@ object WordNgramsImpl {
     * (first-occurrence order) minima of every `w`-wide window over the
     * hash array, with the legacy clamping — max(G-w+1, 1) windows, the
     * last ones shrinking at the tail; a shorter-than-w array yields the
-    * single whole-array minimum. Empty input returns an empty array
-    * (unreachable through the gram kernel, which emits ≥ 1 hash).
+    * single whole-array minimum.
+    *
+    * SQL-facing edge cases (unreachable through the gram kernel, which
+    * emits ≥ 1 non-null hash, but reachable via `winnow_minima(...)`):
+    * an EMPTY array returns an empty array — a deliberate divergence
+    * from the legacy HOF tree, whose `array_min(slice(...))` produced
+    * `[null]` there; a NULL array element is rejected with a clear
+    * error (the output type claims containsNull=false, so silently
+    * reading the null slot would return garbage).
     */
   def winnowMinima(h: ArrayData, w: Int): ArrayData = {
     val g = h.numElements()
@@ -172,7 +179,12 @@ object WordNgramsImpl {
     while (i < numWins) {
       var mn = Long.MaxValue
       var j = i; val end = math.min(i + w, g)
-      while (j < end) { val v = h.getLong(j); if (v < mn) mn = v; j += 1 }
+      while (j < end) {
+        if (h.isNullAt(j)) throw new IllegalArgumentException(
+          "winnow_minima: null array elements are not supported " +
+            s"(null at index $j); filter or coalesce them first")
+        val v = h.getLong(j); if (v < mn) mn = v; j += 1
+      }
       if (seen.add(mn)) { out(m) = mn; m += 1 }
       i += 1
     }

@@ -60,13 +60,88 @@ object Barcodes {
     val b = sliced.as("b")
     // shuffle_hash: both sides are the same sliced frame — identical
     // exchanges are reused, so the slice explode runs once (a broadcast
-    // build side would recompute it and is unstable for self-joins)
+    // build side would recompute it and is unstable for self-joins).
+    // hamming BEFORE distinct (r9): the codegen'd short-circuit check is
+    // pennies per probe, while a distinct over the full candidate mass
+    // is a pair-mass-sized shuffle — on an answer-sparse (minted) corpus
+    // filter-first turns that shuffle into survivors-only
     a.hint("shuffle_hash").join(b,
         col("a.slice") === col("b.slice") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("a.code").as("code_a"),
         col("b.id").as("id_b"), col("b.code").as("code_b"))
-      .distinct() // a pair can share several slices
       .filter(hammingDistanceLte(col("code_a"), col("code_b"), lit(maxDist)))
+      .distinct() // a pair can share several slices
+      .withColumn("dist", hammingDistance(col("code_a"), col("code_b")))
+  }
+
+  /** Positioned part-combination keys for the pigeonhole similarity
+    * join: the code splits into `parts` near-equal substrings; two
+    * codes within hamming distance `maxDist` differ in at most
+    * `maxDist` parts, so they AGREE on some (parts − maxDist)-subset —
+    * one key per subset (combo id ++ the concatenated parts), C(parts,
+    * maxDist) keys per code.
+    *
+    * Versus the reference's 2-char slice array (dev/doc/
+    * 01-barcode-slices.md — 7 positioned bigrams, 256 values each):
+    * same pigeonhole logic, exponentially more selective buckets. For
+    * 8-char codes at maxDist 2 with 4 parts, keys carry 4 chars →
+    * 16^4 = 65536 hex values per combo, so a RANDOM (minted) corpus's
+    * candidate mass is 6·N²/2^16 instead of 7·N²/2^8 — the 42× that
+    * turns the corpus-wide all-pairs check from guard-stopped to
+    * measured-tractable at 1.5M codes. The slice scheme stays the
+    * per-insert (GIN-indexed probe) shape; this is the all-pairs shape.
+    */
+  private[operators] def partKeys(
+      code: Column, parts: Int, maxDist: Int): Column = {
+    require(parts > maxDist,
+      s"parts $parts must exceed maxDist $maxDist (pigeonhole)")
+    val keep = parts - maxDist
+    val combos = (0 until parts).combinations(keep).toSeq
+    val l = length(code)
+    def part(i: Int): Column = {
+      val start = floor(l * i / parts).cast("int")
+      val stop = floor(l * (i + 1) / parts).cast("int")
+      code.substr(start + 1, stop - start)
+    }
+    array(combos.zipWithIndex.map { case (combo, ci) =>
+      concat((lit(s"${ci}__") +: combo.map(part)): _*)
+    }: _*)
+  }
+
+  /** All pairs (idA < idB) within hamming distance <= maxDist via the
+    * part-combination pigeonhole join — [[similarityJoin]]'s
+    * corpus-scale twin for all-pairs checks over large minted sets
+    * (recall-complete for any alphabet and fixed code length; pairs of
+    * DIFFERENT lengths are never candidates, matching the hamming
+    * domain). Same output schema and guard semantics as
+    * [[similarityJoin]].
+    */
+  def similarityJoinParts(
+      codes: DataFrame, // columns: id (long), code (string)
+      maxDist: Int = 2,
+      parts: Int = 4,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
+    val keyed0 = codes.select(col("id"), col("code"),
+      explode(partKeys(col("code"), parts, maxDist)).as("k"))
+    val keyed = if (maxCandidatePairs.isDefined)
+      keyed0.localCheckpoint(false) else keyed0
+    maxCandidatePairs.foreach { budget =>
+      val d = col("_df").cast("decimal(38,0)")
+      Dedup.requireCandidateBudget("Barcodes.similarityJoinParts",
+        keyed.groupBy("k").agg(count(lit(1)).as("_df"))
+          .agg(coalesce(sum(d * (d - lit(1))),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
+        budget,
+        "Raise `parts` selectivity with longer codes, or join a bounded " +
+          "batch against the corpus (mintWithStats's shape) instead of " +
+          "all-pairs.")
+    }
+    keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.code").as("code_a"),
+        col("b.id").as("id_b"), col("b.code").as("code_b"))
+      .filter(hammingDistanceLte(col("code_a"), col("code_b"), lit(maxDist)))
+      .distinct() // a pair can agree on several part combos
       .withColumn("dist", hammingDistance(col("code_a"), col("code_b")))
   }
 
@@ -152,12 +227,15 @@ object Barcodes {
         .withColumn("uuid", candidateUuid(round))
         .withColumn("code", barcodeFromUuid(col("uuid"))))
       tried += need.toLong * batchFactor
-      // (1) reject vs existing/accepted — slice-prefiltered anti-join
-      val candSlices = batch.select(col("seq"), col("code"),
-        explode(barcodeSlices(col("code"))).as("slice"))
-      val accSlices = accepted.select(col("code").as("acc_code"),
-        explode(barcodeSlices(col("code"))).as("slice"))
-      val conflictsExisting = candSlices.join(accSlices, "slice")
+      // (1) reject vs existing/accepted — pigeonhole-prefiltered
+      // anti-join on part-combination keys (r9: the 2-char slice keys'
+      // 256-value buckets made THIS join the quadratic wall at a 1.5M
+      // mint — part combos carry 16^4 values, same recall)
+      val candKeys = batch.select(col("seq"), col("code"),
+        explode(partKeys(col("code"), maxDist + 2, maxDist)).as("k"))
+      val accKeys = accepted.select(col("code").as("acc_code"),
+        explode(partKeys(col("code"), maxDist + 2, maxDist)).as("k"))
+      val conflictsExisting = candKeys.join(accKeys, "k")
         .filter(hammingDistanceLte(col("code"), col("acc_code"), lit(maxDist)))
         .select("seq").distinct()
       val clean = batch.join(conflictsExisting, Seq("seq"), "left_anti")
@@ -170,8 +248,9 @@ object Barcodes {
       // the loop's next round re-mints the difference, and conflict chains
       // among a fresh uuid batch are vanishingly rare. Same rule as the
       // q34 oracle's `intra` CTE.
-      val intraRejected = keep(similarityJoin(
-          clean.select(col("seq").as("id"), col("code")), maxDist)
+      val intraRejected = keep(similarityJoinParts(
+          clean.select(col("seq").as("id"), col("code")),
+          maxDist, parts = maxDist + 2)
         .select(col("id_b").as("seq")).distinct())
       intraRejects += intraRejected.count() // cached: the anti-join below reuses it
       val survivors = clean.join(intraRejected, Seq("seq"), "left_anti")

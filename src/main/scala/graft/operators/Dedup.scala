@@ -41,10 +41,38 @@ object Dedup {
     * the table-checksum digest chain): for the inverted-index family
     * the extra exchange costs more than the single cheap scan pass it
     * parallelizes (measured +0.15-0.3 s per query at sf0.1).
+    *
+    * The probe (`df.rdd.getNumPartitions`) is gated to NARROW
+    * scan-rooted plans: with AQE on (Spark 4 default), `Dataset.rdd`
+    * on a shuffle-rooted frame finalizes the adaptive plan by EAGERLY
+    * RUNNING every upstream query stage — real jobs, recomputed again
+    * by the actual query (no exchange reuse across executions). A
+    * shuffle-rooted input is already at `spark.sql.shuffle.partitions`
+    * width anyway, so the fan-out would be a no-op there; skipping the
+    * probe loses nothing and makes the helper safe on the arbitrary
+    * DataFrames the public entry points (decontaminationCut,
+    * tableChecksum) accept.
     */
   private[operators] def fanOutIfNarrow(df: DataFrame): DataFrame = {
+    if (!isScanRooted(df.queryExecution.optimizedPlan)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** True iff the optimized plan is a leaf scan under narrow
+    * (partition-preserving, non-shuffling) operators only — the shapes
+    * for which materializing the RDD lineage compiles no query stages
+    * and runs no jobs under AQE.
+    */
+  private def isScanRooted(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case _: LeafNode => true
+      case p @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias |
+                _: Expand) => isScanRooted(p.children.head)
+      case _ => false
+    }
   }
 
   /** 60-bit deterministic hash of a string expression. */
@@ -1384,6 +1412,184 @@ object Dedup {
       .withColumn("c_ba", round(col("_i").cast("double") / col("_sb"), 6))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
       .select("id_a", "id_b", "c_ab", "c_ba")
+  }
+
+  /** Detection probability of an OR-of-ANDs MinHash banding scheme:
+    * `bands` bands of `r` rows each catch a pair of Jaccard `j` with
+    * probability 1 − (1 − j^r)^bands.
+    */
+  private def detectProb(j: Double, r: Int, bands: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, r), bands)
+
+  /** Per-stratum-delta banding plan for [[stratifiedContainmentPairs]]:
+    * for each stratum delta Δ (geometric base-2 size strata), the worst
+    * in-domain Jaccard of a containment-`t` pair is
+    * j_min(Δ) = t / (1 + ρ_max(Δ) − t) with ρ_max(Δ) = min(2^(Δ+1),
+    * maxRatio), and the chosen (bandWidth r, numBands b) is the WIDEST
+    * band (fewest collisions) whose full-budget detect probability
+    * clears `recallTarget` at j_min, shrunk to the FEWEST bands that
+    * still clear it (less collision mass again). Deltas that share a
+    * plan are grouped so the band frame is built once.
+    *
+    * Returns (r, b) -> deltas. Throws when even 1-wide bands over the
+    * whole budget cannot reach the target — the caller must raise
+    * numHashes (silent uncontrolled recall is the failure mode this
+    * operator exists to remove).
+    */
+  private[operators] def stratifiedBandPlan(
+      threshold: Double, numHashes: Int, maxRatio: Double,
+      recallTarget: Double): Map[(Int, Int), Seq[Int]] = {
+    require(maxRatio >= 1.0, s"maxRatio $maxRatio must be >= 1")
+    val deltaMax = math.ceil(math.log(maxRatio) / math.log(2.0)).toInt
+    val widths = (1 to numHashes).filter(numHashes % _ == 0).reverse
+    val plans = (0 to deltaMax).map { d =>
+      val rhoMax = math.min(math.pow(2.0, d + 1.0), maxRatio)
+      val jMin = threshold / (1.0 + rhoMax - threshold)
+      val r = widths.find(w =>
+        detectProb(jMin, w, numHashes / w) >= recallTarget).getOrElse {
+        val need = math.ceil(
+          math.log(1.0 - recallTarget) / math.log(1.0 - jMin)).toLong
+        throw new IllegalArgumentException(
+          s"stratifiedContainmentPairs: $numHashes hashes cannot reach " +
+            f"recall $recallTarget%.2f at stratum delta $d (worst " +
+            f"in-domain Jaccard $jMin%.4f needs ~$need 1-wide bands) — " +
+            "raise numHashes or lower maxRatio")
+      }
+      val b = (1 to numHashes / r)
+        .find(nb => detectProb(jMin, r, nb) >= recallTarget).get
+      (d, (r, b))
+    }
+    plans.groupBy(_._2).map { case (rb, ds) => rb -> ds.map(_._1) }
+  }
+
+  /** Size-stratified banded containment join — the LSH Ensemble
+    * construction (Zhu, Nandi, Miller: "LSH Ensemble: Internet-Scale
+    * Domain Search", VLDB 2016) that removes [[lshContainmentPairs]]'s
+    * `maxRatio = 2` domain restriction: documents are stratified by
+    * distinct-shingle count into geometric base-2 strata, and every
+    * stratum DELTA gets its own banding (width, band-count) sized —
+    * from the containment-to-Jaccard bound at the delta's worst
+    * in-domain size ratio — so the detect probability of every
+    * in-domain pair clears `recallTarget`. Wide-ratio pairs (tiny doc
+    * contained in a huge one, Jaccard → t/ρ) ride many 1-wide bands;
+    * near-equal pairs ride few wide bands; each candidate is verified
+    * EXACTLY, so reported c_ab/c_ba are true values and precision is 1.
+    *
+    * The hash budget is the recall dial: 64 hashes cover maxRatio 8 at
+    * target 0.9 for t ≈ 0.7; an unreachable (budget, ratio) combination
+    * throws at PLAN TIME with the required band count, rather than
+    * silently under-recalling — audit the realized recall per corpus
+    * with [[stratifiedContainmentRecallAudit]].
+    *
+    * `maxCandidatePairs` guards the band-bucket join mass (Σ df·(df−1)/2
+    * over every group's (band, bucket) buckets — the pre-delta-filter
+    * join mass actually shuffled), same circuit-breaker family as the
+    * exact forms.
+    *
+    * Output schema matches the exact forms: (id_a < id_b, c_ab, c_ba
+    * rounded 6, max ≥ threshold), pairs within `maxRatio` size ratio.
+    */
+  def stratifiedContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      numHashes: Int = 64, maxRatio: Double = 8.0,
+      recallTarget: Double = 0.9,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
+    val plan = stratifiedBandPlan(threshold, numHashes, maxRatio,
+      recallTarget)
+    val sets = df.select(col(idCol).as("id"),
+        sort_array(wordShingleHashes(col(textCol), n)).as("_grams"))
+      .withColumn("_sz", size(col("_grams")).cast("long"))
+      .localCheckpoint(false) // one parse+digest pass, strata + 2 pair sides
+    // stratum = floor(log2(sz)) via BIT LENGTH, not floating log2: both
+    // engines' bin() is the minimal binary string, so the stratum is
+    // integer-exact at power-of-two boundaries where log(x)/log(2)
+    // jitters below the integer
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+      .join(sets.select(col("id"),
+        (length(bin(col("_sz"))) - 1).as("_st")), Seq("id"))
+      .localCheckpoint(false) // one signature pass, one band frame per plan
+    val bandFrames = plan.toSeq.sortBy(_._1).map { case ((r, b), deltas) =>
+      val banded = sigs.select(col("id"), col("_st"),
+        posexplode(bandBuckets(col("sig"), b, r))
+          .as(Seq("band", "bucket")))
+      (banded, deltas)
+    }
+    maxCandidatePairs.foreach { budget =>
+      val d = col("_c").cast("decimal(38,0)")
+      val mass = bandFrames.map { case (banded, _) =>
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(d * (d - lit(1))), lit(0).cast("decimal(38,0)"))
+            .as("_m"))
+      }.reduce(_ unionByName _)
+        .agg(sum(col("_m")))
+      requireCandidateBudget("stratifiedContainmentPairs", mass, budget,
+        "Raise the hash budget's selectivity (higher recallTarget forces " +
+          "narrower bands — more mass; lower maxRatio prunes strata), " +
+          "sample the corpus, or raise maxCandidatePairs deliberately.")
+    }
+    val cand = bandFrames.map { case (banded, deltas) =>
+      banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .filter(abs(col("a._st") - col("b._st"))
+          .isin(deltas.map(Integer.valueOf): _*))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("_grams").as("_ga"),
+        col("_sz").as("_sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("_grams").as("_gb"),
+        col("_sz").as("_sb")), Seq("id_b"))
+      .filter(greatest(col("_sa"), col("_sb")).cast("double") <=
+        lit(maxRatio) * least(col("_sa"), col("_sb")).cast("double"))
+      .withColumn("_i", graft.functions
+        .sortedIntersectCount(col("_ga"), col("_gb")).cast("long"))
+      .withColumn("c_ab", round(col("_i").cast("double") / col("_sa"), 6))
+      .withColumn("c_ba", round(col("_i").cast("double") / col("_sb"), 6))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("id_a", "id_b", "c_ab", "c_ba")
+  }
+
+  /** Confusion counts of [[stratifiedContainmentPairs]] against the
+    * recall-complete exact containment set restricted to the same
+    * `maxRatio` domain — [[containmentRecallAudit]] extended past the
+    * banded path's ratio-2 contract. One row: n_exact, n_lsh, n_both,
+    * n_exact_only, n_lsh_only, recall (rounded 6; the spec floor is
+    * `recallTarget` by construction, measured per corpus here).
+    */
+  def stratifiedContainmentRecallAudit(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      numHashes: Int = 64, maxRatio: Double = 8.0,
+      recallTarget: Double = 0.9): DataFrame = {
+    // the exact form reports only true containments — re-derive set
+    // sizes for the ratio cut (exact integers, not a rounded-c quotient)
+    val sz = df.select(col(idCol).as("id"),
+      size(wordShingleHashes(col(textCol), n)).cast("long").as("_z"))
+    val exact = prefixFilterContainmentPairs(df, idCol, textCol, n,
+        threshold)
+      .join(sz.select(col("id").as("id_a"), col("_z").as("_za")), Seq("id_a"))
+      .join(sz.select(col("id").as("id_b"), col("_z").as("_zb")), Seq("id_b"))
+      .filter(greatest(col("_za"), col("_zb")).cast("double") <=
+        lit(maxRatio) * least(col("_za"), col("_zb")).cast("double"))
+      .select(col("id_a"), col("id_b"), lit(1).as("_e"))
+    val lsh = stratifiedContainmentPairs(df, idCol, textCol, n, threshold,
+        numHashes, maxRatio, recallTarget)
+      .select(col("id_a"), col("id_b"), lit(1).as("_l"))
+    exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(col("_e")).as("n_exact"),
+        count(col("_l")).as("n_lsh"),
+        count(when(col("_e").isNotNull && col("_l").isNotNull, 1))
+          .as("n_both"))
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        (col("n_exact") - col("n_both")).as("n_exact_only"),
+        (col("n_lsh") - col("n_both")).as("n_lsh_only"),
+        round(when(col("n_exact") > 0,
+          col("n_both").cast("double") / col("n_exact"))
+          .otherwise(lit(1.0)), 6).as("recall"))
   }
 
   /** `approx=auto` containment pair join — [[jaccardPairsAuto]]'s twin

@@ -341,14 +341,56 @@ object Embeddings {
     // key, so no per-row rejoin is needed to recover it
     val codes = quantizeInt8Codes(
       df.select(col(groupCol), col(vecCol)), groupCol, vecCol)
-    codes
-      .select(col(groupCol), col("codes"),
-        posexplode(col("codes")).as(Seq("i", "ci")))
-      .select(col(groupCol), col("i"), col("ci"),
-        posexplode(col("codes")).as(Seq("j", "cj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col(groupCol), col("i").cast("long").as("i"),
-        col("j").cast("long").as("j"))
-      .agg(sum(col("ci") * col("cj")).as("g"))
+      .select(col(groupCol), col("codes"))
+    // The accumulation runs INSIDE each partition (the one justified
+    // mapPartitions shape: a per-partition dense outer-product
+    // accumulator): the naive nested posexplode materializes N·D²/2
+    // rows through the interpreted generator and hash-aggregates them
+    // all (820M rows at the 100× corpus), where the partial-sum rows
+    // here number partitions × groups × D²/2 — corpus-size-independent.
+    // Arithmetic is unchanged (integer adds, any order), so results are
+    // bit-identical to the relational form.
+    val gType = codes.schema(groupCol).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(groupCol, gType),
+      org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.LongType, nullable = false)))
+    val partials = codes.mapPartitions { it =>
+      // key (group, dim): rows of differing dims (zero-scale vectors
+      // are empty) accumulate separately and merge in the final groupBy
+      val acc = scala.collection.mutable.HashMap[(Any, Int), Array[Long]]()
+      it.foreach { r =>
+        val cs = r.getSeq[Long](1)
+        val d = cs.length
+        if (d > 0) {
+          val arr = acc.getOrElseUpdate((r.get(0), d),
+            new Array[Long](d * (d + 1) / 2))
+          val v = cs.toArray
+          var i = 0; var k = 0
+          while (i < d) {
+            val vi = v(i)
+            var j = i
+            while (j < d) { arr(k) += vi * v(j); j += 1; k += 1 }
+            i += 1
+          }
+        }
+      }
+      acc.iterator.flatMap { case ((g, d), arr) =>
+        var i = 0; var k = 0
+        val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        while (i < d) {
+          var j = i
+          while (j < d) {
+            out += org.apache.spark.sql.Row(g, i.toLong, j.toLong, arr(k))
+            j += 1; k += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    partials.groupBy(col(groupCol), col("i"), col("j"))
+      .agg(sum(col("g")).as("g"))
   }
 }

@@ -64,15 +64,37 @@ object FuzzyJoin {
     * maxDist = 2 uses the classic untagged variant postings (positions
     * stop aligning once an indel is involved); its known degenerate
     * corpus is documented at q150 in dev/PERF_r6.md.
+    *
+    * `maxCandidatePairs` is the [[Dedup.candidateMassStats]]-family
+    * circuit breaker: a linear pre-estimate of the variant-posting
+    * self-join mass (Σ_v df·(df−1)/2) fails fast with
+    * [[CandidateMassExceededException]] instead of writing a doomed
+    * pair-mass shuffle on a degenerate vocabulary (shared templates,
+    * saturated code spaces). Callers with heavy value repetition
+    * should collapse to the vocabulary first ([[vocabFuzzyPairs]]).
     */
   def symspellJoin(
       df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int): DataFrame = {
-    if (maxDist == 1) return lev1Pairs(df, idCol, strCol)
-    val posting = df
+      maxDist: Int, maxCandidatePairs: Option[Long] = None): DataFrame = {
+    if (maxDist == 1) return lev1Pairs(df, idCol, strCol, maxCandidatePairs)
+    val posting0 = df
       .select(col(idCol).as("_id"), col(strCol).as("_s"))
       .select(col("_id"), col("_s"),
         explode(variants(col("_s"), maxDist)).as("_v"))
+    // checkpoint ONLY when guarded: the estimate job and the join both
+    // consume the posting explode — without the pin it runs twice
+    val posting = if (maxCandidatePairs.isDefined)
+      posting0.localCheckpoint(false) else posting0
+    maxCandidatePairs.foreach { budget =>
+      val d = col("_c").cast("decimal(38,0)")
+      Dedup.requireCandidateBudget("symspellJoin",
+        posting.groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(d * (d - lit(1))), lit(0).cast("decimal(38,0)"))),
+        budget,
+        "Collapse repeated values to the vocabulary first " +
+          "(vocabFuzzyPairs), shorten maxDist, or raise " +
+          "maxCandidatePairs deliberately.")
+    }
     val a = posting.select(col("_id").as("id_a"), col("_s").as("name_a"),
       col("_v"))
     val b = posting.select(col("_id").as("id_b"), col("_s").as("name_b"),
@@ -100,17 +122,33 @@ object FuzzyJoin {
     * catches exact duplicates.
     */
   private def lev1Pairs(
-      df: DataFrame, idCol: String, strCol: String): DataFrame = {
+      df: DataFrame, idCol: String, strCol: String,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
     val base = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
     def delAt(s: Column, i: Column): Column =
       concat(s.substr(lit(1), i), s.substr(i + 2, length(s)))
-    val keyed = base
+    val keyed0 = base
       .select(col("_id"), col("_s"),
         explode(sequence(lit(-1), length(col("_s")) - 1)).as("_i"))
       .select(col("_id"), col("_s"),
         concat(col("_i").cast("string"), lit("|"),
           when(col("_i") === -1, col("_s"))
             .otherwise(delAt(col("_s"), col("_i")))).as("_k"))
+    val keyed = if (maxCandidatePairs.isDefined) keyed0.localCheckpoint(false)
+      else keyed0
+    maxCandidatePairs.foreach { budget =>
+      // the position-tagged substitution keys are the only self-join in
+      // this path (the indel side is an identity-vs-deletions equi-join
+      // bounded by one-insert extensions) — their Σ df·(df−1)/2 is the
+      // candidate mass that can degenerate on a saturated code space
+      val d = col("_c").cast("decimal(38,0)")
+      Dedup.requireCandidateBudget("symspellJoin(maxDist=1)",
+        keyed.groupBy(col("_k")).agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(d * (d - lit(1))), lit(0).cast("decimal(38,0)"))),
+        budget,
+        "Collapse repeated values to the vocabulary first " +
+          "(vocabFuzzyPairs) or raise maxCandidatePairs deliberately.")
+    }
     val subPairs = keyed.select(col("_id").as("id_a"),
         col("_s").as("name_a"), col("_k"))
       .join(keyed.select(col("_id").as("id_b"), col("_s").as("name_b"),
@@ -149,10 +187,11 @@ object FuzzyJoin {
     * lexicographically, their corpus occurrence counts, and dist.
     */
   def vocabFuzzyPairs(
-      df: DataFrame, strCol: String, maxDist: Int): DataFrame = {
+      df: DataFrame, strCol: String, maxDist: Int,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
     val vocab = df.groupBy(col(strCol).as("name"))
       .agg(count(lit(1)).as("n_rows"))
-    val pairs = symspellJoin(vocab, "name", "name", maxDist)
+    val pairs = symspellJoin(vocab, "name", "name", maxDist, maxCandidatePairs)
     pairs
       .join(vocab.select(col("name").as("id_a"), col("n_rows").as("n_a")),
         Seq("id_a"))

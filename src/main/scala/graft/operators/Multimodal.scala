@@ -327,6 +327,132 @@ object Multimodal {
     }
   }
 
+  case class PHash128(
+      id: Long, byte_len: Long, hash_hi: Long, hash_lo: Long)
+
+  /** 128-bit perceptual hash: aHash (8×8 mean-threshold, low word)
+    * concatenated with dHash (9×8 horizontal-gradient, high word) —
+    * two DECORRELATED integer-exact fingerprints in one decode+pixel
+    * pass. The width is the scale knob PERF_r8 §3 measured the need
+    * for: 64-bit hashes under maxDist 3 band into 16-bit values, and
+    * bucket mass saturates as n²/2^16 once the corpus passes ~0.5M
+    * images (measured 1.6·n → 15.5·n from 50k to 500k); 128 bits band
+    * into 32-bit values — 2^32 buckets — pushing the same saturation
+    * point out by 2^16. dHash is mean-shift invariant like aHash
+    * (a global luma shift moves both sides of every comparison), so
+    * planted brightness near-dups stay hamming ≈ 0 across all 128 bits.
+    * Undecodable blobs hash to (0, 0), the stub family's convention.
+    */
+  def pHash128Image(
+      blobs: Dataset[Blob], codec: ImageCodec = ImageIoCodec): Dataset[PHash128] = {
+    implicit val enc = Encoders.product[PHash128]
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val len = if (b.content == null) 0L else b.content.length.toLong
+        codec.decode(b.content) match {
+          case None => PHash128(b.id, len, 0L, 0L)
+          case Some(p) =>
+            // one pixel pass, two integer area-average grids: 8×8 for
+            // aHash, 9×8 (one extra column) for dHash's horizontal diffs
+            val sumA = new Array[Long](64); val cntA = new Array[Long](64)
+            val sumD = new Array[Long](72); val cntD = new Array[Long](72)
+            var y = 0
+            while (y < p.height) {
+              val cy = (y.toLong * 8 / p.height).toInt
+              var x = 0
+              while (x < p.width) {
+                val v = p.gray(y * p.width + x)
+                sumA(cy * 8 + (x.toLong * 8 / p.width).toInt) += v
+                cntA(cy * 8 + (x.toLong * 8 / p.width).toInt) += 1
+                sumD(cy * 9 + (x.toLong * 9 / p.width).toInt) += v
+                cntD(cy * 9 + (x.toLong * 9 / p.width).toInt) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val mA = Array.tabulate(64)(k =>
+              if (cntA(k) == 0) 0L else sumA(k) / cntA(k))
+            val s = mA.sum
+            var lo = 0L
+            var k = 0
+            while (k < 64) { if (mA(k) * 64 >= s) lo |= (1L << k); k += 1 }
+            val mD = Array.tabulate(72)(k =>
+              if (cntD(k) == 0) 0L else sumD(k) / cntD(k))
+            var hi = 0L
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) {
+                if (mD(r * 9 + c + 1) > mD(r * 9 + c))
+                  hi |= (1L << (r * 8 + c))
+                c += 1
+              }
+              r += 1
+            }
+            PHash128(b.id, len, hi, lo)
+        }
+      }
+    }
+  }
+
+  /** [[phashPairs]] for 128-bit (hash_hi, hash_lo) fingerprints:
+    * pigeonhole bands over the 128-bit concatenation (lo = bits 0–63,
+    * hi = bits 64–127), exact two-word hamming verify on candidates.
+    * `maxDist + 1` must divide 128 with bands no wider than one word
+    * (maxDist >= 1), so every band lands whole in one of the two words
+    * and band extraction stays a shift+mask.
+    *
+    * Output: id_a < id_b, hamming (<= maxDist).
+    */
+  def phash128Pairs(
+      hashes: DataFrame, maxDist: Int,
+      maxCandidatePairs: Option[Long] = None): DataFrame = {
+    val nBands = maxDist + 1
+    require(maxDist >= 1 && 128 % nBands == 0 && 128 / nBands <= 64,
+      s"maxDist $maxDist: 128 bits must split into maxDist+1 <= 64-bit bands")
+    val bandBits = 128 / nBands
+    val mask = if (bandBits == 64) lit(-1L)
+      else lit((1L << bandBits) - 1)
+    val bands = (0 until nBands).map { bn =>
+      val off = bn * bandBits
+      val word = if (off < 64) col("hash_lo") else col("hash_hi")
+      struct(lit(bn).as("band"),
+        shiftrightunsigned(word, off % 64).bitwiseAND(mask).as("bval"))
+    }
+    val posting0 = hashes
+      .select(col("id"), col("hash_hi"), col("hash_lo"),
+        explode(array(bands: _*)).as("b"))
+      .select(col("id"), col("hash_hi"), col("hash_lo"),
+        col("b.band"), col("b.bval"))
+    val posting = if (maxCandidatePairs.isDefined)
+      posting0.localCheckpoint(false) else posting0
+    maxCandidatePairs.foreach { budget =>
+      val c = col("_c").cast("decimal(38,0)")
+      Dedup.requireCandidateBudget("phash128Pairs",
+        posting.groupBy("band", "bval").agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(c * (c - lit(1))),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
+        budget,
+        "This hash distribution piles blobs into few buckets (low-" +
+          "texture corpus); lower maxDist or pre-shard the corpus.")
+    }
+    val a = posting.select(col("id").as("id_a"),
+      col("hash_hi").as("_ha"), col("hash_lo").as("_la"),
+      col("band"), col("bval"))
+    val b = posting.select(col("id").as("id_b"),
+      col("hash_hi").as("_hb"), col("hash_lo").as("_lb"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "_ha", "_la", "_hb", "_lb")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("_ha").bitwiseXOR(col("_hb"))) +
+          bit_count(col("_la").bitwiseXOR(col("_lb")))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Deterministic frame sampling for "video" blobs: every `stride`-th
     * frame window of `frameBytes` bytes, as its own row (explode shape —
     * downstream per-frame models join on (id, frame_no)). One frame per

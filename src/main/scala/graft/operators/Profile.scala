@@ -674,9 +674,9 @@ object Profile {
     // than cores, fan out first: XOR is order- and partitioning-
     // invariant by design (the operator's whole point), and at
     // warehouse scale inputs carry >> cores splits so this is a no-op.
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val fanned = if (df.rdd.getNumPartitions < target)
-      df.repartition(target) else df
+    // (Shared helper — scan-root-gated so the probe never finalizes an
+    // AQE plan on an arbitrary caller-supplied frame.)
+    val fanned = Dedup.fanOutIfNarrow(df)
     fanned.agg(count(lit(1)).as("n_rows"),
       bit_xor(digest("")).as("xor_digest"),
       bit_xor(digest("s2")).as("xor_digest_salted"))
@@ -821,26 +821,55 @@ object Profile {
       pct: Int): DataFrame = {
     require(pct >= 1 && pct < 50, s"pct $pct must be in [1, 50)")
     import org.apache.spark.sql.expressions.Window
-    val c = df.select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+    // Boundary-bucket percentile plan (r9): the value-level histogram
+    // of a near-unique metric is corpus-sized (measured 594k groups at
+    // sf0.1 — its zero-reduction hash aggregate WAS the query), but the
+    // two PERCENTILE_DISC bounds each live in ONE 4096-wide value-range
+    // bucket. So: (1) bucket-level counts — a map-side-combining
+    // aggregate onto ~groups×buckets rows; (2) locate each bound's
+    // bucket from the bucket prefix sums (broadcast-sized); (3) resolve
+    // the exact bound value among ONLY the boundary buckets' rows;
+    // (4) one clamp-sum scan with the broadcast bounds. No corpus-sized
+    // shuffle anywhere, at any scale. `>>` is arithmetic, so buckets
+    // stay value-ordered for negative metrics too.
+    // deliberately NOT pinned: the three consumers re-read a 2-column
+    // pushdown projection — cheaper than materializing the corpus as
+    // checkpoint blocks at any scale (measured a wash at sf0.1)
+    val base = df.select(col(groupCol).as("_g"),
+        col(valueCol).cast("long").as("_v"))
       .filter(col("_v").isNotNull)
-      .groupBy("_g", "_v").agg(count(lit(1)).as("_n"))
-    val w = Window.partitionBy("_g").orderBy("_v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = c.withColumn("_cum", sum(col("_n")).over(w))
-      .withColumn("_tot", sum(col("_n")).over(Window.partitionBy("_g")))
-    // PERCENTILE_DISC(f): first value with cum/n >= f, integer form
-    // 100·cum >= f·100·n
+    val bh = base.groupBy(col("_g"), shiftright(col("_v"), 12).as("_b"))
+      .agg(count(lit(1)).as("_nb"))
+    val boff = bh.withColumn("_off", coalesce(sum(col("_nb")).over(
+        Window.partitionBy("_g").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_tot", sum(col("_nb")).over(Window.partitionBy("_g")))
+    // PERCENTILE_DISC(f): first value with cum/n >= f (integer form
+    // 100·cum >= f·100·n); its bucket is the first whose INCLUSIVE
+    // prefix clears the threshold
+    def holds(p: Int): Column =
+      (col("_off") + col("_nb")) * 100 >= col("_tot") * p &&
+        col("_off") * 100 < col("_tot") * p
+    val bnd = boff.filter(holds(pct) || holds(100 - pct))
+      .select("_g", "_b", "_off", "_tot").distinct()
+    val inBnd = base.join(broadcast(bnd), Seq("_g")).filter(
+        shiftright(col("_v"), 12) === col("_b"))
+      .groupBy("_g", "_b", "_off", "_tot", "_v")
+      .agg(count(lit(1)).as("_n"))
+    val cum = inBnd.withColumn("_cum", col("_off") +
+      sum(col("_n")).over(Window.partitionBy("_g", "_b").orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val bounds = cum.groupBy(col("_g"))
-      .agg(min(when(col("_cum") * 100 >= col("_tot") * pct, col("_v")))
-          .as("_lo"),
+      .agg(max(col("_tot")).as("n"),
+        min(when(col("_cum") * 100 >= col("_tot") * pct, col("_v")))
+          .as("lo"),
         min(when(col("_cum") * 100 >= col("_tot") * (100 - pct), col("_v")))
-          .as("_hi"),
-        max(col("_tot")).as("n"))
-    c.join(bounds, Seq("_g"))
+          .as("hi"))
+    base.join(broadcast(bounds), Seq("_g"))
       .groupBy(col("_g").as(groupCol))
-      .agg(max(col("n")).as("n"), max(col("_lo")).as("lo"),
-        max(col("_hi")).as("hi"),
-        sum(greatest(col("_lo"), least(col("_hi"), col("_v"))) * col("_n"))
+      .agg(max(col("n")).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(greatest(col("lo"), least(col("hi"), col("_v"))))
           .as("wins_sum"))
       .withColumn("wins_mean",
         col("wins_sum").cast("double") / col("n"))

@@ -101,8 +101,17 @@ object GraftExtensions {
 
   val sortedIntersectCountDesc: FunctionDescription = (
     FunctionIdentifier("sorted_intersect_count"),
-    new ExpressionInfo(classOf[SortedIntersectCount].getName,
-      "sorted_intersect_count"),
+    // usage/extended text so `DESCRIBE FUNCTION` surfaces the sortedness
+    // precondition to SQL users (it is NOT validated at runtime)
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
+      "sorted_intersect_count",
+      "sorted_intersect_count(a, b) - Count of DISTINCT common values of " +
+        "two SORTED arrays. PRECONDITION: both arrays must be sorted " +
+        "ascending with nulls first (sort_array's default order); " +
+        "unsorted input silently UNDERCOUNTS rather than erroring.",
+      "    Equivalent to size(array_intersect(a, b)) on sorted input, " +
+        "as one allocation-free merge. Sort unsorted columns with " +
+        "sort_array(x) first."),
     (children: Seq[Expression]) =>
       SortedIntersectCount(children(0), children(1)))
 

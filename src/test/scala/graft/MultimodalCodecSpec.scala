@@ -111,6 +111,61 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("pHash128Image + phash128Pairs: wide-hash near-dups pair, banding " +
+      "is recall-complete vs brute-force hamming") {
+    import spark.implicits._
+    // wrap-free gray corpus (values <= 201): the shared png() ramp wraps
+    // mod 256 under a +2 shift, which legitimately flips dHash gradient
+    // bits at the wrap seams — here a uniform +2 luma shift preserves
+    // every mean comparison EXACTLY, so near-dup hamming must be 0
+    def gpng(mul: Int, shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = (x * mul + y * (mul + 12) + (x / 4) * (y / 4) * 7) % 200 +
+          shift
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val blobs = Seq(
+      Blob(1L, gpng(13, 0), "image/png"),
+      Blob(2L, gpng(13, 2), "image/png"),
+      Blob(3L, gpng(31, 0), "image/png"),
+      Blob(4L, "garbage".getBytes("UTF-8"), "image/png")).toDS()
+    val hashes = Multimodal.pHash128Image(blobs).toDF()
+    val hs = hashes.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("hash_hi"), r.getAs[Long]("hash_lo"))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    // undecodable → (0, 0) convention
+    assert(hs(4L) == (0L, 0L))
+    // the aHash word must equal the 64-bit operator's output (shared rule)
+    val a64 = Multimodal.aHashImage(blobs).toDF().collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("phash")).toMap
+    hs.foreach { case (id, (_, lo)) => assert(lo == a64(id), s"id $id") }
+    assert(ham(hs(1L), hs(2L)) <= 3,
+      s"near-identical images hamming ${ham(hs(1L), hs(2L))}")
+    assert(ham(hs(1L), hs(3L)) > 3,
+      s"distinct images hamming ${ham(hs(1L), hs(3L))}")
+    val pairs = Multimodal.phash128Pairs(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hs.keys.toSeq.sorted.combinations(2).collect {
+      case Seq(x, y) if ham(hs(x), hs(y)) <= 3 => (x, y)
+    }.toSet
+    assert(pairs == brute, s"banded $pairs vs brute $brute")
+    // the guard fires when every hash is identical (degenerate corpus)
+    val flat = (1 to 40).map(i =>
+      (i.toLong, 0L, 7L, 7L)).toDF("id", "byte_len", "hash_hi", "hash_lo")
+    intercept[graft.operators.CandidateMassExceededException] {
+      Multimodal.phash128Pairs(flat, maxDist = 3,
+        maxCandidatePairs = Some(100L))
+    }
+  }
+
   /** Deterministic RIFF/WAVE PCM bytes: `chans` interleaved channels of
     * the given 16-bit samples (every channel carries the same values).
     */

@@ -776,6 +776,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("q200 curation rides Dedup.exact: fingerprint semi-join, " +
+      "no row_number window keyed by the text digest") {
+    val p = plan("q200_curation")
+    assert(p.contains("LeftSemi"), "survivor pick lost its semi-join route")
+    // the pre-round-9 form shuffled FULL rows through a
+    // row_number-over-md5(text) window; the Dedup.exact route shuffles
+    // (digest, id) pairs only — a Window node partitioned by the digest
+    // reappearing means the route regressed
+    val offending = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("md5")).toSeq
+    assert(offending.isEmpty, offending.mkString("\n"))
+  }
+
   test("gate source sweep: no constant-key windows; SparkEntry crossJoins " +
       "are all broadcast scalar frames") {
     import scala.jdk.CollectionConverters._
