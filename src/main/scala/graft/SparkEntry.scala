@@ -4389,7 +4389,7 @@ object SparkEntry {
     * size ratio ~3–8 — beyond lshContainmentPairs' ratio-2 domain
     * contract, inside the stratified operator's lifted domain.
     */
-  private def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .select($("doc_id").cast("long").as("doc_id"), $("text"))
     val sup = d.groupBy(floor($("doc_id") / 4).cast("long").as("_g"))
@@ -4438,8 +4438,12 @@ object SparkEntry {
     val planted = base.filter($("id") % 23 === 0)
       .select(($("id") + 1000000000L).as("id"),
         concat(lit("z"), substring($("code"), 2, 7)).as("code"))
+    // budget sized for the 100× run: 1.57M codes × 6 combo keys over
+    // 16⁴ values ⇒ ~1.1e8 candidate mass (measured — linear in N²/2^16,
+    // and every candidate is one codegen'd hamming probe); 2e9 still
+    // fail-fasts a saturated code space two orders before the shuffle
     Barcodes.similarityJoinParts(base.unionByName(planted), maxDist = 2,
-        maxCandidatePairs = Some(100000000L))
+        maxCandidatePairs = Some(2000000000L))
       .select($("id_a"), $("id_b"), $("code_a"), $("code_b"),
         $("dist").cast("long").as("dist"))
   }

@@ -48,15 +48,20 @@ object BarcodeScale {
       case "mint" =>
         val n = args(1).toInt
         val out = args(2)
+        // 8-hex codes pack at most ~16^8/6421 ≈ 670k distance-≥3 members
+        // (radius-2 ball = 6421 points), so the 1.5M sf10 corpus MUST
+        // mint longer codes — the guard hint's own escape hatch
+        val codeLen = if (args.length > 3) args(3).toInt else 8
         val empty = spark.range(0).selectExpr("cast(null as string) as code")
         val t0 = System.nanoTime()
         val (minted, stats) = Barcodes.mintWithStats(
-          spark, empty, n, maxDist = 2, seed = Some(19L))
+          spark, empty, n, maxDist = 2, seed = Some(19L), codeLen = codeLen)
         val got = minted.count()
         val sec = (System.nanoTime() - t0) / 1e9
         minted.select(monotonically_increasing_id().as("id"), col("code"))
           .repartition(32).write.mode("overwrite").parquet(out)
-        println(f"""{"mode":"mint","n":$n,"minted":$got,"sec":$sec%.1f,""" +
+        println(f"""{"mode":"mint","n":$n,"code_len":$codeLen,""" +
+          f""""minted":$got,"sec":$sec%.1f,""" +
           s""""rounds":${stats.rounds},"tried":${stats.candidatesTried},""" +
           s""""intra_rejects":${stats.intraBatchRejects}}""")
 

@@ -190,9 +190,23 @@ object Barcodes {
       maxDist: Int = 2,
       batchFactor: Int = 2,
       maxRounds: Int = 8,
-      seed: Option[Long] = None): DataFrame =
-    mintWithStats(spark, existing, n, maxDist, batchFactor, maxRounds, seed)._1
+      seed: Option[Long] = None,
+      codeLen: Int = 8): DataFrame =
+    mintWithStats(spark, existing, n, maxDist, batchFactor, maxRounds, seed,
+      codeLen)._1
 
+  /** `codeLen` generalizes the reference's barcode-is-a-uuid-suffix rule
+    * (`check (uuid::citext like '%' || barcode)`,
+    * warehouse/identifier.sql:25-44 — length 8 there) to longer
+    * suffixes: the escape hatch the similarity-join guard's
+    * "lengthen the codes" hint points at. It is not cosmetic — a
+    * distance-≥3 set of 8-hex codes CANNOT exceed ~16⁸/6421 ≈ 670k
+    * members (each code owns a radius-2 hamming ball of
+    * 1 + 8·15 + C(8,2)·15² = 6421 points), so any corpus past that
+    * packing bound MUST mint longer codes; at 10 hex chars the same
+    * bound is ~7.6e8. codeLen ≤ 12 keeps the suffix inside the uuid's
+    * final dash-free segment, preserving the suffix-of-uuid invariant.
+    */
   def mintWithStats(
       spark: SparkSession,
       existing: DataFrame,
@@ -200,7 +214,11 @@ object Barcodes {
       maxDist: Int = 2,
       batchFactor: Int = 2,
       maxRounds: Int = 8,
-      seed: Option[Long] = None): (DataFrame, MintStats) = {
+      seed: Option[Long] = None,
+      codeLen: Int = 8): (DataFrame, MintStats) = {
+    require(codeLen >= 4 && codeLen <= 12,
+      s"codeLen $codeLen must be in [4, 12] (uuid suffix within the " +
+        "final segment)")
     val t0 = System.currentTimeMillis()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def keep(df: DataFrame): DataFrame = { cached += df.cache(); df }
@@ -222,10 +240,21 @@ object Barcodes {
     var extConflicts = 0L
     var intraRejects = 0L
     while (need > 0 && round < maxRounds) {
-      val batch = keep(spark.range(need.toLong * batchFactor)
+      // Eager localCheckpoint, not cache: (a) candidates must never
+      // replay (uuid() is non-deterministic — same rule as the result
+      // checkpoint below), and (b) cache() leaves the LOGICAL lineage in
+      // place, and the uuid→code→part-key expression layers compound
+      // MULTIPLICATIVELY under projection collapse through the round's
+      // self-joins — at a 1.5M mint the analyzed-plan string hit
+      // Spark's 2^31-char cap and analysis alone ran for minutes. The
+      // checkpoint roots every downstream plan at a LogicalRDD.
+      val batch = (spark.range(need.toLong * batchFactor)
         .select(col("id").as("seq"))
         .withColumn("uuid", candidateUuid(round))
-        .withColumn("code", barcodeFromUuid(col("uuid"))))
+        .withColumn("code",
+          if (codeLen == 8) barcodeFromUuid(col("uuid"))
+          else substring(col("uuid"), 37 - codeLen, codeLen))
+        .localCheckpoint(true))
       tried += need.toLong * batchFactor
       // (1) reject vs existing/accepted — pigeonhole-prefiltered
       // anti-join on part-combination keys (r9: the 2-char slice keys'

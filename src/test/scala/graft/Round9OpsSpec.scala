@@ -207,6 +207,28 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == 6, s"kept $kept of 45 (template family should fold to 1)")
   }
 
+  test("mintWithStats codeLen: longer codes keep the uuid-suffix " +
+      "invariant and the distance->=3 guarantee") {
+    // 8-hex codes pack at most ~16^8/6421 distance->=3 members, so the
+    // 100x (1.5M-code) corpus must mint longer codes — codeLen is that
+    // escape hatch. Pin: codes are length-10 uuid suffixes, and the
+    // minted set has NO pair within distance 2 (the trigger invariant,
+    // barcode-distance-check.sql:33-46).
+    val (minted, stats) = Barcodes.mintWithStats(
+      spark, spark.range(0).selectExpr("cast(null as string) as code"),
+      n = 300, maxDist = 2, seed = Some(7L), codeLen = 10)
+    val rows = minted.collect()
+    assert(rows.length == 300 && stats.minted == 300)
+    assert(rows.forall { r =>
+      val (u, c) = (r.getString(0), r.getString(1))
+      c.length == 10 && u.endsWith(c)
+    })
+    val pairs = Barcodes.similarityJoinParts(
+      minted.select(monotonically_increasing_id().as("id"), col("code")),
+      maxDist = 2).count()
+    assert(pairs == 0, s"minted set has $pairs pairs within distance 2")
+  }
+
   test("sorted_intersect_count: DESCRIBE FUNCTION surfaces the precondition") {
     graft.plans.GraftExtensions.registerAll(spark)
     val txt = spark.sql("describe function extended sorted_intersect_count")
