@@ -2445,35 +2445,35 @@ object SparkEntry {
         .as("entity_id"), col("n_rows"))
   }
 
-  /** Perceptual-hash (aHash) near-dup over "image" blobs: 32-bit
-    * average-hash from the resize-stub buckets, pigeonhole-banded
-    * hamming pairs at distance <= 7 (8 bands x 4 bits) — the image
-    * -dedup shape with the codec stubbed (TESTDATA has no real images;
-    * the hash/band/verify pipeline is the production form).
+  /** Perceptual-hash near-dup over "image" blobs on the PRODUCTION
+    * 128-bit path (re-based r10 from the 32-bit demo form, the suite's
+    * only super-linear scaler — 16× per 10× at sf1 from 4-bit band
+    * saturation): aHash+dHash two-word fingerprint ([[Multimodal
+    * .aHash128Stub]], the codec-less twin of pHash128Image — TESTDATA
+    * has no real images), pigeonhole-banded hamming pairs at distance
+    * <= 7 → 8 bands × 16 bits, measured linear to 2M images
+    * (PERF_r9 §1). The raw corpus has no 128-bit near-dups (min
+    * pairwise hamming 28 at sf0.01), so the gate plants them the way
+    * q157/q282 do: every doc_id % 7 == 0 doc gets a brightness-bumped
+    * variant (first byte +1, id offset 1e9) — planted pairs land at
+    * hamming <= 1, background at >= 28, and the band join must recover
+    * exactly the planted set. Budget 1e9 fail-fast guard retained.
     */
   private def q155PhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val base = t(s, dir, "documents").select($("doc_id"), $("text"))
+    val variants = base
+      .filter($("doc_id") % 7 === 0 && length($("text")) > 0)
+      .select(($("doc_id") + lit(1000000000L)).as("doc_id"),
+        concat(expr("char(ascii(substring(text, 1, 1)) + 1)"),
+          expr("substring(text, 2)")).as("text"))
     val blobs = Multimodal.attachBinary(
-      t(s, dir, "documents"), "doc_id", "text", "image/fake")
+      base.unionByName(variants), "doc_id", "text", "image/fake")
       .select($("id"), $("content"), $("meta.mime").as("mime"))
       .as[Multimodal.Blob]
-    val hashes = Multimodal.aHash(blobs, bits = 32).toDF()
-      .select($("id"), $("phash"))
-    // Parameter note (sf1 scale run): 32-bit hashes at dist<=7 mean
-    // 4-bit bands — 16 band values, so the candidate join carries
-    // ~N²/32 pairs (1.2s → 31s at 10×). Production pHash is 64-bit at
-    // the same threshold → 8-bit bands, 256 values, near-linear; on
-    // THIS corpus every (bits, dist) pair that keeps the gate non-empty
-    // at sf0.01 degenerates the bands (hamming distances concentrate
-    // around bits/2 — template text, no true near-dup tail), so the
-    // gate keeps the reference parameterization and the scale story
-    // lives in the band arithmetic, not a tuned constant.
-    // Budget 1e9: N²/32 is 0.8M at sf0.1 and 78M at sf1 (pass, results
-    // untouched) but 7.8G at sf10 — there the guard fails fast in the
-    // estimate job's linear time instead of hanging past the 900 s
-    // harness budget (the r7-documented outcome, now enforced in the
-    // query itself; the real-image distribution story is dev.PhashScale).
-    Multimodal.phashPairs(hashes, bits = 32, maxDist = 7,
+    val hashes = Multimodal.aHash128Stub(blobs).toDF()
+      .select($("id"), $("hash_hi"), $("hash_lo"))
+    Multimodal.phash128Pairs(hashes, maxDist = 7,
       maxCandidatePairs = Some(1000000000L))
   }
 
@@ -7038,26 +7038,46 @@ object SparkEntry {
         |  v.n_rows
         |FROM v LEFT JOIN cc ON cc.id = v.name""".stripMargin,
     "q155_phash_dedup" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
-        |b AS (SELECT doc_id, ((i-1) * 32) // L AS k,
-        |        ord(substr(text, CAST(i AS INT), 1)) AS v
-        |      FROM (SELECT doc_id, text, L, unnest(range(1, L+1)) AS i
-        |            FROM d WHERE L > 0)),
-        |m AS (SELECT doc_id, k, sum(v) // count(*) AS mk
-        |      FROM b GROUP BY 1, 2),
-        |s AS (SELECT doc_id, sum(mk) AS sm FROM m GROUP BY 1),
-        |h0 AS (SELECT m.doc_id,
-        |        CAST(sum(CASE WHEN m.mk * 32 >= s.sm
-        |             THEN (1::BIGINT << CAST(m.k AS INT)) ELSE 0 END)
-        |          AS BIGINT) AS phash
-        |       FROM m JOIN s USING (doc_id) GROUP BY 1),
-        |h AS (SELECT doc_id, phash FROM h0
-        |      UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM d WHERE L = 0)
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000,
+        |    chr(ord(substr(text, 1, 1)) + 1) || substr(text, 2)
+        |  FROM documents WHERE doc_id % 7 = 0 AND length(text) > 0),
+        |d AS (SELECT doc_id, text, length(text) AS L FROM corpus),
+        |u AS (SELECT doc_id, text, L, unnest(range(1, L+1)) AS i
+        |      FROM d WHERE L > 0),
+        |b AS (SELECT doc_id, ((i-1) * 64) // L AS ka,
+        |        ((i-1) * 65) // L AS kd,
+        |        ord(substr(text, CAST(i AS INT), 1)) AS v FROM u),
+        |ma AS (SELECT doc_id, ka AS k, sum(v) // count(*) AS mk
+        |       FROM b GROUP BY 1, 2),
+        |sa AS (SELECT doc_id, sum(mk) AS sm FROM ma GROUP BY 1),
+        |lo AS (SELECT ma.doc_id,
+        |        sum(CASE WHEN ma.mk * 64 >= sa.sm
+        |             THEN (1::HUGEINT << CAST(ma.k AS INT))
+        |             ELSE 0::HUGEINT END) AS hash_lo
+        |       FROM ma JOIN sa USING (doc_id) GROUP BY 1),
+        |md AS (SELECT doc_id, kd AS k, sum(v) // count(*) AS mk
+        |       FROM b GROUP BY 1, 2),
+        |hi AS (SELECT x.doc_id,
+        |        sum(CASE WHEN y.mk > x.mk
+        |             THEN (1::HUGEINT << CAST(x.k AS INT))
+        |             ELSE 0::HUGEINT END) AS hash_hi
+        |       FROM md x JOIN md y
+        |         ON x.doc_id = y.doc_id AND y.k = x.k + 1
+        |       WHERE x.k < 64 GROUP BY 1),
+        |h AS (SELECT d.doc_id,
+        |        COALESCE(hi.hash_hi, 0::HUGEINT) AS hash_hi,
+        |        COALESCE(lo.hash_lo, 0::HUGEINT) AS hash_lo
+        |      FROM d LEFT JOIN lo ON lo.doc_id = d.doc_id
+        |             LEFT JOIN hi ON hi.doc_id = d.doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  a.phash AS hash_a, b.phash AS hash_b,
-        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |  CAST(bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |       bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin,
+        |WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |      bit_count(xor(a.hash_lo, b.hash_lo)) <= 7""".stripMargin,
     "q156_top_values" ->
       """WITH m AS (
         |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value

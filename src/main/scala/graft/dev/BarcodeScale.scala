@@ -48,9 +48,11 @@ object BarcodeScale {
       case "mint" =>
         val n = args(1).toInt
         val out = args(2)
-        // 8-hex codes pack at most ~16^8/6421 ≈ 670k distance-≥3 members
-        // (radius-2 ball = 6421 points), so the 1.5M sf10 corpus MUST
-        // mint longer codes — the guard hint's own escape hatch
+        // random uuid-suffix minting saturates near ~16^8/6421 ≈ 670k
+        // 8-hex codes (radius-2 balls cover the space; rejection rate
+        // → 1), so the 1.5M sf10 corpus must mint longer codes — the
+        // guard hint's own escape hatch (not a distance-≥3 cardinality
+        // cap: the Hamming bound is 16^8/121 ≈ 35.5M)
         val codeLen = if (args.length > 3) args(3).toInt else 8
         val empty = spark.range(0).selectExpr("cast(null as string) as code")
         val t0 = System.nanoTime()

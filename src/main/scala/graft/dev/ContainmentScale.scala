@@ -60,10 +60,13 @@ object ContainmentScale {
         lit(8.0) * least(col("_z"), col("_zs")).cast("double"))
       .count()
     val nMembers = members.count()
+    // guard the ratio: inDomain == 0 would print NaN/Infinity, which is
+    // not valid JSON and breaks downstream `grep '"metric"'` collection
+    val recall = if (inDomain == 0) 0.0 else planted.toDouble / inDomain
     println(f"""{"metric":"stratified_containment_sf10","sec":$sec%.1f,""" +
       f""""n_pairs":$nPairs,"planted_found":$planted,""" +
       f""""planted_total":$nMembers,"planted_in_domain":$inDomain,""" +
-      f""""planted_recall_in_domain":${planted.toDouble / inDomain}%.6f}""")
+      f""""planted_recall_in_domain":$recall%.6f}""")
     spark.stop()
   }
 }

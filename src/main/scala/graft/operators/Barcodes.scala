@@ -26,15 +26,22 @@ object Barcodes {
     * slice-prefilter plan. Sound for 8-char codes with maxDist <= 2.
     *
     * `maxCandidatePairs` is the [[Dedup.candidateMassStats]]-family
-    * circuit breaker: when the CODE SPACE saturates (corpus ≫
+    * circuit breaker, and since r10 an AUTO-ROUTER (the
+    * [[Dedup.containmentPairsAuto]] pattern): the slice df² mass is
+    * pre-estimated with one linear job, and when it blows the budget —
+    * the code space saturating its 2-char slices (corpus ≫
     * alphabet^sliceLen, e.g. 1.5M six-hex-char codes — measured: 22G
-    * candidate slice pairs, a doomed shuffle at the 100× run), the
-    * slice df² mass is pre-estimated with one linear job and the call
-    * fails fast. On a saturated space the ANSWER itself is quadratic —
-    * no plan fixes that; mint longer codes (the reference's domain is
-    * distance-≥3-minted 8-char codes, where this join's answer is near
-    * empty) or check batches against the corpus ([[mintWithStats]]'s
-    * shape) instead of all-pairs.
+    * candidate slice pairs, a doomed shuffle at the 100× run) — the
+    * call routes to [[similarityJoinParts]], whose 4-char combo keys
+    * carry 42× less mass on a random corpus, under the SAME budget.
+    * Identical result set either way (Round9OpsSpec pins equality), so
+    * routing is transparent to callers. Only when the parts form's
+    * mass ALSO exceeds the budget — a truly saturated space where the
+    * ANSWER itself is quadratic, which no plan fixes — does the call
+    * fail fast (mint longer codes, or check batches against the corpus
+    * in [[mintWithStats]]'s shape instead of all-pairs). The slice
+    * shape stays the reference-faithful per-insert probe
+    * (dev/doc/01-barcode-slices.md's GIN-indexed form).
     */
   def similarityJoin(
       codes: DataFrame, // columns: id (long), code (string)
@@ -45,17 +52,24 @@ object Barcodes {
       explode(barcodeSlices(col("code"))).as("slice"))
     val sliced = if (maxCandidatePairs.isDefined)
       sliced0.localCheckpoint(false) else sliced0
-    maxCandidatePairs.foreach { budget =>
+    val routed: Option[DataFrame] = maxCandidatePairs.flatMap { budget =>
       val d = col("_df").cast("decimal(38,0)")
-      Dedup.requireCandidateBudget("Barcodes.similarityJoin",
-        sliced.groupBy("slice").agg(count(lit(1)).as("_df"))
-          .agg(coalesce(sum(d * (d - lit(1))),
-            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
-        budget,
-        "Lengthen the codes (saturated code space: the answer set is " +
-          "itself quadratic) or join a bounded batch against the " +
-          "corpus (mintWithStats's shape) instead of all-pairs.")
+      try {
+        Dedup.requireCandidateBudget("Barcodes.similarityJoin",
+          sliced.groupBy("slice").agg(count(lit(1)).as("_df"))
+            .agg(coalesce(sum(d * (d - lit(1))),
+              lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")),
+          budget,
+          "Routing to similarityJoinParts (this message surfaces only " +
+            "if that probe also failed).")
+        None
+      } catch {
+        case _: CandidateMassExceededException =>
+          Some(similarityJoinParts(codes, maxDist, parts = 4,
+            maxCandidatePairs = maxCandidatePairs))
+      }
     }
+    if (routed.isDefined) return routed.get
     val a = sliced.as("a")
     val b = sliced.as("b")
     // shuffle_hash: both sides are the same sliced frame — identical
@@ -199,13 +213,23 @@ object Barcodes {
     * (`check (uuid::citext like '%' || barcode)`,
     * warehouse/identifier.sql:25-44 — length 8 there) to longer
     * suffixes: the escape hatch the similarity-join guard's
-    * "lengthen the codes" hint points at. It is not cosmetic — a
-    * distance-≥3 set of 8-hex codes CANNOT exceed ~16⁸/6421 ≈ 670k
-    * members (each code owns a radius-2 hamming ball of
-    * 1 + 8·15 + C(8,2)·15² = 6421 points), so any corpus past that
-    * packing bound MUST mint longer codes; at 10 hex chars the same
-    * bound is ~7.6e8. codeLen ≤ 12 keeps the suffix inside the uuid's
-    * final dash-free segment, preserving the suffix-of-uuid invariant.
+    * "lengthen the codes" hint points at. The trigger: RANDOM
+    * uuid-suffix minting saturates near 16⁸/6421 ≈ 670k 8-hex codes —
+    * each accepted code's radius-2 hamming ball
+    * (1 + 8·15 + C(8,2)·15² = 6421 points) rejects later candidates,
+    * so past that COVERAGE estimate greedy minting's rejection rate
+    * approaches 1 and rounds stall. (It is NOT a cardinality cap on
+    * distance-≥3 sets — the Hamming bound is 16⁸/121 ≈ 35.5M, and a
+    * designed [8,6,3] Reed–Solomon code over GF(16) packs 16⁶ ≈ 16.7M
+    * codewords — but uuid-suffix minting, the reference's contract,
+    * cannot reach designed packings.) At 10 hex chars the same
+    * saturation estimate is ~7.6e8. codeLen ≤ 12 keeps the suffix
+    * inside the uuid's final dash-free segment, preserving the
+    * suffix-of-uuid invariant. NOTE: lengths other than 8 intentionally
+    * depart from the reference schema's hard length contract
+    * (warehouse/identifier.sql has both `check (length(barcode) = 8)`
+    * and the length-8 trigger default) and exist only for corpus
+    * scales that schema cannot represent; the default stays 8.
     */
   def mintWithStats(
       spark: SparkSession,
@@ -222,6 +246,19 @@ object Barcodes {
     val t0 = System.currentTimeMillis()
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def keep(df: DataFrame): DataFrame = { cached += df.cache(); df }
+    // checkpointed candidate batches are persisted RDD blocks, not
+    // cache()s — track their backing RDDs so the cleanup below frees
+    // them deterministically instead of waiting on ContextCleaner GC
+    val ckptRdds = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.rdd.RDD[_]]()
+    def keepCkpt(df: DataFrame): DataFrame = {
+      df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          ckptRdds += lr.rdd
+        case _ =>
+      }
+      df
+    }
 
     def candidateUuid(round: Int): Column = seed match {
       case Some(s) =>
@@ -248,7 +285,7 @@ object Barcodes {
       // self-joins — at a 1.5M mint the analyzed-plan string hit
       // Spark's 2^31-char cap and analysis alone ran for minutes. The
       // checkpoint roots every downstream plan at a LogicalRDD.
-      val batch = (spark.range(need.toLong * batchFactor)
+      val batch = keepCkpt(spark.range(need.toLong * batchFactor)
         .select(col("id").as("seq"))
         .withColumn("uuid", candidateUuid(round))
         .withColumn("code",
@@ -306,6 +343,9 @@ object Barcodes {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     cached.foreach(_.unpersist(blocking = false))
+    // the result checkpoint no longer depends on any round's batch
+    // (lineage is severed), so the batch blocks free immediately
+    ckptRdds.foreach(_.unpersist(blocking = false))
     (result, MintStats(n, n - need, round, tried, extConflicts, intraRejects,
       System.currentTimeMillis() - t0))
   }

@@ -101,14 +101,25 @@ object Merge {
   }
 
   /** Stable surrogate-id allocation for `created` rows (SURVEY §1.4):
-    * max(existing id) + 1..n over a deterministic order — never
-    * monotonically_increasing_id, which is unstable across runs.
+    * max(existing id) + 1..n over a deterministic order — the OUTPUT ids
+    * are dense ranks over the explicit `orderBy`, never raw
+    * monotonically_increasing_id values (which are unstable across
+    * runs and non-dense).
     *
-    * The order is imposed by a parallel range-partitioned sort
-    * (`orderBy`), and the sequence by `zipWithIndex` partition-offset
-    * arithmetic — no global window (which would funnel the batch through
-    * one partition; round 1 shipped that anti-pattern and it showed up as
-    * `WindowExec: No Partition Defined` on every upsert).
+    * Shape (r10): the [[graft.operators.TextAnalysis.packChunks]]
+    * two-level prefix sum, fully columnar. A range-partitioned
+    * within-partition sort imposes the global order (range partition i
+    * holds keys ≤ partition i+1's — no global single-task window, the
+    * round-1 anti-pattern); monotonically_increasing_id then encodes
+    * (partition, local ordinal) of the SORTED, lineage-pinned frame —
+    * lazy localCheckpoint, so the encoding cannot replay differently —
+    * and one tiny per-partition count job (map-side partial, ≤
+    * parallelism rows to the driver, like the maxExisting scalar the
+    * caller already reads) turns local ordinals into the dense global
+    * sequence via a broadcast-free map-literal offset lookup. The r9
+    * form detoured through `rdd.zipWithIndex` — an extra job plus a
+    * full Row encode/decode round-trip that dropped the frame out of
+    * codegen.
     */
   def allocateIds(
       created: DataFrame,
@@ -116,16 +127,46 @@ object Merge {
       maxExisting: Long,
       orderBy: Seq[String]): DataFrame = {
     val spark = created.sparkSession
-    val sorted = created.drop(idCol).orderBy(orderBy.map(col): _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField(
-          idCol, org.apache.spark.sql.types.LongType, nullable = false))
-    spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L + maxExisting))
-      },
-      schema)
+    val sorted = created.drop(idCol)
+      .repartitionByRange(
+        math.max(1, spark.sparkContext.defaultParallelism),
+        orderBy.map(col): _*)
+      .sortWithinPartitions(orderBy.map(col): _*)
+    withDenseId(sorted, idCol, maxExisting)
+  }
+
+  /** Dense sequential ids `start+1 .. start+n` following the frame's
+    * CURRENT partition order (partition index, then position within the
+    * partition) — the columnar two-level prefix sum shared by
+    * [[allocateIds]] (after its range sort) and
+    * [[graft.operators.Receiving.fromDocuments]] (input order, the
+    * reference's bigserial). monotonically_increasing_id encodes
+    * (partition << 33 | ordinal) of the LINEAGE-PINNED frame (lazy
+    * localCheckpoint — the encoding must not replay differently between
+    * the count job and the consumer); one tiny per-partition count job
+    * (map-side partial, ≤ parallelism rows to the driver) then turns
+    * local ordinals into the dense sequence via a broadcast-free
+    * map-literal offset lookup. Never a global window, never an RDD
+    * round-trip.
+    */
+  private[graft] def withDenseId(
+      df: DataFrame, idCol: String, start: Long): DataFrame = {
+    val cols = df.columns.toSeq
+    val tagged = df
+      .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint(false)
+    val pidCol = shiftrightunsigned(col("_mid"), 33)
+    val localCol = col("_mid").bitwiseAND(lit((1L << 33) - 1))
+    val counts = tagged.groupBy(pidCol.as("_pid"))
+      .agg(count(lit(1)).as("_c")).orderBy("_pid").collect()
+    var acc = 0L
+    val entries = counts.flatMap { r =>
+      val e = Seq(lit(r.getLong(0)), lit(acc)); acc += r.getLong(1); e
+    }.toSeq
+    val offset = if (entries.isEmpty) lit(0L)
+      else element_at(map(entries: _*), pidCol)
+    tagged.select(cols.map(col) :+
+      (lit(start + 1L) + offset + localCol).as(idCol): _*)
   }
 
   /** Corpus snapshot diff: classify every id across two corpus versions

@@ -112,9 +112,18 @@ object Multimodal {
     * bucket means (integer-exact as `bits·m_k >= Σm`). The standard
     * cheap image near-dup fingerprint — with a real resize kernel in
     * [[resizeStub]]'s place this IS pHash-family image dedup; the
-    * hashing, banding and pair search below are the production shape.
-    * Empty blobs hash to 0 (documented convention, like [[resize]]).
-    * `bits` <= 32 so the hash stays in the positive long range.
+    * hashing shape is standard. Empty blobs hash to 0 (documented
+    * convention, like [[resize]]). `bits` <= 32 so the hash stays in
+    * the positive long range.
+    *
+    * DEMO / per-insert shape only: at <= 32 bits a corpus-wide pair
+    * search bands into 4-bit values (16 buckets) and candidate mass
+    * grows as n²/2^bandBits — measured 16× per 10× at sf1. The
+    * production corpus-wide path is the 128-bit family
+    * ([[pHash128Image]] for real images, [[aHash128Stub]] for opaque
+    * byte payloads) + [[phash128Pairs]], measured linear to 2M images
+    * (PERF_r9 §1); q155's gate rides it. Keep this form for single-blob
+    * fingerprints and per-insert probes against a small window.
     */
   def aHash(blobs: Dataset[Blob], bits: Int = 32): Dataset[PHash] = {
     require(bits > 0 && bits <= 32, s"bits $bits must be in (0, 32]")
@@ -390,6 +399,66 @@ object Multimodal {
               r += 1
             }
             PHash128(b.id, len, hi, lo)
+        }
+      }
+    }
+  }
+
+  /** ======== STUB ========
+    * [[pHash128Image]]'s codec-less twin for corpora whose "image" blobs
+    * are opaque byte streams (TESTDATA carries text bytes as stand-in
+    * payloads): the same two decorrelated 64-bit words — mean-threshold
+    * (aHash) low word over 64 one-dimensional byte buckets, gradient
+    * (dHash) high word over 65 buckets — built from the raw byte stream
+    * instead of decoded pixels. Bucket of byte i is `i·K div L` (K = 64
+    * resp. 65); bucket value is the integer mean of its bytes; buckets
+    * with no bytes (L < K) contribute no bit and are excluded from the
+    * threshold sum, and a gradient bit needs both adjacent buckets
+    * non-empty. Empty blobs hash to (0, 0), the stub family's
+    * convention. Swap [[pHash128Image]] in for real images — the band
+    * join ([[phash128Pairs]]) and everything downstream are identical.
+    */
+  def aHash128Stub(blobs: Dataset[Blob]): Dataset[PHash128] = {
+    implicit val enc = Encoders.product[PHash128]
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val bytes = if (b.content == null) Array.empty[Byte] else b.content
+        val n = bytes.length
+        if (n == 0) PHash128(b.id, 0L, 0L, 0L)
+        else {
+          val sumA = new Array[Long](64); val cntA = new Array[Long](64)
+          val sumD = new Array[Long](65); val cntD = new Array[Long](65)
+          var i = 0
+          while (i < n) {
+            val v = bytes(i) & 0xff
+            val ka = (i.toLong * 64 / n).toInt
+            val kd = (i.toLong * 65 / n).toInt
+            sumA(ka) += v; cntA(ka) += 1
+            sumD(kd) += v; cntD(kd) += 1
+            i += 1
+          }
+          val mA = new Array[Long](64)
+          var sm = 0L
+          var k = 0
+          while (k < 64) {
+            if (cntA(k) > 0) { mA(k) = sumA(k) / cntA(k); sm += mA(k) }
+            k += 1
+          }
+          var lo = 0L
+          k = 0
+          while (k < 64) {
+            if (cntA(k) > 0 && mA(k) * 64 >= sm) lo |= (1L << k)
+            k += 1
+          }
+          var hi = 0L
+          k = 0
+          while (k < 64) {
+            if (cntD(k) > 0 && cntD(k + 1) > 0 &&
+                sumD(k + 1) / cntD(k + 1) > sumD(k) / cntD(k))
+              hi |= (1L << k)
+            k += 1
+          }
+          PHash128(b.id, n.toLong, hi, lo)
         }
       }
     }

@@ -523,8 +523,21 @@ object Profile {
     * kept when trim·n < 10000·r ≤ (10000−trim)·n, integer arithmetic on
     * both bounds so no float threshold can disagree across engines).
     * The robust location estimate that, unlike the median, still uses
-    * most of the data. Rank window per group, one aggregation, one
-    * exact division.
+    * most of the data.
+    *
+    * Shape (r10): the [[winsorizedStats]] boundary-bucket plan — the
+    * r9 form put each group's ENTIRE value stream through one
+    * row_number sort task (6.2× per 10× at sf1, the worst non-q155
+    * scaler). Tie order is arbitrary but every rank-range quantity
+    * below is tie-invariant (tied rows carry the same value), so the
+    * kept mass per distinct value is the overlap of its global rank
+    * interval with (kLo, rHi] — computable from a 4096-wide value-range
+    * bucket histogram: (1) per-bucket (count, sum) — map-side
+    * combining, ~groups×buckets rows; (2) bucket prefix sums locate
+    * the two cut ranks kLo = ⌊n·trim/10⁴⌋ and rHi = ⌊n·(10⁴−trim)/10⁴⌋;
+    * buckets strictly inside contribute their whole sum, buckets a cut
+    * falls in are resolved exactly among ONLY their rows. No
+    * corpus-sized sort or shuffle anywhere, at any scale.
     *
     * Output: (groupCol, n, n_kept, trimmed_mean double).
     */
@@ -534,21 +547,53 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     require(trimBp >= 0 && trimBp * 2 < 10000, "trim must leave mass")
     val dec = "decimal(38,0)"
-    // tie order among equal values is arbitrary — every aggregate below
-    // is invariant to it (tied rows carry the same _x), so the output
-    // is deterministic even though row_number's tie choice is not
-    val w = Window.partitionBy(groupCol).orderBy(col("_x"))
     val base = df
-      .select(col(groupCol), col(valueCol).cast("long").as("_x"))
+      .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_x"))
       .filter(col("_x").isNotNull)
-      .withColumn("_r", row_number().over(w).cast("long"))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
-    val kept = col("_r") * 10000 > col("_n") * trimBp &&
-      col("_r") * 10000 <= col("_n") * (10000 - trimBp)
-    base.groupBy(groupCol).agg(
-      max(col("_n")).as("n"),
-      sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
-      sum(when(kept, col("_x")).otherwise(0L).cast(dec)).as("_s"))
+    // bucket histogram: count + value sum per (group, v >> 12); `>>`
+    // is arithmetic so buckets stay value-ordered for negative values
+    val bh = base.groupBy(col("_g"), shiftright(col("_x"), 12).as("_b"))
+      .agg(count(lit(1)).as("_nb"), sum(col("_x").cast(dec)).as("_sb"))
+    val boff = bh.withColumn("_off", coalesce(sum(col("_nb")).over(
+        Window.partitionBy("_g").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_tot", sum(col("_nb")).over(Window.partitionBy("_g")))
+    // kept global rank interval (kLo, rHi]; DIV keeps the cut
+    // arithmetic in exact integer space (Column `/` is IEEE double)
+    val kLo = expr(s"(_tot * $trimBp) DIV 10000")
+    val rHi = expr(s"(_tot * ${10000 - trimBp}) DIV 10000")
+    // a bucket occupies ranks (_off, _off + _nb]
+    val fullyKept = col("_off") >= kLo && col("_off") + col("_nb") <= rHi
+    val untouched = col("_off") + col("_nb") <= kLo || col("_off") >= rHi
+    val fullSums = boff.filter(fullyKept)
+      .groupBy(col("_g")).agg(sum(col("_sb")).as("_sFull"))
+    // boundary buckets: a cut rank falls strictly inside — ≤ 2 per
+    // group, so the resolve join broadcasts
+    val bnd = boff.filter(!fullyKept && !untouched)
+      .select("_g", "_b", "_off")
+    val inBnd = base.join(broadcast(bnd), Seq("_g"))
+      .filter(shiftright(col("_x"), 12) === col("_b"))
+      .groupBy("_g", "_b", "_off", "_x")
+      .agg(count(lit(1)).as("_n"))
+    // value v occupies global ranks (_cum − _n, _cum]; kept mass is the
+    // overlap with (kLo, rHi] — needs _tot back for the cut columns
+    val tots = boff.groupBy(col("_g"))
+      .agg(max(col("_tot")).as("_tot"))
+    val cum = inBnd.join(broadcast(tots), Seq("_g"))
+      .withColumn("_cum", col("_off") +
+        sum(col("_n")).over(Window.partitionBy("_g", "_b").orderBy("_x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val overlap = greatest(lit(0L),
+      least(col("_cum"), rHi) - greatest(col("_cum") - col("_n"), kLo))
+    val bndSums = cum.groupBy(col("_g"))
+      .agg(sum(col("_x").cast(dec) * overlap).as("_sBnd"))
+    tots
+      .join(fullSums, Seq("_g"), "left")
+      .join(bndSums, Seq("_g"), "left")
+      .select(col("_g").as(groupCol), col("_tot").as("n"),
+        (rHi - kLo).as("n_kept"),
+        (coalesce(col("_sFull"), lit(0).cast(dec)) +
+          coalesce(col("_sBnd"), lit(0).cast(dec))).as("_s"))
       .select(col(groupCol), col("n"), col("n_kept"),
         when(col("n_kept") > 0,
           col("_s").cast("double") / col("n_kept")).as("trimmed_mean"))

@@ -35,23 +35,17 @@ object Receiving {
   /** Wrap raw documents into receiving shape (S1/S2: HTTP receive and
     * NDJSON COPY both reduce to "append lines with received=now").
     *
-    * Sequential ids come from `zipWithIndex` — partition-offset
-    * arithmetic (one tiny job to count partitions, then purely local
+    * Sequential ids come from [[Merge.withDenseId]] — the columnar
+    * partition-offset prefix sum (one tiny count job, then purely local
     * numbering), NOT a global window, which would funnel the whole ingest
-    * batch through a single partition. Ids follow input order, same as
-    * the reference's bigserial.
+    * batch through a single partition (r10: previously an
+    * `rdd.zipWithIndex` round-trip — same distribution, but a full Row
+    * encode/decode that dropped ingest out of codegen). Ids follow input
+    * order, same as the reference's bigserial.
     */
   def fromDocuments(docs: DataFrame, docCol: String, startId: Long = 0L): DataFrame = {
-    val spark = docs.sparkSession
     val src = docs.select(col(docCol).cast("string").as("document"))
-    val indexed = spark.createDataFrame(
-      src.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(i + startId + 1L, r.getString(0))
-      },
-      StructType(Seq(
-        StructField("id", LongType, nullable = false),
-        StructField("document", StringType))))
-    indexed
+    Merge.withDenseId(src, "id", startId)
       .withColumn("received", current_timestamp())
       .withColumn("processing_log", array().cast(ArrayType(logEntryType)))
       .select("id", "document", "received", "processing_log")

@@ -199,25 +199,50 @@ class CandidateMassSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.operators.Multimodal.phashPairs(hashes, 32, 3).count())
   }
 
-  test("Barcodes.similarityJoin guard fires on a saturated code space, " +
-      "passes through unchanged on a distinct one") {
+  test("Barcodes.similarityJoin auto-routes to the parts form past the " +
+      "slice budget, fails fast only when BOTH forms blow it") {
     import spark.implicits._
     import graft.operators.Barcodes
     // 40 identical 6-char codes: every slice bucket holds all 40 ids —
-    // 5 positioned slices × 40·39 = 7800 (the checker halves to 3900)
+    // 5 positioned slices × 40·39 = 7800 (the checker halves to 3900) —
+    // AND every parts combo bucket does too (C(4,2)=6 combos → 4680):
+    // truly saturated, so the ROUTED call still fails fast, now with
+    // the parts form's estimate and message
     val sat = (1 to 40).map(i => (i.toLong, "aaaaaa")).toDF("id", "code")
     val e = intercept[CandidateMassExceededException] {
       Barcodes.similarityJoin(sat, maxDist = 2,
         maxCandidatePairs = Some(100L))
     }
     assert(e.getMessage.contains("mintWithStats"))
-    assert(e.estimated.longValueExact() === 3900L)
-    // well-spread codes: guard admits the exact plan unchanged
+    assert(e.getMessage.contains("similarityJoinParts"))
+    assert(e.estimated.longValueExact() === 4680L)
+    // well-spread codes: guard admits the slice plan unchanged
     val ok = (1 to 40).map(i => (i.toLong, f"$i%02dxy${i % 7}z"))
       .toDF("id", "code")
     assert(Barcodes.similarityJoin(ok, maxDist = 2,
       maxCandidatePairs = Some(10000L)).count() ===
       Barcodes.similarityJoin(ok, maxDist = 2).count())
+    // routing case: 8-char codes "00001xyz".."00060xyz" — four slice
+    // positions are constant across all 60 codes (pos-1 "00", pos-2
+    // "00", "xy", "yz" → ≥ 4·1770 slice mass) while only ONE of the six
+    // 4-char part combos is shared (p1p4 = "00yz" → ~1770 + change), so
+    // a budget of sliceMass−1 trips the slice guard and admits the
+    // parts plan — the routed result must equal the unguarded slice
+    // plan's exact pair set
+    import org.apache.spark.sql.functions.{col, count, explode, lit, sum}
+    val mid = (1 to 60).map(i => (i.toLong, f"$i%05dxyz"))
+      .toDF("id", "code")
+    val sliceMass = mid
+      .select(explode(graft.functions.barcodeSlices(col("code")))
+        .as("slice"))
+      .groupBy("slice").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1)).cast("long")).head()
+      .getLong(0) / 2
+    val routed = Barcodes.similarityJoin(mid, maxDist = 2,
+      maxCandidatePairs = Some(sliceMass - 1))
+    val unguarded = Barcodes.similarityJoin(mid, maxDist = 2)
+    assert(routed.select("id_a", "id_b", "dist").collect().toSet ===
+      unguarded.select("id_a", "id_b", "dist").collect().toSet)
   }
 
   test("jaccardPairsAuto routes: exact when affordable, LSH-gated when " +

@@ -442,6 +442,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q206 trimmed mean: boundary-bucket plan, no corpus-sized window") {
+    val p = plan("q206_trimmed_mean")
+    // the r9 form ranked every group's full value stream through one
+    // row_number sort task; the boundary-bucket port must never rank
+    // raw rows — windows run over the bucket histogram and the (≤ 2
+    // buckets per group) boundary sliver only
+    assert(!p.contains("row_number"), p.take(3000))
+    // bucket histogram combines map-side before its shuffle
+    assert(p.contains("partial_count"), p.take(3000))
+    // the boundary resolve and final clamp scans join via broadcast,
+    // never a corpus-vs-corpus shuffle join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q156 top-k values: final rank fed by sub-bucket cut, partial counts") {
     val p = plan("q156_top_values")
     assert(p.contains("partial_count"), "melt counts must combine map-side")

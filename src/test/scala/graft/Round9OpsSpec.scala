@@ -209,7 +209,8 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("mintWithStats codeLen: longer codes keep the uuid-suffix " +
       "invariant and the distance->=3 guarantee") {
-    // 8-hex codes pack at most ~16^8/6421 distance->=3 members, so the
+    // random uuid-suffix minting saturates near ~16^8/6421 8-hex codes
+    // (rejection rate -> 1 as radius-2 balls cover the space), so the
     // 100x (1.5M-code) corpus must mint longer codes — codeLen is that
     // escape hatch. Pin: codes are length-10 uuid suffixes, and the
     // minted set has NO pair within distance 2 (the trigger invariant,
