@@ -700,21 +700,16 @@ object SparkEntry {
     * resolution and the age/sex/language/site extraction rules.
     */
   private def q55FhirEncounters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val feed = materializedFeed(s, "q55", dir)(fhirFeed55(s, dir))
-    val emptyIdent = Seq.empty[(String, String, String)]
-      .toDF("barcode", "uuid", "set_name")
-    val emptySamples = Seq.empty[(String, String)]
-      .toDF("identifier", "collection_identifier")
-    val delta = graft.etl.FhirEtl.decompose(feed, emptyIdent, emptySamples)
-    delta.statuses
-      .join(delta.encounters.select($("id"), $("identifier"),
-          date_format($("encountered"), "yyyy-MM-dd HH:mm:ss").as("encountered"),
-          $("individual_identifier"), $("sex"), $("language"),
-          $("site_identifier"), $("age")),
-        Seq("id"), "left")
+    // r10: the statuses⋈encounters report in one pass (the r9 form's
+    // statuses LEFT JOIN encounters re-read the 15M-row parsed
+    // checkpoint twice and shuffled corpus×corpus at sf10 — 188 s; the
+    // fused posexplode_outer form needs no checkpoint and no join)
+    graft.etl.FhirEtl.statusesWithEncounters(feed)
       .select($("id"), $("status"), $("skip_reason"), $("identifier"),
-        $("encountered"), $("individual_identifier"), $("sex"), $("language"),
+        date_format($("encountered"), "yyyy-MM-dd HH:mm:ss")
+          .as("encountered"),
+        $("individual_identifier"), $("sex"), $("language"),
         $("site_identifier"), $("age"))
   }
 
@@ -863,6 +858,16 @@ object SparkEntry {
     * SNOMED result mapping and the Ellume/inconclusive skip rules.
     */
   private def q56FhirPa(s: SparkSession, dir: String): DataFrame = {
+    val (feed, idents, samples) = fhirQ56Inputs(s, dir)
+    graft.etl.FhirEtl.decompose(feed, idents, samples)
+      .presenceAbsence
+      .select($("id"), $("identifier"), $("barcode"), $("snomed"),
+        $("device"), $("present"), $("effective_datetime"))
+  }
+
+  /** The synthesized q56 bundle feed (DiagnosticReport + Specimen +
+    * Observation per order — shared with dev.FhirProbe). */
+  private[graft] def fhirFeed56(s: SparkSession, dir: String): DataFrame = {
     val sys = graft.etl.FhirEtl.InternalSystem
     val snomedSys = graft.etl.FhirEtl.SnomedSystem
     val o = t(s, dir, "orders").select($("o_orderkey").as("k"),
@@ -925,12 +930,19 @@ object SparkEntry {
         concept(snomed), valueBool, valueConcept,
         struct(struct(device.as("value")).as("identifier"))))
 
-    val feed = materializedFeed(s, "q56", dir)(
-      o.select($("k").as("id"),
-        to_json(struct(lit("Bundle").as("resourceType"),
-          lit("collection").as("type"),
-          array(drE, specE, obsE).as("entry"))).as("document")))
+    o.select($("k").as("id"),
+      to_json(struct(lit("Bundle").as("resourceType"),
+        lit("collection").as("type"),
+        array(drE, specE, obsE).as("entry"))).as("document"))
+  }
 
+  /** The materialized q56 feed + its identifier/sample dims (shared with
+    * dev.FhirProbe's stage attribution). */
+  private[graft] def fhirQ56Inputs(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders").select($("o_orderkey").as("k"))
+    val bc = concat(lit("BC"), $("k"))
+    val feed = materializedFeed(s, "q56", dir)(fhirFeed56(s, dir))
     val idents = o.select(bc.as("barcode"),
         concat(lit("uu-"), $("k")).as("uuid"),
         when($("k") % 11 === 0, "bad-set")
@@ -940,11 +952,7 @@ object SparkEntry {
     val samples = o.filter($("k") % 11 === 1 && $("k") % 9 =!= 0)
       .select(concat(lit("uu-"), $("k")).as("identifier"),
         lit(null).cast("string").as("collection_identifier"))
-
-    graft.etl.FhirEtl.decompose(feed, idents, samples)
-      .presenceAbsence
-      .select($("id"), $("identifier"), $("barcode"), $("snomed"),
-        $("device"), $("present"), $("effective_datetime"))
+    (feed, idents, samples)
   }
 
   /** J6 — observation_with_presence_absence_result: view-on-view join on

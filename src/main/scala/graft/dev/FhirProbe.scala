@@ -59,6 +59,14 @@ object FhirProbe {
       graft.etl.FhirEtl.decompose(feed, emptyIdent, emptySamples)
         .presenceAbsence)
     time("q55_full")(graft.SparkEntry.queries("q55_fhir_encounters")(spark, dir))
+
+    // q56 stage attribution: parse-only, pa with empty dims (kills the
+    // identifier/sample join mass but keeps parse + DR extraction), full
+    val (feed56, idents56, samples56) = graft.SparkEntry.fhirQ56Inputs(spark, dir)
+    time("q56_parse")(graft.etl.FhirEtl.parseBundles(feed56))
+    time("q56_pa_nodims")(
+      graft.etl.FhirEtl.decompose(feed56, emptyIdent, emptySamples)
+        .presenceAbsence)
     time("q56_full")(graft.SparkEntry.queries("q56_fhir_pa")(spark, dir))
     spark.stop()
   }

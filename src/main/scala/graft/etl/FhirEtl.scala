@@ -152,19 +152,26 @@ object FhirEtl {
     */
   def parseBundles(feed: DataFrame): DataFrame = {
     val entryArr = ddl(s"ARRAY<STRUCT<fullUrl: STRING, resource: $resourceSchemaDdl>>")
-    feed
-      // Repartition BEFORE the parse: a receiving feed arrives in however
-      // few files the log writer produced, and Jackson billed to the scan
-      // stage would run at file parallelism (measured: a 2-file feed
-      // parsed on 2 of 32 cores, 4.3s of a 10s query). Shuffling the raw
-      // documents first is one narrow exchange. The partition count must
-      // be EXPLICIT: a bare repartition(col) is AQE-coalescible, and the
-      // raw-document bytes look small enough (64 MB advisory) that AQE
-      // folds the exchange to 1-2 partitions — serializing the parse,
-      // whose output is 5-10× the input bytes (measured: 2.8s of a 5s
-      // query on one core).
-      .repartition(feed.sparkSession.sparkContext.defaultParallelism,
-        col("id"))
+    // Repartition BEFORE the parse — but only when the scan is actually
+    // starved: a receiving feed arrives in however few files the log
+    // writer produced, and Jackson billed to the scan stage would run at
+    // file parallelism (measured: a 2-file feed parsed on 2 of 32 cores,
+    // 4.3s of a 10s query). Shuffling the raw documents first is one
+    // narrow exchange. The partition count must be EXPLICIT: a bare
+    // repartition(col) is AQE-coalescible, and the raw-document bytes
+    // look small enough (64 MB advisory) that AQE folds the exchange to
+    // 1-2 partitions — serializing the parse, whose output is 5-10× the
+    // input bytes (measured: 2.8s of a 5s query on one core). r10: the
+    // repartition is CONDITIONAL — once the feed is big enough that the
+    // scan itself yields >= parallelism splits (maxPartitionBytes
+    // binning: ~12 at sf1's 1.5 GB, ~120 at sf10, thousands at cluster
+    // scale), the exchange is a pure waste of a full raw-bytes shuffle
+    // and is skipped. Partition-count probe is plan-time only, no job.
+    val p = feed.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (feed.rdd.getNumPartitions >= p) feed
+      else feed.repartition(p, col("id"))
+    balanced
       .select(col("id"),
         from_json(col("document"), ddl(
           "STRUCT<resourceType: STRING, type: STRING, " +
@@ -207,6 +214,124 @@ object FhirEtl {
   def classify(feed: DataFrame): DataFrame =
     parseBundles(feed).select("id", "status", "skip_reason")
 
+  /** The encounter extraction (process_encounter, fhir.py:453-505) over
+    * parsed bundles: one output row per Encounter entry of `src` (id +
+    * entries [+ `passthrough` columns]); subject / partOf / age resolve
+    * against the bundle's own Patient / Encounter / QuestionnaireResponse
+    * entries riding along the explode (typically one of each per bundle).
+    * With `outer = true` it is posexplode_outer — every SOURCE row keeps
+    * at least one output row, null encounter fields when its (gated)
+    * encounter array is empty — which is how [[statusesWithEncounters]]
+    * renders the statuses⋈encounters report in one pass with no join.
+    * `gate` empties the encounter array per row without changing its
+    * type (slice(·,1,0) — e.g. "extract only from processed bundles").
+    */
+  private def encounterDelta(
+      src: DataFrame, passthrough: Seq[String], outer: Boolean,
+      gate: Option[Column]): DataFrame = {
+    val encSys = s"$InternalSystem/encounter"
+    val pt = passthrough.map(col)
+    val encsAll = ofType(col("entries"), "Encounter")
+    val encsCol = gate match {
+      case Some(g) => when(g, encsAll).otherwise(slice(encsAll, 1, 0))
+      case None => encsAll
+    }
+    val exploded = if (outer) posexplode_outer(col("encs"))
+      else posexplode(col("encs"))
+    val encRows = src.select(pt ++ Seq(col("id"),
+        encsCol.as("encs"),
+        ofType(col("entries"), "Patient").as("pats"),
+        ofType(col("entries"), "QuestionnaireResponse").as("qrs")): _*)
+      .select(pt ++ Seq(col("id"), col("encs"), col("pats"), col("qrs"),
+        exploded.as(Seq("pos", "e"))): _*)
+    val encRes = resOf(col("e"))
+    // age answers (encounter_age/process_age, fhir.py:710-756): months take
+    // precedence within a response; first response with an age wins
+    // (entry order — the filtered array preserves it).
+    // HOF lambdas are interpreted, never codegen'd: pre-extract each
+    // response's (enc_ref, months, years) ONCE via let-binding instead of
+    // re-running the item filter up to 5× per response (the nested-HOF
+    // re-evaluation trap — and the interpreted hot path is also this
+    // JVM's bimodal-slowdown victim, so less interpreted work is both
+    // faster and lower-variance).
+    def itemAnswer(items: Column, linkId: String): Column =
+      try_element_at(filter(items, i => i.getField("linkId") === lit(linkId)),
+        lit(1)).getField("answer").getField("valueInteger").getItem(0)
+    val qrAges = transform(col("qrs"), q =>
+      graft.operators.Dedup.bind(
+        coalesce(resOf(q).getField("item"),
+          array().cast(ddl("ARRAY<STRUCT<linkId: STRING, " +
+            "answer: ARRAY<STRUCT<valueInteger: INT>>>>"))),
+        items => struct(
+          resOf(q).getField("encounter").getField("reference").as("enc_ref"),
+          itemAnswer(items, "age_months").as("months"),
+          itemAnswer(items, "age").as("years"))))
+    encRows
+      // subject → the bundle's Patient (fhir.py:404-409, 563-573)
+      .withColumn("subj", resOf(resolve(col("pats"),
+        encRes.getField("subject").getField("reference"))))
+      // partOf → the referenced encounter's identifier (fhir.py:480-483)
+      .withColumn("po", resOf(resolve(col("encs"),
+        encRes.getField("partOf").getField("reference"))))
+      .withColumn("age",
+        graft.operators.Dedup.bind(qrAges, ages =>
+          try_element_at(transform(
+            filter(ages, a =>
+              a.getField("enc_ref") === col("e").getField("fullUrl") &&
+                (a.getField("months").isNotNull ||
+                  a.getField("years").isNotNull)),
+            a => when(a.getField("months").isNotNull,
+              concat((a.getField("months") / lit(12.0)).cast("string"),
+                lit(" years")))
+              .otherwise(concat(a.getField("years").cast("string"),
+                lit(" years")))), lit(1))))
+      .select(pt ++ Seq(
+        col("id"), col("pos"), col("e").getField("fullUrl").as("full_url"),
+        identifierFor(encRes.getField("identifier"), encSys).as("identifier"),
+        to_timestamp(encRes.getField("period").getField("start"))
+          .as("encountered"),
+        identifierFor(col("subj").getField("identifier"),
+          s"$InternalSystem/individual").as("individual_identifier"),
+        when(col("subj").getField("gender") === "unknown", lit(null))
+          .otherwise(col("subj").getField("gender")).as("sex"),
+        codeFor(
+          try_element_at(filter(
+            coalesce(col("subj").getField("communication"), array()),
+            c => c.getField("preferred")), lit(1)).getField("language"),
+          LanguageSystem).as("language"),
+        // first site-system location (process_encounter_site, fhir.py:604-620)
+        try_element_at(
+          filter(coalesce(encRes.getField("location"), array()),
+            l => l.getField("location").getField("identifier").getField("system")
+              === lit(s"$InternalSystem/site")), lit(1))
+          .getField("location").getField("identifier").getField("value")
+          .as("site_identifier"),
+        col("age"),
+        identifierFor(col("po").getField("identifier"), encSys).as("part_of"),
+        // reason codes (process_encounter_reason, fhir.py:575-585)
+        flatten(transform(coalesce(encRes.getField("reasonCode"), array()),
+          c => transform(c.getField("coding"), cd => cd.getField("code"))))
+          .as("reason_codes")): _*)
+  }
+
+  /** The statuses⋈encounters report in ONE pass (r10): every bundle
+    * keeps a row (its validation verdict), processed bundles' Encounter
+    * entries attach their extracted fields — the q55 report shape. The
+    * r9 gate computed this as `delta.statuses LEFT JOIN
+    * delta.encounters`, which at sf10 meant materializing the 15M-row
+    * parsed-bundle checkpoint (~30 GB spill), reading it twice, and a
+    * corpus×corpus shuffle join; here the parse streams once, unpinned,
+    * and the "join" is a posexplode_outer of the bundle's own (gated)
+    * encounter array — no shuffle at any scale. Extraction expressions
+    * are shared verbatim with [[decompose]] ([[encounterDelta]]).
+    */
+  def statusesWithEncounters(feed: DataFrame): DataFrame =
+    encounterDelta(
+      parseBundles(feed),
+      passthrough = Seq("status", "skip_reason"),
+      outer = true,
+      gate = Some(col("status") === "processed"))
+
   /** The decomposed warehouse deltas of one batch of bundles. */
   final case class Delta(
       statuses: DataFrame, // id, status, skip_reason
@@ -236,6 +361,11 @@ object FhirEtl {
     // reclaims it once the frame is unreachable after GC). Past this line
     // there is zero Jackson and zero intra-bundle shuffle: reference
     // resolution is an array lookup inside the bundle's own row.
+    // The checkpoint is NOT optional even for single-branch consumers:
+    // unpinned, the parse projection substitutes into downstream HOF
+    // lambdas (the q132/q139 projection-collapse trap — pa_items'
+    // per-result resolve re-runs Jackson per array element), measured
+    // 4× at sf10 (q56 122.5 s unpinned vs 31.4 s pinned, PERF_r10 §4).
     val docs = parseBundles(feed).localCheckpoint(false)
     val statuses = docs.select("id", "status", "skip_reason")
     val ok = docs.filter(col("status") === "processed")
@@ -245,87 +375,7 @@ object FhirEtl {
     val sampleSys = s"$InternalSystem/sample"
 
     // ---- encounter graph (process_encounter, fhir.py:453-505) ----------
-    // One output row per Encounter entry; subject / partOf / age resolve
-    // against the bundle's own Patient / Encounter / QuestionnaireResponse
-    // entries riding along the explode (typically one of each per bundle).
-    val encRows = ok.select(col("id"),
-        ofType(col("entries"), "Encounter").as("encs"),
-        ofType(col("entries"), "Patient").as("pats"),
-        ofType(col("entries"), "QuestionnaireResponse").as("qrs"))
-      .select(col("id"), col("encs"), col("pats"), col("qrs"),
-        posexplode(col("encs")).as(Seq("pos", "e")))
-    val encRes = resOf(col("e"))
-    // age answers (encounter_age/process_age, fhir.py:710-756): months take
-    // precedence within a response; first response with an age wins
-    // (entry order — the filtered array preserves it).
-    // HOF lambdas are interpreted, never codegen'd: pre-extract each
-    // response's (enc_ref, months, years) ONCE via let-binding instead of
-    // re-running the item filter up to 5× per response (the nested-HOF
-    // re-evaluation trap — and the interpreted hot path is also this
-    // JVM's bimodal-slowdown victim, so less interpreted work is both
-    // faster and lower-variance).
-    def itemAnswer(items: Column, linkId: String): Column =
-      try_element_at(filter(items, i => i.getField("linkId") === lit(linkId)),
-        lit(1)).getField("answer").getField("valueInteger").getItem(0)
-    val qrAges = transform(col("qrs"), q =>
-      graft.operators.Dedup.bind(
-        coalesce(resOf(q).getField("item"),
-          array().cast(ddl("ARRAY<STRUCT<linkId: STRING, " +
-            "answer: ARRAY<STRUCT<valueInteger: INT>>>>"))),
-        items => struct(
-          resOf(q).getField("encounter").getField("reference").as("enc_ref"),
-          itemAnswer(items, "age_months").as("months"),
-          itemAnswer(items, "age").as("years"))))
-    val encounters = encRows
-      // subject → the bundle's Patient (fhir.py:404-409, 563-573)
-      .withColumn("subj", resOf(resolve(col("pats"),
-        encRes.getField("subject").getField("reference"))))
-      // partOf → the referenced encounter's identifier (fhir.py:480-483)
-      .withColumn("po", resOf(resolve(col("encs"),
-        encRes.getField("partOf").getField("reference"))))
-      .withColumn("age",
-        graft.operators.Dedup.bind(qrAges, ages =>
-          try_element_at(transform(
-            filter(ages, a =>
-              a.getField("enc_ref") === col("e").getField("fullUrl") &&
-                (a.getField("months").isNotNull ||
-                  a.getField("years").isNotNull)),
-            a => when(a.getField("months").isNotNull,
-              concat((a.getField("months") / lit(12.0)).cast("string"),
-                lit(" years")))
-              .otherwise(concat(a.getField("years").cast("string"),
-                lit(" years")))), lit(1))))
-      .select(
-        col("id"), col("pos"), col("e").getField("fullUrl").as("full_url"),
-        identifierFor(encRes.getField("identifier"), encSys).as("identifier"),
-        to_timestamp(encRes.getField("period").getField("start"))
-          .as("encountered"),
-        identifierFor(col("subj").getField("identifier"),
-          s"$InternalSystem/individual").as("individual_identifier"),
-        when(col("subj").getField("gender") === "unknown", lit(null))
-          .otherwise(col("subj").getField("gender")).as("sex"),
-        codeFor(
-          try_element_at(filter(
-            coalesce(col("subj").getField("communication"), array()),
-            c => c.getField("preferred")), lit(1)).getField("language"),
-          LanguageSystem).as("language"),
-        // first site-system location (process_encounter_site, fhir.py:604-620)
-        try_element_at(
-          filter(coalesce(encRes.getField("location"), array()),
-            l => l.getField("location").getField("identifier").getField("system")
-              === lit(s"$InternalSystem/site")), lit(1))
-          .getField("location").getField("identifier").getField("value")
-          .as("site_identifier"),
-        col("age"),
-        identifierFor(col("po").getField("identifier"), encSys).as("part_of"),
-        // reason codes (process_encounter_reason, fhir.py:575-585)
-        flatten(transform(coalesce(encRes.getField("reasonCode"), array()),
-          c => transform(c.getField("coding"), cd => cd.getField("code"))))
-          .as("reason_codes"))
-      .select(col("id"), col("pos"), col("full_url"), col("identifier"),
-        col("encountered"), col("individual_identifier"), col("sex"),
-        col("language"), col("site_identifier"), col("age"), col("part_of"),
-        col("reason_codes"))
+    val encounters = encounterDelta(ok, Nil, outer = false, gate = None)
 
     val sites = encounters.select(col("site_identifier").as("identifier"))
       .filter(col("identifier").isNotNull).distinct()
@@ -441,13 +491,30 @@ object FhirEtl {
         col("set_name").isin(expectedCollectionSets: _*))
 
     // find_sample by uuid; missing collection-set samples are created with
-    // just the collection identifier (fhir.py:243-255). Two equi left
-    // joins, never an OR-join (which Spark would plan as a nested loop).
+    // just the collection identifier (fhir.py:243-255). ONE equi left
+    // join (r10): the r9 form left-joined the sample dim twice — once on
+    // identifier, once on collection_identifier — shuffling the
+    // DR-barcode side (corpus-sized) twice; folding the dim to
+    // (key → matched-as-identifier / matched-as-collection flags) first
+    // makes it a single join, half the corpus shuffle. Key flags
+    // aggregate with max() so a uuid appearing as both keys behaves
+    // exactly like the two-join form; sample keys are unique in the
+    // reference (find_sample), so the dedup cannot change multiplicity.
+    // Never an OR-join (which Spark would plan as a nested loop).
+    val sampleKeys = samples.select(col("identifier").as("_k"),
+        lit(true).as("_as_ident"), lit(false).as("_as_coll"))
+      .unionByName(samples.select(col("collection_identifier").as("_k"),
+        lit(false).as("_as_ident"), lit(true).as("_as_coll")))
+      .filter(col("_k").isNotNull)
+      .groupBy("_k")
+      .agg(max(col("_as_ident")).as("_has_ident"),
+        max(col("_as_coll")).as("_has_coll"))
     val drWithSample = drBarcodes
-      .join(samples.select(col("identifier").as("s_ident")),
-        col("uuid") === col("s_ident"), "left")
-      .join(samples.select(col("collection_identifier").as("s_coll")),
-        col("uuid") === col("s_coll"), "left")
+      .join(sampleKeys, col("uuid") === col("_k"), "left")
+      .withColumn("s_ident",
+        when(col("_has_ident"), col("uuid")))
+      .withColumn("s_coll",
+        when(col("_has_coll"), col("uuid")))
       .withColumn("sample_missing", col("s_ident").isNull && col("s_coll").isNull)
     val drCreatedSamples = drWithSample
       .filter(col("sample_missing") && col("is_collection"))
