@@ -46,7 +46,7 @@ object StreamScale {
       .select(to_json(struct(
         col("l_orderkey").as("order"), col("l_partkey").as("part"),
         col("l_quantity").as("qty"), col("l_returnflag").as("flag"),
-        col("l_comment").as("note"))).as("document"))
+        col("l_shipdate").cast("string").as("note"))).as("document"))
     graft.operators.Receiving.fromDocuments(li, "document")
       .repartition(64).write.mode("overwrite").parquet(feedDir)
     val nFeed = spark.read.parquet(feedDir).count()
