@@ -269,14 +269,33 @@ object Barcodes {
       case None => expr("uuid()")
     }
 
-    var accepted = keep(existing.select(col("code")))
+    // The conflict index is the cached POSTING LIST (code, part-key),
+    // not the code list (r10): the r9 form re-exploded the whole
+    // accepted corpus into part-key postings EVERY round, and the
+    // per-round union-of-caches chain compounded — measured at a 1.5M
+    // existing corpus (past 8-hex saturation, ~10% yield per round):
+    // rounds of 25 s → 44 s → 141 s, 25-min total. Exploding once and
+    // appending only each round's ≤`need` new codes' postings keeps
+    // every round a flat broadcast-probe scan of the cached postings.
+    def postingsOf(codes: DataFrame): DataFrame =
+      codes.select(col("code").as("acc_code"),
+        explode(partKeys(col("code"), maxDist + 2, maxDist)).as("k"))
+    var accPostings = keep(postingsOf(existing.select(col("code"))))
     var out: Option[DataFrame] = None
     var round = 0
     var need = n
     var tried = 0L
     var extConflicts = 0L
     var intraRejects = 0L
-    while (need > 0 && round < maxRounds) {
+    var dryRounds = 0
+    // loop-until-dry guard (r10): two consecutive ZERO-yield rounds
+    // abort the retry loop — on a space where rejection has reached 1
+    // (every radius-maxDist ball is occupied) each further round is a
+    // full posting-list probe for nothing; MintStats then reports
+    // minted < requested, exactly the reference's exhausted-retries
+    // outcome (mint_identifiers.sql raises after its loop runs out).
+    while (need > 0 && round < maxRounds && dryRounds < 2) {
+      val roundT0 = System.currentTimeMillis()
       // Eager localCheckpoint, not cache: (a) candidates must never
       // replay (uuid() is non-deterministic — same rule as the result
       // checkpoint below), and (b) cache() leaves the LOGICAL lineage in
@@ -299,9 +318,11 @@ object Barcodes {
       // mint — part combos carry 16^4 values, same recall)
       val candKeys = batch.select(col("seq"), col("code"),
         explode(partKeys(col("code"), maxDist + 2, maxDist)).as("k"))
-      val accKeys = accepted.select(col("code").as("acc_code"),
-        explode(partKeys(col("code"), maxDist + 2, maxDist)).as("k"))
-      val conflictsExisting = candKeys.join(accKeys, "k")
+      // broadcast the bounded candidate side: the posting list streams
+      // out of cache, never shuffles (the batch's LogicalRDD-rooted
+      // stats would otherwise block the broadcast choice and plan a
+      // sort-merge over the full posting list)
+      val conflictsExisting = broadcast(candKeys).join(accPostings, "k")
         .filter(hammingDistanceLte(col("code"), col("acc_code"), lit(maxDist)))
         .select("seq").distinct()
       val clean = batch.join(conflictsExisting, Seq("seq"), "left_anti")
@@ -320,14 +341,30 @@ object Barcodes {
         .select(col("id_b").as("seq")).distinct())
       intraRejects += intraRejected.count() // cached: the anti-join below reuses it
       val survivors = clean.join(intraRejected, Seq("seq"), "left_anti")
-      val take = keep(survivors.orderBy("seq").limit(need)
-        .select(col("uuid"), col("code")))
+      // EAGER checkpoint at the round boundary, not cache (r10): take's
+      // lineage embeds conflictsExisting → accPostings → the previous
+      // round's take — cache() keeps that LOGICAL chain, so round r's
+      // plan grew EXPONENTIALLY in r and the driver sank into
+      // TreeNode.exists walks before any job ran (measured at sf10:
+      // rounds of 25 s → 44 s → 141 s, driver CPU-bound in analysis).
+      // The checkpoint roots the round at a LogicalRDD; it also closes
+      // the replay hole for unseeded uuid() candidates, which a cache
+      // eviction could previously have re-minted differently.
+      val take = keepCkpt(survivors.orderBy("seq").limit(need)
+        .select(col("uuid"), col("code")).localCheckpoint(true))
       out = Some(out.map(_.unionByName(take)).getOrElse(take))
       val got = take.count().toInt
       extConflicts += need.toLong * batchFactor - got // approx: batch minus accepted
       need -= got
-      accepted = keep(accepted.unionByName(take.select("code")))
+      dryRounds = if (got == 0) dryRounds + 1 else 0
+      accPostings = keep(accPostings.unionByName(
+        postingsOf(take.select("code"))))
       round += 1
+      // run instrumentation to stderr, mirroring the reference's RAISE
+      // NOTICE (functions/mint_identifiers.sql:40-49) — per-round yield
+      // and wall are how a saturated-space grind is diagnosed
+      System.err.println(s"[mint] round=$round got=$got needLeft=$need " +
+        s"ms=${System.currentTimeMillis() - roundT0}")
     }
     // Return the result DISTRIBUTED: an eager localCheckpoint materializes
     // the accepted (uuid, code) rows as executor blocks and severs lineage
@@ -343,8 +380,8 @@ object Barcodes {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     cached.foreach(_.unpersist(blocking = false))
-    // the result checkpoint no longer depends on any round's batch
-    // (lineage is severed), so the batch blocks free immediately
+    // the result checkpoint no longer depends on any round's batch or
+    // take blocks (lineage is severed), so they free immediately
     ckptRdds.foreach(_.unpersist(blocking = false))
     (result, MintStats(n, n - need, round, tried, extConflicts, intraRejects,
       System.currentTimeMillis() - t0))

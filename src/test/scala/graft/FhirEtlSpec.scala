@@ -146,4 +146,38 @@ class FhirEtlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(_.getLong(0) == 2L).head
     assert(created.getAs[String]("identifier") == "A9")
   }
+
+  test("statusesWithEncounters == statuses LEFT JOIN encounters (the " +
+      "fused one-pass report matches the decompose join form)") {
+    // bundles covering every row shape: processed-with-encounter,
+    // error, skipped, and processed via the DR path (no encounter →
+    // null encounter fields must still keep the row)
+    val dr = entry("urn:uuid:d1",
+      """{"resourceType":"DiagnosticReport",
+        |"specimen":[{"reference":"urn:uuid:s1"}],
+        |"result":[],"effectiveDateTime":"2024-05-06T08:00:00Z"}"""
+        .stripMargin)
+    val feed = feedOf(
+      1L -> bundle(patient, encounter, obsLink, specimen),
+      2L -> """{"resourceType":"Observation"}""",
+      3L -> bundle(obsLink, specimen),
+      4L -> bundle(dr, specimen))
+    val fused = FhirEtl.statusesWithEncounters(feed)
+      .select("id", "status", "skip_reason", "identifier", "encountered",
+        "individual_identifier", "sex", "language", "site_identifier",
+        "age")
+    val delta = FhirEtl.decompose(feed, emptyIdent, emptySamples)
+    val joined = delta.statuses.join(
+        delta.encounters.select(col("id"), col("identifier"),
+          col("encountered"), col("individual_identifier"), col("sex"),
+          col("language"), col("site_identifier"), col("age")),
+        Seq("id"), "left")
+      .select("id", "status", "skip_reason", "identifier", "encountered",
+        "individual_identifier", "sex", "language", "site_identifier",
+        "age")
+    assert(fused.collect().map(_.toString).sorted.toSeq ==
+      joined.collect().map(_.toString).sorted.toSeq)
+    // and every bundle keeps exactly one row here (≤1 encounter each)
+    assert(fused.count() == 4)
+  }
 }

@@ -442,6 +442,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q55 fused FHIR report: one pass, no join, no corpus re-read") {
+    val p = plan("q55_fhir_encounters")
+    // r9's statuses LEFT JOIN encounters re-read the parsed-bundle
+    // checkpoint twice and shuffled corpus×corpus (188 s at sf10); the
+    // fused posexplode_outer form must contain NO join operator at all
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // the outer explode
+  }
+
   test("q206 trimmed mean: boundary-bucket plan, no corpus-sized window") {
     val p = plan("q206_trimmed_mean")
     // the r9 form ranked every group's full value stream through one
