@@ -97,8 +97,16 @@ object Etl {
     *   left exactly as stored. Created rows always take the update's
     *   values.
     *
-    * Both lookup joins are equi-joins (shuffle on one key each), never an
-    * OR-join (which Spark would plan as a nested loop).
+    * The OR-match is ONE tagged-key equi-join (never an OR-join, which
+    * Spark would plan as a nested loop): both sides unpivot to a
+    * prefix-tagged key ("i:" ‖ identifier, "c:" ‖ collection_identifier)
+    * and the matched row's own fields ride the join into the group
+    * aggregate via `min_by`, so the big `current` side is scanned once
+    * and shuffled once (r9 shape: two lookup joins + a third join back
+    * on the resolved sample_id — 4 scans / 3 shuffles of the warehouse
+    * side). Updates probe once per PRESENT key; a keyless update keeps a
+    * single null-key row (never matches, left-join-retained) so it still
+    * reaches creation.
     */
   def upsertSamples(
       current: DataFrame, // sample_id, identifier, collection_identifier, details
@@ -123,21 +131,41 @@ object Etl {
       col("details").as("u_details"),
       ordCol.as("u_ord"))
 
-    val byIdent = upd.join(cur,
-      col("u_identifier") === col("identifier") && col("u_identifier").isNotNull,
-      "left").select(col("u_identifier"), col("u_collection"), col("u_details"),
-        col("u_ord"), col("sample_id"))
-    val byColl = upd.join(cur,
-      col("u_collection") === col("collection_identifier") && col("u_collection").isNotNull,
-      "left").select(col("u_identifier"), col("u_collection"), col("u_details"),
-        col("u_ord"), col("sample_id"))
-    val matched = byIdent.unionByName(byColl)
+    // concat-with-null is null → the filter drops cur rows' absent keys;
+    // one scan of the warehouse side, ≤2 key rows per sample
+    val curKeyed = cur.select(col("sample_id"), col("identifier"),
+        col("collection_identifier"), col("details"),
+        explode(array(concat(lit("i:"), col("identifier")),
+          concat(lit("c:"), col("collection_identifier")))).as("k"))
+      .filter(col("k").isNotNull)
+    // one key row per PRESENT update key (an update with one null key
+    // probes once, not twice); an update with NO key at all still needs a
+    // row to reach the group-by and be created — it gets a single null-k
+    // row, which an equi-join never matches but a left join retains.
+    // Keyless updates are degenerate input (the reference rejects them),
+    // so the null-key shuffle partition carries no skew in practice.
+    val updKeys = filter(array(concat(lit("i:"), col("u_identifier")),
+      concat(lit("c:"), col("u_collection"))), x => x.isNotNull)
+    val updKeyed = upd.select(col("u_identifier"), col("u_collection"),
+      col("u_details"), col("u_ord"),
+      explode(when(size(updKeys) > 0, updKeys)
+        .otherwise(array(lit(null).cast("string")))).as("k"))
+    val matched = updKeyed.join(curKeyed, Seq("k"), "left")
       .groupBy("u_identifier", "u_collection")
       // sorted sets: the ambiguous pick is the MIN matched id and details
       // fold in update order — stable under shuffle.partitions changes
       .agg(array_sort(collect_set(col("sample_id"))).as("matches"),
         array_sort(collect_set(struct(col("u_ord").as("o"),
-          col("u_details").as("d")))).as("_upds"))
+          col("u_details").as("d")))).as("_upds"),
+        // the MIN-id matched row's own fields, captured here so the final
+        // projection needs no join back on the resolved sample_id (the
+        // r9 third scan+shuffle of `current`); unmatched rows carry an
+        // all-null struct ranked after every real id, so a group with
+        // any match picks the real min and an all-miss group yields the
+        // null fields the old left-join miss produced
+        min_by(struct(col("identifier"), col("collection_identifier"),
+            col("details")),
+          coalesce(col("sample_id"), lit(Long.MaxValue))).as("_cur"))
       // same-batch same-key updates all apply, in order, each merging
       // shallowly over the previous (the reference's sequential UPDATEs)
       .withColumn("u_details",
@@ -159,25 +187,25 @@ object Etl {
     val resolved = withIds.filter(!col("is_new")).unionByName(created)
 
     // merge details shallowly into the current row's details (C11);
-    // identifiers follow the update_identifiers flag for matched rows
+    // identifiers follow the update_identifiers flag for matched rows.
+    // The matched row's fields were captured in `_cur` by the lookup
+    // aggregate — no join back on sample_id (created rows' _cur fields
+    // are null, exactly the old left-join miss)
     val updatedIdent =
       if (updateIdentifiers) col("u_identifier")
-      else when(col("is_new"), col("u_identifier")).otherwise(col("c.identifier"))
+      else when(col("is_new"), col("u_identifier"))
+        .otherwise(col("_cur.identifier"))
     val updatedColl =
       if (updateIdentifiers) col("u_collection")
       else when(col("is_new"), col("u_collection"))
-        .otherwise(col("c.collection_identifier"))
-    resolved.as("u")
-      .join(cur.select(col("sample_id"), col("identifier"),
-          col("collection_identifier"), col("details")).as("c"),
-        Seq("sample_id"), "left")
-      .select(
-        col("sample_id"),
-        updatedIdent.as("identifier"),
-        updatedColl.as("collection_identifier"),
-        graft.functions.jsonbMergeShallow(col("c.details"), col("u.u_details"))
-          .as("details"),
-        col("ambiguous"))
+        .otherwise(col("_cur.collection_identifier"))
+    resolved.select(
+      col("sample_id"),
+      updatedIdent.as("identifier"),
+      updatedColl.as("collection_identifier"),
+      graft.functions.jsonbMergeShallow(col("_cur.details"), col("u_details"))
+        .as("details"),
+      col("ambiguous"))
   }
 
   /** F2 — containment routing (reference etl/redcap_det.py:127-135): route

@@ -72,6 +72,25 @@ class EtlStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId.forall(!_._3)) // nothing ambiguous
   }
 
+  test("Etl.upsertSamples creates rows whose updates carry NO key at all " +
+      "(the sentinel-key retention path of the single tagged-key join)") {
+    import spark.implicits._
+    val cur = Seq((1L, "A1", "C1", """{"x":1}"""))
+      .toDF("sample_id", "identifier", "collection_identifier", "details")
+    val upd = Seq(
+      (null.asInstanceOf[String], null.asInstanceOf[String], """{"n":1}"""),
+      ("A1", null.asInstanceOf[String], """{"z":9}"""))
+      .toDF("identifier", "collection_identifier", "details")
+    val out = Etl.upsertSamples(cur, upd).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getString(3), r.getBoolean(4))).sortBy(_._1).toList
+    // the keyless update must survive to creation (id 2 = maxId+1) with
+    // its own details and null identifiers; the keyed one updates row 1
+    assert(out == List(
+      (1L, Some("A1"), """{"x":1,"z":9}""", false),
+      (2L, None, """{"n":1}""", false)))
+  }
+
   test("Etl.upsertSamples flags ambiguous two-row matches") {
     import spark.implicits._
     val cur = Seq(
