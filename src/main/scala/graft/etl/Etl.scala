@@ -83,39 +83,13 @@ object Etl {
         Receiving.statusDelta(bad.select("id"), etlName, revision, "skipped"))
   }
 
-  /** M4 — `upsert_sample` semantics (reference lib/id3c/db/__init__.py:
-    * 182-326): updates match current rows on `identifier` OR
-    * `collection_identifier`; ambiguous (two different current rows) is an
-    * error surfaced as a column; unmatched rows are created with fresh
-    * surrogate ids; `details` documents merge shallowly (C11) rather than
-    * overwrite.
-    *
-    * @param updateIdentifiers mirror of the reference's
-    *   `update_identifiers` flag (db/__init__.py:285-289): when true, a
-    *   matched row's identifier AND collection_identifier are overwritten
-    *   with the update's values (even if one is null); when false they are
-    *   left exactly as stored. Created rows always take the update's
-    *   values.
-    *
-    * The OR-match is ONE tagged-key equi-join (never an OR-join, which
-    * Spark would plan as a nested loop): both sides unpivot to a
-    * prefix-tagged key ("i:" ‖ identifier, "c:" ‖ collection_identifier)
-    * and the matched row's own fields ride the join into the group
-    * aggregate via `min_by`, so the big `current` side is scanned once
-    * and shuffled once (r9 shape: two lookup joins + a third join back
-    * on the resolved sample_id — 4 scans / 3 shuffles of the warehouse
-    * side). Updates probe once per PRESENT key; a keyless update keeps a
-    * single null-key row (never matches, left-join-retained) so it still
-    * reaches creation.
+  /** The lookup-aggregate stage of [[upsertSamples]], exposed (pre-
+    * checkpoint) so PlanAuditSpec can pin its single-join shape: ONE
+    * tagged-key equi-join of updates against `cur`, matched-row fields
+    * carried by the group aggregate.
     */
-  def upsertSamples(
-      current: DataFrame, // sample_id, identifier, collection_identifier, details
-      updates: DataFrame, // identifier, collection_identifier, details
-      updateIdentifiers: Boolean = false
-  ): DataFrame = {
-    val cur = current.select(
-      col("sample_id"), col("identifier"), col("collection_identifier"),
-      col("details"))
+  private[graft] def matchSamples(cur: DataFrame, updates: DataFrame)
+      : DataFrame = {
     // deterministic batch order: the reference processes updates FIFO by
     // row id (db/__init__.py:182-326 runs one statement per row in id
     // order). An `id` column on the updates frame is that ordinal; absent
@@ -150,7 +124,7 @@ object Etl {
       col("u_details"), col("u_ord"),
       explode(when(size(updKeys) > 0, updKeys)
         .otherwise(array(lit(null).cast("string")))).as("k"))
-    val matched = updKeyed.join(curKeyed, Seq("k"), "left")
+    updKeyed.join(curKeyed, Seq("k"), "left")
       .groupBy("u_identifier", "u_collection")
       // sorted sets: the ambiguous pick is the MIN matched id and details
       // fold in update order — stable under shuffle.partitions changes
@@ -176,6 +150,42 @@ object Etl {
       .withColumn("ambiguous", size(col("matches")) > 1)
       .withColumn("sample_id", try_element_at(col("matches"), lit(1)))
 
+  }
+
+  /** M4 — `upsert_sample` semantics (reference lib/id3c/db/__init__.py:
+    * 182-326): updates match current rows on `identifier` OR
+    * `collection_identifier`; ambiguous (two different current rows) is an
+    * error surfaced as a column; unmatched rows are created with fresh
+    * surrogate ids; `details` documents merge shallowly (C11) rather than
+    * overwrite.
+    *
+    * @param updateIdentifiers mirror of the reference's
+    *   `update_identifiers` flag (db/__init__.py:285-289): when true, a
+    *   matched row's identifier AND collection_identifier are overwritten
+    *   with the update's values (even if one is null); when false they are
+    *   left exactly as stored. Created rows always take the update's
+    *   values.
+    *
+    * The OR-match is ONE tagged-key equi-join (never an OR-join, which
+    * Spark would plan as a nested loop): both sides unpivot to a
+    * prefix-tagged key ("i:" ‖ identifier, "c:" ‖ collection_identifier)
+    * and the matched row's own fields ride the join into the group
+    * aggregate via `min_by`, so the big `current` side is scanned once
+    * and shuffled once (r9 shape: two lookup joins + a third join back
+    * on the resolved sample_id — 4 scans / 3 shuffles of the warehouse
+    * side). Updates probe once per PRESENT key; a keyless update keeps a
+    * single null-key row (never matches, left-join-retained) so it still
+    * reaches creation.
+    */
+  def upsertSamples(
+      current: DataFrame, // sample_id, identifier, collection_identifier, details
+      updates: DataFrame, // identifier, collection_identifier, details
+      updateIdentifiers: Boolean = false
+  ): DataFrame = {
+    val cur = current.select(
+      col("sample_id"), col("identifier"), col("collection_identifier"),
+      col("details"))
+    val matched = matchSamples(cur, updates)
     val maxId = cur.agg(coalesce(max(col("sample_id")), lit(0L))).head().getLong(0)
     // consumed by both sides of the is_new split (and allocateIds runs an
     // RDD pass of its own) — materialize the match pipeline once

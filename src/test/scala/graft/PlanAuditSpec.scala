@@ -453,6 +453,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Generate"), p.take(3000)) // the outer explode
   }
 
+  test("q46 upsert: exactly ONE join of updates against the warehouse side") {
+    // the gate query's own executedPlan roots at the match pipeline's
+    // localCheckpoint (an ExistingRDD), so the join shape is audited on
+    // the pre-checkpoint stage: the r9 shape had three joins (two lookups
+    // + a join back on the resolved sample_id); the r10 tagged-key form
+    // must keep exactly one equi-join, with the matched row's fields
+    // carried by the group aggregate
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val cur = orders.select(col("o_orderkey").as("sample_id"),
+      concat(lit("I"), col("o_orderkey")).as("identifier"),
+      concat(lit("C"), col("o_orderkey")).as("collection_identifier"),
+      lit("""{"a":1}""").as("details"))
+    val upd = orders.select(col("o_orderkey").cast("string").as("identifier"),
+      lit(null).cast("string").as("collection_identifier"),
+      lit("""{"b":2}""").as("details"))
+    val p = graft.etl.Etl.matchSamples(cur, upd)
+      .queryExecution.executedPlan.toString
+    val joins = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .map(j => j.r.findAllIn(p).size).sum
+    assert(joins == 1, s"expected 1 join, got $joins:\n" + p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q206 trimmed mean: boundary-bucket plan, no corpus-sized window") {
     val p = plan("q206_trimmed_mean")
     // the r9 form ranked every group's full value stream through one
