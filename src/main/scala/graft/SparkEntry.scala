@@ -4456,6 +4456,33 @@ object SparkEntry {
         $("dist").cast("long").as("dist"))
   }
 
+  /** S3 gated — the all-strings CSV reader against a COMMITTED edge-case
+    * fixture (RFC-4180: quoted commas, doubled-quote escapes, empty vs
+    * quoted-empty fields, leading zeros, unicode, padded quoted fields),
+    * hash-compared against DuckDB's read_csv of the same bytes. The
+    * fixture is SF-independent, like q187's deflate fixture.
+    */
+  private def q285CsvRead(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.readCsvAllStrings(
+      s, "/root/repo/fixtures/manifest_edge.csv")
+
+  /** S2 gated — the NDJSON receiving reader + codegen JSON field
+    * projection against a committed fixture (escaped quotes, explicit
+    * nulls, \u escapes, control chars), vs DuckDB's read_json with
+    * pinned columns.
+    */
+  private def q286NdjsonRead(s: SparkSession, dir: String): DataFrame = {
+    val raw = graft.sources.Sources.readNdjson(
+      s, "/root/repo/fixtures/receiving_edge.ndjson")
+    raw.select(
+      graft.functions.jsonScalarField($("document"), lit("rid"))
+        .cast("long").as("rid"),
+      graft.functions.jsonScalarField($("document"), lit("barcode"))
+        .as("barcode"),
+      graft.functions.jsonScalarField($("document"), lit("note"))
+        .as("note"))
+  }
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4743,6 +4770,8 @@ object SparkEntry {
     "q282_stratified_containment" -> (q282StratifiedContainment _),
     "q283_stratified_recall" -> (q283StratifiedRecall _),
     "q284_minted_pairs" -> (q284MintedPairs _),
+    "q285_csv_read" -> (q285CsvRead _),
+    "q286_ndjson_read" -> (q286NdjsonRead _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9966,5 +9995,15 @@ object SparkEntry {
         |  CAST(mismatches(a.code, b.code) AS BIGINT) AS dist
         |FROM c a, c b
         |WHERE a.id < b.id AND mismatches(a.code, b.code) <= 2""".stripMargin,
+    "q285_csv_read" ->
+      """SELECT sample_barcode, collection, note
+        |FROM read_csv('/root/repo/fixtures/manifest_edge.csv',
+        |  all_varchar=true, header=true)""".stripMargin,
+    "q286_ndjson_read" ->
+      """SELECT rid, barcode, note
+        |FROM read_json('/root/repo/fixtures/receiving_edge.ndjson',
+        |  format='newline_delimited',
+        |  columns={'rid': 'BIGINT', 'barcode': 'VARCHAR',
+        |           'note': 'VARCHAR'})""".stripMargin,
   )
 }

@@ -25,11 +25,17 @@ object Sources {
     * explicit all-StringType schema: inference is disabled by design.
     */
   def readCsvAllStrings(spark: SparkSession, path: String, sep: String = ","): DataFrame = {
+    // escape = '"' selects RFC-4180 doubled-quote escaping ("" inside a
+    // quoted field → one quote), the dialect pandas/DuckDB/Excel write;
+    // Spark's default backslash escape leaves `"q""esc"` un-unescaped
+    // (caught by the q285 fixture gate)
     val header = spark.read.option("header", "false").option("sep", sep)
+      .option("escape", "\"")
       .csv(path).limit(1).collect().headOption
       .map(_.toSeq.map(String.valueOf)).getOrElse(Seq.empty)
     val schema = StructType(header.map(c => StructField(c, StringType)))
-    spark.read.option("header", "true").option("sep", sep).schema(schema).csv(path)
+    spark.read.option("header", "true").option("sep", sep)
+      .option("escape", "\"").schema(schema).csv(path)
   }
 
   /** S4 — workbook provenance + digest-keyed conditional re-parse
