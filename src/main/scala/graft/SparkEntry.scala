@@ -4483,6 +4483,35 @@ object SparkEntry {
         .as("note"))
   }
 
+  /** S5 gated — the GeoJSON FeatureCollection reader against a committed
+    * all-Polygon fixture (unicode/comma/quote property names), vs DuckDB
+    * read_json + unnest of the same file. Coordinates compare as the
+    * re-serialized JSON subtree (both engines emit compact arrays;
+    * binary-fraction coords keep double repr engine-stable); the full
+    * geometry object is not compared directly because the two engines
+    * order inferred struct keys differently.
+    */
+  private def q287GeojsonRead(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.readGeoJson(
+        s, "/root/repo/fixtures/locations_edge.geojson")
+      .select($("properties.name").as("name"),
+        $("properties.level").cast("long").as("level"),
+        $("geometry_type"),
+        get_json_object($("geometry_json"), "$.coordinates")
+          .as("coords_json"))
+
+  /** S6 gated — the FASTQ directory scan → per-sample read sets against
+    * the committed fixture dir, vs DuckDB glob() + anchored regex. The
+    * fixture's `a99_R1` trap file forces both sides to anchor the sample
+    * id at the start of the BASENAME (the reference's `^(\d+)_` rule,
+    * cli/command/sequence_read_set.py:29-77).
+    */
+  private def q288FastqScan(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.fastqReadSets(s, "/root/repo/fixtures/fastq")
+      .select($("sample"),
+        transform($("urls"), u => regexp_replace(u, "^file:", ""))
+          .as("urls"))
+
   // ------------------------------------------------------------ the surface
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4772,6 +4801,8 @@ object SparkEntry {
     "q284_minted_pairs" -> (q284MintedPairs _),
     "q285_csv_read" -> (q285CsvRead _),
     "q286_ndjson_read" -> (q286NdjsonRead _),
+    "q287_geojson_read" -> (q287GeojsonRead _),
+    "q288_fastq_scan" -> (q288FastqScan _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -10005,5 +10036,18 @@ object SparkEntry {
         |  format='newline_delimited',
         |  columns={'rid': 'BIGINT', 'barcode': 'VARCHAR',
         |           'note': 'VARCHAR'})""".stripMargin,
+    "q287_geojson_read" ->
+      """SELECT f.properties.name AS name,
+        |  CAST(f.properties.level AS BIGINT) AS level,
+        |  f.geometry.type AS geometry_type,
+        |  to_json(f.geometry.coordinates) AS coords_json
+        |FROM (SELECT unnest(features) AS f FROM read_json(
+        |  '/root/repo/fixtures/locations_edge.geojson'))""".stripMargin,
+    "q288_fastq_scan" ->
+      """SELECT regexp_extract(file, '/([0-9]+)_[^/]*$', 1) AS sample,
+        |  list_sort(list(file)) AS urls
+        |FROM glob('/root/repo/fixtures/fastq/*.fastq.gz')
+        |WHERE regexp_extract(file, '/([0-9]+)_[^/]*$', 1) <> ''
+        |GROUP BY 1""".stripMargin,
   )
 }
