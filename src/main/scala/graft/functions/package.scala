@@ -102,6 +102,13 @@ package object functions {
   def winnowMinima(hashes: Column, window: Int): Column =
     toCol(WinnowMinima(toExpr(hashes), window))
 
+  /** Codegen'd canonical query-string suffix — the sorted,
+    * tracking-stripped "?a=1&b=2" tail of URL canonicalization as one
+    * byte pass ([[CanonicalQuery]]; the HOF chain it replaces ran
+    * split/filter/sort/join through interpreted lambdas per row).
+    */
+  def canonicalQuery(q: Column): Column = toCol(CanonicalQuery(toExpr(q)))
+
   /** Z-order (Morton) bit-interleave of two non-negative ints confined to
     * `bits` bits each — the multi-dimensional layout key:
     * `sortWithinPartitions(zOrder2(a, b))` before a columnar write keeps

@@ -40,17 +40,13 @@ object Web {
       .otherwise(hostLower)
     val pathRaw = rtrim(rest.substr(length(hostSeg) + 1, length(rest)), "/")
     val path = when(pathRaw === "", lit("/")).otherwise(pathRaw)
-    // the query-param chain (split -> filter -> sort -> join) is a
-    // CodegenFallback subtree; referencing it twice (emptiness test +
-    // concat) would evaluate it twice per row — bind JUST the suffix
-    // (the q132/q139 lesson), keeping scheme/host/path in codegen: a
-    // wider bind that captured them ran 4x slower (whole chain
-    // interpreted inside the lambda)
-    val qSuffix = Dedup.bind(
-      array_join(array_sort(filter(split(query, "&", -1),
-        p => p =!= "" && !p.startsWith("utm_"))), "&"),
-      q => when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
-    concat(scheme, lit("://"), host, path, qSuffix)
+    // the query-param chain (split -> filter -> sort -> join) has no
+    // codegen (array HOF lambdas are interpreted per row); r8 bound it
+    // once (evaluating it twice was 4x worse), r10 replaces the bound
+    // chain with the native kernel — one byte pass + small sort per
+    // row, byte-equivalent by Round10OpsSpec
+    concat(scheme, lit("://"), host, path,
+      graft.functions.canonicalQuery(query))
   }
 
   /** Group rows by canonical URL: canonical_url, n_rows (total raw
