@@ -4405,7 +4405,11 @@ object SparkEntry {
         array_sort(collect_list(struct($("doc_id"), $("text")))),
         x => x.getField("text")), " ").as("text"))
       .select(($("_g") + 2000000000L).as("doc_id"), $("text"))
-    d.unionByName(sup)
+    // pinned (r10): the synthesis shuffle is consumed 2× by q282
+    // (shingle sets, signatures) and 5× by q283 (those plus the exact
+    // side's shingles, the size frame, and the audit joins) — without
+    // the pin each consumer re-runs the collect_list groupBy + concat
+    d.unionByName(sup).localCheckpoint(false)
   }
 
   /** Size-stratified containment join (LSH Ensemble, Zhu/Nandi/Miller
