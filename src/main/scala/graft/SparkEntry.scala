@@ -1064,21 +1064,12 @@ object SparkEntry {
         when($("k") % 8 === 0, "samples").otherwise("collections-kiosks")
           .as("set_name"))
       .filter($("k") % 19 =!= 0)
-    val delta = graft.etl.Feeds.Enrollments.decompose(feed, idents)
-    delta.statuses
-      .join(delta.encounters.select($("id"), $("identifier"),
-          date_format($("encountered"), "yyyy-MM-dd HH:mm:ss").as("encountered"),
-          $("individual_identifier"), $("sex"), $("site_identifier"), $("age"),
-          $("language")),
-        Seq("id"), "left")
-      .join(delta.sampleUpdates.select(
-          $("encounter_identifier").as("identifier"),
-          $("collection_identifier")),
-        Seq("identifier"), "left")
-      .select($("id"), $("status"), $("skip_reason"), $("identifier"),
-        $("encountered"), $("individual_identifier"), $("sex"),
-        $("site_identifier"), $("age"), $("language"),
-        $("collection_identifier"))
+    // r10: statuses ⋈ encounters fused into one projection of the parsed
+    // frame (unique doc id — the q62/q63 reasoning); the 1:N ClinicSwab
+    // collection join stays inside statusReport, sharing ONE parse
+    graft.etl.Feeds.Enrollments.statusReport(feed, idents)
+      .withColumn("encountered",
+        date_format($("encountered"), "yyyy-MM-dd HH:mm:ss"))
   }
 
   /** Samplify presence-absence feed (reference etl/presence_absence.py:
@@ -1149,13 +1140,14 @@ object SparkEntry {
         when($("k") % 23 === 0, "bad-set").otherwise("collections-scan")
           .as("set_name"))
         .filter($("k") % 19 =!= 0)))
-    val delta = graft.etl.Feeds.Manifest.decompose(feed, idents)
-    delta.statuses
-      .join(delta.sampleUpdates.select($("id"), $("identifier"),
-          $("collection_identifier"),
-          $("collection_date").cast("string").as("collection_date"),
-          $("update_identifiers")),
-        Seq("id"), "left")
+    // r10: statuses ⋈ sampleUpdates is a projection of the one classified
+    // frame (unique doc id) — the fused statusReport drops 2 Exchanges +
+    // an SMJ that grew with the feed; columns/casts unchanged
+    graft.etl.Feeds.Manifest.statusReport(feed, idents)
+      .select($("id"), $("status"), $("skip_reason"), $("identifier"),
+        $("collection_identifier"),
+        $("collection_date").cast("string").as("collection_date"),
+        $("update_identifiers"))
   }
 
   /** Kit-manifest feed (reference etl/kit.py:230-330): kit↔sample linking
@@ -1184,11 +1176,9 @@ object SparkEntry {
         when($("k") % 3 === 0, "utm").when($("k") % 3 === 1, "rdt")
           .otherwise("blood").as("sample_type"))
       .filter($("k") % 19 =!= 0))
-    val delta = graft.etl.Feeds.Kit.decompose(feed, idents, wh)
-    delta.statuses
-      .join(delta.kitUpdates.select($("id"), $("kit_identifier"),
-          $("sample_uuid"), $("sample_type")),
-        Seq("id"), "left")
+    // r10: same fuse as q62 — the join of two projections of one
+    // classified frame becomes the frame's own projection
+    graft.etl.Feeds.Kit.statusReport(feed, idents, wh)
   }
 
   /** Consensus-genome feed (reference etl/consensus_genome.py:64-316):
@@ -1214,14 +1204,9 @@ object SparkEntry {
       .select(concat(lit("cg-"), $("k")).as("identifier"))
     val organisms = Seq("Influenza.A.H1N1", "Influenza.A.H3N2",
       "Influenza.B.Vic", "Influenza.B.Yam", "RSV.A").toDF("lineage")
-    val delta = graft.etl.Feeds.ConsensusGenome.decompose(feed, wh, organisms)
-    delta.statuses
-      .join(delta.readSets.select($("id"), $("sample_uuid"), $("urls"),
-          $("organism_lineage"), $("rs_status")),
-        Seq("id"), "left")
-      .join(delta.sequences.select($("id"),
-          $("sequence_identifier"), $("segment")),
-        Seq("id"), "left")
+    // r10: statuses ⋈ readSets fused into one derivation of the
+    // classified frame; the 1:N sequences explode stays a join
+    graft.etl.Feeds.ConsensusGenome.statusReport(feed, wh, organisms)
   }
 
   /** M10 — like-pattern deletes (redcap-sync delete,

@@ -77,35 +77,64 @@ object Feeds {
         sampleUpdates: DataFrame, // collection_identifier, encounter_identifier, sample_type
         encounterLocations: DataFrame) // encounter_identifier, relation, location_identifier, tract
 
+    /** Parse at cluster width, checkpointed — ONE parse pass shared by
+      * every consumer (decompose's branches, or [[statusReport]]'s fused
+      * projection + its ClinicSwab branch).
+      */
+    private def parsedOf(feed: DataFrame): DataFrame =
+      feed.repartition(feed.sparkSession.sparkContext.defaultParallelism,
+        col("id")) // parse at cluster width (explicit, AQE-uncoalescible)
+        .select(col("id"), from_json(col("document"), schema).as("d"))
+        .localCheckpoint(false)
+
+    // assigned_sex (:327-343): fall back to AssignedSexAirport only when
+    // the AssignedSex QUESTION is absent — a present-but-declined answer
+    // stays null (NoSuchQuestionError vs a None response)
+    private def sexCol: Column = {
+      val asResp = responseFor(col("d"), "AssignedSex")
+      when(asResp.isNotNull, firstAnswer(asResp))
+        .otherwise(firstAnswer(responseFor(col("d"), "AssignedSexAirport")))
+    }
+    // age (:245-258): ninetyOrAbove → "90 years", else float(value) years
+    private def ageCol: Column =
+      when(col("d.age").isNull, lit(null).cast("string"))
+        .when(col("d.age.ninetyOrAbove"), lit("90 years"))
+        .otherwise(concat(col("d.age.value").cast("double").cast("string"),
+          lit(" years")))
+
+    /** skip_reason column over the parsed frame (:89-92). */
+    private def skipReasonCol: Column =
+      when(!col("d.schemaVersion").isin(KnownVersions: _*),
+        concat(lit("error: unknown schema version "), col("d.schemaVersion")))
+
+    /** The ClinicSwab sample-code branch (:141-199) over a parsed frame. */
+    private def sampleUpdatesOf(
+        parsed: DataFrame, identifiers: DataFrame): DataFrame = {
+      val ident = identifiers.select(col("barcode").as("i_barcode"),
+        col("uuid"), col("set_name"))
+      parsed.filter(col("d.schemaVersion").isin(KnownVersions: _*))
+        .select(col("id"),
+          col("d.id").as("encounter_identifier"),
+          explode(coalesce(col("d.sampleCodes"), array())).as("sc"))
+        .filter(col("sc.code").isNotNull) // :160-163
+        .filter(col("sc.type") === "ClinicSwab") // :165-171
+        .join(ident, col("sc.code") === col("i_barcode")) // unknown → skip :175-179
+        .filter(col("set_name").isin(FhirEtl.expectedCollectionSets: _*))
+        .select(col("uuid").as("collection_identifier"),
+          col("encounter_identifier"), col("sc.type").as("sample_type"))
+    }
+
     def decompose(feed: DataFrame, identifiers: DataFrame): Delta = {
       // parse once, consume per-branch: the typed doc struct feeds the
       // status classification and every delta frame (a lazy localCheckpoint
       // — RDD-level, ContextCleaner-reclaimed — not a CacheManager entry)
-      val parsed = feed.repartition(feed.sparkSession.sparkContext.defaultParallelism,
-        col("id")) // parse at cluster width (explicit, AQE-uncoalescible)
-        .select(col("id"), from_json(col("document"), schema).as("d"))
-        .localCheckpoint(false)
-      val statuses = parsed.select(col("id"),
-          when(!col("d.schemaVersion").isin(KnownVersions: _*),
-            concat(lit("error: unknown schema version "), col("d.schemaVersion")))
-            .as("skip_reason"))
+      val parsed = parsedOf(feed)
+      val statuses = parsed.select(col("id"), skipReasonCol.as("skip_reason"))
         .withColumn("status",
           when(col("skip_reason").isNull, "processed").otherwise("error"))
         .select("id", "status", "skip_reason")
       // same predicate as statuses, applied directly — no self-join
       val ok = parsed.filter(col("d.schemaVersion").isin(KnownVersions: _*))
-
-      // assigned_sex (:327-343): fall back to AssignedSexAirport only when
-      // the AssignedSex QUESTION is absent — a present-but-declined answer
-      // stays null (NoSuchQuestionError vs a None response)
-      val asResp = responseFor(col("d"), "AssignedSex")
-      val sexCol = when(asResp.isNotNull, firstAnswer(asResp))
-        .otherwise(firstAnswer(responseFor(col("d"), "AssignedSexAirport")))
-      // age (:245-258): ninetyOrAbove → "90 years", else float(value) years
-      val ageCol = when(col("d.age").isNull, lit(null).cast("string"))
-        .when(col("d.age.ninetyOrAbove"), lit("90 years"))
-        .otherwise(concat(col("d.age.value").cast("double").cast("string"),
-          lit(" years")))
 
       val encounters = ok.select(col("id"),
         col("d.id").as("identifier"),
@@ -125,17 +154,7 @@ object Feeds {
         .filter(col("identifier").isNotNull).distinct()
 
       // ClinicSwab samples (:141-199): known barcode in a collection set
-      val ident = identifiers.select(col("barcode").as("i_barcode"),
-        col("uuid"), col("set_name"))
-      val sampleUpdates = ok.select(col("id"),
-          col("d.id").as("encounter_identifier"),
-          explode(coalesce(col("d.sampleCodes"), array())).as("sc"))
-        .filter(col("sc.code").isNotNull) // :160-163
-        .filter(col("sc.type") === "ClinicSwab") // :165-171
-        .join(ident, col("sc.code") === col("i_barcode")) // unknown → skip :175-179
-        .filter(col("set_name").isin(FhirEtl.expectedCollectionSets: _*))
-        .select(col("uuid").as("collection_identifier"),
-          col("encounter_identifier"), col("sc.type").as("sample_type"))
+      val sampleUpdates = sampleUpdatesOf(parsed, identifiers)
 
       // locations (:287-231): use → relation; region = tract, id = address
       val encounterLocations = ok.select(col("id"),
@@ -151,6 +170,39 @@ object Feeds {
 
       Delta(statuses, sites, individuals, encounters, sampleUpdates,
         encounterLocations)
+    }
+
+    /** `statuses LEFT JOIN encounters ON id` fused into ONE projection
+      * of the parsed frame (r10; encounters is a filtered projection of
+      * the same frame keyed by the unique document id — the q62/q63
+      * reasoning), then the genuinely 1:N ClinicSwab collection join
+      * kept as a join. One parse checkpoint serves both sides.
+      * Output: id, status, skip_reason, identifier, encountered
+      * (timestamp), individual_identifier, sex, site_identifier, age,
+      * language, collection_identifier. Round10OpsSpec pins equality
+      * with the join form.
+      */
+    def statusReport(feed: DataFrame, identifiers: DataFrame): DataFrame = {
+      val parsed = parsedOf(feed)
+      val ok = col("d.schemaVersion").isin(KnownVersions: _*)
+      val fused = parsed.select(col("id"), skipReasonCol.as("skip_reason"),
+          when(ok, col("d.id")).as("identifier"),
+          when(ok, to_timestamp(col("d.startTimestamp"))).as("encountered"),
+          when(ok, col("d.participant")).as("individual_identifier"),
+          when(ok, sexCol).as("sex"),
+          when(ok, col("d.site.name")).as("site_identifier"),
+          when(ok, ageCol).as("age"),
+          when(ok, col("d.localeLanguageCode")).as("language"))
+        .withColumn("status",
+          when(col("skip_reason").isNull, "processed").otherwise("error"))
+      fused.join(sampleUpdatesOf(parsed, identifiers)
+          .select(col("encounter_identifier").as("identifier"),
+            col("collection_identifier")),
+        Seq("identifier"), "left")
+        .select(col("id"), col("status"), col("skip_reason"),
+          col("identifier"), col("encountered"),
+          col("individual_identifier"), col("sex"), col("site_identifier"),
+          col("age"), col("language"), col("collection_identifier"))
     }
   }
 
@@ -308,7 +360,16 @@ object Feeds {
         statuses: DataFrame, // id, status, skip_reason
         sampleUpdates: DataFrame) // id, identifier, collection_identifier, collection_date, update_identifiers
 
-    def decompose(feed: DataFrame, identifiers: DataFrame): Delta = {
+    /** Parse + join identifiers + classify, ONE pass — shared by
+      * [[decompose]] (per-branch projections; `pin = true` checkpoints
+      * so the parse+joins run once across branches) and
+      * [[statusReport]] (single consumer; `pin = false` streams —
+      * storing 15M-wide post-join rows for one reader is pure cost, and
+      * the downstream is a plain projection, not the HOF-lambda shape
+      * whose projection collapse re-parses per element).
+      */
+    private def classify(feed: DataFrame, identifiers: DataFrame,
+        pin: Boolean = true): DataFrame = {
       val ident = identifiers.select(col("barcode"), col("uuid"), col("set_name"))
       val parsed = feed.repartition(feed.sparkSession.sparkContext.defaultParallelism,
         col("id")) // parse at cluster width (explicit, AQE-uncoalescible)
@@ -331,9 +392,13 @@ object Feeds {
               "collection identifier in unexpected set")) // :154-159
         .withColumn("status",
           when(col("skip_reason").isNull, "processed").otherwise("skipped"))
-        // parse + classify once, consume per-branch (statuses AND
-        // sampleUpdates): lazy RDD-level checkpoint, ContextCleaner-reclaimed
-        .localCheckpoint(false)
+      // parse + classify once, consume per-branch (statuses AND
+      // sampleUpdates): lazy RDD-level checkpoint, ContextCleaner-reclaimed
+      if (pin) classified.localCheckpoint(false) else classified
+    }
+
+    def decompose(feed: DataFrame, identifiers: DataFrame): Delta = {
+      val classified = classify(feed, identifiers)
       val statuses = classified.select("id", "status", "skip_reason")
       val sampleUpdates = classified.filter(col("status") === "processed")
         .select(col("id"), col("s_uuid").as("identifier"),
@@ -342,6 +407,26 @@ object Feeds {
           (col("d.sample").isNotNull && col("d.collection").isNotNull)
             .as("update_identifiers")) // :119-121
       Delta(statuses, sampleUpdates)
+    }
+
+    /** `statuses LEFT JOIN sampleUpdates ON id` in ONE projection of the
+      * classified frame (r10) — the feed-status report every gate reads.
+      * The join form read the parse checkpoint twice and shuffled both
+      * narrow sides (2 Exchanges + an SMJ growing with the feed); since
+      * `sampleUpdates` is a filtered projection of the SAME frame keyed
+      * by the feed's unique document id, the join is exactly a
+      * when(processed, …) projection. Round10OpsSpec pins equality with
+      * the join form.
+      */
+    def statusReport(feed: DataFrame, identifiers: DataFrame): DataFrame = {
+      val ok = col("status") === "processed"
+      classify(feed, identifiers, pin = false).select(
+        col("id"), col("status"), col("skip_reason"),
+        when(ok, col("s_uuid")).as("identifier"),
+        when(ok, col("c_uuid")).as("collection_identifier"),
+        when(ok, to_date(col("d.date"))).as("collection_date"),
+        when(ok, col("d.sample").isNotNull && col("d.collection").isNotNull)
+          .as("update_identifiers"))
     }
   }
 
@@ -364,11 +449,14 @@ object Feeds {
         statuses: DataFrame, // id, status, skip_reason
         kitUpdates: DataFrame) // id, kit_identifier, sample_uuid, sample_type
 
-    def decompose(
-        feed: DataFrame,
-        identifiers: DataFrame, // barcode, uuid, set_name
-        samples: DataFrame // identifier, sample_type (utm|rdt|other)
-    ): Delta = {
+    /** Parse + joins + skip-ladder classification, ONE pass — shared by
+      * [[decompose]] (`pin = true`: checkpointed, branches read it
+      * twice) and [[statusReport]] (`pin = false`: single consumer
+      * streams, no block store — see [[Manifest.classify]]).
+      */
+    private def classify(
+        feed: DataFrame, identifiers: DataFrame, samples: DataFrame,
+        pin: Boolean = true): DataFrame = {
       val ident = identifiers.select(col("barcode"), col("uuid"), col("set_name"))
       val parsed = feed.repartition(feed.sparkSession.sparkContext.defaultParallelism,
         col("id")) // parse at cluster width (explicit, AQE-uncoalescible)
@@ -398,14 +486,39 @@ object Feeds {
           when(col("skip_reason").isNull, "processed")
             .when(col("skip_reason").startsWith("error"), "error")
             .otherwise("skipped"))
-        // parse + classify once, consume per-branch (statuses AND
-        // kitUpdates): lazy RDD-level checkpoint, ContextCleaner-reclaimed
-        .localCheckpoint(false)
+      // parse + classify once, consume per-branch (statuses AND
+      // kitUpdates): lazy RDD-level checkpoint, ContextCleaner-reclaimed
+      if (pin) classified.localCheckpoint(false) else classified
+    }
+
+    def decompose(
+        feed: DataFrame,
+        identifiers: DataFrame, // barcode, uuid, set_name
+        samples: DataFrame // identifier, sample_type (utm|rdt|other)
+    ): Delta = {
+      val classified = classify(feed, identifiers, samples)
       val statuses = classified.select("id", "status", "skip_reason")
       val kitUpdates = classified.filter(col("status") === "processed")
         .select(col("id"), col("k_uuid").as("kit_identifier"),
           col("s_uuid").as("sample_uuid"), col("w_type").as("sample_type"))
       Delta(statuses, kitUpdates)
+    }
+
+    /** `statuses LEFT JOIN kitUpdates ON id` in ONE projection of the
+      * classified frame (r10) — same reasoning as
+      * [[Manifest.statusReport]]: kitUpdates is a filtered projection of
+      * the same frame keyed by the unique document id, so the join is a
+      * when(processed, …) projection. Round10OpsSpec pins equality with
+      * the join form.
+      */
+    def statusReport(
+        feed: DataFrame, identifiers: DataFrame, samples: DataFrame): DataFrame = {
+      val ok = col("status") === "processed"
+      classify(feed, identifiers, samples, pin = false).select(
+        col("id"), col("status"), col("skip_reason"),
+        when(ok, col("k_uuid")).as("kit_identifier"),
+        when(ok, col("s_uuid")).as("sample_uuid"),
+        when(ok, col("w_type")).as("sample_type"))
     }
   }
 
@@ -435,11 +548,11 @@ object Feeds {
         readSets: DataFrame, // id, sample_uuid, urls (sorted csv), organism_lineage, rs_status
         sequences: DataFrame) // id, sequence_identifier, segment, organism_lineage
 
-    def decompose(
-        feed: DataFrame,
-        samples: DataFrame, // identifier
-        organisms: DataFrame // lineage
-    ): Delta = {
+    /** Parse (checkpointed) + sample/organism resolution + error
+      * classification — shared by [[decompose]] and [[statusReport]].
+      */
+    private def classify(
+        feed: DataFrame, samples: DataFrame, organisms: DataFrame): DataFrame = {
       // parse once, consume per-branch: the typed doc struct feeds the
       // status classification and every delta frame (a lazy localCheckpoint
       // — RDD-level, ContextCleaner-reclaimed — not a CacheManager entry)
@@ -458,13 +571,32 @@ object Feeds {
           col("d.sample_identifier") === col("w_ident"), "left")
         .join(broadcast(lineageByName),
           col("d.reference_organism") === col("ref_name"), "left")
-      val classified = withSample.withColumn("skip_reason",
+      withSample.withColumn("skip_reason",
           when(col("w_ident").isNull, "error: sample not found") // :106-110
             .when(!col("d.reference_organism").isin(OrganismLquery.keys.toSeq: _*),
               "error: unknown organism") // :225-236
             .when(col("lineage").isNull, "error: no organism matched")) // :185-190
         .withColumn("status",
           when(col("skip_reason").isNull, "processed").otherwise("error"))
+    }
+
+    /** sequences branch over a classified frame (:104-116). */
+    private def sequencesOf(classified: DataFrame): DataFrame =
+      classified.filter(col("status") === "processed")
+        .filter(col("d.status") === "complete")
+        .select(col("id"), col("lineage").as("organism_lineage"),
+          explode(coalesce(col("d.masked_consensus"), array())).as("mc"))
+        .select(col("id"),
+          col("mc.sequence_identifier").as("sequence_identifier"),
+          col("mc.sequence_segment").as("segment"),
+          col("organism_lineage"))
+
+    def decompose(
+        feed: DataFrame,
+        samples: DataFrame, // identifier
+        organisms: DataFrame // lineage
+    ): Delta = {
+      val classified = classify(feed, samples, organisms)
       val statuses = classified.select("id", "status", "skip_reason")
       val ok = classified.filter(col("status") === "processed")
       val readSets = ok.select(col("id"),
@@ -474,14 +606,33 @@ object Feeds {
         col("lineage").as("organism_lineage"),
         col("d.status").as("rs_status"))
       // sequences only for completed assemblies (:104-116)
-      val sequences = ok.filter(col("d.status") === "complete")
-        .select(col("id"), col("lineage").as("organism_lineage"),
-          explode(coalesce(col("d.masked_consensus"), array())).as("mc"))
-        .select(col("id"),
-          col("mc.sequence_identifier").as("sequence_identifier"),
-          col("mc.sequence_segment").as("segment"),
-          col("organism_lineage"))
+      val sequences = sequencesOf(classified)
       Delta(statuses, readSets, sequences)
+    }
+
+    /** `statuses LEFT JOIN readSets ON id` fused into ONE derivation of
+      * the classified frame (r10; readSets is a filtered per-id
+      * projection — the q62/q63 reasoning); the genuinely 1:N sequences
+      * explode stays a join. Output matches the join composition:
+      * id, status, skip_reason, sample_uuid, urls, organism_lineage,
+      * rs_status, sequence_identifier, segment. Round10OpsSpec pins
+      * equality with the join form.
+      */
+    def statusReport(
+        feed: DataFrame, samples: DataFrame, organisms: DataFrame): DataFrame = {
+      val classified = classify(feed, samples, organisms)
+      val ok = col("status") === "processed"
+      val fused = classified.select(col("id"), col("status"),
+        col("skip_reason"),
+        when(ok, col("d.sample_identifier")).as("sample_uuid"),
+        when(ok, array_join(
+          array_sort(coalesce(col("d.metadata.urls"), array())), ","))
+          .as("urls"),
+        when(ok, col("lineage")).as("organism_lineage"),
+        when(ok, col("d.status")).as("rs_status"))
+      fused.join(sequencesOf(classified)
+          .select(col("id"), col("sequence_identifier"), col("segment")),
+        Seq("id"), "left")
     }
   }
 }
