@@ -258,6 +258,15 @@ object Bench {
       java.nio.file.Files.write(out, lineFull.getBytes("UTF-8"))
     }
     println(line)
+    // Harness contract fix (round 11, VERDICT item 2): the driver keeps only
+    // a bounded (~2000 char) stdout TAIL, and the full per-query line above
+    // is ~12KB, so its head has been truncated-unparseable in every round.
+    // The LAST stdout line is therefore a compact summary that always fits
+    // the capture window; the per-query map lives in bench_times.json
+    // (written above) and in the full line for anyone with unbounded stdout.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"cpus":$cpus,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -4496,9 +4496,12 @@ object SparkEntry {
     * cli/command/sequence_read_set.py:29-77).
     */
   private def q288FastqScan(s: SparkSession, dir: String): DataFrame =
+    // `urls` is serialized to one comma-joined string (the q287 pattern):
+    // the oracle comparator cannot sort rows on an ARRAY column.
     graft.sources.Sources.fastqReadSets(s, "/root/repo/fixtures/fastq")
       .select($("sample"),
-        transform($("urls"), u => regexp_replace(u, "^file:", ""))
+        array_join(
+          transform($("urls"), u => regexp_replace(u, "^file:", "")), ",")
           .as("urls"))
 
   // ------------------------------------------------------------ the surface
@@ -10034,7 +10037,7 @@ object SparkEntry {
         |  '/root/repo/fixtures/locations_edge.geojson'))""".stripMargin,
     "q288_fastq_scan" ->
       """SELECT regexp_extract(file, '/([0-9]+)_[^/]*$', 1) AS sample,
-        |  list_sort(list(file)) AS urls
+        |  array_to_string(list_sort(list(file)), ',') AS urls
         |FROM glob('/root/repo/fixtures/fastq/*.fastq.gz')
         |WHERE regexp_extract(file, '/([0-9]+)_[^/]*$', 1) <> ''
         |GROUP BY 1""".stripMargin,
