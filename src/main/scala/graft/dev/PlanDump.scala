@@ -12,6 +12,11 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: PlanDump <outDir> <suffix> <sfDir> <query> [query...]")
+      sys.exit(2)
+    }
     val Array(outDir, suffix, sfDir, rest @ _*) = args
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

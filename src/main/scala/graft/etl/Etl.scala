@@ -141,11 +141,11 @@ object Etl {
             col("details")),
           coalesce(col("sample_id"), lit(Long.MaxValue))).as("_cur"))
       // same-batch same-key updates all apply, in order, each merging
-      // shallowly over the previous (the reference's sequential UPDATEs)
+      // shallowly over the previous (the reference's sequential UPDATEs).
+      // One codegen fold over the struct-field array — the previous
+      // `aggregate(...)` HOF ran the merge UDF interpreted per element.
       .withColumn("u_details",
-        aggregate(transform(col("_upds"), u => u.getField("d")),
-          lit(null).cast("string"),
-          (acc, d) => graft.functions.jsonbMergeShallow(acc, d)))
+        graft.functions.jsonbMergeFold(col("_upds").getField("d")))
       .drop("_upds")
       .withColumn("ambiguous", size(col("matches")) > 1)
       .withColumn("sample_id", try_element_at(col("matches"), lit(1)))

@@ -417,6 +417,15 @@ object Feeds {
       * by the feed's unique document id, the join is exactly a
       * when(processed, …) projection. Round10OpsSpec pins equality with
       * the join form.
+      *
+      * ASSUMPTION (r11, per the r10 advice): the equivalence holds only
+      * because the feed's document id is unique and identifier barcodes
+      * are unique — a duplicate-keyed feed would fan out N×M rows in
+      * the join form but produce N rows fused. Both uniquenesses are
+      * structural for every current caller (receiving ids are the
+      * feed's primary key; the identifier dim is keyed on barcode);
+      * nothing enforces them here, so a NEW caller feeding duplicate
+      * ids must use the join form or dedupe first.
       */
     def statusReport(feed: DataFrame, identifiers: DataFrame): DataFrame = {
       val ok = col("status") === "processed"

@@ -483,7 +483,30 @@ object FhirEtl {
       .filter(col("barcode").isNotNull) // fhir.py:214-215: no barcode → continue
       .select(col("id"), col("barcode"), col("effective_datetime"),
         col("pa_items"))
-    val drBarcodes = drSpec
+    // Bloom-gated semi-join (guide §3.2, r11): unknown barcodes are
+    // DROPPED by the inner identifier join (fhir.py:664-667 — real feeds
+    // routinely carry unresolvable barcodes), so the corpus side — the
+    // wide one, carrying pa_items — is pre-filtered on "might resolve"
+    // BEFORE its exchange with a Bloom filter built over the identifier
+    // dim's barcodes as a scalar subquery (one narrow dim scan; the
+    // plan's might_contain(scalar-subquery(bloom_filter_agg)) shape).
+    // False positives only ride the shuffle and die in the join; no
+    // false negatives, so the join result is identical. Sizing: 2^26
+    // bits (8 MB, the runtime-filter default cap) — ~1% fpp at 4M keys,
+    // degrading gracefully (~10%) at warehouse-scale 20M+ keys, where
+    // the filter still removes almost all unresolvable rows.
+    import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val identBloom = identifiers
+      .select(toCol(new BloomFilterAggregate(
+          new XxHash64(Seq(toExpr(col("barcode")))),
+          Literal(4000000L), Literal(1L << 26))
+        .toAggregateExpression()).as("bf"))
+      .scalar()
+    val drResolvable = drSpec.filter(toCol(BloomFilterMightContain(
+      toExpr(identBloom), new XxHash64(Seq(toExpr(col("barcode")))))))
+    val drBarcodes = drResolvable
       .join(ident, col("barcode") === col("i_barcode"), "inner")
       .filter(col("set_name")
         .isin(expectedCollectionSets ++ expectedSampleSets: _*))

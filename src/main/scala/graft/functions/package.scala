@@ -295,11 +295,29 @@ package object functions {
         1))
 
   /** jsonb shallow (top-level, right-biased) merge `a || b` (reference
-    * lib/id3c/db/__init__.py:229,305; etl/__init__.py:128,586-587).
-    * Cold path (merge engine change detection) ⇒ a UDF is acceptable;
-    * everything hot stays in native expressions.
+    * lib/id3c/db/__init__.py:229,305; etl/__init__.py:128,586-587) as a
+    * codegen native expression — [[JsonbMergeShallow]]. The Jackson UDF
+    * this replaces (kept below as the spec's equivalence reference) was
+    * the merge engine's last `ScalaUDF` on a hot path: q46's update fold
+    * ran it inside an interpreted `aggregate` lambda, one
+    * catalyst→scala conversion + Jackson parse/reserialize per element.
     */
-  val jsonbMergeShallow: org.apache.spark.sql.expressions.UserDefinedFunction =
+  def jsonbMergeShallow(a: Column, b: Column): Column =
+    toCol(JsonbMergeShallow(toExpr(a), toExpr(b)))
+
+  /** The same-batch sequential-update fold
+    * `aggregate(docs, NULL, (acc, d) -> jsonb_merge_shallow(acc, d))` as
+    * ONE codegen call over the array ([[JsonbMergeFold]]) — the HOF
+    * `aggregate` form runs interpreted per element.
+    */
+  def jsonbMergeFold(docs: Column): Column =
+    toCol(JsonbMergeFold(toExpr(docs)))
+
+  /** The original Jackson UDF — retained ONLY as the behavioural
+    * reference for [[JsonbMergeImpl]]'s equivalence spec; no query path
+    * calls it.
+    */
+  private[graft] val jsonbMergeShallowUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: String, b: String) =>
       (Option(a), Option(b)) match {
         case (None, bb) => bb.orNull

@@ -154,6 +154,37 @@ object Dedup {
   def wordShingleHashes(text: Column, n: Int): Column =
     graft.functions.wordNgramHash60(text, n, distinct = true)
 
+  /** The pre-shingled frame the whole exact/LSH containment family
+    * computes from — (id, _grams sorted gram-hash array, _sz) — built
+    * ONCE per operator call and lazily checkpointed (r11): the shingle
+    * kernel is the family's dominant CPU cost, and the audits previously
+    * re-ran it up to four times per query (exact side, LSH side's sets,
+    * LSH side's signatures, the audit's own size frame). Everything
+    * downstream (signatures, prefix ranks, verify arrays, size strata)
+    * derives from this frame.
+    */
+  private[operators] def shingleSets(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        sort_array(wordShingleHashes(col(textCol), n)).as("_grams"))
+      .withColumn("_sz", size(col("_grams")).cast("long"))
+      .localCheckpoint(false)
+
+  /** [[minhashSignatures]] over a [[shingleSets]] frame — the exploded
+    * gram-hash multiset is identical (min() is order-insensitive over
+    * the same distinct-hash set), so signatures are bit-identical, with
+    * zero extra shingle-kernel passes.
+    */
+  private[operators] def minhashSignaturesFrom(
+      sets: DataFrame, numHashes: Int): DataFrame = {
+    val sh = sets.select(col("id"), explode(col("_grams")).as("_hb"))
+    val aggs = (0 until numHashes).map(s =>
+      min(seededHash60(col("_hb"), s)).as(s"_h$s"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(s => col(s"_h$s")): _*).as("sig"))
+  }
+
   /** Exact n-gram Jaccard similarity join: pairs (idA < idB) with
     * |A∩B| / |A∪B| >= threshold. Shingle-inverted-index plan: explode
     * distinct shingles → equi-join on shingle → count per pair → Jaccard
@@ -323,21 +354,26 @@ object Dedup {
   def prefixFilterJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxCandidatePairs: Option[Long] = None): DataFrame = {
-    // grams ride as 60-bit hashes from here on: the verify arrays carry
-    // 8-byte longs instead of gram strings (4× less candidate-pair
-    // payload — measured dominant at dense-vocabulary corpora), same
-    // 2^-60 per-pair collision convention as the minhash family. The
-    // fused kernel digests gram BYTES — the gram strings are never
-    // materialized as rows. One parse+digest pass, three consumers →
-    // lazy checkpoint.
-    val sh = df.select(col(idCol).as("id"),
-        explode(wordShingleHashes(col(textCol), n)).as("g"))
-      .localCheckpoint(false)
+      maxCandidatePairs: Option[Long] = None): DataFrame =
+    prefixFilterJaccardPairsFrom(shingleSets(df, idCol, textCol, n),
+      threshold, maxCandidatePairs)
+
+  /** [[prefixFilterJaccardPairs]] over a pre-built [[shingleSets]] frame.
+    * Grams ride as 60-bit hashes: the verify arrays carry 8-byte longs
+    * instead of gram strings (4× less candidate-pair payload — measured
+    * dominant at dense-vocabulary corpora), same 2^-60 per-pair
+    * collision convention as the minhash family. r11: the verification
+    * side reads the checkpointed per-doc gram arrays DIRECTLY — the
+    * previous explode → groupBy(id) collect_list round-trip re-shuffled
+    * every gram row just to rebuild the array the kernel had already
+    * produced.
+    */
+  private[operators] def prefixFilterJaccardPairsFrom(
+      sets: DataFrame, threshold: Double,
+      maxCandidatePairs: Option[Long]): DataFrame = {
+    val sh = sets.select(col("id"), explode(col("_grams")).as("g"))
     // full sorted gram-hash set + size per doc (the verification side)
-    val docSets = sh.groupBy("id").agg(
-      sort_array(collect_list("g")).as("_grams"),
-      count(lit(1)).as("_sz"))
+    val docSets = sets
     // global rarity order: (document frequency asc, gram asc) is total
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("_df"))
     val byId = Window.partitionBy("id")
@@ -461,13 +497,21 @@ object Dedup {
   def prefixFilterContainmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxCandidatePairs: Option[Long] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(wordShingleHashes(col(textCol), n)).as("g"))
-      .localCheckpoint(false)
-    val docSets = sh.groupBy("id").agg(
-      sort_array(collect_list("g")).as("_grams"),
-      count(lit(1)).as("_sz"))
+      maxCandidatePairs: Option[Long] = None): DataFrame =
+    prefixFilterContainmentPairsFrom(shingleSets(df, idCol, textCol, n),
+      threshold, maxCandidatePairs)
+
+  /** [[prefixFilterContainmentPairs]] over a pre-built [[shingleSets]]
+    * frame — same r11 reshaping as [[prefixFilterJaccardPairsFrom]]: the
+    * verification arrays come straight off the checkpointed frame
+    * instead of an explode → groupBy(id) collect_list re-shuffle, and
+    * audits share one shingle-kernel pass across both sides.
+    */
+  private[operators] def prefixFilterContainmentPairsFrom(
+      sets: DataFrame, threshold: Double,
+      maxCandidatePairs: Option[Long]): DataFrame = {
+    val sh = sets.select(col("id"), explode(col("_grams")).as("g"))
+    val docSets = sets
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("_df"))
     val byId = Window.partitionBy("id")
     val ranked0 = sh.join(dfreq, "g")
@@ -929,12 +973,20 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy("src").agg(min("label").as("nbr_label"))
         .select(col("src").as("id"), col("nbr_label"))
+      // LAZY checkpoint + one aggregate job: materializing the round's
+      // labels and counting improved ones happen in the SAME job (r11 —
+      // the eager-checkpoint + isEmpty form submitted two jobs per
+      // round; the probe is the only driver decision, so batching it
+      // into the materialization halves the loop's job submissions
+      // without touching convergence semantics)
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("new_label"))
-        .localCheckpoint() // eager: one materialization, then two reads
-      converged = next.filter(col("new_label") < col("label")).isEmpty
+        .localCheckpoint(false)
+      converged = next
+        .agg(count(when(col("new_label") < col("label"), 1)))
+        .head().getLong(0) == 0L
       labels = next.select(col("id"), col("new_label").as("label"))
       round += 1
     }
@@ -1379,13 +1431,24 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       numHashes: Int = 16, bandSize: Int = 2,
-      maxRatio: Double = 2.0): DataFrame = {
+      maxRatio: Double = 2.0): DataFrame =
+    lshContainmentPairsFrom(shingleSets(df, idCol, textCol, n),
+      threshold, numHashes, bandSize, maxRatio)
+
+  /** [[lshContainmentPairs]] over a pre-built [[shingleSets]] frame —
+    * r11: signatures AND verification arrays both derive from the one
+    * checkpointed shingle frame (previously the minhash side re-ran the
+    * shingle kernel over the raw text a second time).
+    */
+  private[operators] def lshContainmentPairsFrom(
+      sets: DataFrame, threshold: Double,
+      numHashes: Int, bandSize: Int, maxRatio: Double): DataFrame = {
     require(numHashes % bandSize == 0,
       s"numHashes ($numHashes) must be a multiple of bandSize ($bandSize):" +
         " leftover signature positions would be silently dropped," +
         " quietly lowering recall versus the configured hash budget")
     val numBands = numHashes / bandSize
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val sigs = minhashSignaturesFrom(sets, numHashes)
     val banded = sigs.select(col("id"),
       posexplode(bandBuckets(col("sig"), numBands, bandSize))
         .as(Seq("band", "bucket")))
@@ -1395,10 +1458,6 @@ object Dedup {
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sets = df.select(col(idCol).as("id"),
-        sort_array(wordShingleHashes(col(textCol), n)).as("_grams"))
-      .withColumn("_sz", size(col("_grams")).cast("long"))
-      .localCheckpoint(false) // one parse+digest pass, two pair sides
     cand
       .join(sets.select(col("id").as("id_a"), col("_grams").as("_ga"),
         col("_sz").as("_sa")), Seq("id_a"))
@@ -1494,49 +1553,83 @@ object Dedup {
       n: Int, threshold: Double,
       numHashes: Int = 64, maxRatio: Double = 8.0,
       recallTarget: Double = 0.9,
-      maxCandidatePairs: Option[Long] = None): DataFrame = {
+      maxCandidatePairs: Option[Long] = None): DataFrame =
+    stratifiedContainmentPairsFrom(shingleSets(df, idCol, textCol, n),
+      threshold, numHashes, maxRatio, recallTarget, maxCandidatePairs)
+
+  /** [[stratifiedContainmentPairs]] over a pre-built [[shingleSets]]
+    * frame. r11 reshaping (guide §2.4 — remove repeated scans/shuffles):
+    *
+    *   - signatures derive from the shingle frame (the previous
+    *     `minhashSignatures(df, …)` re-ran the shingle kernel over the
+    *     raw text a second time), and the stratum rides the signature
+    *     groupBy as a key instead of a per-plan join back to `sets`;
+    *   - ONE tagged band frame replaces the per-(width, bands) frames:
+    *     each plan group's buckets are concatenated into a single
+    *     posexploded array, `pos` globally identifies (group, band), and
+    *     the per-group stratum-delta domain becomes a pos-range
+    *     predicate after ONE self-join — previously every plan group
+    *     re-read the signature checkpoint, built its own exchange and
+    *     self-join, and the candidate union de-duplicated across them
+    *     (3 Generates / 3 exchanges / 3 joins on this corpus's plan).
+    *
+    * The candidate set is identical: a pair qualifies iff SOME plan
+    * group's band bucket collides with the pair's stratum delta in that
+    * group's domain — exactly the union the per-group frames computed.
+    */
+  private[operators] def stratifiedContainmentPairsFrom(
+      sets: DataFrame, threshold: Double,
+      numHashes: Int, maxRatio: Double,
+      recallTarget: Double,
+      maxCandidatePairs: Option[Long]): DataFrame = {
     val plan = stratifiedBandPlan(threshold, numHashes, maxRatio,
       recallTarget)
-    val sets = df.select(col(idCol).as("id"),
-        sort_array(wordShingleHashes(col(textCol), n)).as("_grams"))
-      .withColumn("_sz", size(col("_grams")).cast("long"))
-      .localCheckpoint(false) // one parse+digest pass, strata + 2 pair sides
+    val planSeq = plan.toSeq.sortBy(_._1)
     // stratum = floor(log2(sz)) via BIT LENGTH, not floating log2: both
     // engines' bin() is the minimal binary string, so the stratum is
     // integer-exact at power-of-two boundaries where log(x)/log(2)
     // jitters below the integer
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
-      .join(sets.select(col("id"),
-        (length(bin(col("_sz"))) - 1).as("_st")), Seq("id"))
-      .localCheckpoint(false) // one signature pass, one band frame per plan
-    val bandFrames = plan.toSeq.sortBy(_._1).map { case ((r, b), deltas) =>
-      val banded = sigs.select(col("id"), col("_st"),
-        posexplode(bandBuckets(col("sig"), b, r))
-          .as(Seq("band", "bucket")))
-      (banded, deltas)
-    }
+    val sh = sets.select(col("id"),
+      (length(bin(col("_sz"))) - 1).as("_st"),
+      explode(col("_grams")).as("_hb"))
+    val aggs = (0 until numHashes).map(s =>
+      min(seededHash60(col("_hb"), s)).as(s"_h$s"))
+    val sigs = sh.groupBy(col("id"), col("_st"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), col("_st"),
+        array((0 until numHashes).map(s => col(s"_h$s")): _*).as("sig"))
+      .localCheckpoint(false) // one signature pass: mass probe + band join
+    // pos -> (plan group, band) offsets for the one concatenated frame
+    val offsets = planSeq.map(_._1._2).scanLeft(0)(_ + _)
+    val allBuckets = concat(planSeq.map { case ((r, b), _) =>
+      bandBuckets(col("sig"), b, r)
+    }: _*)
+    val banded = sigs.select(col("id"), col("_st"),
+      posexplode(allBuckets).as(Seq("pos", "bucket")))
     maxCandidatePairs.foreach { budget =>
       val d = col("_c").cast("decimal(38,0)")
-      val mass = bandFrames.map { case (banded, _) =>
-        banded.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("_c"))
-          .agg(coalesce(sum(d * (d - lit(1))), lit(0).cast("decimal(38,0)"))
-            .as("_m"))
-      }.reduce(_ unionByName _)
-        .agg(sum(col("_m")))
+      val mass = banded.groupBy(col("pos"), col("bucket"))
+        .agg(count(lit(1)).as("_c"))
+        .agg(coalesce(sum(d * (d - lit(1))), lit(0).cast("decimal(38,0)")))
       requireCandidateBudget("stratifiedContainmentPairs", mass, budget,
         "Raise the hash budget's selectivity (higher recallTarget forces " +
           "narrower bands — more mass; lower maxRatio prunes strata), " +
           "sample the corpus, or raise maxCandidatePairs deliberately.")
     }
-    val cand = bandFrames.map { case (banded, deltas) =>
-      banded.as("a").hint("shuffle_hash").join(banded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .filter(abs(col("a._st") - col("b._st"))
-          .isin(deltas.map(Integer.valueOf): _*))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    }.reduce(_ unionByName _).distinct()
+    // a colliding pair counts only when its stratum delta is in the
+    // colliding pos's plan-group domain (a.pos == b.pos, so one side's
+    // pos determines the group)
+    val deltaCond = planSeq.zipWithIndex.map { case ((_, deltas), g) =>
+      col("a.pos") >= offsets(g) && col("a.pos") < offsets(g + 1) &&
+        abs(col("a._st") - col("b._st"))
+          .isin(deltas.map(Integer.valueOf): _*)
+    }.reduce(_ || _)
+    val cand = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        col("a.pos") === col("b.pos") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .filter(deltaCond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
     cand
       .join(sets.select(col("id").as("id_a"), col("_grams").as("_ga"),
         col("_sz").as("_sa")), Seq("id_a"))
@@ -1564,19 +1657,19 @@ object Dedup {
       n: Int, threshold: Double,
       numHashes: Int = 64, maxRatio: Double = 8.0,
       recallTarget: Double = 0.9): DataFrame = {
-    // the exact form reports only true containments — re-derive set
-    // sizes for the ratio cut (exact integers, not a rounded-c quotient)
-    val sz = df.select(col(idCol).as("id"),
-      size(wordShingleHashes(col(textCol), n)).cast("long").as("_z"))
-    val exact = prefixFilterContainmentPairs(df, idCol, textCol, n,
-        threshold)
+    // ONE shingle-kernel pass threaded through both audit sides AND the
+    // ratio-cut size frame (r11 — previously each re-ran the kernel:
+    // four passes per audit run)
+    val sets = shingleSets(df, idCol, textCol, n)
+    val sz = sets.select(col("id"), col("_sz").as("_z"))
+    val exact = prefixFilterContainmentPairsFrom(sets, threshold, None)
       .join(sz.select(col("id").as("id_a"), col("_z").as("_za")), Seq("id_a"))
       .join(sz.select(col("id").as("id_b"), col("_z").as("_zb")), Seq("id_b"))
       .filter(greatest(col("_za"), col("_zb")).cast("double") <=
         lit(maxRatio) * least(col("_za"), col("_zb")).cast("double"))
       .select(col("id_a"), col("id_b"), lit(1).as("_e"))
-    val lsh = stratifiedContainmentPairs(df, idCol, textCol, n, threshold,
-        numHashes, maxRatio, recallTarget)
+    val lsh = stratifiedContainmentPairsFrom(sets, threshold,
+        numHashes, maxRatio, recallTarget, None)
       .select(col("id_a"), col("id_b"), lit(1).as("_l"))
     exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
       .agg(
@@ -1604,14 +1697,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxCandidatePairs: Long,
       numHashes: Int = 16, bandSize: Int = 2,
-      maxRatio: Double = 2.0): DataFrame =
-    try prefixFilterContainmentPairs(df, idCol, textCol, n, threshold,
-      maxCandidatePairs = Some(maxCandidatePairs))
+      maxRatio: Double = 2.0): DataFrame = {
+    // one shingle frame serves whichever route wins — the fallback path
+    // previously re-ran the kernel from the raw text
+    val sets = shingleSets(df, idCol, textCol, n)
+    try prefixFilterContainmentPairsFrom(sets, threshold,
+      Some(maxCandidatePairs))
     catch {
       case _: CandidateMassExceededException =>
-        lshContainmentPairs(df, idCol, textCol, n, threshold,
+        lshContainmentPairsFrom(sets, threshold,
           numHashes, bandSize, maxRatio)
     }
+  }
 
   /** Confusion counts of [[lshContainmentPairs]] against the exact
     * containment pair set ([[ngramContainmentPairs]] semantics), same
@@ -1625,10 +1722,13 @@ object Dedup {
       n: Int, threshold: Double,
       numHashes: Int = 16, bandSize: Int = 2,
       maxRatio: Double = 2.0): DataFrame = {
-    val exact = prefixFilterContainmentPairs(df, idCol, textCol, n,
-        threshold)
+    // one shingle-kernel pass threaded through both audit sides (r11 —
+    // previously three: the exact side, the LSH side's verify sets, and
+    // the LSH side's signature build)
+    val sets = shingleSets(df, idCol, textCol, n)
+    val exact = prefixFilterContainmentPairsFrom(sets, threshold, None)
       .select(col("id_a"), col("id_b"), lit(1).as("_e"))
-    val lsh = lshContainmentPairs(df, idCol, textCol, n, threshold,
+    val lsh = lshContainmentPairsFrom(sets, threshold,
         numHashes, bandSize, maxRatio)
       .select(col("id_a"), col("id_b"), lit(1).as("_l"))
     exact.join(lsh, Seq("id_a", "id_b"), "full_outer")

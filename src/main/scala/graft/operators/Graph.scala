@@ -192,9 +192,13 @@ object Graph {
     var round = 0
     var stable = false
     while (!stable && round < maxRounds) {
+      // LAZY checkpoint + one count job: the emptiness probe materializes
+      // the drop set in the SAME job (r11 — the eager + isEmpty form
+      // submitted two jobs per peeling round); the two anti-joins below
+      // read the now-cached partitions
       val drop = degrees(e).filter(col("deg") < k).select(col("id"))
-        .localCheckpoint() // consumed twice below + the isEmpty probe
-      if (drop.isEmpty) stable = true
+        .localCheckpoint(false)
+      if (drop.agg(count(lit(1))).head().getLong(0) == 0L) stable = true
       else e = e
         .join(drop.select(col("id").as("x")), Seq("x"), "left_anti")
         .join(drop.select(col("id").as("y")), Seq("y"), "left_anti")

@@ -61,6 +61,20 @@ object GraftExtensions {
     val cur = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       cur ++ rules.filterNot(cur.contains)
+    // Join-strategy tuning (guide §3.1), r11: let AQE rewrite a planned
+    // sort-merge join to a SHUFFLED HASH join at runtime when every
+    // post-shuffle build partition is under this threshold (default 0 =
+    // conversion off). Scale-adaptive by construction — the decision is
+    // made per join from the REAL shuffle sizes, so at warehouse scale a
+    // too-big build side simply stays sort-merge; the threshold bounds
+    // per-task build memory (256 MB against multi-GB task memory).
+    // Measured (same JVM tree, sf1): q56 9.5→6.8 / 14.4→4.9,
+    // q147 8.8→6.5, q283 17.0→15.0 — the win is skipping the corpus
+    // side's sort, which at 100 TB is the dominant exchange cost of
+    // every identifier-resolution join. Env-overridable so the driver's
+    // bench remains reproducible at other values.
+    spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_SHJ_MAX", "256m"))
   }
 
   val hammingDistanceDesc: FunctionDescription = (

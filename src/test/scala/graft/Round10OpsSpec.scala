@@ -52,7 +52,12 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "xutm_source=1",          // prefix must anchor at start
       "名前=値&a=1",            // multi-byte UTF-8 sorts after ASCII
       "a=%E2%82%AC&b=2",        // percent-encoded bytes pass through
-      "z=26%26&y=1&x=2"         // encoded '&' inside a value
+      "z=26%26&y=1&x=2",        // encoded '&' inside a value
+      // >8 surviving segments: exercises the kernel's span-array
+      // doubling path and the insertion sort at larger n (r11, per the
+      // r10 advice — earlier cases all had <=3 survivors)
+      "k=11&j=10&i=9&h=8&g=7&f=6&e=5&d=4&c=3&b=2&a=1",
+      "m=1&utm_source=x&l=2&k=3&j=4&i=5&h=6&g=7&f=8&e=9&d=10&c=11&b=12&a=13"
     )
     val df = cases.toDF("q")
     val out = df.select(
